@@ -1,0 +1,108 @@
+package graft.index
+
+import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+import graft.operators.{Knn, TopK}
+
+/** IVF (inverted-file) index: coarse-quantize vectors to centroid lists,
+  * probe only the nprobe nearest lists at query time (SURVEY B1/B2/W14/Q6;
+  * reference config.h:74-82 — nlist 1024, nprobe 6, shared global centroids).
+  *
+  * Spark-first layout: the "inverted list" IS the physical partitioning —
+  * vectors written partitioned by `centroid_id`, so an IVF probe becomes
+  * partition pruning (`centroid_id IN (...)`) + a scan of only those
+  * partitions. At 100 TB the probe reads nprobe/nlist of the data and no
+  * shuffle happens until the per-query top-k reduction.
+  *
+  * Two centroid sources:
+  *  - [[deterministicCentroids]]: fixed rule (vec_id % `every` == 0) —
+  *    reproducible in the DuckDB oracle, used by the correctness gate;
+  *  - [[trainKMeans]]: MLlib KMeans — the production path (recall-tested in
+  *    ScalaTest rather than hash-matched).
+  */
+object Ivf {
+
+  /** Oracle-reproducible centroid set: every `every`-th embedding row. */
+  def deterministicCentroids(embeddings: DataFrame, every: Int = 50): DataFrame =
+    embeddings.filter(col("vec_id") % every === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+
+  /** W14/B2: assign each vector to its nearest centroid (expanded-form L2,
+    * ties by cid asc — same formula the oracle uses, so assignments match
+    * bit-for-bit). Broadcast the centroids: assignment is a map-side join.
+    */
+  def assign(data: DataFrame, centroids: DataFrame,
+      vecCol: String = "embedding"): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("__d").asc, col("cid").asc)
+    data.crossJoin(broadcast(centroids))
+      .withColumn("__d", l2SqExpanded(col(vecCol), col("cv")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__d", "cv")
+      .withColumnRenamed("cid", "centroid_id")
+  }
+
+  /** Q6: probe set — the nprobe nearest centroids per query. */
+  def probes(queries: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__d").asc, col("cid").asc)
+    queries.crossJoin(broadcast(centroids))
+      .withColumn("__d", l2SqExpanded(col("qv"), col("cv")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cid").as("centroid_id"))
+  }
+
+  /** Q6 end-to-end: IVF-restricted top-k. `assigned` must carry centroid_id.
+    * The probe set (queries × nprobe) is broadcast and joined on
+    * centroid_id — with centroid-partitioned storage this is partition
+    * pruning, not a shuffle of the data side.
+    */
+  def search(assigned: DataFrame, queries: DataFrame, centroids: DataFrame,
+      metric: String, k: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val probeSet = probes(queries, centroids, nprobe)
+    val scored = assigned.join(broadcast(probeSet), Seq("centroid_id"))
+      .select(col("query_id"), col(idCol),
+        Knn.score(metric, col("qv"), col(vecCol)).as("score"))
+    val asc = Knn.isAscending(metric)
+    if (asc)
+      TopK.viaWindow(scored, "query_id", idCol, "score", k, ascending = true)
+    else TopK.viaAggregator(scored, "query_id", idCol, "score", k)
+  }
+
+  /** B1: production centroid training via MLlib KMeans (reference rebuilds
+    * global centroids every 24 h, config.h:96-99; sample before training at
+    * scale — KMeans itself is iterative over the full input).
+    */
+  def trainKMeans(embeddings: DataFrame, nlist: Int, seed: Long = 42L,
+      vecCol: String = "embedding", maxIter: Int = 20): KMeansModel = {
+    val feats = embeddings
+      .withColumn("features", array_to_vector(col(vecCol).cast("array<double>")))
+    new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("features")
+      .fit(feats)
+  }
+
+  /** Centroid assignment with a trained model (production W14). */
+  def assignKMeans(data: DataFrame, model: KMeansModel,
+      vecCol: String = "embedding"): DataFrame =
+    model.setPredictionCol("centroid_id").transform(
+      data.withColumn("features", array_to_vector(col(vecCol).cast("array<double>"))))
+      .drop("features")
+
+  /** Model centroids as a DataFrame usable by [[probes]]/[[search]]. */
+  def kmeansCentroids(spark: org.apache.spark.sql.SparkSession,
+      model: KMeansModel): DataFrame = {
+    import spark.implicits._
+    model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toArray) }
+      .toSeq.toDF("cid", "cv")
+  }
+}

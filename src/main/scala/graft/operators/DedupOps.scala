@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Deduplication operators for LLM training-data pipelines: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale design: every near-dup variant follows the same blocked shape —
+  * (1) map-side signature per doc, (2) explode to (bucket, doc) and
+  * self-join on the bucket (shuffle keyed by bucket, never all-pairs),
+  * (3) verify candidates exactly. Only [[jaccardPairsWithin]] and
+  * [[cosineTopPairs]] do bounded all-pairs inside a small blocking key —
+  * those are the oracle-checkable baselines.
+  */
+object DedupOps {
+
+  private def toks(c: Column): Column = split(lower(c), " ", -1)
+
+  /** Exact dedupe: group by content hash, keep-first canonical doc.
+    * At scale: a single hash-aggregate on md5 (map-side combine).
+    */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(lower(col("text"))).as("text_hash"))
+      .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("canonical_id"))
+
+  /** Word n-gram shingles of a text column (n consecutive tokens joined by
+    * a separator), distinct.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val t = filter(toks(text), x => x =!= "")
+    val ngram = transform(
+      sequence(lit(0), size(t) - n),
+      i => concat_ws("", slice(t, i + 1, n)))
+    array_distinct(when(size(t) >= n, ngram).otherwise(array()))
+  }
+
+  /** Exact Jaccard similarity of two string-array columns (distinct sets). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = (size(array_distinct(a)) + size(array_distinct(b))
+      - size(array_intersect(a, b))).cast("double")
+    when(union === 0, lit(0.0)).otherwise(inter / union)
+  }
+
+  /** Top-`limit` most-similar doc pairs by distinct-token Jaccard, blocked
+    * by a key column (e.g. `source`) — the oracle-checkable baseline.
+    * Ties broken (jaccard desc, a asc, b asc).
+    */
+  def jaccardPairsWithin(docs: DataFrame, blockCol: String,
+      limit: Int): DataFrame = {
+    val a = docs.select(col(blockCol), col("doc_id").as("a"),
+      array_distinct(filter(toks(col("text")), x => x =!= "")).as("ta"))
+    val b = docs.select(col(blockCol), col("doc_id").as("b"),
+      array_distinct(filter(toks(col("text")), x => x =!= "")).as("tb"))
+    a.join(b, Seq(blockCol))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), jaccard(col("ta"), col("tb")).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("a").asc, col("b").asc)
+      .limit(limit)
+  }
+
+  /** MinHash signatures over 3-token shingles, entirely in codegen'd
+    * built-ins: base hash = xxhash64(shingle), then `numHashes` universal
+    * hashes h_i(x) = (a_i·x + b_i) via fixed odd multipliers; signature_i =
+    * min over shingles.
+    */
+  def minhashSignatures(docs: DataFrame, numHashes: Int = 64,
+      shingleN: Int = 3): DataFrame = {
+    val sh = shingles(col("text"), shingleN)
+    val baseHashes = transform(sh, s => xxhash64(s))
+    val sig = transform(
+      sequence(lit(0), lit(numHashes - 1)),
+      i => {
+        val a = i * lit(0x9E3779B97F4A7C15L) + lit(0xC2B2AE3D27D4EB4FL)
+        aggregate(baseHashes, lit(Long.MaxValue),
+          (acc, h) => least(acc, h * a + i))
+      })
+    docs.select(col("doc_id"), sig.as("minhash"))
+  }
+
+  /** MinHash-LSH candidate pairs: band the signature, bucket-join on
+    * (band_id, band_hash), verify with exact shingle Jaccard ≥ threshold.
+    * The bucket self-join is the only shuffle; all-pairs never materializes.
+    */
+  def minhashNearDups(docs: DataFrame, numHashes: Int = 64, bands: Int = 16,
+      shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val rows = numHashes / bands
+    val sigs = minhashSignatures(docs, numHashes, shingleN)
+    val banded = sigs.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("minhash"), b * rows + 1, rows))))
+          .as(Seq("band_id", "band_hash")))
+    val cands = banded.as("x").join(banded.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val sh = docs.select(col("doc_id"),
+      shingles(col("text"), shingleN).as("sh"))
+    cands
+      .join(sh.select(col("doc_id").as("a"), col("sh").as("sa")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("sh").as("sb")), Seq("b"))
+      .select(col("a"), col("b"), jaccard(col("sa"), col("sb")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash over tokens: per-bit majority vote of token xxhash64s.
+    * Near-dups = pairs with hamming distance ≤ maxHamming, blocked by
+    * 16-bit chunks (a pair within distance 3 shares at least one of 4
+    * chunks exactly — pigeonhole).
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val t = filter(toks(col("text")), x => x =!= "")
+    val hashes = transform(array_distinct(t), x => xxhash64(x))
+    // bit b of the simhash = 1 iff Σ_tokens sign(bit b) > 0
+    val sig = aggregate(
+      sequence(lit(0), lit(63)),
+      lit(0L),
+      (acc, b) => {
+        val votes = aggregate(hashes, lit(0),
+          (v, h) => v + when(shiftright(h, b).bitwiseAND(1) === 1, 1)
+            .otherwise(-1))
+        acc + when(votes > 0, shiftleft(lit(1L), b)).otherwise(0L)
+      })
+    docs.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigs = simhash(docs)
+    val chunked = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        c => shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFF)))
+        .as(Seq("chunk_id", "chunk")))
+    chunked.as("x").join(chunked.as("y"),
+        col("x.chunk_id") === col("y.chunk_id") &&
+          col("x.chunk") === col("y.chunk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Top-`limit` embedding pairs by cosine — brute-force baseline for
+    * embedding near-dup / ANN verification. Ties (cosine desc, a, b).
+    */
+  def cosineTopPairs(embeddings: DataFrame, limit: Int): DataFrame = {
+    val a = embeddings.select(col("vec_id").as("a"), col("embedding").as("va"))
+    val b = embeddings.select(col("vec_id").as("b"), col("embedding").as("vb"))
+    a.crossJoin(b)
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        VectorFunctions.cosineD(col("va"), col("vb")).as("cosine"))
+      .orderBy(col("cosine").desc, col("a").asc, col("b").asc)
+      .limit(limit)
+  }
+}

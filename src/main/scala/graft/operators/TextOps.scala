@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines (north-star
+  * extras in BASELINE.json): token stats, quality scoring, language ID,
+  * document fingerprinting. All row-local (no shuffle) — at 100 TB these
+  * are pure map-side column derivations over a partitioned scan.
+  */
+object TextOps {
+
+  /** Whitespace tokens, lowercased. Deterministic parity with the oracle's
+    * `string_split(lower(text), ' ')` (both keep empty tokens).
+    */
+  def tokens(text: Column): Column = split(lower(text), " ", -1)
+
+  /** Per-document token/quality statistics:
+    * n_tokens, n_distinct tokens, type-token ratio, punctuation count,
+    * tokens-per-char density. Ratios are exact integer divisions in double,
+    * so they hash-match the oracle without rounding.
+    */
+  def textStats(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_m"),
+      size(t).as("n_tokens"),
+      size(array_distinct(t)).as("n_distinct"),
+      (size(array_distinct(t)).cast("double") / size(t)).as("ttr"),
+      (length(col("text")) - length(translate(col("text"), ".,!?", "")))
+        .as("n_punct"),
+      (size(t).cast("double") / length(col("text"))).as("tokens_per_char"))
+  }
+
+  /** Language stopword lists for the n-gram/stopword language-ID heuristic.
+    * Order is the tie-break priority.
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein"),
+    "es" -> Seq("el", "la", "que", "los", "una", "por", "como"),
+    "fr" -> Seq("le", "les", "et", "des", "un", "une", "dans"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和"))
+
+  /** Language ID: distinct-stopword-hit count per language over whitespace
+    * tokens; argmax with ties broken by profile order; no hits at all →
+    * "und" (undetermined). Deterministic and oracle-expressible
+    * (`len(list_intersect(tokens, [...]))` in DuckDB).
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val hits = langProfiles.map { case (lang, words) =>
+      lang -> size(array_intersect(t, lit(words.toArray)))
+    }
+    val best = hits.tail.foldLeft[Column](
+      struct(hits.head._2.as("h"), lit(hits.head._1).as("l"))) {
+      case (acc, (lang, h)) =>
+        when(h > acc("h"), struct(h.as("h"), lit(lang).as("l"))).otherwise(acc)
+    }
+    docs.select(col("doc_id"), col("lang").as("labeled_lang"),
+        best.as("best"))
+      .select(col("doc_id"), col("labeled_lang"),
+        when(col("best.h") > 0, col("best.l")).otherwise(lit("und"))
+          .as("pred_lang"))
+  }
+
+  /** Rolling polynomial hash fingerprint (winnowing-style): hash every
+    * w-token window with a base-31 rolling hash over token hashes, keep the
+    * minimum — a robust-to-reordering-at-the-margins content fingerprint.
+    * UDF (not oracle-expressible); property-tested in ScalaTest.
+    */
+  def fingerprint(docs: DataFrame, w: Int = 4): DataFrame = {
+    val fp = udf { s: String =>
+      val toks = s.toLowerCase.split(" ", -1).filter(_.nonEmpty)
+      if (toks.length == 0) 0L
+      else {
+        val hs = toks.map(t => t.foldLeft(1125899906842597L)(
+          (h, c) => h * 31 + c))
+        val n = math.max(1, hs.length - w + 1)
+        var minH = Long.MaxValue
+        var i = 0
+        while (i < n) {
+          var h = 0L
+          var j = 0
+          while (j < math.min(w, hs.length)) { h = h * 1000003L + hs(i + j); j += 1 }
+          if (h < minH) minH = h
+          i += 1
+        }
+        minH
+      }
+    }
+    docs.select(col("doc_id"), fp(col("text")).as("fingerprint"))
+  }
+}
