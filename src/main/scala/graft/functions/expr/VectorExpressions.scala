@@ -1,10 +1,10 @@
 package graft.functions.expr
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, XxHash64}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types._
 
 /** Native Catalyst expressions for the hot distance kernels (SURVEY §2.5
@@ -15,14 +15,26 @@ import org.apache.spark.sql.types._
   *
   * All accumulation is IEEE double, sequential in index order. This exact
   * order is load-bearing: the DuckDB oracle computes the same sequential
-  * double sum (`list_dot_product(CAST(.. AS DOUBLE[]), ..)`), so scores are
-  * bit-identical and hash-compare safely without rounding.
+  * double sum, so scores are bit-identical and hash-compare safely.
+  *
+  * Mismatched dimensions throw (the reference treats dim as a fixed config
+  * invariant, types.h:117) — a mis-sliced PQ subvector must surface, not
+  * silently corrupt rankings.
   */
-abstract class VectorBinaryExpression extends BinaryExpression with ExpectsInputTypes {
-  override def inputTypes: Seq[AbstractDataType] =
-    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+abstract class VectorBinaryExpression extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<double>, array<double>), got ($l, $r)")
+    }
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = left.nullable || right.nullable
+
+  protected final def checkDims(n: Int, m: Int): Unit =
+    if (n != m) throw new IllegalArgumentException(
+      s"$prettyName: vector dimensions differ ($n vs $m)")
 }
 
 /** Inner product: Σ a(i)·b(i) (reference metric `ip`, types.h:38-42). */
@@ -30,7 +42,8 @@ case class DotProduct(left: Expression, right: Expression) extends VectorBinaryE
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    checkDims(n, y.numElements())
     var s = 0.0
     var i = 0
     while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -39,7 +52,11 @@ case class DotProduct(left: Expression, right: Expression) extends VectorBinaryE
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
       s"""
-         |int n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |int n = $x.numElements();
+         |if (n != $y.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "dot: vector dimensions differ (" + n + " vs " + $y.numElements() + ")");
+         |}
          |double acc = 0.0;
          |for (int i = 0; i < n; i++) {
          |  acc += $x.getDouble(i) * $y.getDouble(i);
@@ -56,7 +73,8 @@ case class L2SqDistance(left: Expression, right: Expression) extends VectorBinar
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    checkDims(n, y.numElements())
     var s = 0.0
     var i = 0
     while (i < n) { val d = x.getDouble(i) - y.getDouble(i); s += d * d; i += 1 }
@@ -65,7 +83,11 @@ case class L2SqDistance(left: Expression, right: Expression) extends VectorBinar
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
       s"""
-         |int n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |int n = $x.numElements();
+         |if (n != $y.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "l2_sq: vector dimensions differ (" + n + " vs " + $y.numElements() + ")");
+         |}
          |double acc = 0.0;
          |for (int i = 0; i < n; i++) {
          |  double d = $x.getDouble(i) - $y.getDouble(i);
@@ -80,15 +102,15 @@ case class L2SqDistance(left: Expression, right: Expression) extends VectorBinar
 
 object VectorExpressions {
   private def toD(c: Column): Column = c.cast("array<double>")
-  private def e(c: Column): Expression = ExpressionUtils.expression(c)
+  private def e(c: Column): Expression = GraftBridge.expression(c)
 
   /** Double-precision inner product (S1). */
   def dotD(a: Column, b: Column): Column =
-    ExpressionUtils.column(DotProduct(e(toD(a)), e(toD(b))))
+    GraftBridge.column(DotProduct(e(toD(a)), e(toD(b))))
 
   /** Double-precision squared L2 distance (S2). */
   def l2SqD(a: Column, b: Column): Column =
-    ExpressionUtils.column(L2SqDistance(e(toD(a)), e(toD(b))))
+    GraftBridge.column(L2SqDistance(e(toD(a)), e(toD(b))))
 
   /** xxHash64 with an explicit seed over the UTF-8 bytes of a string column.
     * The reference's canonical id hash is XXH64(id, seed=0)
@@ -96,5 +118,5 @@ object VectorExpressions {
     * fixed at seed 42, but the underlying Catalyst expression takes any seed.
     */
   def xxhash64Seed(seed: Long, cols: Column*): Column =
-    ExpressionUtils.column(XxHash64(cols.map(e), seed))
+    GraftBridge.column(XxHash64(cols.map(e), seed))
 }

@@ -33,7 +33,7 @@ object DedupOps {
     val t = filter(toks(text), x => x =!= "")
     val ngram = transform(
       sequence(lit(0), size(t) - n),
-      i => concat_ws("", slice(t, i + 1, n)))
+      i => concat_ws("", slice(t, i + 1, lit(n))))
     array_distinct(when(size(t) >= n, ngram).otherwise(array()))
   }
 
@@ -91,7 +91,7 @@ object DedupOps {
     val sigs = minhashSignatures(docs, numHashes, shingleN)
     val banded = sigs.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => hash(slice(col("minhash"), b * rows + 1, rows))))
+          b => hash(slice(col("minhash"), b * rows + 1, lit(rows)))))
           .as(Seq("band_id", "band_hash")))
     val cands = banded.as("x").join(banded.as("y"),
         col("x.band_id") === col("y.band_id") &&
@@ -122,9 +122,11 @@ object DedupOps {
       lit(0L),
       (acc, b) => {
         val votes = aggregate(hashes, lit(0),
-          (v, h) => v + when(shiftright(h, b).bitwiseAND(1) === 1, 1)
+          (v, h) => v + when(
+            call_function("shiftright", h, b).bitwiseAND(1) === 1, 1)
             .otherwise(-1))
-        acc + when(votes > 0, shiftleft(lit(1L), b)).otherwise(0L)
+        acc + when(votes > 0, call_function("shiftleft", lit(1L), b))
+          .otherwise(0L)
       })
     docs.select(col("doc_id"), sig.as("simhash"))
   }
@@ -133,7 +135,8 @@ object DedupOps {
     val sigs = simhash(docs)
     val chunked = sigs.select(col("doc_id"), col("simhash"),
       posexplode(transform(sequence(lit(0), lit(3)),
-        c => shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFF)))
+        c => call_function("shiftright", col("simhash"), c * 16)
+          .bitwiseAND(0xFFFF)))
         .as(Seq("chunk_id", "chunk")))
     chunked.as("x").join(chunked.as("y"),
         col("x.chunk_id") === col("y.chunk_id") &&
