@@ -11,6 +11,7 @@ object Smoke {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -43,6 +44,15 @@ object Smoke {
 
     println("== Dedup: simhash near-dups (maxHamming=10) ==")
     graft.operators.DedupOps.simhashNearDups(docs, maxHamming = 10).orderBy("a", "b").show(5)
+
+    println("== entry() driver contract: rows>0 ==")
+    val er = SparkEntry.entry(spark)
+    println(s"entry rows = ${er.count}")
+    er.show(5)
+
+    println("== knn_ivf plan: assignment must be map-side (no crossJoin/Window before topk) ==")
+    val cents = graft.index.Ivf.deterministicCentroids(emb, 50)
+    graft.index.Ivf.assign(emb, cents).explain("formatted")
 
     println("== probe: dimension mismatch must throw ==")
     try {

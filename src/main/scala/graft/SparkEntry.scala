@@ -1,13 +1,529 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+import graft.index.{Ivf, Pq}
+import graft.ingest.{MutationLog, VectorEntries}
+import graft.operators.{DedupOps, EventOps, Knn, TextOps}
+
+/** Driver contract — one `queries` entry per implemented operator family
+  * (SURVEY §2.8), with a DuckDB oracle for every SQL-expressible one.
+  *
+  * Oracle-parity ground rules (every query below obeys them):
+  *  - float scores are sequential double sums — DuckDB's
+  *    `list_dot_product`/`list_sum` over DOUBLE[] folds left-to-right, so
+  *    values are bit-identical (verified empirically) and need no rounding;
+  *  - every ordering has a total tie-break (score, then id);
+  *  - integer outputs are BIGINT on both sides (Spark `size`/`row_number`
+  *    are INT — cast; DuckDB `count`/`sum(int)` are HUGEINT — cast);
+  *  - order-dependent double sums over data (events.value, prices) are
+  *    rounded on BOTH sides;
+  *  - hashes shared across engines are md5-derived (xxhash64 seeds differ).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  private def q(s: SparkSession, dir: String): DataFrame =
+    Knn.defaultQueries(emb(s, dir))
+
+  private val pointIds = Seq(0L, 1L, 5L, 10L, 55L, 123L, 499L, 9999L)
+
+  /** Flagship: filtered top-k similarity search, end to end (Q1+Q2+Q3+Q9 —
+    * the reference's entire query surface in one plan).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val data = VectorEntries.fromEmbeddings(emb(spark, dir))
+    Knn.exactBatch(q(spark, dir), data, "ip", 10,
+      filter = col("tenant") === "t1" && VectorEntries.tagsAny(Seq(3, 11)))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- Q1/Q9/Q12: exact batch KNN, all three metrics -----------------
+    "knn_exact_ip" -> ((s, dir) =>
+      Knn.exactBatch(q(s, dir), emb(s, dir), "ip", 10)),
+    "knn_exact_l2" -> ((s, dir) =>
+      Knn.exactBatch(q(s, dir), emb(s, dir), "l2", 10)),
+    "knn_exact_cosine" -> ((s, dir) =>
+      Knn.exactBatch(q(s, dir), emb(s, dir), "cosine", 10)),
+    // ---- Q2/Q3: tenant + tags-ANY filtered KNN -------------------------
+    "knn_filtered" -> ((s, dir) =>
+      Knn.exactBatch(q(s, dir), VectorEntries.fromEmbeddings(emb(s, dir)),
+        "ip", 10,
+        filter = col("tenant") === "t1" && VectorEntries.tagsAny(Seq(3, 11)))),
+    // ---- sample_p restriction (types.h:74) -----------------------------
+    "knn_sampled" -> ((s, dir) =>
+      Knn.exactBatch(q(s, dir), emb(s, dir), "ip", 10,
+        filter = Knn.sampleFilter(25))),
+    // ---- Q6: IVF coarse search (deterministic centroids) ---------------
+    "knn_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cents = Ivf.deterministicCentroids(e, 50)
+      Ivf.search(Ivf.assign(e, cents), q(s, dir), cents, "ip", 10, 3)
+        .select("query_id", "vec_id", "score")
+    }),
+    // ---- Q7/Q8: PQ ADC + two-phase rerank ------------------------------
+    "knn_pq2phase" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cb = Pq.deterministicCodebook(e, 8, 8, 50)
+      Pq.twoPhaseSearch(e, Pq.encode(e, cb), cb, q(s, dir), 10, 4)
+    }),
+    // ---- B5: recall of IVF vs exact ------------------------------------
+    "recall_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val qs = q(s, dir)
+      val exact = Knn.exactBatch(qs, e, "ip", 10)
+      val cents = Ivf.deterministicCentroids(e, 50)
+      val ivf = Ivf.search(Ivf.assign(e, cents), qs, cents, "ip", 10, 3)
+      val hits = exact.select("query_id", "vec_id")
+        .join(ivf.select("query_id", "vec_id"), Seq("query_id", "vec_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("c"))
+      qs.select("query_id").join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          (coalesce(col("c"), lit(0L)).cast("double") / lit(10.0)).as("recall"))
+    }),
+    // ---- W5-W8, W11-W12: mutation log ----------------------------------
+    "upsert_live" -> ((s, dir) =>
+      MutationLog.live(MutationLog.deterministicLog(emb(s, dir)))
+        .select(col("vec_id"), col("op"), col("epoch"),
+          dotD(col("vec"), col("vec")).as("norm_sq"))),
+    "point_lookup" -> ((s, dir) =>
+      MutationLog.pointLookup(
+        MutationLog.deterministicLog(emb(s, dir)), pointIds)),
+    "compact_stats" -> ((s, dir) =>
+      MutationLog.compactStats(MutationLog.deterministicLog(emb(s, dir)))),
+    "op_stats" -> ((s, dir) =>
+      MutationLog.opStats(MutationLog.deterministicLog(emb(s, dir)))),
+    // ---- T7: events analytics ------------------------------------------
+    "events_hourly" -> ((s, dir) => EventOps.hourlyAgg(events(s, dir))),
+    "events_sessions" -> ((s, dir) => EventOps.sessionize(events(s, dir))),
+    "events_props" -> ((s, dir) => EventOps.propsKDistribution(events(s, dir))),
+    // ---- text analysis --------------------------------------------------
+    "text_stats" -> ((s, dir) => TextOps.textStats(docs(s, dir))),
+    "lang_id" -> ((s, dir) => TextOps.langId(docs(s, dir))),
+    "doc_fingerprint" -> ((s, dir) => TextOps.fingerprint(docs(s, dir))),
+    // ---- dedup ----------------------------------------------------------
+    "dedup_exact" -> ((s, dir) => DedupOps.exactGroups(docs(s, dir))),
+    "dedup_jaccard" -> ((s, dir) =>
+      DedupOps.jaccardPairsWithin(docs(s, dir), "source", 20)),
+    "dedup_minhash" -> ((s, dir) => DedupOps.minhashPairsOracle(docs(s, dir))),
+    "dedup_simhash" -> ((s, dir) => DedupOps.simhashPairsOracle(docs(s, dir))),
+    "dedup_minhash_prod" -> ((s, dir) =>
+      DedupOps.minhashNearDups(docs(s, dir), threshold = 0.5)),
+    "cosine_pairs" -> ((s, dir) =>
+      DedupOps.cosineTopPairs(emb(s, dir), 50)),
+    // ---- relational (TPC-H-ish) -----------------------------------------
+    "q1_pricing" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("sum_disc"),
+          count(lit(1)).as("n"))),
+    "q3_top_orders" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val l = Tables.load(s, dir, "lineitem")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey").asc)
+        .limit(10)
+    }),
+    "part_ranks" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+      Tables.load(s, dir, "part")
+        .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+          row_number().over(w).cast("long").as("rnk"))
+        .filter(col("rnk") <= 3)
+    }),
+    // ---- vector table stats ---------------------------------------------
+    "emb_label_stats" -> ((s, dir) => {
+      val e = emb(s, dir).withColumn("nsq",
+        dotD(col("embedding"), col("embedding")))
+      e.groupBy(col("label"))
+        .agg(count(lit(1)).as("n"), min(col("nsq")).as("min_norm_sq"),
+          max(col("nsq")).as("max_norm_sq"))
+    })
+  )
+
+  // ======================================================================
+  // DuckDB oracles. Tables are registered under their bare names over the
+  // same parquet files. Shared CTE prefixes below.
+  // ======================================================================
+
+  private val EMB =
+    """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, e AS qv FROM emb
+      |  WHERE vec_id % 25 = 0)""".stripMargin
+
+  /** top-k per query_id with (score dir, vec_id asc) ties. */
+  private def topkSql(scored: String, k: Int, desc: Boolean): String = {
+    val dir = if (desc) "DESC" else "ASC"
+    s"""$EMB,
+       |scored AS ($scored)
+       |SELECT query_id, vec_id, score FROM (
+       |  SELECT scored.*, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY score $dir, vec_id ASC) AS rn
+       |  FROM scored) t
+       |WHERE rn <= $k""".stripMargin
+  }
+
+  private val MUTLOG =
+    """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      |  FROM embeddings),
+      |log AS (
+      |  SELECT 'INSERT' AS op, vec_id, 1000 + vec_id AS epoch, e AS vec
+      |    FROM emb
+      |  UNION ALL
+      |  SELECT 'UPSERT', vec_id, 2000 + vec_id,
+      |      list_transform(e, x -> x * 1.01)
+      |    FROM emb WHERE vec_id % 5 = 0
+      |  UNION ALL
+      |  SELECT 'DELETE', vec_id, 3000 + vec_id, CAST(NULL AS DOUBLE[])
+      |    FROM emb WHERE vec_id % 10 = 0),
+      |latest AS (SELECT op, vec_id, epoch, vec FROM (
+      |    SELECT log.*, row_number() OVER (
+      |      PARTITION BY vec_id ORDER BY epoch DESC) AS rn FROM log) t
+      |  WHERE rn = 1),
+      |live AS (SELECT * FROM latest WHERE op <> 'DELETE')""".stripMargin
+
+  private val IVF =
+    s"""$EMB,
+       |cent AS (SELECT vec_id AS cid, e AS cv FROM emb WHERE vec_id % 50 = 0),
+       |asg AS (SELECT vec_id, e, cid AS centroid_id FROM (
+       |    SELECT emb.vec_id, emb.e, cent.cid, row_number() OVER (
+       |      PARTITION BY emb.vec_id ORDER BY
+       |        list_dot_product(emb.e, emb.e)
+       |          - 2 * list_dot_product(emb.e, cent.cv)
+       |          + list_dot_product(cent.cv, cent.cv) ASC, cent.cid ASC) AS rn
+       |    FROM emb CROSS JOIN cent) t
+       |  WHERE rn = 1),
+       |prb AS (SELECT query_id, qv, cid AS centroid_id FROM (
+       |    SELECT q.query_id, q.qv, cent.cid, row_number() OVER (
+       |      PARTITION BY q.query_id ORDER BY
+       |        list_dot_product(q.qv, q.qv)
+       |          - 2 * list_dot_product(q.qv, cent.cv)
+       |          + list_dot_product(cent.cv, cent.cv) ASC, cent.cid ASC) AS rn
+       |    FROM q CROSS JOIN cent) t
+       |  WHERE rn <= 3),
+       |ivfscored AS (
+       |  SELECT p.query_id, a.vec_id, list_dot_product(p.qv, a.e) AS score
+       |  FROM prb p JOIN asg a USING (centroid_id)),
+       |ivftop AS (SELECT query_id, vec_id, score FROM (
+       |    SELECT ivfscored.*, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rn
+       |    FROM ivfscored) t
+       |  WHERE rn <= 10)""".stripMargin
+
+  private val DOCTOKS =
+    """WITH d AS (SELECT doc_id, text, lang, source,
+      |  string_split(lower(text), ' ') AS toks FROM documents),
+      |dt AS (SELECT doc_id, source,
+      |  list_filter(toks, x -> x <> '') AS t FROM d)""".stripMargin
+
+  // shingles: distinct 3-grams of non-empty tokens joined by chr(1)
+  private val SHINGLES =
+    s"""$DOCTOKS,
+       |sh AS (SELECT doc_id,
+       |  list_distinct(CASE WHEN len(t) >= 3
+       |    THEN list_transform(generate_series(1, len(t) - 2),
+       |      i -> array_to_string(t[i:i+2], chr(1)))
+       |    ELSE [] END) AS sh FROM dt)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "knn_exact_ip" -> topkSql(
+      """SELECT q.query_id, emb.vec_id,
+        |    list_dot_product(q.qv, emb.e) AS score
+        |  FROM q CROSS JOIN emb""".stripMargin, 10, desc = true),
+    "knn_exact_l2" -> topkSql(
+      """SELECT q.query_id, emb.vec_id,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> (q.qv[i] - emb.e[i]) * (q.qv[i] - emb.e[i]))) AS score
+        |  FROM q CROSS JOIN emb""".stripMargin, 10, desc = false),
+    "knn_exact_cosine" -> topkSql(
+      """SELECT q.query_id, emb.vec_id,
+        |    list_dot_product(q.qv, emb.e)
+        |      / (sqrt(list_dot_product(q.qv, q.qv))
+        |         * sqrt(list_dot_product(emb.e, emb.e))) AS score
+        |  FROM q CROSS JOIN emb""".stripMargin, 10, desc = true),
+    "knn_filtered" -> topkSql(
+      """SELECT q.query_id, v.vec_id,
+        |    list_dot_product(q.qv, v.e) AS score
+        |  FROM q CROSS JOIN (
+        |    SELECT vec_id, e,
+        |      't' || CAST(vec_id % 3 AS VARCHAR) AS tenant,
+        |      [CAST(label AS BIGINT), 10 + vec_id % 5] AS tags
+        |    FROM emb) v
+        |  WHERE v.tenant = 't1'
+        |    AND list_has_any(v.tags, [CAST(3 AS BIGINT), CAST(11 AS BIGINT)])"""
+        .stripMargin, 10, desc = true),
+    "knn_sampled" -> topkSql(
+      """SELECT q.query_id, emb.vec_id,
+        |    list_dot_product(q.qv, emb.e) AS score
+        |  FROM q CROSS JOIN emb
+        |  WHERE (emb.vec_id * 2654435761) % 100 < 25""".stripMargin,
+      10, desc = true),
+    "knn_ivf" ->
+      s"""$IVF
+         |SELECT query_id, vec_id, score FROM ivftop""".stripMargin,
+    "knn_pq2phase" ->
+      s"""$EMB,
+         |cb AS (SELECT r.j, vec_id AS code_id,
+         |    e[r.j*8+1 : r.j*8+8] AS cw
+         |  FROM emb, range(8) r(j) WHERE vec_id % 50 = 0),
+         |sv AS (SELECT emb.vec_id, r.j, e[r.j*8+1 : r.j*8+8] AS s
+         |  FROM emb, range(8) r(j)),
+         |codes AS (SELECT vec_id, j, code_id FROM (
+         |    SELECT sv.vec_id, sv.j, cb.code_id, row_number() OVER (
+         |      PARTITION BY sv.vec_id, sv.j ORDER BY
+         |        list_dot_product(sv.s, sv.s)
+         |          - 2 * list_dot_product(sv.s, cb.cw)
+         |          + list_dot_product(cb.cw, cb.cw) ASC, cb.code_id ASC) AS rn
+         |    FROM sv JOIN cb USING (j)) t
+         |  WHERE rn = 1),
+         |lut AS (SELECT q.query_id, cb.j, cb.code_id,
+         |    list_dot_product(q.qv[cb.j*8+1 : cb.j*8+8], cb.cw) AS part
+         |  FROM q CROSS JOIN cb),
+         |adc AS (SELECT l.query_id, c.vec_id,
+         |    list_sum(list(l.part ORDER BY l.j)) AS approx_score
+         |  FROM codes c JOIN lut l ON c.j = l.j AND c.code_id = l.code_id
+         |  GROUP BY l.query_id, c.vec_id),
+         |cand AS (SELECT query_id, vec_id FROM (
+         |    SELECT adc.*, row_number() OVER (
+         |      PARTITION BY query_id
+         |      ORDER BY approx_score DESC, vec_id ASC) AS rn FROM adc) t
+         |  WHERE rn <= 40),
+         |exact AS (SELECT cand.query_id, cand.vec_id,
+         |    list_dot_product(q.qv, emb.e) AS score
+         |  FROM cand JOIN q USING (query_id) JOIN emb USING (vec_id))
+         |SELECT query_id, vec_id, score FROM (
+         |  SELECT exact.*, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rn
+         |  FROM exact) t
+         |WHERE rn <= 10""".stripMargin,
+    "recall_ivf" ->
+      s"""$IVF,
+         |exacttop AS (SELECT query_id, vec_id FROM (
+         |    SELECT q.query_id, emb.vec_id, row_number() OVER (
+         |      PARTITION BY q.query_id
+         |      ORDER BY list_dot_product(q.qv, emb.e) DESC, emb.vec_id ASC)
+         |      AS rn
+         |    FROM q CROSS JOIN emb) t
+         |  WHERE rn <= 10),
+         |hits AS (SELECT e.query_id, CAST(count(*) AS BIGINT) AS c
+         |  FROM exacttop e JOIN ivftop i
+         |    ON e.query_id = i.query_id AND e.vec_id = i.vec_id
+         |  GROUP BY e.query_id)
+         |SELECT q.query_id,
+         |  CAST(COALESCE(h.c, 0) AS DOUBLE) / 10.0 AS recall
+         |FROM q LEFT JOIN hits h ON q.query_id = h.query_id""".stripMargin,
+    "upsert_live" ->
+      s"""$MUTLOG
+         |SELECT vec_id, op, epoch,
+         |  list_dot_product(vec, vec) AS norm_sq
+         |FROM live""".stripMargin,
+    "point_lookup" ->
+      s"""$MUTLOG,
+         |probe AS (SELECT CAST(UNNEST([${pointIds.mkString(", ")}]) AS BIGINT)
+         |  AS vec_id)
+         |SELECT p.vec_id,
+         |  (l.op IS NOT NULL AND l.op <> 'DELETE') AS is_live,
+         |  COALESCE(l.epoch, -1) AS last_epoch
+         |FROM probe p LEFT JOIN latest l USING (vec_id)""".stripMargin,
+    "compact_stats" ->
+      s"""$MUTLOG
+         |SELECT vec_id % 16 AS shard,
+         |  CAST(count(*) AS BIGINT) AS n_live,
+         |  CAST(sum(epoch) AS BIGINT) AS sum_epoch,
+         |  min(vec_id) AS min_vec_id,
+         |  max(vec_id) AS max_vec_id
+         |FROM live GROUP BY 1""".stripMargin,
+    "op_stats" ->
+      s"""$MUTLOG
+         |SELECT op, CAST(count(*) AS BIGINT) AS n,
+         |  min(epoch) AS min_epoch, max(epoch) AS max_epoch
+         |FROM log GROUP BY op""".stripMargin,
+    "events_hourly" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
+        |  event_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(value), 4) AS sum_value,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus
+        |  FROM events),
+        |x AS (SELECT user_id, event_id, tus,
+        |    CASE WHEN lag(tus) OVER w IS NULL
+        |      OR tus - lag(tus) OVER w > 1800000000 THEN 1 ELSE 0 END
+        |      AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |s AS (SELECT user_id, tus,
+        |    CAST(sum(new_session) OVER (
+        |      PARTITION BY user_id ORDER BY tus, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM x)
+        |SELECT user_id, session_seq,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  max(tus) - min(tus) AS duration_us
+        |FROM s GROUP BY user_id, session_seq""".stripMargin,
+    "events_props" ->
+      """SELECT k % 10 AS k_mod, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM (SELECT TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1)
+        |    AS BIGINT) AS k FROM events) t
+        |WHERE k IS NOT NULL GROUP BY 1""".stripMargin,
+    "text_stats" ->
+      s"""$DOCTOKS
+         |SELECT d.doc_id,
+         |  CAST(length(d.text) AS BIGINT) AS n_chars_m,
+         |  CAST(len(d.toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(d.toks)) AS BIGINT) AS n_distinct,
+         |  CAST(len(list_distinct(d.toks)) AS DOUBLE) / len(d.toks) AS ttr,
+         |  CAST(length(d.text)
+         |    - length(translate(d.text, '.,!?', '')) AS BIGINT) AS n_punct,
+         |  CAST(len(d.toks) AS DOUBLE) / length(d.text) AS tokens_per_char
+         |FROM d""".stripMargin,
+    "lang_id" ->
+      s"""$DOCTOKS,
+         |h AS (SELECT d.doc_id, d.lang AS labeled_lang, l.prio, l.lng,
+         |    len(list_intersect(d.toks, l.words)) AS hits
+         |  FROM d, (VALUES
+         |    (1, 'en', ['the','and','of','to','in','is','that']),
+         |    (2, 'de', ['der','die','und','das','ist','nicht','ein']),
+         |    (3, 'es', ['el','la','que','los','una','por','como']),
+         |    (4, 'fr', ['le','les','et','des','un','une','dans']),
+         |    (5, 'zh', ['的','是','了','在','我','有','和']))
+         |    l(prio, lng, words)),
+         |b AS (SELECT doc_id, labeled_lang, lng, hits FROM (
+         |    SELECT h.*, row_number() OVER (
+         |      PARTITION BY doc_id ORDER BY hits DESC, prio ASC) AS rn
+         |    FROM h) t
+         |  WHERE rn = 1)
+         |SELECT doc_id, labeled_lang,
+         |  CASE WHEN hits > 0 THEN lng ELSE 'und' END AS pred_lang
+         |FROM b""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(lower(text)) AS text_hash,
+        |  CAST(count(*) AS BIGINT) AS n_dups,
+        |  min(doc_id) AS canonical_id
+        |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_jaccard" ->
+      s"""$DOCTOKS,
+         |ds AS (SELECT doc_id, source, list_distinct(t) AS t FROM dt),
+         |p AS (SELECT a.doc_id AS a, b.doc_id AS b,
+         |    CASE WHEN len(a.t) + len(b.t)
+         |        - len(list_intersect(a.t, b.t)) = 0 THEN 0.0
+         |      ELSE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+         |        / CAST(len(a.t) + len(b.t)
+         |            - len(list_intersect(a.t, b.t)) AS DOUBLE) END
+         |      AS jaccard
+         |  FROM ds a JOIN ds b
+         |    ON a.source = b.source AND a.doc_id < b.doc_id)
+         |SELECT a, b, jaccard FROM p
+         |ORDER BY jaccard DESC, a ASC, b ASC LIMIT 20""".stripMargin,
+    "dedup_minhash" ->
+      s"""$SHINGLES,
+         |xs AS (SELECT doc_id, sh,
+         |    list_transform(sh, s2 ->
+         |      CAST(('0x' || substr(md5(s2), 1, 7)) AS BIGINT)) AS xs
+         |  FROM sh),
+         |sig AS (SELECT doc_id, sh,
+         |    list_transform(generate_series(0, 31), i ->
+         |      COALESCE(list_min(list_transform(xs, x ->
+         |        ((2*i + 1) * x + (i * 40503) % 2147483647) % 2147483647)),
+         |        2147483647)) AS sig
+         |  FROM xs),
+         |banded AS (SELECT doc_id, r.b AS band_id,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      sig[r.b*4+1 : r.b*4+4]),
+         |      (acc, s2) -> (acc * 31 + s2) % 2147483647) AS band_hash
+         |  FROM sig, range(8) r(b)),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM banded x JOIN banded y
+         |    ON x.band_id = y.band_id AND x.band_hash = y.band_hash
+         |      AND x.doc_id < y.doc_id),
+         |ver AS (SELECT cand.a, cand.b,
+         |    CASE WHEN len(sa.sh) + len(sb.sh)
+         |        - len(list_intersect(sa.sh, sb.sh)) = 0 THEN 0.0
+         |      ELSE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |        / CAST(len(sa.sh) + len(sb.sh)
+         |            - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) END
+         |      AS jaccard
+         |  FROM cand
+         |  JOIN sh sa ON sa.doc_id = cand.a
+         |  JOIN sh sb ON sb.doc_id = cand.b)
+         |SELECT a, b, jaccard FROM ver WHERE jaccard >= 0.5""".stripMargin,
+    "dedup_simhash" ->
+      s"""$DOCTOKS,
+         |hs AS (SELECT doc_id,
+         |    list_transform(list_distinct(t), tk ->
+         |      CAST(('0x' || substr(md5(tk), 1, 7)) AS BIGINT)) AS hs
+         |  FROM dt),
+         |sig AS (SELECT doc_id,
+         |    CAST(list_sum(list_transform(generate_series(0, 27), b ->
+         |      CASE WHEN COALESCE(list_sum(list_transform(hs, h ->
+         |          CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0
+         |        THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END))
+         |      AS BIGINT) AS simhash
+         |  FROM hs),
+         |chunked AS (SELECT doc_id, simhash, r.c AS chunk_id,
+         |    CASE WHEN r.c = 0 THEN simhash & 16383
+         |      ELSE (simhash >> 14) & 16383 END AS chunk
+         |  FROM sig, range(2) r(c)),
+         |pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         |    CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+         |  FROM chunked x JOIN chunked y
+         |    ON x.chunk_id = y.chunk_id AND x.chunk = y.chunk
+         |      AND x.doc_id < y.doc_id)
+         |SELECT a, b, hamming FROM pairs WHERE hamming <= 3""".stripMargin,
+    "cosine_pairs" ->
+      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings)
+        |SELECT a.vec_id AS a, b.vec_id AS b,
+        |  list_dot_product(a.e, b.e)
+        |    / (sqrt(list_dot_product(a.e, a.e))
+        |       * sqrt(list_dot_product(b.e, b.e))) AS cosine
+        |FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+        |ORDER BY cosine DESC, a ASC, b ASC LIMIT 50""".stripMargin,
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "q3_top_orders" ->
+      """SELECT o.o_orderkey, o.o_orderpriority,
+        |  round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1, 2
+        |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "part_ranks" ->
+      """SELECT p_brand, p_partkey, p_retailprice, rnk FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |    CAST(row_number() OVER (PARTITION BY p_brand
+        |      ORDER BY p_retailprice DESC, p_partkey ASC) AS BIGINT) AS rnk
+        |  FROM part) t
+        |WHERE rnk <= 3""".stripMargin,
+    "emb_label_stats" ->
+      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
+        |  FROM embeddings)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n,
+        |  min(list_dot_product(e, e)) AS min_norm_sq,
+        |  max(list_dot_product(e, e)) AS max_norm_sq
+        |FROM emb GROUP BY label""".stripMargin
+  )
 }

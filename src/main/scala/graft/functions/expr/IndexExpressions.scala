@@ -1,0 +1,149 @@
+package graft.functions.expr
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Codegen'd index kernels (SURVEY W14/B2/S8; reference
+  * `src/cpp/index/centroids-manager.cpp`, `ivf-pq.cpp` [stubs],
+  * `include/woved/types.h:36,62` centroid pre-assignment).
+  *
+  * The round-1 argmin was a crossJoin×nlist + per-key window sort — a
+  * 1,024× data explosion through a full shuffle at reference nlist. These
+  * expressions do the same math map-side: the centroid/codebook matrix rides
+  * along as a codegen reference object (broadcast with the task closure),
+  * each row computes its argmin in a tight primitive loop inside whole-stage
+  * codegen, and nothing shuffles until the real aggregation.
+  *
+  * Distance is the expanded form `(v·v - 2·v·c) + c·c` with each dot a
+  * sequential double sum — bit-identical to the DuckDB oracle's
+  * `list_dot_product(e,e) - 2*list_dot_product(e,cv) + list_dot_product(cv,cv)`,
+  * so assignments (including ties, broken by lowest index) hash-match.
+  */
+case class NearestIndex(child: Expression, matrix: Array[Array[Double]])
+    extends UnaryExpression {
+
+  // c·c per codeword, precomputed once (sequential order, same as oracle)
+  private lazy val norms: Array[Double] = matrix.map { row =>
+    var s = 0.0; var i = 0
+    while (i < row.length) { s += row(i) * row(i); i += 1 }
+    s
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"nearest_index requires array<double>, got $t")
+  }
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var vv = 0.0
+    var i = 0
+    while (i < n) { val x = v.getDouble(i); vv += x * x; i += 1 }
+    var best = -1
+    var bestD = Double.PositiveInfinity
+    var c = 0
+    while (c < matrix.length) {
+      val row = matrix(c)
+      var vc = 0.0
+      i = 0
+      while (i < n) { vc += v.getDouble(i) * row(i); i += 1 }
+      val d = vv - 2 * vc + norms(c)
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mat = ctx.addReferenceObj("mat", matrix, "double[][]")
+    val nrm = ctx.addReferenceObj("nrm", norms, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      s"""
+         |int n = $v.numElements();
+         |double vv = 0.0;
+         |for (int i = 0; i < n; i++) { double x = $v.getDouble(i); vv += x * x; }
+         |int best = -1;
+         |double bestD = Double.POSITIVE_INFINITY;
+         |for (int c = 0; c < $mat.length; c++) {
+         |  double[] row = $mat[c];
+         |  double vc = 0.0;
+         |  for (int i = 0; i < n; i++) { vc += $v.getDouble(i) * row[i]; }
+         |  double d = vv - 2 * vc + $nrm[c];
+         |  if (d < bestD) { bestD = d; best = c; }
+         |}
+         |${ev.value} = best;
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** S8 `pq_adc_score(codes, lut)`: Σ_j lut(j)(codes(j)), summed in subspace
+  * order j = 0..m-1 (sequential — matches the oracle's
+  * `list_sum(list(part ORDER BY j))`). `codes` is the vector's m codeword
+  * *indices* (one array<int> column, 8-32 bytes scanned per row); `lut` is
+  * the per-query table of partial dot products (computed once per query row
+  * before the fan-out join). Reference config.h:84-94 — 96 lookups replace
+  * a 768-dim dot product on the stable tier.
+  */
+case class PqAdcSum(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"pq_adc_sum requires (array<int>, array<array<double>>), got ($l, $r)")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def nullSafeEval(codesAny: Any, lutAny: Any): Any = {
+    val codes = codesAny.asInstanceOf[ArrayData]
+    val lut = lutAny.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    var s = 0.0
+    var j = 0
+    while (j < m) { s += lut.getArray(j).getDouble(codes.getInt(j)); j += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (codes, lut) => {
+      s"""
+         |int m = $codes.numElements();
+         |double acc = 0.0;
+         |for (int j = 0; j < m; j++) {
+         |  acc += $lut.getArray(j).getDouble($codes.getInt(j));
+         |}
+         |${ev.value} = acc;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object IndexExpressions {
+  /** Map-side argmin over a small matrix (centroids / PQ sub-codebook):
+    * index of the row minimizing expanded-form L2 to `vec`, ties → lowest
+    * index. Zero shuffle, whole-stage codegen.
+    */
+  def nearestIndex(vec: Column, matrix: Array[Array[Double]]): Column =
+    GraftBridge.column(
+      NearestIndex(GraftBridge.expression(vec.cast("array<double>")), matrix))
+
+  /** ADC lookup-sum (S8): codes array<int> × per-query LUT array<array<double>>. */
+  def pqAdcSum(codes: Column, lut: Column): Column =
+    GraftBridge.column(PqAdcSum(
+      GraftBridge.expression(codes), GraftBridge.expression(lut)))
+}

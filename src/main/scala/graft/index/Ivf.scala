@@ -7,6 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
+import graft.functions.expr.IndexExpressions
 import graft.operators.{Knn, TopK}
 
 /** IVF (inverted-file) index: coarse-quantize vectors to centroid lists,
@@ -19,6 +20,10 @@ import graft.operators.{Knn, TopK}
   * partitions. At 100 TB the probe reads nprobe/nlist of the data and no
   * shuffle happens until the per-query top-k reduction.
   *
+  * Assignment is a map-side codegen'd argmin over the broadcast centroid
+  * matrix ([[IndexExpressions.nearestIndex]]) — one pass, zero shuffle,
+  * mirroring the reference's ingest-time pre-assignment (`types.h:62`).
+  *
   * Two centroid sources:
   *  - [[deterministicCentroids]]: fixed rule (vec_id % `every` == 0) —
   *    reproducible in the DuckDB oracle, used by the correctness gate;
@@ -30,25 +35,35 @@ object Ivf {
   /** Oracle-reproducible centroid set: every `every`-th embedding row. */
   def deterministicCentroids(embeddings: DataFrame, every: Int = 50): DataFrame =
     embeddings.filter(col("vec_id") % every === 0)
-      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      .select(col("vec_id").as("cid"), col("embedding").cast("array<double>").as("cv"))
 
-  /** W14/B2: assign each vector to its nearest centroid (expanded-form L2,
-    * ties by cid asc — same formula the oracle uses, so assignments match
-    * bit-for-bit). Broadcast the centroids: assignment is a map-side join.
+  /** Centroids collected to the driver, sorted by cid (the sort order IS the
+    * tie-break: nearestIndex keeps the lowest index on equal distance, which
+    * matches the oracle's `ORDER BY d, cid`).
+    */
+  def collectCentroids(centroids: DataFrame): (Array[Long], Array[Array[Double]]) = {
+    val rows = centroids.select(col("cid").cast("long"), col("cv").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    (rows.map(_._1), rows.map(_._2))
+  }
+
+  /** W14/B2: assign each vector to its nearest centroid — a single map-side
+    * projection (no join, no shuffle, no row explosion).
     */
   def assign(data: DataFrame, centroids: DataFrame,
       vecCol: String = "embedding"): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("__d").asc, col("cid").asc)
-    data.crossJoin(broadcast(centroids))
-      .withColumn("__d", l2SqExpanded(col(vecCol), col("cv")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn", "__d", "cv")
-      .withColumnRenamed("cid", "centroid_id")
+    val (cids, matrix) = collectCentroids(centroids)
+    val idx = IndexExpressions.nearestIndex(col(vecCol), matrix)
+    data.withColumn("centroid_id",
+      element_at(typedlit(cids.toSeq), idx + 1))
   }
 
-  /** Q6: probe set — the nprobe nearest centroids per query. */
+  /** Q6: probe set — the nprobe nearest centroids per query. Queries are
+    * ≤100 rows (reference config.h:180); the window here sorts
+    * queries×nlist rows, which is trivially small.
+    */
   def probes(queries: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("__d").asc, col("cid").asc)

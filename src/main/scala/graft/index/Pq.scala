@@ -1,10 +1,10 @@
 package graft.index
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
+import graft.functions.expr.IndexExpressions
 import graft.operators.TopK
 
 /** Product quantization + two-phase search (SURVEY B3/Q7/Q8; reference
@@ -12,96 +12,111 @@ import graft.operators.TopK
   *
   * The driver's embeddings are dim 64, so the engine parameterizes m; the
   * oracle-checked configuration is m=8 subspaces × 8 dims with a
-  * deterministic codebook (subvectors of every 50th row — k=10 codewords at
-  * sf0.01). Production codebooks come from per-subspace MLlib KMeans
-  * ([[Ivf.trainKMeans]] applied per slice) — recall-tested, not hash-matched.
+  * deterministic codebook (subvectors of every 50th row). Production
+  * codebooks come from per-subspace MLlib KMeans — recall-tested, not
+  * hash-matched.
   *
-  * Scale shape: codes are 8-32 bytes vs 256-3072 raw — the phase-1 scan
-  * reads only the codes column (column pruning) and the broadcast codebook;
-  * phase 2 re-scores `rerank × k` candidates per query by joining the
-  * candidate ids back to the raw vectors (a broadcast-able join: candidates
-  * are tiny). ADC look-up tables per query are what the sum-over-subspaces
-  * expression computes inline.
+  * Scale shape (the reference's ADC design, re-expressed for Spark):
+  *  - codes are ONE `array<int>` column (m indices, 8-32 bytes) — the
+  *    phase-1 scan reads codes only (column pruning), never raw vectors;
+  *  - encode = m map-side codegen'd argmins ([[IndexExpressions
+  *    .nearestIndex]]) — no join, no shuffle, no row explosion;
+  *  - per-query LUTs (m×k partial dots) are computed once per query row,
+  *    then the broadcast fan-out join scores each (query, vector) pair with
+  *    a single m-lookup sum ([[IndexExpressions.pqAdcSum]]) inside
+  *    whole-stage codegen;
+  *  - phase 2 re-scores only rerank×k candidates per query from raw
+  *    vectors via a broadcast semi-join of candidate ids.
   */
 object Pq {
 
-  /** Deterministic per-subspace codebook: for subspace j (0-based), the
-    * codewords are `slice(embedding, j*dsub+1, dsub)` of rows with
-    * vec_id % every == 0. Output: (j, code_id=vec_id, cw: array<double>).
+  /** Codebook as driver-side matrices: codebooks(j) = k×dsub matrix for
+    * subspace j, codeword index order = code_id order (the argmin tie-break).
+    */
+  final case class Codebook(m: Int, dsub: Int, codeIds: Array[Long],
+      codebooks: Array[Array[Array[Double]]])
+
+  /** Oracle-reproducible codebook: for subspace j (0-based), codewords are
+    * `slice(embedding, j*dsub+1, dsub)` of rows with vec_id % every == 0,
+    * in vec_id order.
     */
   def deterministicCodebook(embeddings: DataFrame, m: Int, dsub: Int,
-      every: Int = 50): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    val subspaces = (0 until m).toDF("j")
-    embeddings.filter(col("vec_id") % every === 0)
-      .crossJoin(subspaces)
-      .select(col("j"), col("vec_id").as("code_id"),
-        slice(col("embedding").cast("array<double>"),
-          col("j") * dsub + 1, lit(dsub)).as("cw"))
+      every: Int = 50): Codebook = {
+    val rows = embeddings.filter(col("vec_id") % every === 0)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val ids = rows.map(_._1)
+    val books = Array.tabulate(m) { j =>
+      rows.map { case (_, v) => v.slice(j * dsub, j * dsub + dsub) }
+    }
+    Codebook(m, dsub, ids, books)
   }
 
-  /** B3 encode: per (vector, subspace) pick the nearest codeword
-    * (expanded-form L2, ties code_id asc — oracle-identical).
-    * Output: (vec_id, j, code_id).
+  /** B3 encode: codes(j) = index of nearest codeword in subspace j
+    * (expanded-form L2, ties → lowest index = lowest code_id). One
+    * map-side projection producing a single array<int> column.
     */
-  def encode(data: DataFrame, codebook: DataFrame, m: Int, dsub: Int,
+  def encode(data: DataFrame, cb: Codebook,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val spark = data.sparkSession
-    import spark.implicits._
-    val subspaces = (0 until m).toDF("j")
-    val sliced = data.crossJoin(subspaces)
-      .select(col(idCol), col("j"),
-        slice(col(vecCol).cast("array<double>"),
-          col("j") * dsub + 1, lit(dsub)).as("sv"))
-    val w = Window.partitionBy(col(idCol), col("j"))
-      .orderBy(col("__d").asc, col("code_id").asc)
-    sliced.join(broadcast(codebook), Seq("j"))
-      .withColumn("__d", l2SqExpanded(col("sv"), col("cw")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col(idCol), col("j"), col("code_id"))
+    val v = col(vecCol).cast("array<double>")
+    val codes = array((0 until cb.m).map { j =>
+      IndexExpressions.nearestIndex(
+        slice(v, j * cb.dsub + 1, cb.dsub), cb.codebooks(j))
+    }: _*)
+    data.select(col(idCol), codes.as("codes"))
   }
 
-  /** Q7 ADC phase 1: approximate inner-product score =
-    * Σ_j dot(q_j, codeword(code_j)). Summed in subspace order j=0..m-1 so
-    * the oracle's ordered sum matches bit-for-bit.
+  /** Per-query ADC look-up table column: lut(j)(c) = dot(q_j, cw(j)(c)).
+    * Materialized once per query row (m×k doubles), broadcast with the
+    * query set.
     */
-  def adcScores(codes: DataFrame, codebook: DataFrame, queries: DataFrame,
-      m: Int, dsub: Int, idCol: String = "vec_id"): DataFrame = {
-    val spark = codes.sparkSession
-    import spark.implicits._
-    val subspaces = (0 until m).toDF("j")
-    // per-query LUT: dot(q_j, cw) for every (j, code_id)
-    val lut = queries.crossJoin(subspaces)
-      .select(col("query_id"), col("qv"), col("j"))
-      .join(broadcast(codebook), Seq("j"))
-      .select(col("query_id"), col("j"), col("code_id"),
+  def lutColumn(cb: Codebook) = {
+    val cbLit = typedlit(cb.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    transform(sequence(lit(0), lit(cb.m - 1)), j =>
+      transform(element_at(cbLit, j + 1), cw =>
         dotD(slice(col("qv").cast("array<double>"),
-          col("j") * dsub + 1, lit(dsub)), col("cw")).as("part"))
-    // join codes to LUT and sum parts in subspace order
-    codes.join(broadcast(lut), Seq("j", "code_id"))
-      .groupBy(col("query_id"), col(idCol))
-      // deterministic ordered sum: sort parts by j then fold left-to-right
-      .agg(aggregate(
-        array_sort(collect_list(struct(col("j"), col("part")))),
-        lit(0.0), (acc, x) => acc + x("part")).as("approx_score"))
+          j * cb.dsub + 1, lit(cb.dsub)), cw)))
+  }
+
+  /** Q7 ADC phase 1: approximate score = Σ_j lut(j)(codes(j)), sequential
+    * in subspace order (oracle: `list_sum(list(part ORDER BY j))`).
+    * Output: (query_id, idCol, approx_score).
+    */
+  def adcScores(codes: DataFrame, cb: Codebook, queries: DataFrame,
+      idCol: String = "vec_id"): DataFrame = {
+    val withLut = queries.withColumn("__lut", lutColumn(cb))
+      .select(col("query_id"), col("__lut"))
+    codes.crossJoin(broadcast(withLut))
+      .select(col("query_id"), col(idCol),
+        IndexExpressions.pqAdcSum(col("codes"), col("__lut"))
+          .as("approx_score"))
   }
 
   /** Q8 two-phase: phase-1 ADC top-(rerank×k) candidates → exact re-score
     * from raw vectors → final top-k. Output (query_id, idCol, score).
     */
-  def twoPhaseSearch(data: DataFrame, codes: DataFrame, codebook: DataFrame,
-      queries: DataFrame, m: Int, dsub: Int, k: Int, rerank: Int = 4,
+  def twoPhaseSearch(data: DataFrame, codes: DataFrame, cb: Codebook,
+      queries: DataFrame, k: Int, rerank: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val approx = adcScores(codes, codebook, queries, m, dsub, idCol)
-    val candidates = TopK.viaWindow(approx, "query_id", idCol,
-      "approx_score", rerank * k)
-    val exact = candidates
+    val approx = adcScores(codes, cb, queries, idCol)
+    val candidates =
+      TopK.viaAggregator(approx, "query_id", idCol, "approx_score", rerank * k)
+        .select(col("query_id"), col(idCol))
+    val exact = broadcast(candidates)
       .join(queries, Seq("query_id"))
       .join(data.select(col(idCol), col(vecCol)), Seq(idCol))
       .select(col("query_id"), col(idCol),
         dotD(col("qv"), col(vecCol)).as("score"))
-    TopK.viaWindow(exact, "query_id", idCol, "score", k)
+    TopK.viaAggregator(exact, "query_id", idCol, "score", k)
+  }
+
+  /** Codeword indices → reference code ids (for outputs that must carry the
+    * oracle's code_id domain).
+    */
+  def codesToIds(cb: Codebook) = {
+    val idsLit = typedlit(cb.codeIds.toSeq)
+    transform(col("codes"), i => element_at(idsLit, i + 1))
   }
 }

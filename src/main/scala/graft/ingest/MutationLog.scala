@@ -80,7 +80,6 @@ object MutationLog {
   def compactStats(log: DataFrame): DataFrame =
     live(log)
       .withColumn("shard", pmod(col("vec_id"), lit(16)))
-      .withColumn("vec_norm_sq", VectorFunctions.dotD(col("vec"), col("vec")))
       .groupBy(col("shard"))
       .agg(
         count(lit(1)).as("n_live"),

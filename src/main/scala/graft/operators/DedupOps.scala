@@ -149,6 +149,95 @@ object DedupOps {
       .filter(col("hamming") <= maxHamming)
   }
 
+  // ---------------------------------------------------------------------
+  // Oracle-parity variants. The production variants above use Spark's
+  // xxhash64 (not available in DuckDB); these recompute the same structure
+  // from md5 — available bit-identically in both engines — with all
+  // arithmetic kept inside mod-prime ranges so neither engine overflows
+  // (Spark 4 ANSI and DuckDB both error on int64 overflow).
+  // ---------------------------------------------------------------------
+
+  private val P = 2147483647L // 2^31 - 1, prime
+
+  /** 28-bit deterministic string hash both engines share: first 7 hex chars
+    * of md5. DuckDB mirror: `CAST(('0x'||substr(md5(s),1,7)) AS BIGINT)`.
+    */
+  def md5Hash28(c: Column): Column =
+    conv(substring(md5(c), 1, 7), 16, 10).cast("long")
+
+  /** MinHash signature array (oracle variant): sig(i) = min over distinct
+    * shingles s of ((2i+1)·x(s) + (i·40503) mod P) mod P, x = [[md5Hash28]].
+    */
+  def minhashSignaturesOracle(numHashes: Int = 32, shingleN: Int = 3): Column = {
+    val xs = transform(shingles(col("text"), shingleN), s => md5Hash28(s))
+    transform(sequence(lit(0), lit(numHashes - 1)), i =>
+      aggregate(xs, lit(P),
+        (acc, x) => least(acc, ((i * 2 + 1) * x + (i * lit(40503L)) % P) % P)))
+  }
+
+  /** MinHash-LSH near-dup pairs, oracle-parity end to end: band the
+    * signature (band hash = sequential fold (h·31 + sig) mod P), bucket
+    * self-join, verify candidates with exact shingle Jaccard ≥ threshold.
+    * Output (a, b, jaccard). Same banded-LSH shuffle shape as
+    * [[minhashNearDups]] — never all-pairs.
+    */
+  def minhashPairsOracle(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
+      shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val rows = numHashes / bands
+    val sigs = docs.select(col("doc_id"),
+      minhashSignaturesOracle(numHashes, shingleN).as("minhash"))
+    val banded = sigs.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => aggregate(slice(col("minhash"), b * rows + 1, lit(rows)),
+          lit(0L), (acc, s) => (acc * 31 + s) % P)))
+        .as(Seq("band_id", "band_hash")))
+    val cands = banded.as("x").join(banded.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val sh = docs.select(col("doc_id"),
+      shingles(col("text"), shingleN).as("sh"))
+    cands
+      .join(sh.select(col("doc_id").as("a"), col("sh").as("sa")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("sh").as("sb")), Seq("b"))
+      .select(col("a"), col("b"), jaccard(col("sa"), col("sb")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 28-bit SimHash (oracle variant): per-bit majority vote over distinct
+    * tokens hashed with [[md5Hash28]]. Near-dup pairs blocked by two 14-bit
+    * chunks (pigeonhole: hamming ≤ maxHamming < 14 shares a chunk... for
+    * maxHamming ≤ 1 exactly; for 2-3 this is a high-recall heuristic — the
+    * oracle computes the identical candidate set, so outputs still match).
+    * Output (a, b, hamming).
+    */
+  def simhashPairsOracle(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val tk = array_distinct(filter(toks(col("text")), x => x =!= ""))
+    val hs = transform(tk, t => md5Hash28(t))
+    val sigCol = (0 until 28).map { b =>
+      val votes = aggregate(hs, lit(0),
+        (v, h) => v + when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(votes > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val sigs = docs.select(col("doc_id"), sigCol.as("simhash"))
+    val chunked = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array(
+        col("simhash").bitwiseAND(0x3FFF),
+        shiftright(col("simhash"), 14).bitwiseAND(0x3FFF)))
+        .as(Seq("chunk_id", "chunk")))
+    chunked.as("x").join(chunked.as("y"),
+        col("x.chunk_id") === col("y.chunk_id") &&
+          col("x.chunk") === col("y.chunk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+          .cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Top-`limit` embedding pairs by cosine — brute-force baseline for
     * embedding near-dup / ANN verification. Ties (cosine desc, a, b).
     */

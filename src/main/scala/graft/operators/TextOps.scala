@@ -24,12 +24,12 @@ object TextOps {
     val t = tokens(col("text"))
     docs.select(
       col("doc_id"),
-      length(col("text")).as("n_chars_m"),
-      size(t).as("n_tokens"),
-      size(array_distinct(t)).as("n_distinct"),
+      length(col("text")).cast("long").as("n_chars_m"),
+      size(t).cast("long").as("n_tokens"),
+      size(array_distinct(t)).cast("long").as("n_distinct"),
       (size(array_distinct(t)).cast("double") / size(t)).as("ttr"),
       (length(col("text")) - length(translate(col("text"), ".,!?", "")))
-        .as("n_punct"),
+        .cast("long").as("n_punct"),
       (size(t).cast("double") / length(col("text"))).as("tokens_per_char"))
   }
 

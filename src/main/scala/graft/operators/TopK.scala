@@ -1,7 +1,5 @@
 package graft.operators
 
-import scala.collection.mutable
-
 import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
@@ -12,45 +10,88 @@ import org.apache.spark.sql.functions._
   *
   *  - [[viaWindow]]: `row_number` over a window — simple, but shuffles every
   *    scored row to the reducer that owns its query_id. Fine at test scale.
-  *  - [[viaAggregator]]: a typed [[Aggregator]] with a bounded buffer.
-  *    Because it is a real Catalyst aggregate, Spark runs it as
+  *  - [[viaAggregator]]: a typed [[Aggregator]] with a bounded primitive
+  *    heap. Because it is a real Catalyst aggregate, Spark runs it as
   *    partial-aggregation: each map task reduces its local rows to ≤k
   *    candidates per query *before* the shuffle, so shuffle volume is
   *    O(queries × k × partitions), independent of data size. This is the
   *    100 TB-scale path (a window sort would shuffle every scored row).
+  *
+  * The heap buffer is two primitive arrays behind a product encoder
+  * (UnsafeRow binary arrays — no kryo, no boxing); insert is O(log k)
+  * sift, k ≤ 100 (reference config.h:130).
   */
 object TopK {
 
   case class Scored(id: Long, score: Double)
-  /** Bounded buffer: kept sorted ascending-by-(score, -id) so the worst
-    * element is at index 0 for O(1) eviction checks; k is small (≤100,
-    * reference config.h:130).
-    */
-  case class Buf(k: Int, items: mutable.ArrayBuffer[Scored])
 
-  /** `(score desc, id asc)` dominance: does a beat b? */
-  private def beats(a: Scored, b: Scored): Boolean =
-    a.score > b.score || (a.score == b.score && a.id < b.id)
+  /** Min-heap on "quality": root = worst of the kept k. */
+  case class Heap(k: Int, n: Int, ids: Array[Long], scores: Array[Double])
 
-  class TopKAgg(k: Int) extends Aggregator[Scored, Buf, Seq[Scored]] {
-    override def zero: Buf = Buf(k, mutable.ArrayBuffer.empty)
-    override def reduce(b: Buf, x: Scored): Buf = insert(b, x)
-    override def merge(a: Buf, b: Buf): Buf = {
-      b.items.foreach(x => insert(a, x)); a
+  /** `(score desc, id asc)` dominance: does (s1,i1) beat (s2,i2)? */
+  @inline private def beats(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+    s1 > s2 || (s1 == s2 && i1 < i2)
+
+  private def siftUp(h: Heap, start: Int): Unit = {
+    var i = start
+    while (i > 0) {
+      val p = (i - 1) >> 1
+      // parent must be worse-or-equal than child (min-heap on quality)
+      if (beats(h.scores(p), h.ids(p), h.scores(i), h.ids(i))) {
+        val ts = h.scores(i); val ti = h.ids(i)
+        h.scores(i) = h.scores(p); h.ids(i) = h.ids(p)
+        h.scores(p) = ts; h.ids(p) = ti
+        i = p
+      } else i = 0
     }
-    private def insert(b: Buf, x: Scored): Buf = {
-      if (b.items.size < b.k) {
-        b.items += x
-        b.items.sortInPlaceWith((p, q) => beats(q, p)) // worst first
-      } else if (beats(x, b.items.head)) {
-        b.items(0) = x
-        b.items.sortInPlaceWith((p, q) => beats(q, p))
+  }
+
+  private def siftDown(h: Heap): Unit = {
+    var i = 0
+    var done = false
+    while (!done) {
+      val l = 2 * i + 1
+      val r = l + 1
+      var worst = i
+      if (l < h.n && beats(h.scores(worst), h.ids(worst), h.scores(l), h.ids(l)))
+        worst = l
+      if (r < h.n && beats(h.scores(worst), h.ids(worst), h.scores(r), h.ids(r)))
+        worst = r
+      if (worst == i) done = true
+      else {
+        val ts = h.scores(i); val ti = h.ids(i)
+        h.scores(i) = h.scores(worst); h.ids(i) = h.ids(worst)
+        h.scores(worst) = ts; h.ids(worst) = ti
+        i = worst
       }
-      b
     }
-    override def finish(b: Buf): Seq[Scored] =
-      b.items.sortWith(beats).toSeq
-    override def bufferEncoder: Encoder[Buf] = Encoders.kryo[Buf]
+  }
+
+  private def insert(h: Heap, id: Long, score: Double): Heap =
+    if (h.n < h.k) {
+      h.ids(h.n) = id; h.scores(h.n) = score
+      val h2 = h.copy(n = h.n + 1)
+      siftUp(h2, h2.n - 1)
+      h2
+    } else if (beats(score, id, h.scores(0), h.ids(0))) {
+      h.ids(0) = id; h.scores(0) = score
+      siftDown(h)
+      h
+    } else h
+
+  class TopKAgg(k: Int) extends Aggregator[Scored, Heap, Seq[Scored]] {
+    override def zero: Heap = Heap(k, 0, new Array[Long](k), new Array[Double](k))
+    override def reduce(h: Heap, x: Scored): Heap = insert(h, x.id, x.score)
+    override def merge(a: Heap, b: Heap): Heap = {
+      var h = a
+      var i = 0
+      while (i < b.n) { h = insert(h, b.ids(i), b.scores(i)); i += 1 }
+      h
+    }
+    override def finish(h: Heap): Seq[Scored] =
+      (0 until h.n).map(i => Scored(h.ids(i), h.scores(i)))
+        .sortWith((a, b) => beats(a.score, a.id, b.score, b.id))
+    override def bufferEncoder: Encoder[Heap] = Encoders.product[Heap]
     override def outputEncoder: Encoder[Seq[Scored]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
   }
