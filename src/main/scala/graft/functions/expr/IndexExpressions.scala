@@ -65,21 +65,33 @@ case class NearestIndex(child: Expression, matrix: Array[Array[Double]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val mat = ctx.addReferenceObj("mat", matrix, "double[][]")
     val nrm = ctx.addReferenceObj("nrm", norms, "double[]")
+    val n = ctx.freshName("n")
+    val vv = ctx.freshName("vv")
+    val i = ctx.freshName("i")
+    val x = ctx.freshName("x")
+    val best = ctx.freshName("best")
+    val bestD = ctx.freshName("bestD")
+    val c = ctx.freshName("c")
+    val row = ctx.freshName("row")
+    val vc = ctx.freshName("vc")
+    val d = ctx.freshName("d")
     nullSafeCodeGen(ctx, ev, v => {
       s"""
-         |int n = $v.numElements();
-         |double vv = 0.0;
-         |for (int i = 0; i < n; i++) { double x = $v.getDouble(i); vv += x * x; }
-         |int best = -1;
-         |double bestD = Double.POSITIVE_INFINITY;
-         |for (int c = 0; c < $mat.length; c++) {
-         |  double[] row = $mat[c];
-         |  double vc = 0.0;
-         |  for (int i = 0; i < n; i++) { vc += $v.getDouble(i) * row[i]; }
-         |  double d = vv - 2 * vc + $nrm[c];
-         |  if (d < bestD) { bestD = d; best = c; }
+         |int $n = $v.numElements();
+         |double $vv = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = $v.getDouble($i); $vv += $x * $x;
          |}
-         |${ev.value} = best;
+         |int $best = -1;
+         |double $bestD = Double.POSITIVE_INFINITY;
+         |for (int $c = 0; $c < $mat.length; $c++) {
+         |  double[] $row = $mat[$c];
+         |  double $vc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) { $vc += $v.getDouble($i) * $row[$i]; }
+         |  double $d = $vv - 2 * $vc + $nrm[$c];
+         |  if ($d < $bestD) { $bestD = $d; $best = $c; }
+         |}
+         |${ev.value} = $best;
        """.stripMargin
     })
   }
@@ -118,17 +130,21 @@ case class PqAdcSum(left: Expression, right: Expression)
     s
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.freshName("m")
+    val acc = ctx.freshName("acc")
+    val j = ctx.freshName("j")
     nullSafeCodeGen(ctx, ev, (codes, lut) => {
       s"""
-         |int m = $codes.numElements();
-         |double acc = 0.0;
-         |for (int j = 0; j < m; j++) {
-         |  acc += $lut.getArray(j).getDouble($codes.getInt(j));
+         |int $m = $codes.numElements();
+         |double $acc = 0.0;
+         |for (int $j = 0; $j < $m; $j++) {
+         |  $acc += $lut.getArray($j).getDouble($codes.getInt($j));
          |}
-         |${ev.value} = acc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }

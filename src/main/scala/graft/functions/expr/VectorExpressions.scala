@@ -49,21 +49,26 @@ case class DotProduct(left: Expression, right: Expression) extends VectorBinaryE
     while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
     s
   }
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // fresh locals: two distance expressions can share one codegen scope
+    val n = ctx.freshName("n")
+    val acc = ctx.freshName("acc")
+    val i = ctx.freshName("i")
     nullSafeCodeGen(ctx, ev, (x, y) => {
       s"""
-         |int n = $x.numElements();
-         |if (n != $y.numElements()) {
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
          |  throw new IllegalArgumentException(
-         |    "dot: vector dimensions differ (" + n + " vs " + $y.numElements() + ")");
+         |    "dot: vector dimensions differ (" + $n + " vs " + $y.numElements() + ")");
          |}
-         |double acc = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  acc += $x.getDouble(i) * $y.getDouble(i);
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $x.getDouble($i) * $y.getDouble($i);
          |}
-         |${ev.value} = acc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -80,22 +85,27 @@ case class L2SqDistance(left: Expression, right: Expression) extends VectorBinar
     while (i < n) { val d = x.getDouble(i) - y.getDouble(i); s += d * d; i += 1 }
     s
   }
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val n = ctx.freshName("n")
+    val acc = ctx.freshName("acc")
+    val i = ctx.freshName("i")
+    val d = ctx.freshName("d")
     nullSafeCodeGen(ctx, ev, (x, y) => {
       s"""
-         |int n = $x.numElements();
-         |if (n != $y.numElements()) {
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
          |  throw new IllegalArgumentException(
-         |    "l2_sq: vector dimensions differ (" + n + " vs " + $y.numElements() + ")");
+         |    "l2_sq: vector dimensions differ (" + $n + " vs " + $y.numElements() + ")");
          |}
-         |double acc = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double d = $x.getDouble(i) - $y.getDouble(i);
-         |  acc += d * d;
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $x.getDouble($i) - $y.getDouble($i);
+         |  $acc += $d * $d;
          |}
-         |${ev.value} = acc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }

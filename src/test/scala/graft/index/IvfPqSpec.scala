@@ -1,0 +1,67 @@
+package graft.index
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Knn
+
+class IvfPqSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("nearestIndex assignment equals brute-force argmin") {
+    val cents = Ivf.deterministicCentroids(emb, 50)
+    val assigned = Ivf.assign(emb, cents)
+      .select("vec_id", "centroid_id").as[(Long, Long)]
+      .collect().toMap
+    // brute force on the driver
+    val cm = cents.select(col("cid"), col("cv"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val vecs = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    def l2(a: Seq[Double], b: Seq[Double]) = {
+      val vv = a.zip(a).map { case (x, y) => x * y }.sum
+      val vc = a.zip(b).map { case (x, y) => x * y }.sum
+      val cc = b.zip(b).map { case (x, y) => x * y }.sum
+      vv - 2 * vc + cc
+    }
+    vecs.foreach { case (id, v) =>
+      val expect = cm.minBy { case (cid, cv) => (l2(v, cv), cid) }._1
+      assert(assigned(id) === expect, s"vec $id")
+    }
+  }
+
+  test("two-phase PQ search hits decent recall vs exact on sf0.001") {
+    val qs = Knn.defaultQueries(emb)
+    val cb = Pq.deterministicCodebook(emb, 8, 8, 50)
+    val approx = Pq.twoPhaseSearch(emb, Pq.encode(emb, cb), cb, qs, 10, 4)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val exact = Knn.exactBatch(qs, emb, "ip", 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    assert(recall > 0.3, s"recall $recall") // toy codebook: sanity bound
+  }
+
+  test("kmeans-trained IVF reaches higher recall than nprobe fraction") {
+    val qs = Knn.defaultQueries(emb)
+    val model = Ivf.trainKMeans(emb, nlist = 16, maxIter = 5)
+    val cents = Ivf.kmeansCentroids(spark, model)
+    val assigned = Ivf.assign(emb, cents)
+    val ivf = Ivf.search(assigned, qs, cents, "ip", 10, nprobe = 4)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val exact = Knn.exactBatch(qs, emb, "ip", 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (ivf & exact).size.toDouble / exact.size
+    // scanning 4/16 of the data blindly would give ~0.25; the index must beat it
+    assert(recall > 0.5, s"recall $recall")
+  }
+
+  test("PQ codes are valid indices and encode respects tie-break") {
+    val cb = Pq.deterministicCodebook(emb, 8, 8, 50)
+    val k = cb.codeIds.length
+    val bad = Pq.encode(emb, cb)
+      .select(explode(col("codes")).as("c"))
+      .filter(col("c") < 0 || col("c") >= k).count()
+    assert(bad === 0)
+  }
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupTextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val toy = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "en", "s1"),
+    (2L, "the quick brown fox jumps over the lazy dog", "en", "s1"),
+    (3L, "the quick brown fox leaps over the lazy dog", "en", "s1"),
+    (4L, "completely different text about spark engines", "en", "s2"))
+    .toDF("doc_id", "text", "lang", "source")
+
+  test("jaccard: identical docs = 1, disjoint docs = 0") {
+    val pairs = DedupOps.jaccardPairsWithin(toy, "source", 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 2L)) === 1.0)
+    assert(pairs((1L, 3L)) > 0.5 && pairs((1L, 3L)) < 1.0)
+  }
+
+  test("exactGroups collapses exact duplicates to one canonical id") {
+    val g = DedupOps.exactGroups(toy).collect()
+      .map(r => (r.getLong(1), r.getLong(2))) // (n_dups, canonical)
+    assert(g.exists { case (n, c) => n == 2 && c == 1L })
+    assert(g.length === 3) // 3 distinct texts
+  }
+
+  test("minhash oracle pairs find the exact dup with jaccard 1") {
+    val pairs = DedupOps.minhashPairsOracle(toy, threshold = 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0))
+  }
+
+  test("simhash oracle: identical docs at hamming 0, different docs apart") {
+    val pairs = DedupOps.simhashPairsOracle(toy, maxHamming = 0)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L))
+    assert(!pairs.exists(p => p._2 == 4L || p._1 == 4L))
+  }
+
+  test("fingerprint is identical for identical text, differs otherwise") {
+    val fp = TextOps.fingerprint(toy).as[(Long, Long)].collect().toMap
+    assert(fp(1L) === fp(2L))
+    assert(fp(1L) !== fp(4L))
+  }
+
+  test("langId identifies real-language toy docs; word salad → en/und") {
+    val multi = Seq(
+      (1L, "the cat is on the mat and that is that", "en"),
+      (2L, "der hund ist nicht das problem und das ist gut", "de"),
+      (3L, "el perro que corre por la casa como los gatos", "es"),
+      (4L, "le chien et les chats dans un jardin des fleurs", "fr"),
+      (5L, "我 有 一只 猫 它 是 我 的 朋友 在 家 和 我", "zh"),
+      (6L, "zxqv wplk mnbv qqee rrtt yyuu", "xx")) // gibberish
+      .toDF("doc_id", "text", "lang")
+    val out = TextOps.langId(multi)
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+    assert(out(1L) === "en")
+    assert(out(2L) === "de")
+    assert(out(3L) === "es")
+    assert(out(4L) === "fr")
+    assert(out(5L) === "zh")
+    assert(out(6L) === "und")
+    // driver docs are English-ish word salad whatever their label says —
+    // the classifier must therefore answer en or und, never something else
+    val preds = TextOps.langId(docs).select("pred_lang")
+      .distinct().as[String].collect().toSet
+    assert(preds.subsetOf(Set("en", "und")), preds.toString)
+  }
+
+  test("minhash production (xxhash64) variant agrees with oracle variant on candidates") {
+    val prod = DedupOps.minhashNearDups(docs, threshold = 0.8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val oracle = DedupOps.minhashPairsOracle(docs, threshold = 0.8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // different hash families: candidate recall differs, but the heavy
+    // overlap (true near-dups) must agree
+    val inter = (prod & oracle).size.toDouble
+    assert(inter / math.max(1, oracle.size) > 0.8,
+      s"prod=${prod.size} oracle=${oracle.size} inter=$inter")
+  }
+}
