@@ -102,6 +102,60 @@ object SparkEntry {
       MutationLog.compactStats(MutationLog.deterministicLog(emb(s, dir)))),
     "op_stats" -> ((s, dir) =>
       MutationLog.opStats(MutationLog.deterministicLog(emb(s, dir)))),
+    // ---- W4/A1/W11: physical segments — write deltas, compact, read back
+    "compact_segment" -> ((s, dir) => {
+      import graft.segments.Segments
+      val e = emb(s, dir)
+      val cents = Ivf.deterministicCentroids(e, 50)
+      val log = MutationLog.deterministicLog(e)
+      val rows = Ivf.assign(
+          log.withColumn("id_hash", hashId(col("id")))
+            .withColumn("deleted", col("op") === "DELETE"),
+          cents, vecCol = "vec")
+        .withColumn("centroid_id", coalesce(col("centroid_id"), lit(-1L)))
+        .select("vec_id", "id_hash", "epoch", "deleted", "centroid_id", "vec")
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-segments-").toString
+      // three delta segments split by epoch band (insert/upsert/delete waves)
+      Segments.writeSegment(rows.filter(col("epoch") < 2000), base,
+        "delta-000", isStable = false)
+      Segments.writeSegment(
+        rows.filter(col("epoch") >= 2000 && col("epoch") < 3000), base,
+        "delta-001", isStable = false)
+      Segments.writeSegment(rows.filter(col("epoch") >= 3000), base,
+        "delta-002", isStable = false)
+      Segments.compact(s, base, "stable-000")
+      Segments.readSegments(s, base, stableOnly = Some(true))
+        .select(col("vec_id"), col("epoch"),
+          col("centroid_id").cast("long").as("centroid_id"))
+    }),
+    // ---- Q10/Q11: multi-tier read — buffer ∪ segment, LWW, tombstones --
+    "tiered_knn" -> ((s, dir) => {
+      import graft.operators.{TieredScan, TopK}
+      import graft.segments.Segments
+      val e = emb(s, dir)
+      val cents = Ivf.deterministicCentroids(e, 50)
+      val rows = Ivf.assign(
+          MutationLog.deterministicLog(e)
+            .withColumn("id_hash", hashId(col("id")))
+            .withColumn("deleted", col("op") === "DELETE"),
+          cents, vecCol = "vec")
+        .withColumn("centroid_id", coalesce(col("centroid_id"), lit(-1L)))
+        .select("vec_id", "id_hash", "epoch", "deleted", "centroid_id", "vec")
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-tiered-").toString
+      // insert wave flushed to a delta segment; upserts+deletes still buffered
+      Segments.writeSegment(rows.filter(col("epoch") < 2000), base,
+        "delta-000", isStable = false)
+      val buffer = rows.filter(col("epoch") >= 2000)
+        .withColumn("segment_id", lit("buffer"))
+      val live = TieredScan.liveView(
+        Seq(buffer, Segments.readSegments(s, base)))
+      val scored = live.crossJoin(broadcast(q(s, dir)))
+        .select(col("query_id"), col("vec_id"),
+          dotD(col("qv"), col("vec")).as("score"))
+      TopK.viaAggregator(scored, "query_id", "vec_id", "score", 10)
+    }),
     // ---- T7: events analytics ------------------------------------------
     "events_hourly" -> ((s, dir) => EventOps.hourlyAgg(events(s, dir))),
     "events_sessions" -> ((s, dir) => EventOps.sessionize(events(s, dir))),
@@ -356,6 +410,30 @@ object SparkEntry {
          |SELECT op, CAST(count(*) AS BIGINT) AS n,
          |  min(epoch) AS min_epoch, max(epoch) AS max_epoch
          |FROM log GROUP BY op""".stripMargin,
+    "tiered_knn" ->
+      s"""$MUTLOG,
+         |qq AS (SELECT vec_id AS query_id, e AS qv FROM emb
+         |  WHERE vec_id % 25 = 0),
+         |scored AS (SELECT qq.query_id, l.vec_id,
+         |    list_dot_product(qq.qv, l.vec) AS score
+         |  FROM qq CROSS JOIN live l)
+         |SELECT query_id, vec_id, score FROM (
+         |  SELECT scored.*, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rn
+         |  FROM scored) t
+         |WHERE rn <= 10""".stripMargin,
+    "compact_segment" ->
+      s"""$MUTLOG,
+         |cent AS (SELECT vec_id AS cid, e AS cv FROM emb
+         |  WHERE vec_id % 50 = 0)
+         |SELECT vec_id, epoch, centroid_id FROM (
+         |  SELECT l.vec_id, l.epoch, c.cid AS centroid_id,
+         |    row_number() OVER (PARTITION BY l.vec_id ORDER BY
+         |      list_dot_product(l.vec, l.vec)
+         |        - 2 * list_dot_product(l.vec, c.cv)
+         |        + list_dot_product(c.cv, c.cv) ASC, c.cid ASC) AS rn
+         |  FROM live l CROSS JOIN cent c) t
+         |WHERE rn = 1""".stripMargin,
     "events_hourly" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
         |  event_type, CAST(count(*) AS BIGINT) AS n,
