@@ -54,6 +54,39 @@ object Smoke {
     val cents = graft.index.Ivf.deterministicCentroids(emb, 50)
     graft.index.Ivf.assign(emb, cents).explain("formatted")
 
+    println("== streaming ingest roundtrip (T1-T5, T8) ==")
+    locally {
+      import graft.index.Ivf
+      import graft.ingest.MutationLog
+      import graft.functions.VectorFunctions
+      import graft.segments.Segments
+      import graft.streaming.IngestPipeline
+      val cents = Ivf.deterministicCentroids(emb, 50)
+      val rows = Ivf.assign(
+          MutationLog.deterministicLog(emb)
+            .withColumn("id_hash", VectorFunctions.hashId(col("id")))
+            .withColumn("deleted", col("op") === "DELETE"),
+          cents, vecCol = "vec")
+        .withColumn("centroid_id", coalesce(col("centroid_id"), lit(-1L)))
+        .select("op", "vec_id", "id", "id_hash", "epoch", "deleted",
+          "centroid_id", "vec").cache()
+      val src = java.nio.file.Files.createTempDirectory("smoke-src-").toString
+      val base = java.nio.file.Files.createTempDirectory("smoke-base-").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("smoke-ckpt-").toString
+      rows.filter(col("epoch") < 2000).coalesce(1).write.mode("append").parquet(src)
+      IngestPipeline.runOnce(spark, src, base, ckpt)
+      println(s"after wave1: live=${IngestPipeline.liveView(spark, base).count()}")
+      rows.filter(col("epoch") >= 2000).coalesce(1).write.mode("append").parquet(src)
+      IngestPipeline.runOnce(spark, src, base, ckpt)
+      println(s"after wave2: live=${IngestPipeline.liveView(spark, base).count()} " +
+        s"segments=${Segments.catalog(spark, base).count()}")
+      // crash-replay probe: re-flush an already-committed batch id
+      IngestPipeline.flushBatch(rows.filter(col("epoch") < 2000), base, 0L)
+      println(s"after replay: rows=${Segments.readSegments(spark, base).count()} " +
+        s"segments=${Segments.catalog(spark, base).count()}")
+      Seq(src, base, ckpt).foreach(Segments.deleteDir)
+    }
+
     println("== probe: dimension mismatch must throw ==")
     try {
       emb.select(dotD(col("embedding"), slice(col("embedding"), 1, 8))).collect()

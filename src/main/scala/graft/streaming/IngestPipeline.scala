@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.operators.TieredScan
+import graft.segments.Segments
+
+/** Streaming ingest (SURVEY T1-T5, T8; reference WAL + buffer pipeline
+  * `msg-buf.h:116-166`, group commit `configs/woved-default.yaml:46-48`,
+  * fault-inject kill points `scripts/fault-inject.sh:9`).
+  *
+  * Spark-first mapping:
+  *  - the WAL is the streaming checkpoint (offsets + commits — durable,
+  *    replayed on restart exactly like `latest-by-id.h:270-282` rebuild);
+  *  - the group-commit epoch is the micro-batch id (T2);
+  *  - in-buffer LWW dedupe (W6) happens per batch before the flush;
+  *  - the flush (W4/T4) writes one delta segment per batch, named by
+  *    batchId, with SaveMode.Overwrite — so a batch replayed after a
+  *    crash rewrites the same segment instead of duplicating it
+  *    (exactly-once via idempotence, T8). Catalog appends collapse by
+  *    latest-row-per-segment, so replays are harmless there too.
+  *
+  * At scale: one batch = one partitioned segment write, no global state;
+  * the streaming state store holds nothing (dedupe is within-batch; cross-
+  * batch versions resolve at read time via epochs — the reference's
+  * latest-by-id is a *derived* view here, never mutable state).
+  */
+object IngestPipeline {
+
+  /** Expected mutation-record schema for the file source (a WAL-record
+    * analogue of wal-record.fbs:21-58, minus transport framing).
+    */
+  def mutationSchema: StructType = StructType.fromDDL(
+    "op STRING, vec_id BIGINT, id STRING, id_hash BIGINT, epoch BIGINT, " +
+      "deleted BOOLEAN, centroid_id BIGINT, vec ARRAY<DOUBLE>")
+
+  /** T1-T4: start the ingest stream. Each micro-batch is LWW-deduped on
+    * id_hash and flushed as delta segment `delta-<batchId>`.
+    */
+  def start(spark: SparkSession, sourceDir: String, baseDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val src = spark.readStream
+      .schema(mutationSchema)
+      .parquet(sourceDir)
+    src.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        flushBatch(batch, baseDir, batchId)
+      }
+      .start()
+  }
+
+  /** One group-commit: within-batch LWW dedupe (W6: keep the max-epoch
+    * message per id_hash — DELETEs survive as tombstones) then an
+    * idempotent segment write. Public so a crash-replay can be exercised
+    * directly in tests (the fault-inject analogue).
+    */
+  def flushBatch(batch: DataFrame, baseDir: String, batchId: Long): Unit = {
+    if (!batch.isEmpty) {
+      val cols = batch.columns
+      val deduped = batch
+        .groupBy(col("id_hash"))
+        .agg(max_by(struct(cols.map(col): _*), col("epoch")).as("m"))
+        .select(col("m.*"))
+      Segments.writeSegment(deduped, baseDir, f"delta-$batchId%05d",
+        isStable = false)
+    }
+  }
+
+  /** T5 read-your-writes: the live view over everything flushed so far
+    * (plus an optional still-in-flight buffer DataFrame).
+    */
+  def liveView(spark: SparkSession, baseDir: String,
+      buffer: Option[DataFrame] = None): DataFrame = {
+    val segs = Segments.readSegments(spark, baseDir)
+    TieredScan.liveView(Seq(segs) ++ buffer.map(
+      _.withColumn("segment_id", lit("buffer"))))
+  }
+
+  /** Run one AvailableNow pass to completion (helper for batch-style use
+    * and tests).
+    */
+  def runOnce(spark: SparkSession, sourceDir: String, baseDir: String,
+      checkpointDir: String): Unit = {
+    val q = start(spark, sourceDir, baseDir, checkpointDir)
+    q.awaitTermination()
+  }
+}
