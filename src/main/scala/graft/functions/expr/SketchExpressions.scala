@@ -1,0 +1,148 @@
+package graft.functions.expr
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Codegen'd sketch kernels for the dedup family (MinHash, SimHash).
+  *
+  * The declarative formulation (`transform(sequence(0,n-1), i ->
+  * aggregate(xs, ...))`) evaluates the base-hash array once per hash
+  * function through Catalyst's interpreted higher-order-function path —
+  * O(n_hashes × n_shingles) interpreted steps per row, which measured
+  * ~300 s for 5 000 docs at sf0.1. These expressions make the identical
+  * math one tight compiled pass: O(n_shingles) array reads with an inner
+  * constant-bound loop. The formulas match the DuckDB oracle bit for bit
+  * (mod-prime universal hashing, P = 2^31-1; see DedupOps oracle SQL).
+  */
+
+/** sig(i) = min over x of ((2i+1)·x + (i·40503) mod P) mod P; empty → P. */
+case class MinhashSigs(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+
+  private val P = 2147483647L
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sigs requires array<bigint>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val sig = Array.fill(numHashes)(P)
+    var k = 0
+    while (k < n) {
+      val x = xs.getLong(k)
+      var i = 0
+      while (i < numHashes) {
+        val h = ((2 * i + 1) * x + (i * 40503L) % P) % P
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+      k += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sig = ctx.freshName("sig")
+    val n = ctx.freshName("n")
+    val k = ctx.freshName("k")
+    val i = ctx.freshName("i")
+    val x = ctx.freshName("x")
+    val h = ctx.freshName("h")
+    val gad = classOf[GenericArrayData].getName
+    nullSafeCodeGen(ctx, ev, xs => {
+      s"""
+         |long[] $sig = new long[$numHashes];
+         |java.util.Arrays.fill($sig, 2147483647L);
+         |int $n = $xs.numElements();
+         |for (int $k = 0; $k < $n; $k++) {
+         |  long $x = $xs.getLong($k);
+         |  for (int $i = 0; $i < $numHashes; $i++) {
+         |    long $h = ((2L * $i + 1) * $x + ($i * 40503L) % 2147483647L)
+         |      % 2147483647L;
+         |    if ($h < $sig[$i]) $sig[$i] = $h;
+         |  }
+         |}
+         |${ev.value} = new $gad($sig);
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** SimHash: bit b set iff Σ over x of (((x>>b)&1)*2 - 1) > 0, b < bits. */
+case class SimhashSig(child: Expression, bits: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash_sig requires array<bigint>, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val votes = new Array[Int](bits)
+    var k = 0
+    while (k < n) {
+      val x = xs.getLong(k)
+      var b = 0
+      while (b < bits) {
+        votes(b) += (if (((x >> b) & 1L) == 1L) 1 else -1)
+        b += 1
+      }
+      k += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < bits) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val votes = ctx.freshName("votes")
+    val n = ctx.freshName("n")
+    val k = ctx.freshName("k")
+    val b = ctx.freshName("b")
+    val x = ctx.freshName("x")
+    val sig = ctx.freshName("sig")
+    nullSafeCodeGen(ctx, ev, xs => {
+      s"""
+         |int[] $votes = new int[$bits];
+         |int $n = $xs.numElements();
+         |for (int $k = 0; $k < $n; $k++) {
+         |  long $x = $xs.getLong($k);
+         |  for (int $b = 0; $b < $bits; $b++) {
+         |    $votes[$b] += ((($x >> $b) & 1L) == 1L) ? 1 : -1;
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $b = 0; $b < $bits; $b++) {
+         |  if ($votes[$b] > 0) $sig |= (1L << $b);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object SketchExpressions {
+  def minhashSigs(xs: Column, numHashes: Int): Column =
+    GraftBridge.column(MinhashSigs(GraftBridge.expression(xs), numHashes))
+  def simhashSig(xs: Column, bits: Int): Column =
+    GraftBridge.column(SimhashSig(GraftBridge.expression(xs), bits))
+}

@@ -55,9 +55,17 @@ object DedupOps {
       array_distinct(filter(toks(col("text")), x => x =!= "")).as("ta"))
     val b = docs.select(col(blockCol), col("doc_id").as("b"),
       array_distinct(filter(toks(col("text")), x => x =!= "")).as("tb"))
+    // materialize the intersection size once per pair (a second Project —
+    // CollapseProject keeps it because `inter` is referenced twice)
     a.join(b, Seq(blockCol))
       .filter(col("a") < col("b"))
-      .select(col("a"), col("b"), jaccard(col("ta"), col("tb")).as("jaccard"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("ta"), col("tb"))).cast("double").as("inter"),
+        (size(col("ta")) + size(col("tb"))).cast("double").as("tot"))
+      .select(col("a"), col("b"),
+        when(col("tot") - col("inter") === 0, lit(0.0))
+          .otherwise(col("inter") / (col("tot") - col("inter")))
+          .as("jaccard"))
       .orderBy(col("jaccard").desc, col("a").asc, col("b").asc)
       .limit(limit)
   }
@@ -69,16 +77,11 @@ object DedupOps {
     */
   def minhashSignatures(docs: DataFrame, numHashes: Int = 64,
       shingleN: Int = 3): DataFrame = {
-    val sh = shingles(col("text"), shingleN)
-    val baseHashes = transform(sh, s => xxhash64(s))
-    val sig = transform(
-      sequence(lit(0), lit(numHashes - 1)),
-      i => {
-        val a = i * lit(0x9E3779B97F4A7C15L) + lit(0xC2B2AE3D27D4EB4FL)
-        aggregate(baseHashes, lit(Long.MaxValue),
-          (acc, h) => least(acc, h * a + i))
-      })
-    docs.select(col("doc_id"), sig.as("minhash"))
+    val baseHashes = transform(shingles(col("text"), shingleN),
+      s => xxhash64(s))
+    docs.select(col("doc_id"),
+      graft.functions.expr.SketchExpressions
+        .minhashSigs(baseHashes, numHashes).as("minhash"))
   }
 
   /** MinHash-LSH candidate pairs: band the signature, bucket-join on
@@ -116,19 +119,9 @@ object DedupOps {
   def simhash(docs: DataFrame): DataFrame = {
     val t = filter(toks(col("text")), x => x =!= "")
     val hashes = transform(array_distinct(t), x => xxhash64(x))
-    // bit b of the simhash = 1 iff Σ_tokens sign(bit b) > 0
-    val sig = aggregate(
-      sequence(lit(0), lit(63)),
-      lit(0L),
-      (acc, b) => {
-        val votes = aggregate(hashes, lit(0),
-          (v, h) => v + when(
-            call_function("shiftright", h, b).bitwiseAND(1) === 1, 1)
-            .otherwise(-1))
-        acc + when(votes > 0, call_function("shiftleft", lit(1L), b))
-          .otherwise(0L)
-      })
-    docs.select(col("doc_id"), sig.as("simhash"))
+    docs.select(col("doc_id"),
+      graft.functions.expr.SketchExpressions
+        .simhashSig(hashes, 64).as("simhash"))
   }
 
   def simhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
@@ -168,12 +161,10 @@ object DedupOps {
   /** MinHash signature array (oracle variant): sig(i) = min over distinct
     * shingles s of ((2i+1)·x(s) + (i·40503) mod P) mod P, x = [[md5Hash28]].
     */
-  def minhashSignaturesOracle(numHashes: Int = 32, shingleN: Int = 3): Column = {
-    val xs = transform(shingles(col("text"), shingleN), s => md5Hash28(s))
-    transform(sequence(lit(0), lit(numHashes - 1)), i =>
-      aggregate(xs, lit(P),
-        (acc, x) => least(acc, ((i * 2 + 1) * x + (i * lit(40503L)) % P) % P)))
-  }
+  def minhashSignaturesOracle(numHashes: Int = 32, shingleN: Int = 3): Column =
+    graft.functions.expr.SketchExpressions.minhashSigs(
+      transform(shingles(col("text"), shingleN), s => md5Hash28(s)),
+      numHashes)
 
   /** MinHash-LSH near-dup pairs, oracle-parity end to end: band the
     * signature (band hash = sequential fold (h·31 + sig) mod P), bucket
@@ -216,12 +207,9 @@ object DedupOps {
   def simhashPairsOracle(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val tk = array_distinct(filter(toks(col("text")), x => x =!= ""))
     val hs = transform(tk, t => md5Hash28(t))
-    val sigCol = (0 until 28).map { b =>
-      val votes = aggregate(hs, lit(0),
-        (v, h) => v + when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
-      when(votes > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val sigs = docs.select(col("doc_id"), sigCol.as("simhash"))
+    val sigs = docs.select(col("doc_id"),
+      graft.functions.expr.SketchExpressions
+        .simhashSig(hs, 28).as("simhash"))
     val chunked = sigs.select(col("doc_id"), col("simhash"),
       posexplode(array(
         col("simhash").bitwiseAND(0x3FFF),

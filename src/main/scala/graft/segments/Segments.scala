@@ -53,7 +53,9 @@ object Segments {
       .withColumn("segment_id", lit(segmentId))
     val spark = rows.sparkSession
     val path = s"$baseDir/$segmentId"
-    rows.write
+    // one writer per inverted list — avoids the tasks×centroids small-file
+    // explosion (AQE coalesces the shuffle at scale)
+    rows.repartition(col("centroid_id")).write
       .mode(SaveMode.Overwrite)
       .partitionBy("centroid_id")
       .option("parquet.bloom.filter.enabled#id_hash", "true")
