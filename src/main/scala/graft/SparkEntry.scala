@@ -174,6 +174,26 @@ object SparkEntry {
       DedupOps.minhashNearDups(docs(s, dir), threshold = 0.5)),
     "cosine_pairs" -> ((s, dir) =>
       DedupOps.cosineTopPairs(emb(s, dir), 50)),
+    // ---- S9: tag dictionary ---------------------------------------------
+    "tag_dict" -> ((s, dir) => {
+      import graft.operators.TagDictionary
+      val vt = emb(s, dir).select(col("vec_id"),
+        array(concat(lit("label-"), col("label")),
+          concat(lit("mod-"), col("vec_id") % 5)).as("tags"))
+      val dict = TagDictionary.build(vt, col("tags"))
+      TagDictionary.encode(vt, "vec_id", col("tags"), dict)
+        .select(col("vec_id"), explode(col("tag_ids")).as("tag_id"))
+    }),
+    // ---- embedding near-dup, LSH scale path -----------------------------
+    "cosine_lsh" -> ((s, dir) =>
+      DedupOps.cosineLshPairs(emb(s, dir), threshold = 0.3)),
+    // ---- token counting + quality scoring -------------------------------
+    "token_quality" -> ((s, dir) => TextOps.tokenQuality(docs(s, dir))),
+    // ---- multimodal: binary media columns → decoded metadata stats ------
+    "media_stats" -> ((s, dir) => {
+      import graft.operators.MultimodalOps
+      MultimodalOps.mediaStats(MultimodalOps.syntheticMedia(docs(s, dir)))
+    }),
     // ---- relational (TPC-H-ish) -----------------------------------------
     "q1_pricing" -> ((s, dir) =>
       Tables.load(s, dir, "lineitem")
@@ -576,6 +596,69 @@ object SparkEntry {
         |       * sqrt(list_dot_product(b.e, b.e))) AS cosine
         |FROM emb a JOIN emb b ON a.vec_id < b.vec_id
         |ORDER BY cosine DESC, a ASC, b ASC LIMIT 50""".stripMargin,
+    "media_stats" ->
+      """SELECT CASE CAST(doc_id % 3 AS INTEGER)
+        |    WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+        |    AS kind,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(least(256, octet_length(CAST(text AS BLOB))))
+        |    AS BIGINT) AS total_bytes,
+        |  CAST(min(64 + doc_id % 64) AS BIGINT) AS min_w,
+        |  CAST(max(64 + doc_id % 64) AS BIGINT) AS max_w,
+        |  CAST(sum(CASE WHEN doc_id % 3 = 2 THEN 8 + doc_id % 8 ELSE 1 END)
+        |    AS BIGINT) AS total_frames
+        |FROM documents GROUP BY 1""".stripMargin,
+    "tag_dict" ->
+      """WITH emb AS (SELECT vec_id, label FROM embeddings),
+        |vt AS (SELECT vec_id,
+        |  ['label-' || CAST(label AS VARCHAR),
+        |   'mod-' || CAST(vec_id % 5 AS VARCHAR)] AS tags FROM emb),
+        |ex AS (SELECT vec_id, UNNEST(tags) AS tag_name FROM vt),
+        |dict AS (SELECT tag_name,
+        |    CAST(row_number() OVER (ORDER BY n DESC, tag_name ASC)
+        |      AS BIGINT) AS tag_id
+        |  FROM (SELECT tag_name, count(*) AS n FROM ex GROUP BY 1) t)
+        |SELECT e.vec_id, d.tag_id
+        |FROM ex e JOIN dict d USING (tag_name)""".stripMargin,
+    "cosine_lsh" ->
+      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings),
+        |planes AS (SELECT vec_id AS pid, e AS pv,
+        |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS b
+        |  FROM emb WHERE vec_id % 41 = 0),
+        |bk AS (SELECT emb.vec_id,
+        |    CAST(sum(CASE WHEN list_dot_product(emb.e, p.pv) > 0
+        |      THEN (CAST(1 AS BIGINT) << p.b) ELSE 0 END) AS BIGINT)
+        |      AS bucket
+        |  FROM emb CROSS JOIN planes p GROUP BY emb.vec_id),
+        |be AS (SELECT emb.vec_id, emb.e, bk.bucket
+        |  FROM emb JOIN bk USING (vec_id))
+        |SELECT x.vec_id AS a, y.vec_id AS b,
+        |  list_dot_product(x.e, y.e)
+        |    / (sqrt(list_dot_product(x.e, x.e))
+        |       * sqrt(list_dot_product(y.e, y.e))) AS cosine
+        |FROM be x JOIN be y
+        |  ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+        |WHERE list_dot_product(x.e, y.e)
+        |    / (sqrt(list_dot_product(x.e, x.e))
+        |       * sqrt(list_dot_product(y.e, y.e))) >= 0.3
+        |ORDER BY cosine DESC, a ASC, b ASC LIMIT 100""".stripMargin,
+    "token_quality" ->
+      s"""$DOCTOKS
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(lower(text),
+         |    '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(len(list_filter(toks, x -> list_contains(
+         |    ['the','and','of','to','in','is','that','a','for','it'], x)))
+         |    AS BIGINT) AS n_stopwords,
+         |  round(
+         |    0.5 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+         |    + 0.3 * (CAST(len(list_filter(toks, x -> list_contains(
+         |        ['the','and','of','to','in','is','that','a','for','it'],
+         |        x))) AS DOUBLE) / len(toks))
+         |    + 0.2 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0), 6)
+         |    AS quality
+         |FROM d""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -226,6 +226,38 @@ object DedupOps {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Embedding near-dup at scale: random-hyperplane LSH. Sign-bit bucket
+    * over `planes` hyperplanes → self-join per bucket → verify cosine.
+    * The bucket join is the only shuffle; all-pairs never materializes —
+    * this is the production path [[cosineTopPairs]] is the oracle for.
+    * Hyperplanes are deterministic (every `planeEvery`-th embedding row,
+    * in vec_id order) so the DuckDB oracle reproduces the bucketing
+    * bit-for-bit.
+    */
+  def cosineLshPairs(embeddings: DataFrame, threshold: Double,
+      planeEvery: Int = 41, limit: Int = 100): DataFrame = {
+    val planes = embeddings.filter(col("vec_id") % planeEvery === 0)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val v = col("embedding").cast("array<double>")
+    val bucket = planes.zipWithIndex.map { case ((_, pv), b) =>
+      when(VectorFunctions.dotD(v, typedlit(pv.toSeq)) > 0, lit(1L << b))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    val bucketed = embeddings
+      .select(col("vec_id"), v.as("e"), bucket.as("bucket"))
+    bucketed.as("x").join(bucketed.as("y"),
+        col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        VectorFunctions.cosineD(col("x.e"), col("y.e")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .orderBy(col("cosine").desc, col("a").asc, col("b").asc)
+      .limit(limit)
+  }
+
   /** Top-`limit` embedding pairs by cosine — brute-force baseline for
     * embedding near-dup / ANN verification. Ties (cosine desc, a, b).
     */

@@ -33,6 +33,33 @@ object TextOps {
       (size(t).cast("double") / length(col("text"))).as("tokens_per_char"))
   }
 
+  /** BPE-ish token counting + quality scoring (LLM-pipeline staples).
+    * Tokenization: runs of letters, runs of digits, or single other
+    * non-space characters — the shape of a byte-pair pre-tokenizer,
+    * expressed as a regex both engines (Java regex / RE2) agree on for
+    * ASCII classes. Quality = weighted mix of type-token ratio, stopword
+    * ratio, and a length saturation term.
+    */
+  def tokenQuality(docs: DataFrame): DataFrame = {
+    val stop = Seq("the", "and", "of", "to", "in", "is", "that", "a", "for",
+      "it")
+    val t = tokens(col("text"))
+    val nTok = size(t)
+    val nStop = size(filter(t,
+      x => array_contains(typedlit(stop), x)))
+    val bpe = size(regexp_extract_all(lower(col("text")),
+      lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+    val ttr = size(array_distinct(t)).cast("double") / nTok
+    val stopRatio = nStop.cast("double") / nTok
+    val lenSat = least(lit(1.0), nTok.cast("double") / lit(100.0))
+    docs.select(
+      col("doc_id"),
+      bpe.cast("long").as("n_bpe_tokens"),
+      nStop.cast("long").as("n_stopwords"),
+      round(lit(0.5) * ttr + lit(0.3) * stopRatio + lit(0.2) * lenSat, 6)
+        .as("quality"))
+  }
+
   /** Language stopword lists for the n-gram/stopword language-ID heuristic.
     * Order is the tie-break priority.
     */
