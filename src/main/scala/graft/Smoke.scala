@@ -87,6 +87,28 @@ object Smoke {
       Seq(src, base, ckpt).foreach(Segments.deleteDir)
     }
 
+    println("== A5 metrics export: task-level observability ==")
+    locally {
+      val m1 = Metrics.measure("knn_exact_ip",
+        graft.operators.Knn.exactBatch(
+          graft.operators.Knn.defaultQueries(emb), emb, "ip", 10))
+      val m2 = Metrics.measure("dedup_exact",
+        graft.operators.DedupOps.exactGroups(docs))
+      Metrics.toDf(spark, Seq(m1, m2)).show(truncate = false)
+    }
+
+    println("== W1-W3 WAL framing: append, torn-tail recovery ==")
+    locally {
+      import graft.streaming.Wal
+      val p = java.nio.file.Files.createTempDirectory("smoke-wal-")
+        .resolve("wal.log").toString
+      Wal.append(p, (1L to 10L).map(e => (e, s"""{"op":"INSERT","id":$e}""")))
+      val raf = new java.io.RandomAccessFile(p, "rw")
+      raf.setLength(raf.length() - 3) // crash mid-frame
+      raf.close()
+      println(s"replayed after torn tail: ${Wal.replay(p).size} of 10 frames")
+    }
+
     println("== probe: dimension mismatch must throw ==")
     try {
       emb.select(dotD(col("embedding"), slice(col("embedding"), 1, 8))).collect()

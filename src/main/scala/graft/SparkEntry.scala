@@ -90,6 +90,12 @@ object SparkEntry {
         .select(col("query_id"),
           (coalesce(col("c"), lit(0L)).cast("double") / lit(10.0)).as("recall"))
     }),
+    // ---- Q13: nprobe auto-tune (offline calibration sweep) -------------
+    "nprobe_tune" -> ((s, dir) => {
+      val e = emb(s, dir)
+      graft.index.NprobeTuner.sweep(s, e, q(s, dir),
+        Ivf.deterministicCentroids(e, 50), "ip", 10, Seq(1, 2, 4))
+    }),
     // ---- W5-W8, W11-W12: mutation log ----------------------------------
     "upsert_live" -> ((s, dir) =>
       MutationLog.live(MutationLog.deterministicLog(emb(s, dir)))
@@ -317,7 +323,60 @@ object SparkEntry {
        |      i -> array_to_string(t[i:i+2], chr(1)))
        |    ELSE [] END) AS sh FROM dt)""".stripMargin
 
+  /** Q13 oracle: the recall sweep, one UNION ALL block per candidate
+    * nprobe, sharing the assignment/exact-topk CTEs.
+    */
+  private def nprobeTuneSql(cands: Seq[Int]): String = {
+    val shared =
+      s"""$EMB,
+         |cent AS (SELECT vec_id AS cid, e AS cv FROM emb
+         |  WHERE vec_id % 50 = 0),
+         |asg AS (SELECT vec_id, e, cid AS centroid_id FROM (
+         |    SELECT emb.vec_id, emb.e, cent.cid, row_number() OVER (
+         |      PARTITION BY emb.vec_id ORDER BY
+         |        list_dot_product(emb.e, emb.e)
+         |          - 2 * list_dot_product(emb.e, cent.cv)
+         |          + list_dot_product(cent.cv, cent.cv) ASC, cent.cid ASC)
+         |      AS rn
+         |    FROM emb CROSS JOIN cent) t
+         |  WHERE rn = 1),
+         |rankedprb AS (SELECT query_id, qv, cid AS centroid_id, rn FROM (
+         |    SELECT q.query_id, q.qv, cent.cid, row_number() OVER (
+         |      PARTITION BY q.query_id ORDER BY
+         |        list_dot_product(q.qv, q.qv)
+         |          - 2 * list_dot_product(q.qv, cent.cv)
+         |          + list_dot_product(cent.cv, cent.cv) ASC, cent.cid ASC)
+         |      AS rn
+         |    FROM q CROSS JOIN cent) t),
+         |exacttop AS (SELECT query_id, vec_id FROM (
+         |    SELECT q.query_id, emb.vec_id, row_number() OVER (
+         |      PARTITION BY q.query_id
+         |      ORDER BY list_dot_product(q.qv, emb.e) DESC, emb.vec_id ASC)
+         |      AS rn
+         |    FROM q CROSS JOIN emb) t
+         |  WHERE rn <= 10)""".stripMargin
+    val blocks = cands.map { np =>
+      s"""SELECT CAST($np AS INTEGER) AS nprobe,
+         |  CAST((SELECT count(*) FROM (
+         |      SELECT t.query_id, t.vec_id FROM (
+         |        SELECT s.query_id, s.vec_id, row_number() OVER (
+         |          PARTITION BY s.query_id
+         |          ORDER BY s.score DESC, s.vec_id ASC) AS rn
+         |        FROM (SELECT p.query_id, a.vec_id,
+         |            list_dot_product(p.qv, a.e) AS score
+         |          FROM rankedprb p JOIN asg a USING (centroid_id)
+         |          WHERE p.rn <= $np) s) t
+         |      WHERE t.rn <= 10) i
+         |    JOIN exacttop e2
+         |      ON i.query_id = e2.query_id AND i.vec_id = e2.vec_id)
+         |    AS DOUBLE)
+         |    / ((SELECT count(*) FROM q) * 10.0) AS recall""".stripMargin
+    }
+    shared + "\n" + blocks.mkString("\nUNION ALL\n")
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "nprobe_tune" -> nprobeTuneSql(Seq(1, 2, 4)),
     "knn_exact_ip" -> topkSql(
       """SELECT q.query_id, emb.vec_id,
         |    list_dot_product(q.qv, emb.e) AS score

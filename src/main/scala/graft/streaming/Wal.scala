@@ -1,0 +1,94 @@
+package graft.streaming
+
+import java.io.{DataInputStream, DataOutputStream, EOFException, File,
+  FileInputStream, FileOutputStream}
+import java.nio.charset.StandardCharsets
+import java.util.zip.CRC32C
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Framed write-ahead log, bit-compatible with the reference's frame
+  * contract: `[len u32][crc32c u32][epoch u64][payload]`
+  * (include/woved/types.h:85-91; configs/woved-default.yaml:42-44
+  * `frame_header: [len_u32, crc32c_u32, epoch_u64]`, checksum crc32c).
+  *
+  * Payload here is the UTF-8 JSON of the mutation record (the reference
+  * uses FlatBuffers, wal-record.fbs:21-58 — the framing, checksumming and
+  * recovery semantics are what this reproduces; the payload codec is
+  * pluggable).
+  *
+  * Recovery (W3): [[read]] verifies each frame's CRC over
+  * [epoch‖payload] and stops cleanly at the first torn/corrupt frame —
+  * the tail written during a crash is discarded, everything fsync'd
+  * before it survives. That is exactly the `wal_append` kill-point
+  * contract (scripts/fault-inject.sh:9).
+  *
+  * In the Spark engine the streaming checkpoint plays the WAL role for
+  * ingest; this codec exists for interchange with reference-format logs
+  * and for the crash-recovery property itself.
+  */
+object Wal {
+
+  def crc(epoch: Long, payload: Array[Byte]): Long = {
+    val c = new CRC32C()
+    val eb = java.nio.ByteBuffer.allocate(8).putLong(epoch).array()
+    c.update(eb)
+    c.update(payload)
+    c.getValue
+  }
+
+  /** Append frames to a local WAL file (driver-side; one log per writer —
+    * the reference is single-node, group-commit batches arrive in order).
+    */
+  def append(path: String, records: Seq[(Long, String)]): Unit = {
+    val out = new DataOutputStream(new FileOutputStream(path, true))
+    try {
+      records.foreach { case (epoch, json) =>
+        val payload = json.getBytes(StandardCharsets.UTF_8)
+        out.writeInt(payload.length)
+        out.writeInt(crc(epoch, payload).toInt)
+        out.writeLong(epoch)
+        out.write(payload)
+      }
+    } finally out.close()
+  }
+
+  /** Replay a WAL file: every frame up to (not including) the first torn
+    * or checksum-failing frame. Returns (epoch, payload) pairs.
+    */
+  def replay(path: String): Seq[(Long, String)] = {
+    val f = new File(path)
+    if (!f.exists()) return Seq.empty
+    val in = new DataInputStream(new FileInputStream(f))
+    val out = Seq.newBuilder[(Long, String)]
+    try {
+      var ok = true
+      while (ok) {
+        try {
+          val len = in.readInt()
+          if (len < 0 || len > (1 << 26)) ok = false // insane frame → torn
+          else {
+            val storedCrc = in.readInt()
+            val epoch = in.readLong()
+            val payload = new Array[Byte](len)
+            in.readFully(payload)
+            if (crc(epoch, payload).toInt == storedCrc)
+              out += ((epoch, new String(payload, StandardCharsets.UTF_8)))
+            else ok = false // corrupt → stop (recovery semantics)
+          }
+        } catch { case _: EOFException => ok = false }
+      }
+    } finally in.close()
+    out.result()
+  }
+
+  /** Replayed WAL as a DataFrame of (epoch, payload). */
+  def replayDf(spark: SparkSession, path: String): DataFrame = {
+    val rows = replay(path).map { case (e, p) => Row(e, p) }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, math.max(1, rows.size / 10000)),
+      StructType(Seq(StructField("epoch", LongType, nullable = false),
+        StructField("payload", StringType, nullable = false))))
+  }
+}
