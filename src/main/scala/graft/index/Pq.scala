@@ -119,4 +119,28 @@ object Pq {
     val idsLit = typedlit(cb.codeIds.toSeq)
     transform(col("codes"), i => element_at(idsLit, i + 1))
   }
+
+  /** B3 production path: per-subspace KMeans codebooks (reference
+    * config.h:86-91 — m subspaces × k codewords, k=256 at 8 bits; OPQ
+    * rotation is a declared flag `use_opq` and intentionally not
+    * implemented — plain PQ first, as the reference's own default path).
+    * Training runs m small KMeans fits over sliced subvectors; at 100 TB
+    * training happens on a driver-bounded sample (the codebook is global
+    * and tiny), then encode is the usual map-side argmin.
+    */
+  def trainCodebook(embeddings: DataFrame, m: Int, dsub: Int, k: Int,
+      seed: Long = 42L, vecCol: String = "embedding",
+      maxIter: Int = 10): Codebook = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val v = col(vecCol).cast("array<double>")
+    val books = Array.tabulate(m) { j =>
+      val sub = embeddings.select(
+        array_to_vector(slice(v, j * dsub + 1, dsub)).as("features"))
+      val model = new KMeans().setK(k).setSeed(seed + j).setMaxIter(maxIter)
+        .setFeaturesCol("features").fit(sub)
+      model.clusterCenters.map(_.toArray)
+    }
+    Codebook(m, dsub, Array.tabulate(k)(_.toLong), books)
+  }
 }

@@ -106,6 +106,46 @@ object Segments {
         sum(col("num_vectors")).as("n_vectors"),
         max(col("tombstone_ratio")).as("max_tombstone_ratio"))
 
+  /** Q5/B4: per-segment tag statistics — the Spark analogue of the
+    * reference's per-segment roaring tag bitmaps (config.h:117-125). If
+    * the rows carry an array `tags` column, record the distinct tag set
+    * (≤50k by dictionary contract) per segment; tags-ANY queries then
+    * prune whole segments before any scan.
+    */
+  def writeTagStats(rows: DataFrame, baseDir: String,
+      segmentId: String): Unit = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val tags = rows.select(explode(col("tags")).as("tag"))
+      .distinct().as[Int].collect().sorted
+    Seq((segmentId, tags.toSeq)).toDF("segment_id", "tags")
+      .coalesce(1).write.mode(SaveMode.Append)
+      .parquet(s"$baseDir/_tagstats")
+  }
+
+  /** Segments that can contain ≥1 of `tagsAny` — join the tiny stats
+    * table, never the data.
+    */
+  def segmentsForTags(spark: SparkSession, baseDir: String,
+      tagsAny: Seq[Int]): Seq[String] = {
+    val stats = spark.read.parquet(s"$baseDir/_tagstats")
+    stats.filter(arrays_overlap(col("tags"),
+        lit(tagsAny.toArray)))
+      .select("segment_id").distinct().collect().map(_.getString(0)).toSeq
+  }
+
+  /** Tag-pruned scan: only segments whose tag set overlaps the query. */
+  def scanForTags(spark: SparkSession, baseDir: String,
+      tagsAny: Seq[Int]): DataFrame = {
+    val segs = segmentsForTags(spark, baseDir, tagsAny).toSet
+    val paths = catalog(spark, baseDir)
+      .filter(col("segment_id").isin(segs.toSeq: _*))
+      .select("file_path").collect().map(_.getString(0))
+    if (paths.isEmpty) spark.emptyDataFrame
+    else paths.map(p => spark.read.parquet(p)).reduce(_ unionByName _)
+      .filter(arrays_overlap(col("tags"), lit(tagsAny.toArray)))
+  }
+
   /** Zone-map pruned scan: read only segments whose [min,max] id_hash range
     * can contain `idHash` (types.h:98-99). File list comes from the
     * catalog — unmatched segments are never opened.

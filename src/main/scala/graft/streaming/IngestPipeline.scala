@@ -59,16 +59,34 @@ object IngestPipeline {
     * message per id_hash — DELETEs survive as tombstones) then an
     * idempotent segment write. Public so a crash-replay can be exercised
     * directly in tests (the fault-inject analogue).
+    *
+    * W10 flush policy: a batch bigger than `maxRowsPerSegment` rolls into
+    * multiple segments, split by id_hash range (reference flush threshold
+    * config.h:29 — 128 MiB per segment; here row-count as the unit). Each
+    * sub-segment keeps a deterministic name so replays stay idempotent.
     */
-  def flushBatch(batch: DataFrame, baseDir: String, batchId: Long): Unit = {
+  def flushBatch(batch: DataFrame, baseDir: String, batchId: Long,
+      maxRowsPerSegment: Long = 2000000L): Unit = {
     if (!batch.isEmpty) {
       val cols = batch.columns
       val deduped = batch
         .groupBy(col("id_hash"))
         .agg(max_by(struct(cols.map(col): _*), col("epoch")).as("m"))
         .select(col("m.*"))
-      Segments.writeSegment(deduped, baseDir, f"delta-$batchId%05d",
-        isStable = false)
+        .cache()
+      val n = deduped.count()
+      val parts = math.max(1L, (n + maxRowsPerSegment - 1) / maxRowsPerSegment)
+      if (parts == 1L)
+        Segments.writeSegment(deduped, baseDir, f"delta-$batchId%05d",
+          isStable = false)
+      else {
+        val slice = pmod(col("id_hash"), lit(parts))
+        (0L until parts).foreach { p =>
+          Segments.writeSegment(deduped.filter(slice === p), baseDir,
+            f"delta-$batchId%05d-$p%02d", isStable = false)
+        }
+      }
+      deduped.unpersist()
     }
   }
 
