@@ -36,7 +36,23 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failed = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // BASELINE.md recall target (0.95, types.h:140): calibrate nprobe
+    // offline (Q13) and report the achieved recall at the picked setting.
+    val (tunedNprobe, tunedRecall) =
+      try {
+        val e = Tables.load(spark, sfDir, "embeddings")
+        val cents = graft.index.Ivf.deterministicCentroids(e, 50)
+        val nlist = cents.count().toInt
+        val cands = Seq(1, 2, 4, 8, 16, nlist).filter(_ <= nlist).distinct
+        val swept = graft.index.NprobeTuner.sweep(spark, e,
+          graft.operators.Knn.defaultQueries(e), cents, "ip", 10, cands)
+          .cache()
+        val np = graft.index.NprobeTuner.pick(swept, 0.95)
+        val r = swept.filter(org.apache.spark.sql.functions.col("nprobe") === np)
+          .select("recall").head().getDouble(0)
+        (np, r)
+      } catch { case _: Throwable => (-1, -1.0) }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"recall_at_tuned_nprobe":$tunedRecall,"tuned_nprobe":$tunedNprobe,"sf":"$sfDir"}""")
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
   }

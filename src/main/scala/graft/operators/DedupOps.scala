@@ -246,13 +246,17 @@ object DedupOps {
       when(VectorFunctions.dotD(v, typedlit(pv.toSeq)) > 0, lit(1L << b))
         .otherwise(lit(0L))
     }.reduce(_ + _)
+    // norms precomputed per row (sqrt(v·v) once, not per pair) — the
+    // division tree is unchanged so cosine stays bit-identical
     val bucketed = embeddings
-      .select(col("vec_id"), v.as("e"), bucket.as("bucket"))
+      .select(col("vec_id"), v.as("e"), bucket.as("bucket"),
+        sqrt(VectorFunctions.dotD(v, v)).as("nrm"))
     bucketed.as("x").join(bucketed.as("y"),
         col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-        VectorFunctions.cosineD(col("x.e"), col("y.e")).as("cosine"))
+        (VectorFunctions.dotD(col("x.e"), col("y.e"))
+          / (col("x.nrm") * col("y.nrm"))).as("cosine"))
       .filter(col("cosine") >= threshold)
       .orderBy(col("cosine").desc, col("a").asc, col("b").asc)
       .limit(limit)
@@ -262,12 +266,13 @@ object DedupOps {
     * embedding near-dup / ANN verification. Ties (cosine desc, a, b).
     */
   def cosineTopPairs(embeddings: DataFrame, limit: Int): DataFrame = {
-    val a = embeddings.select(col("vec_id").as("a"), col("embedding").as("va"))
-    val b = embeddings.select(col("vec_id").as("b"), col("embedding").as("vb"))
-    a.crossJoin(b)
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b"),
-        VectorFunctions.cosineD(col("va"), col("vb")).as("cosine"))
+    val v = col("embedding").cast("array<double>")
+    val side = embeddings.select(col("vec_id"), v.as("e"),
+      sqrt(VectorFunctions.dotD(v, v)).as("nrm"))
+    side.as("x").join(side.as("y"), col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        (VectorFunctions.dotD(col("x.e"), col("y.e"))
+          / (col("x.nrm") * col("y.nrm"))).as("cosine"))
       .orderBy(col("cosine").desc, col("a").asc, col("b").asc)
       .limit(limit)
   }

@@ -73,6 +73,27 @@ class SegmentsSpec extends SparkSpec {
     Segments.deleteDir(base)
   }
 
+  test("IVF probe over segment layout is partition pruning, not a scan") {
+    val base = tmpBase()
+    val cents = Ivf.deterministicCentroids(emb, 50)
+    val assigned = Ivf.assign(emb, cents)
+      .withColumn("id_hash", VectorFunctions.hashId(concat(lit("vec-"), col("vec_id"))))
+      .withColumn("epoch", col("vec_id"))
+      .withColumn("deleted", lit(false))
+    Segments.writeSegment(assigned, base, "s0", isStable = true)
+    val probeList = Seq(0L, 100L) // nprobe=2 of 10 lists
+    val probed = Segments.readSegments(spark, base)
+      .filter(col("centroid_id").isin(probeList: _*))
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("centroid_id"), plan.take(2000))
+    // and the scan reads only the probed fraction
+    val all = Segments.readSegments(spark, base).count()
+    val hit = probed.count()
+    assert(hit > 0 && hit < all / 2)
+    Segments.deleteDir(base)
+  }
+
   test("catalogStats reports tiers") {
     val base = tmpBase()
     val rows = segmentRows
