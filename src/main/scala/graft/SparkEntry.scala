@@ -120,6 +120,7 @@ object SparkEntry {
           cents, vecCol = "vec")
         .withColumn("centroid_id", coalesce(col("centroid_id"), lit(-1L)))
         .select("vec_id", "id_hash", "epoch", "deleted", "centroid_id", "vec")
+        .cache()
       val base = java.nio.file.Files
         .createTempDirectory("graft-segments-").toString
       // three delta segments split by epoch band (insert/upsert/delete waves)
@@ -148,6 +149,7 @@ object SparkEntry {
           cents, vecCol = "vec")
         .withColumn("centroid_id", coalesce(col("centroid_id"), lit(-1L)))
         .select("vec_id", "id_hash", "epoch", "deleted", "centroid_id", "vec")
+        .cache()
       val base = java.nio.file.Files
         .createTempDirectory("graft-tiered-").toString
       // insert wave flushed to a delta segment; upserts+deletes still buffered

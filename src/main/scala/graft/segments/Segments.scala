@@ -53,26 +53,30 @@ object Segments {
       .withColumn("segment_id", lit(segmentId))
     val spark = rows.sparkSession
     val path = s"$baseDir/$segmentId"
+    // descriptor stats ride along with the write action itself (one pass)
+    val obs = new org.apache.spark.sql.Observation(s"seg-$segmentId")
     // one writer per inverted list — avoids the tasks×centroids small-file
     // explosion (AQE coalesces the shuffle at scale)
-    rows.repartition(col("centroid_id")).write
+    rows.observe(obs,
+        count(lit(1)).as("n"),
+        min(col("id_hash")).as("minh"), max(col("id_hash")).as("maxh"),
+        min(col("epoch")).as("mine"), max(col("epoch")).as("maxe"),
+        avg(col("deleted").cast("double")).as("tr"))
+      .repartition(col("centroid_id")).write
       .mode(SaveMode.Overwrite)
       .partitionBy("centroid_id")
       .option("parquet.bloom.filter.enabled#id_hash", "true")
       .option("parquet.bloom.filter.expected.ndv#id_hash", "2000000")
       .parquet(path)
-    val stats = rows.agg(
-      count(lit(1)), min(col("id_hash")), max(col("id_hash")),
-      min(col("epoch")), max(col("epoch")),
-      avg(col("deleted").cast("double"))).head()
+    val m = obs.get
+    def longOr(k: String, d: Long): Long =
+      Option(m(k)).map(_.asInstanceOf[Long]).getOrElse(d)
     val desc = SegmentDescriptor(
       segmentId, path,
-      stats.getLong(0),
-      if (stats.isNullAt(1)) 0L else stats.getLong(1),
-      if (stats.isNullAt(2)) 0L else stats.getLong(2),
-      if (stats.isNullAt(3)) 0L else stats.getLong(3),
-      if (stats.isNullAt(4)) 0L else stats.getLong(4),
-      if (stats.isNullAt(5)) 0.0 else stats.getDouble(5),
+      longOr("n", 0L),
+      longOr("minh", 0L), longOr("maxh", 0L),
+      longOr("mine", 0L), longOr("maxe", 0L),
+      Option(m("tr")).map(_.asInstanceOf[Double]).getOrElse(0.0),
       new java.sql.Timestamp(System.currentTimeMillis()),
       isStable, None)
     appendCatalog(spark, baseDir, Seq(desc))
