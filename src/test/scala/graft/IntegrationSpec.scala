@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.index.Ivf
+import graft.ingest.MutationLog
+import graft.operators.{Knn, TieredScan, TopK}
+import graft.segments.Segments
+import graft.streaming.IngestPipeline
+
+/** The full reference lifecycle in one flow — what "a user of the
+  * reference could switch" means concretely: stream mutations in, flush
+  * delta segments, compact to a stable IVF-layout segment, then run a
+  * filtered tiered top-k query whose answer matches the logical oracle.
+  */
+class IntegrationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ingest → flush → compact → tiered filtered KNN, end to end") {
+    val src = java.nio.file.Files.createTempDirectory("graft-e2e-src-").toString
+    val base = java.nio.file.Files.createTempDirectory("graft-e2e-base-").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-e2e-ckpt-").toString
+
+    val cents = Ivf.deterministicCentroids(emb, 50)
+    val rows = Ivf.assign(
+        MutationLog.deterministicLog(emb)
+          .withColumn("id_hash", VectorFunctions.hashId(col("id")))
+          .withColumn("deleted", col("op") === "DELETE"),
+        cents, vecCol = "vec")
+      .withColumn("centroid_id", coalesce(col("centroid_id"), lit(-1L)))
+      .select("op", "vec_id", "id", "id_hash", "epoch", "deleted",
+        "centroid_id", "vec").cache()
+
+    // 1. stream in two waves (insert; then upsert+delete), restart between
+    rows.filter(col("epoch") < 2000).coalesce(1).write.mode("append").parquet(src)
+    IngestPipeline.runOnce(spark, src, base, ckpt)
+    rows.filter(col("epoch") >= 2000).coalesce(1).write.mode("append").parquet(src)
+    IngestPipeline.runOnce(spark, src, base, ckpt)
+
+    // 2. compact deltas → one stable IVF-partitioned segment
+    Segments.compact(spark, base, "stable-000")
+    val stable = Segments.readSegments(spark, base, Some(true))
+    assert(stable.count() === 450)
+
+    // 3. query: tiered live view (stable only now) + filtered top-k
+    val live = TieredScan.liveView(Seq(stable))
+    val queries = Knn.defaultQueries(emb)
+    val scored = live.filter(col("vec_id") % 3 === 0) // tenant-style filter
+      .crossJoin(broadcast(queries))
+      .select(col("query_id"), col("vec_id"),
+        VectorFunctions.dotD(col("qv"), col("vec")).as("score"))
+    val got = TopK.viaAggregator(scored, "query_id", "vec_id", "score", 5)
+      .as[(Long, Long, Double)].collect().toSet
+
+    // oracle: same query straight off the logical mutation log
+    val oracleLive = MutationLog.live(MutationLog.deterministicLog(emb))
+    val oracleScored = oracleLive.filter(col("vec_id") % 3 === 0)
+      .crossJoin(broadcast(queries))
+      .select(col("query_id"), col("vec_id"),
+        VectorFunctions.dotD(col("qv"), col("vec")).as("score"))
+    val expect = TopK.viaWindow(oracleScored, "query_id", "vec_id", "score", 5)
+      .as[(Long, Long, Double)].collect().toSet
+
+    assert(got === expect)
+    Seq(src, base, ckpt).foreach(Segments.deleteDir)
+  }
+
+  test("SQL users get the kernel library via graft_* functions") {
+    graft.functions.GraftFunctions.register(spark)
+    emb.createOrReplaceTempView("emb_sql")
+    val r = spark.sql(
+      """SELECT graft_dot(CAST(embedding AS ARRAY<DOUBLE>),
+        |                 CAST(embedding AS ARRAY<DOUBLE>)) AS nsq,
+        |       graft_hash_id(CAST(vec_id AS STRING)) AS h
+        |FROM emb_sql ORDER BY vec_id LIMIT 1""".stripMargin)
+      .as[(Double, Long)].head()
+    assert(math.abs(r._1 - 1.0) < 1e-5) // embeddings are unit-norm
+    assert(r._2 !== 0L)
+  }
+}
