@@ -202,6 +202,13 @@ object SparkEntry {
       import graft.operators.MultimodalOps
       MultimodalOps.mediaStats(MultimodalOps.syntheticMedia(docs(s, dir)))
     }),
+    // ---- leakage-safe deterministic split -------------------------------
+    "sample_split" -> ((s, dir) => {
+      val d = docs(s, dir)
+      d.groupBy(col("lang"),
+          TextOps.hashSplit(d, col("doc_id")).as("split"))
+        .agg(count(lit(1)).as("n"))
+    }),
     // ---- relational (TPC-H-ish) -----------------------------------------
     "q1_pricing" -> ((s, dir) =>
       Tables.load(s, dir, "lineitem")
@@ -657,6 +664,16 @@ object SparkEntry {
         |       * sqrt(list_dot_product(b.e, b.e))) AS cosine
         |FROM emb a JOIN emb b ON a.vec_id < b.vec_id
         |ORDER BY cosine DESC, a ASC, b ASC LIMIT 50""".stripMargin,
+    "sample_split" ->
+      """SELECT lang,
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |    ELSE 'test' END AS split,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT lang,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))
+        |      AS BIGINT) % 100 AS b
+        |  FROM documents) t
+        |GROUP BY 1, 2""".stripMargin,
     "media_stats" ->
       """SELECT CASE CAST(doc_id % 3 AS INTEGER)
         |    WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END

@@ -262,6 +262,49 @@ object DedupOps {
       .limit(limit)
   }
 
+  /** Duplicate-cluster resolution: connected components over near-dup
+    * pairs, each doc labeled with its component's minimum doc_id (the
+    * canonical representative a curation pipeline keeps). Iterative
+    * min-label propagation over the edge list — each round is one
+    * join + hash-aggregate; converges in O(component diameter) rounds
+    * (near-dup clusters are tiny and dense, so 2-4 in practice; the
+    * large-star/small-star optimization only matters for pathological
+    * chains). Deterministic, so SQL-oracle-able via recursive CTE —
+    * checked by unit test instead (DuckDB recursion limits).
+    */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // undirected edges, both directions
+    val edges = pairs.select(col("a").as("x"), col("b").as("y"))
+      .unionByName(pairs.select(col("b").as("x"), col("a").as("y")))
+      .distinct().cache()
+    // localCheckpoint truncates the lineage each round — without it the
+    // iterative plan grows until analysis dominates the runtime
+    var labels = edges.select(col("x").as("doc_id"))
+      .distinct()
+      .withColumn("canonical_id", col("doc_id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      // each node adopts the min label among itself and its neighbors
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "y"), Seq("y"))
+        .groupBy(col("x").as("doc_id"))
+        .agg(min(col("canonical_id")).as("nmin"))
+      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("canonical_id"), coalesce(col("nmin"),
+            col("canonical_id"))).as("canonical_id"))
+        .localCheckpoint(true)
+      changed = updated.join(labels.withColumnRenamed("canonical_id", "old"),
+          Seq("doc_id"))
+        .filter(col("canonical_id") =!= col("old")).count()
+      labels = updated
+      i += 1
+    }
+    labels
+  }
+
   /** Top-`limit` embedding pairs by cosine — brute-force baseline for
     * embedding near-dup / ANN verification. Ties (cosine desc, a, b).
     */

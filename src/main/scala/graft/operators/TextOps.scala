@@ -60,6 +60,21 @@ object TextOps {
         .as("quality"))
   }
 
+  /** Deterministic train/val/test split by content hash (the standard
+    * leakage-safe pipeline split: same doc always lands in the same
+    * split, independent of partitioning/order). md5-derived so the
+    * DuckDB oracle reproduces it.
+    */
+  def hashSplit(docs: DataFrame, keyCol: Column,
+      trainPct: Int = 80, valPct: Int = 10): Column = {
+    val bucket = pmod(
+      conv(substring(md5(keyCol.cast("string")), 1, 7), 16, 10).cast("long"),
+      lit(100))
+    when(bucket < trainPct, "train")
+      .when(bucket < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
   /** Language stopword lists for the n-gram/stopword language-ID heuristic.
     * Order is the tie-break priority.
     */
