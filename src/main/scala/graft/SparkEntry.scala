@@ -168,6 +168,19 @@ object SparkEntry {
     "events_hourly" -> ((s, dir) => EventOps.hourlyAgg(events(s, dir))),
     "events_sessions" -> ((s, dir) => EventOps.sessionize(events(s, dir))),
     "events_props" -> ((s, dir) => EventOps.propsKDistribution(events(s, dir))),
+    // salted two-phase aggregation: identical answer to events_props
+    // (integer sums are order-exact), different physical shape — the
+    // hot-key mitigation proven against the same oracle
+    "events_props_salted" -> ((s, dir) => {
+      import graft.operators.SkewOps
+      val ks = events(s, dir)
+        .select(regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
+          .cast("long").as("k"))
+        .filter(col("k").isNotNull)
+        .select((col("k") % 10).as("k_mod"), col("k"))
+      SkewOps.saltedSumCount(ks, Seq(col("k_mod")), col("k"))
+        .select(col("k_mod"), col("n"), col("sum_value").as("sum_k"))
+    }),
     // ---- text analysis --------------------------------------------------
     "text_stats" -> ((s, dir) => TextOps.textStats(docs(s, dir))),
     "lang_id" -> ((s, dir) => TextOps.langId(docs(s, dir))),
@@ -545,6 +558,12 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_events,
         |  max(tus) - min(tus) AS duration_us
         |FROM s GROUP BY user_id, session_seq""".stripMargin,
+    "events_props_salted" ->
+      """SELECT k % 10 AS k_mod, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM (SELECT TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1)
+        |    AS BIGINT) AS k FROM events) t
+        |WHERE k IS NOT NULL GROUP BY 1""".stripMargin,
     "events_props" ->
       """SELECT k % 10 AS k_mod, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(k) AS BIGINT) AS sum_k

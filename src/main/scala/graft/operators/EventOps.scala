@@ -26,7 +26,13 @@ object EventOps {
   /** Sessionization: per user, a new session starts when the gap from the
     * previous event exceeds `gapMinutes`. Output: one row per session with
     * bounds and counts. Window-function shape (lag + running sum) — the
-    * streaming twin is flatMapGroupsWithState.
+    * streaming twin is [[graft.streaming.SessionStream]]
+    * (flatMapGroupsWithState).
+    *
+    * Skew: the per-user window means one pathological user bounds one
+    * task. Salting cannot apply (sessions need the user's total event
+    * order); at 100 TB the mitigation is the streaming form, where a hot
+    * user bounds one state entry's update rate instead of a sort.
     */
   def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     // microsecond precision on both sides (oracle: epoch_us) — second-level
