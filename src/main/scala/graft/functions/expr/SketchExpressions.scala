@@ -140,9 +140,52 @@ case class SimhashSig(child: Expression, bits: Int) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Thread-local MD5 so the codegen'd hash path allocates no digests. */
+object Md5Helper {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  /** Top 28 bits of md5(bytes) — numerically identical to parsing the
+    * first 7 hex chars of the digest (the DuckDB-shared formula:
+    * `CAST(('0x'||substr(md5(s),1,7)) AS BIGINT)`).
+    */
+  def hash28(bytes: Array[Byte]): Long = {
+    val d = md.get()
+    d.reset()
+    val h = d.digest(bytes)
+    ((h(0) & 0xFFL) << 20) | ((h(1) & 0xFFL) << 12) |
+      ((h(2) & 0xFFL) << 4) | ((h(3) & 0xF0L) >> 4)
+  }
+}
+
+/** 28-bit md5 hash of a string — one digest call, no hex-string round
+  * trip (the builtin md5()+conv() formulation spent most of its time
+  * encoding and re-parsing hex).
+  */
+case class Md5Hash28(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"md5_hash28 requires string, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def nullSafeEval(input: Any): Any =
+    Md5Helper.hash28(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.expr.Md5Helper.hash28($s.getBytes());")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object SketchExpressions {
   def minhashSigs(xs: Column, numHashes: Int): Column =
     GraftBridge.column(MinhashSigs(GraftBridge.expression(xs), numHashes))
   def simhashSig(xs: Column, bits: Int): Column =
     GraftBridge.column(SimhashSig(GraftBridge.expression(xs), bits))
+  def md5Hash28(s: Column): Column =
+    GraftBridge.column(Md5Hash28(GraftBridge.expression(s)))
 }

@@ -91,7 +91,12 @@ object DedupOps {
   def minhashNearDups(docs: DataFrame, numHashes: Int = 64, bands: Int = 16,
       shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
-    val sigs = minhashSignatures(docs, numHashes, shingleN)
+    // shingling is several interpreted HOF passes per doc — materialize once
+    val sh = docs.select(col("doc_id"),
+      shingles(col("text"), shingleN).as("sh")).cache()
+    val sigs = sh.select(col("doc_id"),
+      graft.functions.expr.SketchExpressions.minhashSigs(
+        transform(col("sh"), s => xxhash64(s)), numHashes).as("minhash"))
     val banded = sigs.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => hash(slice(col("minhash"), b * rows + 1, lit(rows)))))
@@ -102,8 +107,6 @@ object DedupOps {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    val sh = docs.select(col("doc_id"),
-      shingles(col("text"), shingleN).as("sh"))
     cands
       .join(sh.select(col("doc_id").as("a"), col("sh").as("sa")), Seq("a"))
       .join(sh.select(col("doc_id").as("b"), col("sh").as("sb")), Seq("b"))
@@ -152,11 +155,13 @@ object DedupOps {
 
   private val P = 2147483647L // 2^31 - 1, prime
 
-  /** 28-bit deterministic string hash both engines share: first 7 hex chars
-    * of md5. DuckDB mirror: `CAST(('0x'||substr(md5(s),1,7)) AS BIGINT)`.
+  /** 28-bit deterministic string hash both engines share: top 28 bits of
+    * md5 = the first 7 hex chars. DuckDB mirror:
+    * `CAST(('0x'||substr(md5(s),1,7)) AS BIGINT)`. Codegen'd digest —
+    * no hex-encode/re-parse per call.
     */
   def md5Hash28(c: Column): Column =
-    conv(substring(md5(c), 1, 7), 16, 10).cast("long")
+    graft.functions.expr.SketchExpressions.md5Hash28(c)
 
   /** MinHash signature array (oracle variant): sig(i) = min over distinct
     * shingles s of ((2i+1)·x(s) + (i·40503) mod P) mod P, x = [[md5Hash28]].
@@ -175,8 +180,11 @@ object DedupOps {
   def minhashPairsOracle(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
       shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
-    val sigs = docs.select(col("doc_id"),
-      minhashSignaturesOracle(numHashes, shingleN).as("minhash"))
+    val sh = docs.select(col("doc_id"),
+      shingles(col("text"), shingleN).as("sh")).cache()
+    val sigs = sh.select(col("doc_id"),
+      graft.functions.expr.SketchExpressions.minhashSigs(
+        transform(col("sh"), s => md5Hash28(s)), numHashes).as("minhash"))
     val banded = sigs.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => aggregate(slice(col("minhash"), b * rows + 1, lit(rows)),
@@ -188,8 +196,6 @@ object DedupOps {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    val sh = docs.select(col("doc_id"),
-      shingles(col("text"), shingleN).as("sh"))
     cands
       .join(sh.select(col("doc_id").as("a"), col("sh").as("sa")), Seq("a"))
       .join(sh.select(col("doc_id").as("b"), col("sh").as("sb")), Seq("b"))
