@@ -109,6 +109,27 @@ object Smoke {
       println(s"replayed after torn tail: ${Wal.replay(p).size} of 10 frames")
     }
 
+    println("== IVF search over the stored segment layout ==")
+    locally {
+      import graft.index.Ivf
+      import graft.ingest.MutationLog
+      import graft.functions.VectorFunctions
+      import graft.segments.Segments
+      val cents = Ivf.deterministicCentroids(emb, 50)
+      val rows = Ivf.assign(
+          MutationLog.live(MutationLog.deterministicLog(emb))
+            .withColumn("id_hash", VectorFunctions.hashId(col("id"))),
+          cents, vecCol = "vec")
+        .withColumn("deleted", lit(false))
+      val base = java.nio.file.Files.createTempDirectory("smoke-ivf-").toString
+      Segments.writeSegment(rows, base, "s0", isStable = true)
+      val hits = Ivf.searchStored(spark, base,
+        graft.operators.Knn.defaultQueries(emb).limit(3), cents, "ip", 5, 3)
+      println(s"searchStored rows = ${hits.count()} (expect 15 = 3 queries x top-5)")
+      hits.orderBy("query_id", "score").show(5)
+      Segments.deleteDir(base)
+    }
+
     println("== probe: dimension mismatch must throw ==")
     try {
       emb.select(dotD(col("embedding"), slice(col("embedding"), 1, 8))).collect()

@@ -92,6 +92,30 @@ object Ivf {
     else TopK.viaAggregator(scored, "query_id", idCol, "score", k)
   }
 
+  /** Q6 against the physical segment layout: probes → centroid partition
+    * pruning on the stored segments (PartitionFilters, no scan of
+    * unprobed lists) → score → top-k. The entry point a reference user
+    * calls once data is flushed: `searchStored(spark, baseDir, queries)`.
+    */
+  def searchStored(spark: org.apache.spark.sql.SparkSession, baseDir: String,
+      queries: DataFrame, centroids: DataFrame, metric: String, k: Int,
+      nprobe: Int, idCol: String = "vec_id",
+      vecCol: String = "vec"): DataFrame = {
+    import graft.segments.Segments
+    val probeSet = probes(queries, centroids, nprobe)
+    val probedCids = probeSet.select("centroid_id").distinct()
+      .collect().map(_.getLong(0))
+    val scored = Segments.readSegments(spark, baseDir)
+      .filter(col("centroid_id").isin(probedCids: _*))
+      .join(broadcast(probeSet), Seq("centroid_id"))
+      .select(col("query_id"), col(idCol),
+        Knn.score(metric, col("qv"), col(vecCol)).as("score"))
+    val asc = Knn.isAscending(metric)
+    if (asc)
+      TopK.viaWindow(scored, "query_id", idCol, "score", k, ascending = true)
+    else TopK.viaAggregator(scored, "query_id", idCol, "score", k)
+  }
+
   /** B1: production centroid training via MLlib KMeans (reference rebuilds
     * global centroids every 24 h, config.h:96-99; sample before training at
     * scale — KMeans itself is iterative over the full input).

@@ -63,6 +63,30 @@ class IntegrationSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
 
     assert(got === expect)
+
+    // 4. the stored-layout IVF entry point returns top-k from the pruned
+    // partitions only, consistent with a full-scan restriction to the
+    // same probe set
+    val ivfGot = Ivf.searchStored(spark, base, queries, cents, "ip", 5,
+        nprobe = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    val probeCids = Ivf.probes(queries, cents, 3)
+      .select("query_id", "centroid_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val assignedLive = Ivf.assign(
+      MutationLog.live(MutationLog.deterministicLog(emb)), cents,
+      vecCol = "vec")
+    val restricted = assignedLive
+      .crossJoin(broadcast(queries))
+      .select(col("query_id"), col("vec_id"), col("centroid_id"),
+        VectorFunctions.dotD(col("qv"), col("vec")).as("score"))
+      .as[(Long, Long, Long, Double)].collect()
+      .filter { case (q, _, cid, _) => probeCids(q).contains(cid) }
+      .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy(r => (-r._4, r._2)).take(5)
+      }
+      .map(r => (r._1, r._2, r._4)).toSet
+    assert(ivfGot === restricted)
     Seq(src, base, ckpt).foreach(Segments.deleteDir)
   }
 
