@@ -32,7 +32,11 @@ object Bench {
         }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // Locale.ROOT: a comma-decimal default locale would corrupt the JSON
+    def num(v: Double, digits: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${digits}f",
+        java.lang.Double.valueOf(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v, 3) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failed = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -64,7 +68,7 @@ object Bench {
       .getOrElse(-1.0)
     // exit 0 even with failures: the JSON line (with its "failed" list) is
     // the contract — a non-zero rc would discard the whole measurement
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"recall_at_tuned_nprobe":$tunedRecall,"tuned_nprobe":$tunedNprobe,"n_queries_per_batch":$nQueries,"knn_exact_per_query_ms":${f"$perQueryMs%.2f"},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"failed":$failed,"recall_at_tuned_nprobe":${num(tunedRecall, 4)},"tuned_nprobe":$tunedNprobe,"n_queries_per_batch":$nQueries,"knn_exact_per_query_ms":${num(perQueryMs, 2)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

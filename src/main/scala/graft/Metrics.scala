@@ -26,6 +26,10 @@ object Metrics {
   /** Run `df.count()` under a scoped listener and report what the cluster
     * actually did — the difference between "fast" and "fast but shuffled
     * everything" is visible here, not in wall time.
+    *
+    * The listener sees the whole SparkContext: concurrent jobs (another
+    * thread, a running streaming query) are attributed to this
+    * measurement. Measure on a quiet session.
     */
   def measure(name: String, df: DataFrame): QueryMetrics = {
     val spark = df.sparkSession

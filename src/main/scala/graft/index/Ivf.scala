@@ -86,16 +86,19 @@ object Ivf {
     val scored = assigned.join(broadcast(probeSet), Seq("centroid_id"))
       .select(col("query_id"), col(idCol),
         Knn.score(metric, col("qv"), col(vecCol)).as("score"))
-    val asc = Knn.isAscending(metric)
-    if (asc)
-      TopK.viaWindow(scored, "query_id", idCol, "score", k, ascending = true)
-    else TopK.viaAggregator(scored, "query_id", idCol, "score", k)
+    Knn.topK(scored, metric, k, idCol)
   }
 
   /** Q6 against the physical segment layout: probes → centroid partition
     * pruning on the stored segments (PartitionFilters, no scan of
-    * unprobed lists) → score → top-k. The entry point a reference user
-    * calls once data is flushed: `searchStored(spark, baseDir, queries)`.
+    * unprobed lists) → LWW/tombstone masking → score → top-k. The entry
+    * point a reference user calls once data is flushed.
+    *
+    * Version masking is store-wide but cheap: only (id_hash, epoch,
+    * deleted) are read from unprobed segments (column pruning), so a
+    * stale version inside a probed list is masked even when its newer
+    * version lives in an unprobed list — the latest-by-id authority of
+    * the reference (latest-by-id.h:110-157) as a semi-join.
     */
   def searchStored(spark: org.apache.spark.sql.SparkSession, baseDir: String,
       queries: DataFrame, centroids: DataFrame, metric: String, k: Int,
@@ -105,15 +108,20 @@ object Ivf {
     val probeSet = probes(queries, centroids, nprobe)
     val probedCids = probeSet.select("centroid_id").distinct()
       .collect().map(_.getLong(0))
-    val scored = Segments.readSegments(spark, baseDir)
+    val all = Segments.readSegments(spark, baseDir)
+    // store-wide latest live version per id (2-column scan of all tiers)
+    val latestLive = all
+      .groupBy(col("id_hash"))
+      .agg(max_by(struct(col("epoch"), col("deleted")), col("epoch")).as("m"))
+      .filter(!col("m.deleted"))
+      .select(col("id_hash"), col("m.epoch").as("epoch"))
+    val scored = all
       .filter(col("centroid_id").isin(probedCids: _*))
+      .join(latestLive, Seq("id_hash", "epoch")) // keep only latest+live
       .join(broadcast(probeSet), Seq("centroid_id"))
       .select(col("query_id"), col(idCol),
         Knn.score(metric, col("qv"), col(vecCol)).as("score"))
-    val asc = Knn.isAscending(metric)
-    if (asc)
-      TopK.viaWindow(scored, "query_id", idCol, "score", k, ascending = true)
-    else TopK.viaAggregator(scored, "query_id", idCol, "score", k)
+    Knn.topK(scored, metric, k, idCol)
   }
 
   /** B1: production centroid training via MLlib KMeans (reference rebuilds

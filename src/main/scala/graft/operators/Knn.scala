@@ -47,8 +47,11 @@ object Knn {
     topK(scored, metric, k, idCol, useAggregator)
   }
 
-  private def topK(scored: DataFrame, metric: String, k: Int, idCol: String,
-      useAggregator: Boolean): DataFrame = {
+  /** Shared per-query top-k dispatch: bounded-heap aggregator for both
+    * directions (ascending metrics ride through negation — exact in IEEE).
+    */
+  def topK(scored: DataFrame, metric: String, k: Int, idCol: String,
+      useAggregator: Boolean = true): DataFrame = {
     val asc = isAscending(metric)
     val picked =
       if (useAggregator && !asc)

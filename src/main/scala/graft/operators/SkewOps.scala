@@ -20,7 +20,11 @@ object SkewOps {
 
   def saltedSumCount(df: DataFrame, keys: Seq[Column], valueCol: Column,
       saltBuckets: Int = 16): DataFrame = {
-    val salt = pmod(xxhash64(valueCol), lit(saltBuckets)).as("__salt")
+    // the salt must spread rows unconditionally — a value-derived hash
+    // would collapse a hot key whose skew is one dominant value into a
+    // single bucket (exactly the case this exists for). The physical
+    // partition id spreads by data placement, independent of content.
+    val salt = pmod(spark_partition_id(), lit(saltBuckets)).as("__salt")
     val partial = df.groupBy((keys :+ salt): _*)
       .agg(count(lit(1)).as("__n"), sum(valueCol).as("__sum"))
     partial.groupBy(keys.map(c => partial(c.toString)): _*)

@@ -28,9 +28,16 @@ object TopK {
   /** Min-heap on "quality": root = worst of the kept k. */
   case class Heap(k: Int, n: Int, ids: Array[Long], scores: Array[Double])
 
-  /** `(score desc, id asc)` dominance: does (s1,i1) beat (s2,i2)? */
-  @inline private def beats(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-    s1 > s2 || (s1 == s2 && i1 < i2)
+  /** `(score desc, id asc)` dominance: does (s1,i1) beat (s2,i2)?
+    * Uses java.lang.Double.compare — the same total order Spark SQL gives
+    * a window's ORDER BY (NaN greatest, -0.0 < 0.0) — so the aggregator
+    * and window strategies agree even on NaN scores (e.g. cosine of a
+    * zero vector).
+    */
+  @inline private def beats(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+    val c = java.lang.Double.compare(s1, s2)
+    c > 0 || (c == 0 && i1 < i2)
+  }
 
   private def siftUp(h: Heap, start: Int): Unit = {
     var i = start

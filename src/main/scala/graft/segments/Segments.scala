@@ -186,9 +186,10 @@ object Segments {
     * write — no sort, no window.
     */
   def compact(spark: SparkSession, baseDir: String,
-      stableSegmentId: String): SegmentDescriptor = {
+      stableSegmentId: String): Option[SegmentDescriptor] = {
     val cat = catalog(spark, baseDir).filter(!col("is_stable"))
     val deltaIds = cat.select("segment_id").collect().map(_.getString(0))
+    if (deltaIds.isEmpty) return None // nothing to compact (idempotent)
     val deltas = readSegments(spark, baseDir, stableOnly = Some(false))
     val cols = deltas.columns
     val resolved = deltas
@@ -205,7 +206,7 @@ object Segments {
       .map(d => d.copy(replaced_by = Some(stableSegmentId),
         created_at = new java.sql.Timestamp(System.currentTimeMillis())))
     appendCatalog(spark, baseDir, replaced.toSeq)
-    desc
+    Some(desc)
   }
 
   /** Remove a segment tree from disk (test helper / GC). */

@@ -96,8 +96,12 @@ object IngestPipeline {
   def liveView(spark: SparkSession, baseDir: String,
       buffer: Option[DataFrame] = None): DataFrame = {
     val segs = Segments.readSegments(spark, baseDir)
-    TieredScan.liveView(Seq(segs) ++ buffer.map(
-      _.withColumn("segment_id", lit("buffer"))))
+    // before the first flush readSegments is a schemaless empty relation —
+    // fall back to the buffer alone (or an honest empty result)
+    val tiers = (if (segs.columns.nonEmpty) Seq(segs) else Seq.empty) ++
+      buffer.map(_.withColumn("segment_id", lit("buffer")))
+    if (tiers.isEmpty) segs
+    else TieredScan.liveView(tiers)
   }
 
   /** Run one AvailableNow pass to completion (helper for batch-style use

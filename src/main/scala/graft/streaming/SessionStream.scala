@@ -47,7 +47,10 @@ object SessionStream {
         sorted.foreach { e =>
           open match {
             case Some(s) if e.tus - s.end <= gapUs =>
-              open = Some(OpenSession(s.start, math.max(s.end, e.tus), s.n + 1))
+              // a late cross-batch event may predate the open session —
+              // the window extends on both ends
+              open = Some(OpenSession(math.min(s.start, e.tus),
+                math.max(s.end, e.tus), s.n + 1))
             case Some(s) =>
               closed += SessionOut(userId, s.start, s.n, s.end - s.start)
               open = Some(OpenSession(e.tus, e.tus, 1))

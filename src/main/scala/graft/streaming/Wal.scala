@@ -42,7 +42,8 @@ object Wal {
     * the reference is single-node, group-commit batches arrive in order).
     */
   def append(path: String, records: Seq[(Long, String)]): Unit = {
-    val out = new DataOutputStream(new FileOutputStream(path, true))
+    val fos = new FileOutputStream(path, true)
+    val out = new DataOutputStream(fos)
     try {
       records.foreach { case (epoch, json) =>
         val payload = json.getBytes(StandardCharsets.UTF_8)
@@ -51,6 +52,8 @@ object Wal {
         out.writeLong(epoch)
         out.write(payload)
       }
+      out.flush()
+      fos.getFD.sync() // the group commit IS the durability point
     } finally out.close()
   }
 

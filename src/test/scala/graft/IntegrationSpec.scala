@@ -90,6 +90,38 @@ class IntegrationSpec extends SparkSpec {
     Seq(src, base, ckpt).foreach(Segments.deleteDir)
   }
 
+  test("searchStored masks stale versions and tombstones on an un-compacted store") {
+    val base = java.nio.file.Files.createTempDirectory("graft-mask-").toString
+    val cents = Ivf.deterministicCentroids(emb, 50)
+    val rows = Ivf.assign(
+        MutationLog.deterministicLog(emb)
+          .withColumn("id_hash", VectorFunctions.hashId(col("id")))
+          .withColumn("deleted", col("op") === "DELETE"),
+        cents, vecCol = "vec")
+      .withColumn("centroid_id", coalesce(col("centroid_id"), lit(-1L)))
+      .select("vec_id", "id_hash", "epoch", "deleted", "centroid_id", "vec")
+    // two deltas, NOT compacted: stale inserts + tombstones still on disk
+    Segments.writeSegment(rows.filter(col("epoch") < 2000), base, "d0", false)
+    Segments.writeSegment(rows.filter(col("epoch") >= 2000), base, "d1", false)
+
+    val queries = Knn.defaultQueries(emb)
+    val got = Ivf.searchStored(spark, base, queries, cents, "ip", 10,
+        nprobe = 10) // all lists → equals exact over the live set
+      .as[(Long, Long, Double)].collect().toSet
+    val live = MutationLog.live(MutationLog.deterministicLog(emb))
+      .select(col("vec_id").as("vid"), col("vec"))
+    val expect = TopK.viaWindow(
+        live.crossJoin(broadcast(queries))
+          .select(col("query_id"), col("vid").as("vec_id"),
+            VectorFunctions.dotD(col("qv"), col("vec")).as("score")),
+        "query_id", "vec_id", "score", 10)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === expect)
+    // deleted ids (vec_id % 10 == 0) never surface
+    assert(!got.exists(_._2 % 10 == 0))
+    Segments.deleteDir(base)
+  }
+
   test("SQL users get the kernel library via graft_* functions") {
     graft.functions.GraftFunctions.register(spark)
     emb.createOrReplaceTempView("emb_sql")
