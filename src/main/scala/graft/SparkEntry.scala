@@ -36,6 +36,38 @@ object SparkEntry {
 
   private val pointIds = Seq(0L, 1L, 5L, 10L, 55L, 123L, 499L, 9999L)
 
+  /** Shared read-only stored segment tree per sfDir: the deterministic
+    * mutation log assigned to deterministic centroids, flushed as two delta
+    * segments split at epoch 2000 (inserts | upserts+deletes) — NEVER
+    * compacted, so stale versions and tombstones are physically present and
+    * the stored-layout queries must mask them. Built once per JVM
+    * (Verify/Bench each run queries sequentially in one session).
+    */
+  private object SegTree {
+    import graft.segments.Segments
+    private val cache = scala.collection.concurrent.TrieMap.empty[String, String]
+    def get(s: SparkSession, dir: String): String =
+      cache.getOrElseUpdate(dir, {
+        val e = emb(s, dir)
+        val cents = Ivf.deterministicCentroids(e, 50)
+        val rows = Ivf.assign(
+            MutationLog.deterministicLog(e)
+              .withColumn("id_hash", hashId(col("id")))
+              .withColumn("deleted", col("op") === "DELETE"),
+            cents, vecCol = "vec")
+          .withColumn("centroid_id", coalesce(col("centroid_id"), lit(-1L)))
+          .select("vec_id", "id_hash", "epoch", "deleted", "centroid_id",
+            "vec")
+        val base = java.nio.file.Files
+          .createTempDirectory("graft-segtree-").toString
+        Segments.writeSegment(rows.filter(col("epoch") < 2000), base,
+          "delta-000", isStable = false)
+        Segments.writeSegment(rows.filter(col("epoch") >= 2000), base,
+          "delta-001", isStable = false)
+        base
+      })
+  }
+
   /** Flagship: filtered top-k similarity search, end to end (Q1+Q2+Q3+Q9 —
     * the reference's entire query surface in one plan).
     */
@@ -163,6 +195,44 @@ object SparkEntry {
         .select(col("query_id"), col("vec_id"),
           dotD(col("qv"), col("vec")).as("score"))
       TopK.viaAggregator(scored, "query_id", "vec_id", "score", 10)
+    }),
+    // ---- Q6 on the physical layout: stored-segment IVF search ----------
+    "knn_ivf_stored" -> ((s, dir) => {
+      val cents = Ivf.deterministicCentroids(emb(s, dir), 50)
+      Ivf.searchStored(s, SegTree.get(s, dir), q(s, dir), cents, "ip", 10,
+          nprobe = 3)
+        .select("query_id", "vec_id", "score")
+    }),
+    // ---- W8+Q5/B4: point lookup via zone-map + bloom pruned scan -------
+    "point_lookup_stored" -> ((s, dir) => {
+      import s.implicits._
+      import graft.segments.Segments
+      val base = SegTree.get(s, dir)
+      val probe = pointIds.toDF("vec_id")
+        .select(col("vec_id"),
+          hashId(concat(lit("vec-"), col("vec_id"))).as("id_hash"))
+      val hashes = probe.select("id_hash").collect().map(_.getLong(0)).toSeq
+      val latest = Segments.scanForIdHashes(s, base, hashes) match {
+        case Some(rows) => rows
+          .groupBy(col("id_hash"))
+          .agg(max_by(struct(col("epoch"), col("deleted")), col("epoch"))
+            .as("m"))
+          .select(col("id_hash"), col("m.epoch").as("epoch"),
+            col("m.deleted").as("deleted"))
+        case None => s.emptyDataset[(Long, Long, Boolean)]
+          .toDF("id_hash", "epoch", "deleted")
+      }
+      probe.join(latest, Seq("id_hash"), "left")
+        .select(col("vec_id"),
+          (col("deleted").isNotNull && !col("deleted")).as("is_live"),
+          coalesce(col("epoch"), lit(-1L)).as("last_epoch"))
+    }),
+    // ---- A4: catalog stats over the stored delta tier ------------------
+    "segment_stats" -> ((s, dir) => {
+      import graft.segments.Segments
+      Segments.catalogStats(s, SegTree.get(s, dir))
+        .select(col("is_stable"), col("n_segments"), col("n_vectors"),
+          round(col("max_tombstone_ratio"), 6).as("max_tombstone_ratio"))
     }),
     // ---- T7: events analytics ------------------------------------------
     "events_hourly" -> ((s, dir) => EventOps.hourlyAgg(events(s, dir))),
@@ -523,6 +593,59 @@ object SparkEntry {
          |    PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rn
          |  FROM scored) t
          |WHERE rn <= 10""".stripMargin,
+    "knn_ivf_stored" ->
+      s"""$MUTLOG,
+         |qq AS (SELECT vec_id AS query_id, e AS qv FROM emb
+         |  WHERE vec_id % 25 = 0),
+         |cent AS (SELECT vec_id AS cid, e AS cv FROM emb
+         |  WHERE vec_id % 50 = 0),
+         |la AS (SELECT vec_id, vec, cid AS centroid_id FROM (
+         |    SELECT l.vec_id, l.vec, c.cid, row_number() OVER (
+         |      PARTITION BY l.vec_id ORDER BY
+         |        list_dot_product(l.vec, l.vec)
+         |          - 2 * list_dot_product(l.vec, c.cv)
+         |          + list_dot_product(c.cv, c.cv) ASC, c.cid ASC) AS rn
+         |    FROM live l CROSS JOIN cent c) t
+         |  WHERE rn = 1),
+         |prb AS (SELECT query_id, qv, cid AS centroid_id FROM (
+         |    SELECT qq.query_id, qq.qv, cent.cid, row_number() OVER (
+         |      PARTITION BY qq.query_id ORDER BY
+         |        list_dot_product(qq.qv, qq.qv)
+         |          - 2 * list_dot_product(qq.qv, cent.cv)
+         |          + list_dot_product(cent.cv, cent.cv) ASC, cent.cid ASC)
+         |      AS rn
+         |    FROM qq CROSS JOIN cent) t
+         |  WHERE rn <= 3),
+         |scored AS (SELECT p.query_id, a.vec_id,
+         |    list_dot_product(p.qv, a.vec) AS score
+         |  FROM prb p JOIN la a USING (centroid_id))
+         |SELECT query_id, vec_id, score FROM (
+         |  SELECT scored.*, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rn
+         |  FROM scored) t
+         |WHERE rn <= 10""".stripMargin,
+    "point_lookup_stored" ->
+      s"""$MUTLOG,
+         |probe AS (SELECT CAST(UNNEST([${pointIds.mkString(", ")}]) AS BIGINT)
+         |  AS vec_id)
+         |SELECT p.vec_id,
+         |  (l.op IS NOT NULL AND l.op <> 'DELETE') AS is_live,
+         |  COALESCE(l.epoch, -1) AS last_epoch
+         |FROM probe p LEFT JOIN latest l USING (vec_id)""".stripMargin,
+    "segment_stats" ->
+      s"""$MUTLOG,
+         |seg AS (SELECT
+         |    CASE WHEN epoch < 2000 THEN 'delta-000' ELSE 'delta-001' END
+         |      AS segment_id,
+         |    CASE WHEN op = 'DELETE' THEN 1.0 ELSE 0.0 END AS del
+         |  FROM log),
+         |per AS (SELECT segment_id, count(*) AS nv, avg(del) AS tr
+         |  FROM seg GROUP BY 1)
+         |SELECT false AS is_stable,
+         |  CAST(count(*) AS BIGINT) AS n_segments,
+         |  CAST(sum(nv) AS BIGINT) AS n_vectors,
+         |  round(max(tr), 6) AS max_tombstone_ratio
+         |FROM per""".stripMargin,
     "compact_segment" ->
       s"""$MUTLOG,
          |cent AS (SELECT vec_id AS cid, e AS cv FROM emb

