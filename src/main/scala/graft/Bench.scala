@@ -1,13 +1,43 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Benchmark main: runs every registered query on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line {"metric":..,"value":..,"queries":{..},"sf":..}.
   * Failures are recorded per query (value -1) instead of being silently
   * timed — a failing query must never masquerade as a fast one.
+  *
+  * Beyond the query battery, the line reports the BASELINE.md headline
+  * budgets measured on the real pipelines:
+  *  - recall target 0.95 (types.h:140): offline nprobe calibration on
+  *    TRAINED KMeans centroids (the production path — deterministic
+  *    centroids exist only for the DuckDB oracle);
+  *  - ingest ≥50k ops/s (types.h:142): the streaming ingest pipeline over
+  *    a replicated mutation log (the sf tables are small; sustained
+  *    throughput needs real volume);
+  *  - write amplification ≤2.3 p50 (types.h:144): physical bytes written
+  *    across ingest + compaction over logical source bytes;
+  *  - delta resident fraction ≤5% (types.h:143): delta-tier share after
+  *    compaction plus one steady-state follow-up wave.
   */
 object Bench {
+
+  private def num(v: Double, digits: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${digits}f",
+      java.lang.Double.valueOf(v))
+
+  private def dirBytes(path: String): Long = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) 0L
+    else {
+      val s = java.nio.file.Files.walk(p)
+      try s.filter(f => java.nio.file.Files.isRegularFile(f))
+        .mapToLong(f => java.nio.file.Files.size(f)).sum()
+      finally s.close()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -32,30 +62,32 @@ object Bench {
         }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    // Locale.ROOT: a comma-decimal default locale would corrupt the JSON
-    def num(v: Double, digits: Int): String =
-      String.format(java.util.Locale.ROOT, s"%.${digits}f",
-        java.lang.Double.valueOf(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v, 3) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failed = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // BASELINE.md recall target (0.95, types.h:140): calibrate nprobe
-    // offline (Q13) and report the achieved recall at the picked setting.
-    val (tunedNprobe, tunedRecall) =
+
+    // BASELINE.md recall target (0.95, types.h:140): calibrate nprobe on
+    // trained centroids (B1 production path) and report the achieved
+    // recall + the scanned fraction at the picked setting.
+    val (tunedNprobe, tunedRecall, nlist) =
       try {
-        val e = Tables.load(spark, sfDir, "embeddings")
-        val cents = graft.index.Ivf.deterministicCentroids(e, 50)
-        val nlist = cents.count().toInt
-        val cands = Seq(1, 2, 4, 8, 16, nlist).filter(_ <= nlist).distinct
+        val e = Tables.load(spark, sfDir, "embeddings").cache()
+        val n = e.count()
+        val k = math.max(8, math.min(128, math.sqrt(n.toDouble).toInt))
+        val model = graft.index.Ivf.trainKMeans(e, k)
+        val cents = graft.index.Ivf.kmeansCentroids(spark, model)
+        val cands = (Seq(1, 2, 4, 8, 16, 32) :+ k).filter(_ <= k)
+          .distinct.sorted
         val swept = graft.index.NprobeTuner.sweep(spark, e,
           graft.operators.Knn.defaultQueries(e), cents, "ip", 10, cands)
           .cache()
         val np = graft.index.NprobeTuner.pick(swept, 0.95)
-        val r = swept.filter(org.apache.spark.sql.functions.col("nprobe") === np)
+        val r = swept.filter(col("nprobe") === np)
           .select("recall").head().getDouble(0)
-        (np, r)
-      } catch { case _: Throwable => (-1, -1.0) }
+        (np, r, k)
+      } catch { case _: Throwable => (-1, -1.0, -1) }
+
     // each knn_* wall time covers the whole query BATCH (20 queries at
     // sf0.01, 80 at sf0.1, reference max 100/request); the per-query
     // amortized latency is what compares against BASELINE.md's 150 ms p99
@@ -66,9 +98,84 @@ object Bench {
     val perQueryMs = results.toMap.get("knn_exact_ip")
       .filter(_ > 0).map(w => w * 1000.0 / math.max(1L, nQueries))
       .getOrElse(-1.0)
+
+    // Ingest / write-amp / delta-fraction (T1-T4, W4, W11 on real volume).
+    // Drop the query battery's cached data first: the throughput numbers
+    // must not pay another workload's GC bill.
+    spark.catalog.clearCache()
+    val (ingestOps, ingestQps, compactSec, writeAmp, deltaFrac) =
+      try {
+        import graft.segments.Segments
+        import graft.streaming.IngestPipeline
+        val e = Tables.load(spark, sfDir, "embeddings")
+        val cents = graft.index.Ivf.deterministicCentroids(e, 50)
+        val base0 = graft.ingest.MutationLog.deterministicLog(e)
+        val n0 = base0.count()
+        val reps = math.max(1L, 250000L / math.max(1L, n0)).toInt
+        // replicate the log to sustained-throughput volume; ids/epochs stay
+        // unique per replica so LWW semantics are preserved
+        val replicated = base0
+          .withColumn("rep", explode(sequence(lit(0), lit(reps - 1))))
+          .select(col("op"),
+            (col("vec_id") + col("rep").cast("long") * lit(1000000L))
+              .as("vec_id"),
+            concat(col("id"), lit("-"), col("rep")).as("id"),
+            (col("epoch") + col("rep").cast("long") * lit(10000L))
+              .as("epoch"),
+            col("vec"))
+        val log = graft.index.Ivf.assign(
+            replicated
+              .withColumn("id_hash",
+                graft.functions.VectorFunctions.hashId(col("id")))
+              .withColumn("deleted", col("op") === "DELETE"),
+            cents, vecCol = "vec")
+          .withColumn("centroid_id", coalesce(col("centroid_id"), lit(-1L)))
+          .select("op", "vec_id", "id", "id_hash", "epoch", "deleted",
+            "centroid_id", "vec")
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-bench-ingest-").toString
+        val src = s"$tmp/src"; val tree = s"$tmp/tree"; val ckpt = s"$tmp/ckpt"
+        log.repartition(8).write.parquet(src) // setup, untimed
+        val nOps = spark.read.parquet(src).count()
+        val t0 = System.nanoTime()
+        IngestPipeline.runOnce(spark, src, tree, ckpt)
+        val ingSec = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        Segments.compact(spark, tree, "stable-000")
+        val cSec = (System.nanoTime() - t1) / 1e9
+        // steady-state follow-up wave: ~2% of ids upserted after compaction
+        val wave = spark.read.parquet(src)
+          .filter(col("op") === "INSERT" && col("vec_id") % 50 === 0)
+          .withColumn("op", lit("UPSERT"))
+          .withColumn("epoch", col("epoch") + lit(1000000L))
+        IngestPipeline.flushBatch(wave, tree, Long.MaxValue)
+        val stats = Segments.catalogStats(spark, tree)
+          .select(col("is_stable"), col("n_vectors")).collect()
+          .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+        val totalVecs = stats.values.sum.toDouble
+        val dFrac =
+          if (totalVecs == 0) -1.0 else stats.getOrElse(false, 0L) / totalVecs
+        // write amplification as ROWS written across every segment ever
+        // created (deltas + compacted stable + wave) per op ingested —
+        // byte ratios are confounded here because the replicated bench
+        // vectors dictionary-compress far better in the clustered segment
+        // layout than in the shuffled source (measured <1.0, which no real
+        // WA can be)
+        val rowsWritten = spark.read.parquet(s"$tree/${Segments.CatalogDir}")
+          .groupBy(col("segment_id"))
+          .agg(first(col("num_vectors")).as("nv"))
+          .agg(sum(col("nv"))).head().getLong(0)
+        val wAmp = rowsWritten.toDouble / math.max(1L, nOps)
+        Segments.deleteDir(tmp)
+        (nOps, nOps / ingSec, cSec, wAmp, dFrac)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] ingest bench FAILED: ${e.getMessage}")
+        (-1L, -1.0, -1.0, -1.0, -1.0)
+      }
+
     // exit 0 even with failures: the JSON line (with its "failed" list) is
     // the contract — a non-zero rc would discard the whole measurement
-    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"failed":$failed,"recall_at_tuned_nprobe":${num(tunedRecall, 4)},"tuned_nprobe":$tunedNprobe,"n_queries_per_batch":$nQueries,"knn_exact_per_query_ms":${num(perQueryMs, 2)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"failed":$failed,"recall_at_tuned_nprobe":${num(tunedRecall, 4)},"tuned_nprobe":$tunedNprobe,"ivf_nlist":$nlist,"n_queries_per_batch":$nQueries,"knn_exact_per_query_ms":${num(perQueryMs, 2)},"ingest_ops":$ingestOps,"ingest_ops_per_sec":${num(ingestQps, 1)},"compact_sec":${num(compactSec, 3)},"write_amplification":${num(writeAmp, 3)},"delta_resident_fraction":${num(deltaFrac, 4)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

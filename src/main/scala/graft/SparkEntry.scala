@@ -108,6 +108,19 @@ object SparkEntry {
       val cb = Pq.deterministicCodebook(e, 8, 8, 50)
       Pq.twoPhaseSearch(e, Pq.encode(e, cb), cb, q(s, dir), 10, 4)
     }),
+    // ---- B3+OPQ: rotated PQ two-phase (rows-only: the PCA rotation is
+    // data-derived and not DuckDB-reproducible; OpqSpec proves recall and
+    // score exactness instead)
+    "knn_pq_opq" -> ((s, dir) => {
+      import graft.index.Opq
+      val e = emb(s, dir)
+      // light training config: this entry proves the wiring end to end;
+      // OpqSpec carries the recall/quality assertions at full settings
+      val (rot, cb) = Opq.trainCodebookOpq(e, m = 8, dsub = 8, k = 16,
+        maxIter = 3)
+      Opq.twoPhaseSearch(e, Opq.encode(e, rot, cb), rot, cb, q(s, dir),
+        10, 4)
+    }),
     // ---- B5: recall of IVF vs exact ------------------------------------
     "recall_ivf" -> ((s, dir) => {
       val e = emb(s, dir)

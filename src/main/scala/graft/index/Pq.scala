@@ -133,14 +133,22 @@ object Pq {
       maxIter: Int = 10): Codebook = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
     val v = col(vecCol).cast("array<double>")
-    val books = Array.tabulate(m) { j =>
-      val sub = embeddings.select(
-        array_to_vector(slice(v, j * dsub + 1, dsub)).as("features"))
-      val model = new KMeans().setK(k).setSeed(seed + j).setMaxIter(maxIter)
-        .setFeaturesCol("features").fit(sub)
-      model.clusterCenters.map(_.toArray)
+    // the m fits are independent — submit them as concurrent Spark jobs so
+    // the wall time is one fit, not m fits of scheduler overhead
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val futs = (0 until m).map { j =>
+      Future {
+        val sub = embeddings.select(
+          array_to_vector(slice(v, j * dsub + 1, dsub)).as("features"))
+        val model = new KMeans().setK(k).setSeed(seed + j)
+          .setMaxIter(maxIter).setFeaturesCol("features").fit(sub)
+        model.clusterCenters.map(_.toArray)
+      }
     }
+    val books = Await.result(Future.sequence(futs), Duration.Inf).toArray
     Codebook(m, dsub, Array.tabulate(k)(_.toLong), books)
   }
 }

@@ -45,9 +45,17 @@ object Segments {
     * (id_hash, epoch, deleted, centroid_id, ...) and append its descriptor.
     * Returns the descriptor. Bloom filter on id_hash enables point-lookup
     * row-group skipping (Q5).
+    *
+    * `expectedNdvPerFile` sizes the per-file bloom bitset. Parquet
+    * allocates ~1.2 bytes/ndv whether rows arrive or not, and the
+    * partitionBy(centroid_id) layout splits a segment across nlist files —
+    * so the honest hint is rows-per-inverted-list (reference: 2M vectors /
+    * 1024 lists ≈ 2k rows/file), NOT the segment total. Oversizing it
+    * 1000× is pure write amplification (measured: it pushed WA from ~1.8
+    * to 2.6 at bench scale).
     */
   def writeSegment(rowsIn: DataFrame, baseDir: String, segmentId: String,
-      isStable: Boolean): SegmentDescriptor = {
+      isStable: Boolean, expectedNdvPerFile: Long = 100000L): SegmentDescriptor = {
     // provenance column (QueryResult.segment_id, types.h:81)
     val rows = rowsIn.drop("segment_id")
       .withColumn("segment_id", lit(segmentId))
@@ -66,7 +74,8 @@ object Segments {
       .mode(SaveMode.Overwrite)
       .partitionBy("centroid_id")
       .option("parquet.bloom.filter.enabled#id_hash", "true")
-      .option("parquet.bloom.filter.expected.ndv#id_hash", "2000000")
+      .option("parquet.bloom.filter.expected.ndv#id_hash",
+        expectedNdvPerFile.toString)
       .parquet(path)
     val m = obs.get
     def longOr(k: String, d: Long): Long =
