@@ -111,7 +111,9 @@ object Bench {
         val cents = graft.index.Ivf.deterministicCentroids(e, 50)
         val base0 = graft.ingest.MutationLog.deterministicLog(e)
         val n0 = base0.count()
-        val reps = math.max(1L, 250000L / math.max(1L, n0)).toInt
+        // 1M ops: enough volume that the ~3 s fixed streaming-startup cost
+        // amortizes out of the sustained-throughput number
+        val reps = math.max(1L, 1000000L / math.max(1L, n0)).toInt
         // replicate the log to sustained-throughput volume; ids/epochs stay
         // unique per replica so LWW semantics are preserved
         val replicated = base0

@@ -67,26 +67,33 @@ object IngestPipeline {
     */
   def flushBatch(batch: DataFrame, baseDir: String, batchId: Long,
       maxRowsPerSegment: Long = 2000000L): Unit = {
-    if (!batch.isEmpty) {
-      val cols = batch.columns
-      val deduped = batch
-        .groupBy(col("id_hash"))
-        .agg(max_by(struct(cols.map(col): _*), col("epoch")).as("m"))
-        .select(col("m.*"))
-        .cache()
-      val n = deduped.count()
-      val parts = math.max(1L, (n + maxRowsPerSegment - 1) / maxRowsPerSegment)
-      if (parts == 1L)
-        Segments.writeSegment(deduped, baseDir, f"delta-$batchId%05d",
-          isStable = false)
-      else {
+    // pre-dedupe count decides the split (one cheap scan, no shuffle) —
+    // an upper bound on the deduped size, like the reference's flush
+    // threshold which meters the buffer before dedupe (config.h:29)
+    val n0 = batch.count()
+    if (n0 == 0L) return
+    val cols = batch.columns
+    val deduped = batch
+      .groupBy(col("id_hash"))
+      .agg(max_by(struct(cols.map(col): _*), col("epoch")).as("m"))
+      .select(col("m.*"))
+    val parts = math.max(1L, (n0 + maxRowsPerSegment - 1) / maxRowsPerSegment)
+    if (parts == 1L)
+      // common case: dedupe flows straight into the segment write — one
+      // shuffle + one write, nothing materialized twice
+      Segments.writeSegment(deduped, baseDir, f"delta-$batchId%05d",
+        isStable = false)
+    else {
+      // multi-segment flush: cache so the dedupe shuffle runs once, not
+      // once per slice
+      deduped.cache()
+      try {
         val slice = pmod(col("id_hash"), lit(parts))
         (0L until parts).foreach { p =>
           Segments.writeSegment(deduped.filter(slice === p), baseDir,
             f"delta-$batchId%05d-$p%02d", isStable = false)
         }
-      }
-      deduped.unpersist()
+      } finally deduped.unpersist()
     }
   }
 
