@@ -163,10 +163,9 @@ object Bench {
         // vectors dictionary-compress far better in the clustered segment
         // layout than in the shuffled source (measured <1.0, which no real
         // WA can be)
-        val rowsWritten = spark.read.parquet(s"$tree/${Segments.CatalogDir}")
-          .groupBy(col("segment_id"))
-          .agg(first(col("num_vectors")).as("nv"))
-          .agg(sum(col("nv"))).head().getLong(0)
+        val rowsWritten = Segments.allDescriptors(spark, tree)
+          .groupBy(_.segment_id).valuesIterator
+          .map(_.head.num_vectors).sum
         val wAmp = rowsWritten.toDouble / math.max(1L, nOps)
         Segments.deleteDir(tmp)
         (nOps, nOps / ingSec, cSec, wAmp, dFrac)

@@ -168,14 +168,20 @@ object SparkEntry {
         .cache()
       val base = java.nio.file.Files
         .createTempDirectory("graft-segments-").toString
-      // three delta segments split by epoch band (insert/upsert/delete waves)
-      Segments.writeSegment(rows.filter(col("epoch") < 2000), base,
-        "delta-000", isStable = false)
-      Segments.writeSegment(
-        rows.filter(col("epoch") >= 2000 && col("epoch") < 3000), base,
-        "delta-001", isStable = false)
-      Segments.writeSegment(rows.filter(col("epoch") >= 3000), base,
-        "delta-002", isStable = false)
+      // three delta segments split by epoch band (insert/upsert/delete
+      // waves), written as concurrent jobs — independent flushes, like the
+      // reference's per-shard flush threads (config.h:30 flush_threads)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val writes = Seq(
+        ("delta-000", col("epoch") < 2000),
+        ("delta-001", col("epoch") >= 2000 && col("epoch") < 3000),
+        ("delta-002", col("epoch") >= 3000)
+      ).map { case (seg, pred) => Future {
+        Segments.writeSegment(rows.filter(pred), base, seg, isStable = false)
+      }}
+      writes.foreach(Await.result(_, Duration.Inf))
       Segments.compact(s, base, "stable-000")
       Segments.readSegments(s, base, stableOnly = Some(true))
         .select(col("vec_id"), col("epoch"),

