@@ -31,7 +31,7 @@ object ProfileFlush {
     val cents = graft.index.Ivf.deterministicCentroids(e, 50)
     val base0 = graft.ingest.MutationLog.deterministicLog(e)
     val n0 = base0.count()
-    val reps = math.max(1L, 250000L / math.max(1L, n0)).toInt
+    val reps = math.max(1L, 1000000L / math.max(1L, n0)).toInt
     val replicated = base0
       .withColumn("rep", explode(sequence(lit(0), lit(reps - 1))))
       .select(col("op"),
@@ -84,6 +84,16 @@ object ProfileFlush {
       Segments.writeSegment(deduped2, s"$tmp/tree3", "delta-y",
         isStable = false))
 
+    // join-based LWW: narrow codegen hash-agg for max epoch, then a
+    // shuffled-hash join back — no sort of wide rows anywhere
+    val latest = batch.groupBy(col("id_hash")).agg(max(col("epoch")).as("epoch"))
+    val dedupJ = batch.join(latest.hint("shuffle_hash"), Seq("id_hash", "epoch"))
+    t("dedupe-join count")(dedupJ.count())
+    t("writeSegment (join path)")(
+      Segments.writeSegment(dedupJ, s"$tmp/tree4", "delta-z",
+        isStable = false))
+    println("[prof] join plan: " + dedupJ.queryExecution.executedPlan
+      .toString.linesIterator.filter(l => l.contains("Join") || l.contains("Aggregate") || l.contains("Sort")).mkString(" | "))
     t("compact")(Segments.compact(spark, tree, "stable-000"))
     Segments.deleteDir(tmp)
     spark.stop()

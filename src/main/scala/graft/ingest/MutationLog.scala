@@ -14,9 +14,10 @@ import graft.functions.VectorFunctions
   * tombstones at read time and purging them at compaction.
   *
   * Spark-first shape: the mutation log is an append-only DataFrame; the
-  * "latest-by-id map" is a *derived view* — `max_by(struct, epoch)`-style
-  * aggregation — never mutable state. At scale the resolve is a single
-  * hash-aggregate on id (map-side partial combine), not a window sort.
+  * "latest-by-id map" is a *derived view* — LWW resolution
+  * ([[graft.operators.Lww.latestBy]]) — never mutable state. At scale the
+  * resolve is a narrow hash-aggregate on id (map-side partial combine)
+  * plus a hash join, not a window sort.
   */
 object MutationLog {
 
@@ -57,16 +58,16 @@ object MutationLog {
       .drop("__rn")
   }
 
-  /** Same resolve as a hash-aggregate (`max_by` on epoch) — the shape that
-    * scales: one shuffle keyed on id with map-side partial aggregation,
-    * no per-key sort. Epochs are unique so this is exactly LWW.
+  /** Same resolve as the scale shape: a narrow codegen hash-aggregate for
+    * the winning epoch per id (map-side partial combine) + a shuffled-hash
+    * join back — the payload is never sorted (see [[graft.operators.Lww]]).
+    * Epochs are unique so this is exactly LWW.
     */
   def resolveLatestAgg(log: DataFrame): DataFrame =
-    log.groupBy(col("id"))
-      .agg(max_by(struct(col("op"), col("vec_id"), col("epoch"), col("vec")),
-        col("epoch")).as("m"))
-      .select(col("id"), col("m.op").as("op"), col("m.vec_id").as("vec_id"),
-        col("m.epoch").as("epoch"), col("m.vec").as("vec"))
+    graft.operators.Lww.latestBy(
+      log.select(col("id"), col("op"), col("vec_id"), col("epoch"),
+        col("vec")),
+      "id", "epoch")
 
   /** Q4/W12: live rows = latest version is not a tombstone. */
   def live(log: DataFrame): DataFrame =

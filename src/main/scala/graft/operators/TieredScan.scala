@@ -9,11 +9,11 @@ import org.apache.spark.sql.functions._
   * (`QueryResult.segment_id`, types.h:77-82; buffer scan `msg-buf.h:220-262`,
   * latest-by-id authority `latest-by-id.h:110-157`).
   *
-  * Scale shape: one union of scans (no shuffle) → one hash-aggregate keyed
-  * on id_hash with map-side partial combine (epochs are unique, so
-  * `max_by(struct, epoch)` IS last-writer-wins) → tombstone filter. No
-  * window, no sort. The segment tiers arrive partition-pruned
-  * (centroid/zone-map) before they ever reach the union.
+  * Scale shape: one union of scans (no shuffle) → LWW resolve via narrow
+  * max-epoch hash-aggregate + shuffled-hash join back ([[Lww.latestBy]] —
+  * epochs are unique, so max-epoch IS last-writer-wins) → tombstone
+  * filter. No window, no sort of payload rows. The segment tiers arrive
+  * partition-pruned (centroid/zone-map) before they ever reach the union.
   */
 object TieredScan {
 
@@ -24,10 +24,7 @@ object TieredScan {
   def liveView(tiers: Seq[DataFrame]): DataFrame = {
     require(tiers.nonEmpty, "at least one tier")
     val all = tiers.reduce(_ unionByName _)
-    val cols = all.columns
-    all.groupBy(col("id_hash"))
-      .agg(max_by(struct(cols.map(col): _*), col("epoch")).as("m"))
-      .select(col("m.*"))
+    Lww.latestBy(all, "id_hash", "epoch")
       .filter(!col("deleted"))
   }
 }

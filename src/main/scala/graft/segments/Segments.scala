@@ -292,11 +292,7 @@ object Segments {
     if (deltaDescs.isEmpty) return None // nothing to compact (idempotent)
     val deltas = deltaDescs.map(d => spark.read.parquet(d.file_path))
       .reduce(_ unionByName _)
-    val cols = deltas.columns
-    val resolved = deltas
-      .groupBy(col("id_hash"))
-      .agg(max_by(struct(cols.map(col): _*), col("epoch")).as("m"))
-      .select(col("m.*"))
+    val resolved = graft.operators.Lww.latestBy(deltas, "id_hash", "epoch")
       .filter(!col("deleted"))
     val desc = writeSegment(resolved, baseDir, stableSegmentId,
       isStable = true)

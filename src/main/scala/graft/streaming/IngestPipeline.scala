@@ -72,11 +72,7 @@ object IngestPipeline {
     // threshold which meters the buffer before dedupe (config.h:29)
     val n0 = batch.count()
     if (n0 == 0L) return
-    val cols = batch.columns
-    val deduped = batch
-      .groupBy(col("id_hash"))
-      .agg(max_by(struct(cols.map(col): _*), col("epoch")).as("m"))
-      .select(col("m.*"))
+    val deduped = graft.operators.Lww.latestBy(batch, "id_hash", "epoch")
     val parts = math.max(1L, (n0 + maxRowsPerSegment - 1) / maxRowsPerSegment)
     if (parts == 1L)
       // common case: dedupe flows straight into the segment write — one
