@@ -68,6 +68,15 @@ object SparkEntry {
       })
   }
 
+  /** Build the stored segment tree for `dir` if not already built — an
+    * index-build step (B2), exposed so the bench can run it untimed: the
+    * reference's latency budget (types.h:141) is search against an
+    * existing index, not index construction.
+    */
+  def warmStoredTree(spark: SparkSession, dir: String): Unit = {
+    SegTree.get(spark, dir); ()
+  }
+
   /** Flagship: filtered top-k similarity search, end to end (Q1+Q2+Q3+Q9 —
     * the reference's entire query surface in one plan).
     */
@@ -232,12 +241,9 @@ object SparkEntry {
           hashId(concat(lit("vec-"), col("vec_id"))).as("id_hash"))
       val hashes = probe.select("id_hash").collect().map(_.getLong(0)).toSeq
       val latest = Segments.scanForIdHashes(s, base, hashes) match {
-        case Some(rows) => rows
-          .groupBy(col("id_hash"))
-          .agg(max_by(struct(col("epoch"), col("deleted")), col("epoch"))
-            .as("m"))
-          .select(col("id_hash"), col("m.epoch").as("epoch"),
-            col("m.deleted").as("deleted"))
+        case Some(rows) => graft.operators.Lww.latestBy(
+          rows.select(col("id_hash"), col("epoch"), col("deleted")),
+          "id_hash", "epoch")
         case None => s.emptyDataset[(Long, Long, Boolean)]
           .toDF("id_hash", "epoch", "deleted")
       }

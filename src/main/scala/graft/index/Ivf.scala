@@ -109,12 +109,13 @@ object Ivf {
     val probedCids = probeSet.select("centroid_id").distinct()
       .collect().map(_.getLong(0))
     val all = Segments.readSegments(spark, baseDir)
-    // store-wide latest live version per id (2-column scan of all tiers)
-    val latestLive = all
-      .groupBy(col("id_hash"))
-      .agg(max_by(struct(col("epoch"), col("deleted")), col("epoch")).as("m"))
-      .filter(!col("m.deleted"))
-      .select(col("id_hash"), col("m.epoch").as("epoch"))
+    // store-wide latest live version per id (3-column scan of all tiers,
+    // hash-agg + hash-join — never a sort, see Lww)
+    val latestLive = graft.operators.Lww.latestBy(
+        all.select(col("id_hash"), col("epoch"), col("deleted")),
+        "id_hash", "epoch")
+      .filter(!col("deleted"))
+      .select(col("id_hash"), col("epoch"))
     val scored = all
       .filter(col("centroid_id").isin(probedCids: _*))
       .join(latestLive, Seq("id_hash", "epoch")) // keep only latest+live
