@@ -3,7 +3,7 @@ package graft.functions.expr
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -181,6 +181,59 @@ case class Md5Hash28(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** |a ∩ b| for two SORTED, DISTINCT string arrays — a single merge pass
+  * with zero per-call allocation. `size(array_intersect(a, b))` builds a
+  * hash set of UTF8Strings per invocation; on an all-pairs verify that is
+  * the dominant cost (measured 33 s for 623k pairs at sf0.1). Values are
+  * identical as long as both inputs are `array_sort(array_distinct(...))`.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_count requires (array<string>, array<string>), got ($l, $r)")
+    }
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val (nx, ny) = (xs.numElements(), ys.numElements())
+    var i = 0; var j = 0; var c = 0
+    while (i < nx && j < ny) {
+      val cmp = xs.getUTF8String(i).compareTo(ys.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val i = ctx.freshName("i")
+    val j = ctx.freshName("j")
+    val c = ctx.freshName("c")
+    val cmp = ctx.freshName("cmp")
+    nullSafeCodeGen(ctx, ev, (xs, ys) => {
+      s"""
+         |int $i = 0; int $j = 0; int $c = 0;
+         |while ($i < $xs.numElements() && $j < $ys.numElements()) {
+         |  int $cmp = $xs.getUTF8String($i).compareTo($ys.getUTF8String($j));
+         |  if ($cmp == 0) { $c++; $i++; $j++; }
+         |  else if ($cmp < 0) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
 object SketchExpressions {
   def minhashSigs(xs: Column, numHashes: Int): Column =
     GraftBridge.column(MinhashSigs(GraftBridge.expression(xs), numHashes))
@@ -188,4 +241,7 @@ object SketchExpressions {
     GraftBridge.column(SimhashSig(GraftBridge.expression(xs), bits))
   def md5Hash28(s: Column): Column =
     GraftBridge.column(Md5Hash28(GraftBridge.expression(s)))
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    GraftBridge.column(SortedIntersectCount(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
 }

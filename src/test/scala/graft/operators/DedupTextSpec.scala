@@ -82,4 +82,26 @@ class DedupTextSpec extends SparkSpec {
     assert(inter / math.max(1, oracle.size) > 0.8,
       s"prod=${prod.size} oracle=${oracle.size} inter=$inter")
   }
+
+  test("sorted_intersect_count equals size(array_intersect) on sorted distinct arrays") {
+    val df = docs.select(
+      array_sort(array_distinct(split(lower(col("text")), " "))).as("ta"),
+      array_sort(array_distinct(split(lower(reverse(col("text"))), " ")))
+        .as("tb"))
+    val diff = df.select(
+        graft.functions.expr.SketchExpressions
+          .sortedIntersectCount(col("ta"), col("tb")).as("fast"),
+        size(array_intersect(col("ta"), col("tb"))).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(diff === 0L)
+    // edge cases: empty vs non-empty, both empty, no overlap
+    val edge = Seq(
+      (Seq[String](), Seq("a", "b")),
+      (Seq[String](), Seq[String]()),
+      (Seq("a", "c"), Seq("b", "d")),
+      (Seq("a", "b", "c"), Seq("b", "c", "z"))).toDF("ta", "tb")
+    val got = edge.select(graft.functions.expr.SketchExpressions
+        .sortedIntersectCount(col("ta"), col("tb"))).as[Int].collect().toSeq
+    assert(got === Seq(0, 0, 0, 2))
+  }
 }
