@@ -95,6 +95,9 @@ object SparkEntry {
     ()
   }
 
+  private[graft] def storedTreePath(spark: SparkSession, dir: String): String =
+    SegTree.get(spark, dir)
+
   /** Flagship: filtered top-k similarity search, end to end (Q1+Q2+Q3+Q9 —
     * the reference's entire query surface in one plan).
     */
