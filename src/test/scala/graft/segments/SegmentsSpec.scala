@@ -114,6 +114,29 @@ class SegmentsSpec extends SparkSpec {
     Segments.deleteDir(base)
   }
 
+  test("concurrent flushes never lose a descriptor or a row (A1/W10)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val base = tmpBase()
+    val rows = segmentRows.cache()
+    val total = rows.count()
+    // 8 disjoint slices flushed as concurrent jobs — the reference's
+    // per-shard flush threads (config.h:30) against one shared manifest
+    val writes = (0 until 8).map { i => Future {
+      Segments.writeSegment(rows.filter(col("vec_id") % 8 === i), base,
+        f"delta-$i%03d", isStable = false)
+    }}
+    writes.foreach(Await.result(_, Duration.Inf))
+    val descs = Segments.catalogDescriptors(spark, base)
+    assert(descs.map(_.segment_id).toSet ===
+      (0 until 8).map(i => f"delta-$i%03d").toSet)
+    assert(descs.map(_.num_vectors).sum === total)
+    assert(Segments.readSegments(spark, base).count() === total)
+    rows.unpersist()
+    Segments.deleteDir(base)
+  }
+
   test("catalogStats reports tiers") {
     val base = tmpBase()
     val rows = segmentRows
