@@ -33,20 +33,21 @@ case class NearestIndex(child: Expression, matrix: Array[Array[Double]])
     s
   }
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(
-      s"nearest_index requires array<double>, got $t")
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (NumericArrays.ok(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"nearest_index requires a numeric array, got ${child.dataType}")
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = child.nullable
+
+  @transient private lazy val read = NumericArrays.reader(child.dataType)
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val n = v.numElements()
     var vv = 0.0
     var i = 0
-    while (i < n) { val x = v.getDouble(i); vv += x * x; i += 1 }
+    while (i < n) { val x = read(v, i); vv += x * x; i += 1 }
     var best = -1
     var bestD = Double.PositiveInfinity
     var c = 0
@@ -54,7 +55,7 @@ case class NearestIndex(child: Expression, matrix: Array[Array[Double]])
       val row = matrix(c)
       var vc = 0.0
       i = 0
-      while (i < n) { vc += v.getDouble(i) * row(i); i += 1 }
+      while (i < n) { vc += read(v, i) * row(i); i += 1 }
       val d = vv - 2 * vc + norms(c)
       if (d < bestD) { bestD = d; best = c }
       c += 1
@@ -76,18 +77,19 @@ case class NearestIndex(child: Expression, matrix: Array[Array[Double]])
     val vc = ctx.freshName("vc")
     val d = ctx.freshName("d")
     nullSafeCodeGen(ctx, ev, v => {
+      val get = (idx: String) => NumericArrays.getter(child.dataType, v, idx)
       s"""
          |int $n = $v.numElements();
          |double $vv = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = $v.getDouble($i); $vv += $x * $x;
+         |  double $x = ${get(i)}; $vv += $x * $x;
          |}
          |int $best = -1;
          |double $bestD = Double.POSITIVE_INFINITY;
          |for (int $c = 0; $c < $mat.length; $c++) {
          |  double[] $row = $mat[$c];
          |  double $vc = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) { $vc += $v.getDouble($i) * $row[$i]; }
+         |  for (int $i = 0; $i < $n; $i++) { $vc += ${get(i)} * $row[$i]; }
          |  double $d = $vv - 2 * $vc + $nrm[$c];
          |  if ($d < $bestD) { $bestD = $d; $best = $c; }
          |}
@@ -158,13 +160,14 @@ case class PqAdcSum(left: Expression, right: Expression)
 case class MatVec(child: Expression, matrix: Array[Array[Double]])
     extends UnaryExpression {
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(
-      s"mat_vec requires array<double>, got $t")
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (NumericArrays.ok(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"mat_vec requires a numeric array, got ${child.dataType}")
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullable: Boolean = child.nullable
+
+  @transient private lazy val read = NumericArrays.reader(child.dataType)
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
@@ -175,7 +178,7 @@ case class MatVec(child: Expression, matrix: Array[Array[Double]])
       val row = matrix(i)
       var s = 0.0
       var t = 0
-      while (t < n) { s += row(t) * v.getDouble(t); t += 1 }
+      while (t < n) { s += row(t) * read(v, t); t += 1 }
       out(i) = s
       i += 1
     }
@@ -191,13 +194,14 @@ case class MatVec(child: Expression, matrix: Array[Array[Double]])
     val s = ctx.freshName("s")
     val row = ctx.freshName("row")
     nullSafeCodeGen(ctx, ev, v => {
+      val get = NumericArrays.getter(child.dataType, v, t)
       s"""
          |int $n = $v.numElements();
          |double[] $out = new double[$mat.length];
          |for (int $i = 0; $i < $mat.length; $i++) {
          |  double[] $row = $mat[$i];
          |  double $s = 0.0;
-         |  for (int $t = 0; $t < $n; $t++) { $s += $row[$t] * $v.getDouble($t); }
+         |  for (int $t = 0; $t < $n; $t++) { $s += $row[$t] * $get; }
          |  $out[$i] = $s;
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
@@ -214,8 +218,7 @@ object IndexExpressions {
     * index. Zero shuffle, whole-stage codegen.
     */
   def nearestIndex(vec: Column, matrix: Array[Array[Double]]): Column =
-    GraftBridge.column(
-      NearestIndex(GraftBridge.expression(vec.cast("array<double>")), matrix))
+    GraftBridge.column(NearestIndex(GraftBridge.expression(vec), matrix))
 
   /** ADC lookup-sum (S8): codes array<int> × per-query LUT array<array<double>>. */
   def pqAdcSum(codes: Column, lut: Column): Column =
@@ -224,6 +227,5 @@ object IndexExpressions {
 
   /** Dense matrix × vector (OPQ rotation): map-side, whole-stage codegen. */
   def matVec(vec: Column, matrix: Array[Array[Double]]): Column =
-    GraftBridge.column(
-      MatVec(GraftBridge.expression(vec.cast("array<double>")), matrix))
+    GraftBridge.column(MatVec(GraftBridge.expression(vec), matrix))
 }

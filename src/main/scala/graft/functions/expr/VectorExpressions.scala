@@ -22,12 +22,8 @@ import org.apache.spark.sql.types._
   * silently corrupt rankings.
   */
 abstract class VectorBinaryExpression extends BinaryExpression {
-  private def elemOk(t: DataType): Boolean = t match {
-    case ArrayType(FloatType | DoubleType | IntegerType | LongType, _) => true
-    case _ => false
-  }
   override def checkInputDataTypes(): TypeCheckResult =
-    if (elemOk(left.dataType) && elemOk(right.dataType))
+    if (NumericArrays.ok(left.dataType) && NumericArrays.ok(right.dataType))
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires numeric arrays (float/double/int/bigint " +
@@ -39,13 +35,25 @@ abstract class VectorBinaryExpression extends BinaryExpression {
     if (n != m) throw new IllegalArgumentException(
       s"$prettyName: vector dimensions differ ($n vs $m)")
 
-  // Element readers keyed by the child's array element type: a float/int
-  // embedding column is read in place (one upcast per element) instead of
-  // being cast to array<double> first — the cast materializes a copy of
-  // every vector PER JOINED PAIR in a KNN cross join (measured 4x on a
-  // 1M-vector exact scan). Upcast-then-accumulate is bit-identical to
-  // cast-then-accumulate in IEEE, so oracle parity is unaffected.
   protected final def readerFor(t: DataType): (ArrayData, Int) => Double =
+    NumericArrays.reader(t)
+  protected final def getterFor(t: DataType, arr: String, i: String): String =
+    NumericArrays.getter(t, arr, i)
+}
+
+/** Element readers keyed by an array column's element type: a float/int
+  * embedding column is read in place (one upcast per element) instead of
+  * being cast to array<double> first — the cast materializes a copy of
+  * every vector PER JOINED PAIR in a KNN cross join (measured 4x on a
+  * 1M-vector exact scan). Upcast-then-accumulate is bit-identical to
+  * cast-then-accumulate in IEEE, so oracle parity is unaffected.
+  */
+private[expr] object NumericArrays {
+  def ok(t: DataType): Boolean = t match {
+    case ArrayType(FloatType | DoubleType | IntegerType | LongType, _) => true
+    case _ => false
+  }
+  def reader(t: DataType): (ArrayData, Int) => Double =
     t.asInstanceOf[ArrayType].elementType match {
       case DoubleType  => (a, i) => a.getDouble(i)
       case FloatType   => (a, i) => a.getFloat(i).toDouble
@@ -53,7 +61,7 @@ abstract class VectorBinaryExpression extends BinaryExpression {
       case LongType    => (a, i) => a.getLong(i).toDouble
       case t => throw new IllegalStateException(s"unreachable: $t")
     }
-  protected final def getterFor(t: DataType, arr: String, i: String): String =
+  def getter(t: DataType, arr: String, i: String): String =
     t.asInstanceOf[ArrayType].elementType match {
       case DoubleType  => s"$arr.getDouble($i)"
       case FloatType   => s"(double) $arr.getFloat($i)"

@@ -54,6 +54,28 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(n < 1e-12)
   }
 
+  test("float inputs read in place are bit-identical to cast-to-double") {
+    import graft.functions.expr.IndexExpressions
+    val f = emb.limit(100).select(col("vec_id"), col("embedding").as("v"))
+    val d = f.select(col("vec_id"), col("v").cast("array<double>").as("v"))
+    val q = emb.limit(1).select(col("embedding")).head().getSeq[Float](0)
+    val qd = lit(q.map(_.toDouble).toArray)
+    def scores(src: org.apache.spark.sql.DataFrame) = src.select(
+      col("vec_id"),
+      VectorFunctions.dotD(col("v"), qd).as("dot"),
+      VectorFunctions.l2SqD(col("v"), qd).as("l2"))
+      .orderBy("vec_id").as[(Long, Double, Double)].collect()
+    assert(scores(f) === scores(d))
+
+    val mat = Array(q.map(_.toDouble * 0.5).toArray, q.map(_.toDouble).toArray)
+    def nm(src: org.apache.spark.sql.DataFrame) = src.select(
+      col("vec_id"),
+      IndexExpressions.nearestIndex(col("v"), mat).as("ni"),
+      IndexExpressions.matVec(col("v"), mat).as("mv"))
+      .orderBy("vec_id").as[(Long, Int, Seq[Double])].collect()
+    assert(nm(f) === nm(d))
+  }
+
   test("hashId is seed-0 xxhash64: differs from builtin seed-42, stable") {
     val r = Seq("vec-1", "vec-1").toDF("s")
       .select(VectorFunctions.hashId(col("s")).as("h0"),
