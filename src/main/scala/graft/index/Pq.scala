@@ -60,10 +60,11 @@ object Pq {
     */
   def encode(data: DataFrame, cb: Codebook,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val v = col(vecCol).cast("array<double>")
+    // slice the raw (float) vector directly: nearestIndex reads any numeric
+    // element type in place, so no full-vector cast-to-double copy per row
     val codes = array((0 until cb.m).map { j =>
       IndexExpressions.nearestIndex(
-        slice(v, j * cb.dsub + 1, cb.dsub), cb.codebooks(j))
+        slice(col(vecCol), j * cb.dsub + 1, cb.dsub), cb.codebooks(j))
     }: _*)
     data.select(col(idCol), codes.as("codes"))
   }
