@@ -202,7 +202,8 @@ object Bench {
     // assignment throughput (the 100-TB ingest bottleneck, one codegen pass,
     // zero shuffle), (c) IVF-probed QPS at nprobe/nlist ≈ 1/8. Best-of-2
     // each, same steady-state rationale as above.
-    val (knn1mExactQps, assign1mRowsPerSec, knn1mIvfQps) =
+    val (knn1mExactQps, assign1mRowsPerSec, knn1mIvfQps, ivf1mP50Ms,
+        ivf1mP99Ms, dispatchFloorMs) =
       try {
         val e = Tables.load(spark, sfDir, "embeddings")
         val n0 = e.count()
@@ -236,17 +237,62 @@ object Bench {
         assigned.count() // materialize, untimed (build step B2)
         val ivfSec = best2(
           Ivf.search(assigned, qs, cents, "ip", 10, nprobe = 8).count())
-        val r = (nQs / exactSec, nBig / assignSec, nQs / ivfSec)
-        big.unpersist(); assigned.unpersist(); qs.unpersist()
+        // single-request latency distribution: BASELINE's 150 ms is a
+        // per-query p99, not a batch-amortized mean — serve the 80 queries
+        // one request at a time against the 1M corpus through the
+        // searchPoint serving path (driver-side probes, literal query,
+        // TakeOrderedAndProject). AQE off for the loop: adaptive
+        // re-planning adds a stage round-trip a lone request can't
+        // amortize (measured ~2x on this path). The dispatch floor (an
+        // empty 32-task job, best of 3) is reported alongside — in
+        // local mode it bounds any request from below regardless of
+        // operator design.
+        val cmat = Ivf.collectCentroids(cents)
+        val qRows = qs.collect().map(_.getSeq[Float](1).toArray)
+        // serving cache: clustered by centroid_id (the in-memory analogue
+        // of the centroid-partitioned segment layout) so batch min/max
+        // stats skip unprobed lists; the batch-path cache above stays
+        // unclustered (hashing 64 lists into 32 partitions skews the
+        // batch join). Drop the other caches first — the latency loop
+        // must not measure their GC bill.
+        val serve = Ivf.assign(big, cents)
+          .repartition(cpus.toInt, col("centroid_id"))
+          .sortWithinPartitions("centroid_id")
+          .cache()
+        serve.count()
+        big.unpersist(); assigned.unpersist()
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        val (p50, p99, floorMs) =
+          try {
+            Ivf.searchPoint(serve, qRows.head, cmat, "ip", 10, nprobe = 8)
+              .collect() // warm the plan/codegen once, untimed
+            val lat = (0 until 3).flatMap(_ => qRows).map { qv =>
+              val t0 = System.nanoTime()
+              Ivf.searchPoint(serve, qv, cmat, "ip", 10, nprobe = 8)
+                .collect()
+              (System.nanoTime() - t0) / 1e6
+            }.sorted
+            val floor = (0 until 3).map { _ =>
+              val t0 = System.nanoTime()
+              spark.sparkContext.parallelize(0 until cpus.toInt, cpus.toInt)
+                .map(_ => 1).count()
+              (System.nanoTime() - t0) / 1e6
+            }.min
+            (lat(lat.length / 2),
+              lat(math.min(lat.length - 1, lat.length * 99 / 100)), floor)
+          } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+        val r = (nQs / exactSec, nBig / assignSec, nQs / ivfSec, p50, p99,
+          floorMs)
+        serve.unpersist(); qs.unpersist()
         r
       } catch { case e: Throwable =>
         System.err.println(s"[bench] corpus-scale knn FAILED: ${e.getMessage}")
-        (-1.0, -1.0, -1.0)
+        (-1.0, -1.0, -1.0, -1.0, -1.0, -1.0)
       }
 
     // exit 0 even with failures: the JSON line (with its "failed" list) is
     // the contract — a non-zero rc would discard the whole measurement
-    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"failed":$failed,"recall_at_tuned_nprobe":${num(tunedRecall, 4)},"tuned_nprobe":$tunedNprobe,"ivf_nlist":$nlist,"n_queries_per_batch":$nQueries,"knn_exact_per_query_ms":${num(perQueryMs, 2)},"knn_1m_exact_qps":${num(knn1mExactQps, 1)},"ivf_assign_1m_rows_per_sec":${num(assign1mRowsPerSec, 0)},"knn_1m_ivf_qps":${num(knn1mIvfQps, 1)},"ingest_ops":$ingestOps,"ingest_ops_per_sec":${num(ingestQps, 1)},"compact_sec":${num(compactSec, 3)},"write_amplification":${num(writeAmp, 3)},"delta_resident_fraction":${num(deltaFrac, 4)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"failed":$failed,"recall_at_tuned_nprobe":${num(tunedRecall, 4)},"tuned_nprobe":$tunedNprobe,"ivf_nlist":$nlist,"n_queries_per_batch":$nQueries,"knn_exact_per_query_ms":${num(perQueryMs, 2)},"knn_1m_exact_qps":${num(knn1mExactQps, 1)},"ivf_assign_1m_rows_per_sec":${num(assign1mRowsPerSec, 0)},"knn_1m_ivf_qps":${num(knn1mIvfQps, 1)},"ivf_1m_query_p50_ms":${num(ivf1mP50Ms, 1)},"ivf_1m_query_p99_ms":${num(ivf1mP99Ms, 1)},"job_dispatch_floor_ms":${num(dispatchFloorMs, 1)},"ingest_ops":$ingestOps,"ingest_ops_per_sec":${num(ingestQps, 1)},"compact_sec":${num(compactSec, 3)},"write_amplification":${num(writeAmp, 3)},"delta_resident_fraction":${num(deltaFrac, 4)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

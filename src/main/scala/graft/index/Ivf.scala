@@ -2,7 +2,7 @@ package graft.index
 
 import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -87,6 +87,49 @@ object Ivf {
       .select(col("query_id"), col(idCol),
         Knn.score(metric, col("qv"), col(vecCol)).as("score"))
     Knn.topK(scored, metric, k, idCol)
+  }
+
+  /** Q6 single-request serving path — minimum latency for ONE QueryRequest
+    * (BASELINE's 150 ms p99 is a per-request number; the batch path
+    * amortizes its probe job + broadcast + heap-agg shuffle over ≤100
+    * queries, which a lone request would pay in full).
+    *
+    * Probe selection runs on the driver against the collected centroid
+    * matrix (nlist ≤ 4096 rows — microseconds, same expanded-form L2 and
+    * (distance, cid) tie-break as [[probes]]); the query rides along as a
+    * literal, so the whole request is ONE stage: `centroid_id` isin-filter
+    * (partition pruning on stored layouts) → codegen score →
+    * TakeOrderedAndProject (per-partition partial top-k merged on the
+    * driver — no shuffle, no broadcast exchange, no window).
+    * Output (vec_id, score), rank order, ties by id.
+    */
+  def searchPoint(assigned: DataFrame, queryVec: Array[Float],
+      centroids: (Array[Long], Array[Array[Double]]), metric: String, k: Int,
+      nprobe: Int, filter: Column = lit(true), idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val (cids, matrix) = centroids
+    // driver-side probe pick — bit-identical arithmetic to probes():
+    // sequential-order dots, d = q·q − 2·q·c + c·c, order by (d, cid)
+    def dotDD(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val q = queryVec.map(_.toDouble)
+    val qq = dotDD(q, q)
+    val probed = matrix.indices
+      .map(i => (qq - 2.0 * dotDD(q, matrix(i)) + dotDD(matrix(i), matrix(i)),
+        cids(i)))
+      .sorted.take(nprobe).map(_._2)
+    val qLit = typedlit(queryVec.toSeq)
+    val asc = graft.operators.Knn.isAscending(metric)
+    assigned
+      .filter(col("centroid_id").isin(probed: _*) && filter)
+      .select(col(idCol),
+        graft.operators.Knn.score(metric, qLit, col(vecCol)).as("score"))
+      .orderBy(if (asc) col("score").asc else col("score").desc,
+        col(idCol).asc)
+      .limit(k)
   }
 
   /** Q6 against the physical segment layout: probes → centroid partition

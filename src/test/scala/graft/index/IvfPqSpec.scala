@@ -31,6 +31,27 @@ class IvfPqSpec extends SparkSpec {
     }
   }
 
+  test("searchPoint serving path equals the batch IVF search per query") {
+    val cents = Ivf.deterministicCentroids(emb, 50)
+    val assigned = Ivf.assign(emb, cents)
+    val cmat = Ivf.collectCentroids(cents)
+    val qs = Knn.defaultQueries(emb)
+    for (metric <- Seq("ip", "l2")) {
+      val batch = Ivf.search(assigned, qs, cents, metric, 5, nprobe = 3)
+        .select("query_id", "vec_id", "score")
+        .as[(Long, Long, Double)].collect()
+        .groupBy(_._1).view
+        .mapValues(_.map(t => (t._2, t._3)).sortBy(_._1).toSeq).toMap
+      qs.select(col("query_id"), col("qv")).as[(Long, Seq[Float])]
+        .collect().foreach { case (qid, qv) =>
+          val point = Ivf.searchPoint(assigned, qv.toArray, cmat, metric, 5,
+              nprobe = 3)
+            .as[(Long, Double)].collect().sortBy(_._1).toSeq
+          assert(point === batch(qid), s"metric=$metric query=$qid")
+        }
+    }
+  }
+
   test("two-phase PQ search hits decent recall vs exact on sf0.001") {
     val qs = Knn.defaultQueries(emb)
     val cb = Pq.deterministicCodebook(emb, 8, 8, 50)
