@@ -132,6 +132,22 @@ object SparkEntry {
       Ivf.search(Ivf.assign(e, cents), q(s, dir), cents, "ip", 10, 3)
         .select("query_id", "vec_id", "score")
     }),
+    // serving path: each battery query served as an independent single
+    // request (driver-side probes + TakeOrderedAndProject — the request
+    // loop is the serving pattern, not a data loop); same oracle as the
+    // batch path
+    "knn_point" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cents = Ivf.deterministicCentroids(e, 50)
+      val assigned = Ivf.assign(e, cents)
+      val cmat = Ivf.collectCentroids(cents)
+      q(s, dir).collect().map { r =>
+        Ivf.searchPoint(assigned, r.getSeq[Float](1).toArray, cmat,
+            "ip", 10, nprobe = 3)
+          .select(lit(r.getLong(0)).as("query_id"), col("vec_id"),
+            col("score"))
+      }.reduce(_.unionByName(_))
+    }),
     // ---- Q7/Q8: PQ ADC + two-phase rerank ------------------------------
     "knn_pq2phase" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -547,6 +563,9 @@ object SparkEntry {
         |  WHERE (emb.vec_id * 2654435761) % 100 < 25""".stripMargin,
       10, desc = true),
     "knn_ivf" ->
+      s"""$IVF
+         |SELECT query_id, vec_id, score FROM ivftop""".stripMargin,
+    "knn_point" ->
       s"""$IVF
          |SELECT query_id, vec_id, score FROM ivftop""".stripMargin,
     "knn_pq2phase" ->
