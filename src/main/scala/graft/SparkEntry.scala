@@ -132,16 +132,18 @@ object SparkEntry {
       Ivf.search(Ivf.assign(e, cents), q(s, dir), cents, "ip", 10, 3)
         .select("query_id", "vec_id", "score")
     }),
-    // serving path: each battery query served as an independent single
-    // request (driver-side probes + TakeOrderedAndProject — the request
-    // loop is the serving pattern, not a data loop); same oracle as the
-    // batch path
+    // serving path: the 10 lowest-id battery queries served as independent
+    // single requests (driver-side probes + TakeOrderedAndProject — the
+    // request loop is the serving pattern, not a data loop; capped at 10
+    // so the battery entry stays request-shaped rather than a plan-union
+    // stress test); oracle = the batch-path oracle restricted to the same
+    // query ids
     "knn_point" -> ((s, dir) => {
       val e = emb(s, dir)
       val cents = Ivf.deterministicCentroids(e, 50)
       val assigned = Ivf.assign(e, cents)
       val cmat = Ivf.collectCentroids(cents)
-      q(s, dir).collect().map { r =>
+      q(s, dir).collect().sortBy(_.getLong(0)).take(10).map { r =>
         Ivf.searchPoint(assigned, r.getSeq[Float](1).toArray, cmat,
             "ip", 10, nprobe = 3)
           .select(lit(r.getLong(0)).as("query_id"), col("vec_id"),
@@ -567,7 +569,9 @@ object SparkEntry {
          |SELECT query_id, vec_id, score FROM ivftop""".stripMargin,
     "knn_point" ->
       s"""$IVF
-         |SELECT query_id, vec_id, score FROM ivftop""".stripMargin,
+         |SELECT query_id, vec_id, score FROM ivftop
+         |WHERE query_id IN (
+         |  SELECT query_id FROM q ORDER BY query_id LIMIT 10)""".stripMargin,
     "knn_pq2phase" ->
       s"""$EMB,
          |cb AS (SELECT r.j, vec_id AS code_id,
