@@ -341,6 +341,13 @@ object SparkEntry {
     // ---- embedding near-dup, LSH scale path -----------------------------
     "cosine_lsh" -> ((s, dir) =>
       DedupOps.cosineLshPairs(emb(s, dir), threshold = 0.3)),
+    // SemDeDup: within-cluster cosine over the shared IVF centroid space
+    // (threshold 0.3 exercises the path; see DedupOps.semanticDedup doc)
+    "dedup_semantic" -> ((s, dir) => {
+      val e = emb(s, dir)
+      DedupOps.semanticDedup(
+        Ivf.assign(e, Ivf.deterministicCentroids(e, 50)), 0.3)
+    }),
     // ---- token counting + quality scoring -------------------------------
     "token_quality" -> ((s, dir) => TextOps.tokenQuality(docs(s, dir))),
     // ---- multimodal: binary media columns → decoded metadata stats ------
@@ -931,6 +938,15 @@ object SparkEntry {
         |    / (sqrt(list_dot_product(x.e, x.e))
         |       * sqrt(list_dot_product(y.e, y.e))) >= 0.3
         |ORDER BY cosine DESC, a ASC, b ASC LIMIT 100""".stripMargin,
+    "dedup_semantic" ->
+      s"""$IVF
+         |SELECT y.vec_id AS vec_id, min(x.vec_id) AS canonical_id
+         |FROM asg x JOIN asg y
+         |  ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+         |WHERE list_dot_product(x.e, y.e)
+         |    / (sqrt(list_dot_product(x.e, x.e))
+         |       * sqrt(list_dot_product(y.e, y.e))) >= 0.3
+         |GROUP BY y.vec_id""".stripMargin,
     "token_quality" ->
       s"""$DOCTOKS
          |SELECT doc_id,

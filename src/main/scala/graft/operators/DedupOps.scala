@@ -333,6 +333,40 @@ object DedupOps {
     labels
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): pairwise cosine is computed ONLY within a
+    * cluster of the shared centroid space, and each duplicate resolves
+    * to the lowest-id earlier vector it matches. The cluster bound is
+    * what makes this feasible at 100 TB — assignment is the map-side
+    * codegen argmin (zero shuffle, see [[graft.index.Ivf.assign]]), the
+    * only shuffle key is `centroid_id`, and the quadratic term is bounded
+    * by the largest cluster (size clusters via nlist; salt a cluster that
+    * outgrows a task). `assigned` must carry `centroid_id`.
+    *
+    * The threshold is workload-tuned: ~0.95 on real web-scale embeddings;
+    * the synthetic test embeddings have no true near-dups (max
+    * within-cluster cosine 0.48 at sf0.01), so the correctness gate runs
+    * at 0.3 purely to exercise the dataflow.
+    *
+    * Output: (vec_id, canonical_id) for every vector that is a semantic
+    * duplicate of an earlier (lower-id) same-cluster vector.
+    */
+  def semanticDedup(assigned: DataFrame, threshold: Double): DataFrame = {
+    val side = assigned.select(col("vec_id"), col("centroid_id"),
+      col("embedding").as("e"),
+      sqrt(VectorFunctions.dotD(col("embedding"), col("embedding")))
+        .as("nrm"))
+    side.as("x").join(side.as("y"),
+        col("x.centroid_id") === col("y.centroid_id") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("y.vec_id").as("vec_id"), col("x.vec_id").as("cand"),
+        (VectorFunctions.dotD(col("x.e"), col("y.e"))
+          / (col("x.nrm") * col("y.nrm"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .groupBy(col("vec_id"))
+      .agg(min(col("cand")).as("canonical_id"))
+  }
+
   /** Top-`limit` embedding pairs by cosine — brute-force baseline for
     * embedding near-dup / ANN verification. Ties (cosine desc, a, b).
     */

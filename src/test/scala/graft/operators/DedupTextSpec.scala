@@ -83,6 +83,38 @@ class DedupTextSpec extends SparkSpec {
       s"prod=${prod.size} oracle=${oracle.size} inter=$inter")
   }
 
+  test("semanticDedup: exact copies dedupe to the lowest id, only within cluster") {
+    // two identical vectors (1,2), a same-cluster near-copy (3), and an
+    // orthogonal vector (4) that lands in another cluster
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.9f, 0.1f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val assigned = vecs.withColumn("centroid_id",
+      when(col("vec_id") === 4L, 1L).otherwise(0L))
+    val got = DedupOps.semanticDedup(assigned, 0.95)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    // 2 dupes 1 (cos=1); 3 dupes 1 (cos≈0.994, min cand); 4 alone
+    assert(got === Seq((2L, 1L), (3L, 1L)))
+    // at an impossible threshold nothing is a duplicate
+    assert(DedupOps.semanticDedup(assigned, 1.1).count() === 0)
+    // duplicates always resolve to a strictly lower id in the same cluster
+    val e = emb.limit(300)
+    val asg = graft.index.Ivf.assign(e,
+      graft.index.Ivf.deterministicCentroids(e, 50))
+    val rows = DedupOps.semanticDedup(asg, 0.2)
+      .join(asg.select(col("vec_id"), col("centroid_id")), "vec_id")
+      .join(asg.select(col("vec_id").as("canonical_id"),
+        col("centroid_id").as("ccid")), "canonical_id")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (canonical, vid, cid, ccid) =>
+      assert(canonical < vid); assert(cid === ccid)
+    }
+  }
+
   test("sorted_intersect_count equals size(array_intersect) on sorted distinct arrays") {
     val df = docs.select(
       array_sort(array_distinct(split(lower(col("text")), " "))).as("ta"),
