@@ -350,6 +350,9 @@ object SparkEntry {
     }),
     // ---- token counting + quality scoring -------------------------------
     "token_quality" -> ((s, dir) => TextOps.tokenQuality(docs(s, dir))),
+    // ---- repetition quality filters (Gopher/RefinedWeb) -----------------
+    "repetition_stats" -> ((s, dir) =>
+      TextOps.repetitionStats(docs(s, dir))),
     // ---- multimodal: binary media columns → decoded metadata stats ------
     "media_stats" -> ((s, dir) => {
       import graft.operators.MultimodalOps
@@ -963,6 +966,29 @@ object SparkEntry {
          |    + 0.2 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0), 6)
          |    AS quality
          |FROM d""".stripMargin,
+    "repetition_stats" ->
+      s"""$DOCTOKS,
+         |g AS (SELECT doc_id, toks, len(toks) AS n,
+         |    list_transform(range(len(toks) - 1),
+         |      i -> toks[i+1] || chr(1) || toks[i+2]) AS bg2,
+         |    list_transform(range(len(toks) - 2),
+         |      i -> toks[i+1] || chr(1) || toks[i+2] || chr(1) || toks[i+3])
+         |      AS tg3
+         |  FROM d),
+         |c AS (SELECT doc_id, toks, n,
+         |    list_transform(list_distinct(bg2),
+         |      x -> len(list_filter(bg2, y -> y = x))) AS bc,
+         |    list_transform(list_distinct(tg3),
+         |      x -> len(list_filter(tg3, y -> y = x))) AS tc
+         |  FROM g)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+         |  CAST(n - len(list_distinct(toks)) AS DOUBLE) / n
+         |    AS dup_token_frac,
+         |  CAST(list_max(bc) AS DOUBLE) / (n - 1) AS top_bigram_frac,
+         |  CAST(list_sum(list_transform(tc,
+         |    c -> CASE WHEN c > 1 THEN c ELSE 0 END)) AS DOUBLE) / (n - 2)
+         |    AS dup_trigram_frac
+         |FROM c""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

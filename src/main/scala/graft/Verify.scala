@@ -18,7 +18,11 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), not coalesce(1): coalesce collapses a shuffle-free
+      // query into ONE task (a row-local map over the scan would run
+      // single-threaded); the extra tiny shuffle keeps upstream parallel.
+      // The driver's compare sorts before hashing, so row order is free.
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

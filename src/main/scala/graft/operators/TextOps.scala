@@ -60,6 +60,56 @@ object TextOps {
         .as("quality"))
   }
 
+  /** Repetition quality stats (the Gopher / RefinedWeb-style repetition
+    * filters, Rae et al. 2021 §A1.1 / Penedo et al. 2023): duplicate-token
+    * fraction, most-frequent-bigram share of bigram positions, and the
+    * share of trigram positions covered by repeated trigrams. Entirely
+    * row-local higher-order-function arithmetic — no explode, no shuffle;
+    * the per-row cost is one sort per n-gram array. Divisions are exact int/int-in-double, so values
+    * hash-match the oracle bit-for-bit.
+    */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val n = size(t)
+    // n-grams joined on  (cannot appear in space-split tokens)
+    def grams(k: Int): Column = transform(sequence(lit(0), n - k), i =>
+      concat_ws("",
+        (0 until k).map(j => element_at(t, i + j + 1)): _*))
+    // Occurrence structure from ONE sort per gram array: the longest
+    // equal-run in sorted order IS the max occurrence count, and a
+    // position sits in a run of length >= 2 iff it equals a sorted
+    // neighbor. O(n log n) per row — and every HOF here consumes a
+    // top-level array. (The naive per-distinct-gram count
+    // `filter(g, y => y === x)` re-evaluates g inside the lambda for
+    // every x: HOFs are interpreted with no CSE across lambda calls,
+    // which measured ~50x slower on this data.)
+    def nextEq(g: Column): Column = {
+      val s = array_sort(g)
+      zip_with(s,
+        concat(slice(s, lit(2), size(s) - 1), array(lit(null).cast("string"))),
+        (a, b) => a <=> b)
+    }
+    def maxRun(ne: Column): Column =
+      aggregate(ne, struct(lit(0).as("cur"), lit(0).as("best")),
+        (acc, e) => {
+          val cur = when(e, acc("cur") + 1).otherwise(lit(0))
+          struct(cur.as("cur"), greatest(acc("best"), cur).as("best"))
+        })("best") + 1
+    def dupPositions(ne: Column): Column = {
+      val prevEq = concat(array(lit(false)), slice(ne, lit(1), size(ne) - 1))
+      size(filter(zip_with(ne, prevEq, (a, b) => a || b), x => x))
+    }
+    docs.select(
+      col("doc_id"),
+      n.cast("long").as("n_tokens"),
+      ((n - size(array_distinct(t))).cast("double") / n)
+        .as("dup_token_frac"),
+      (maxRun(nextEq(grams(2))).cast("double") / (n - 1))
+        .as("top_bigram_frac"),
+      (dupPositions(nextEq(grams(3))).cast("double") / (n - 2))
+        .as("dup_trigram_frac"))
+  }
+
   /** Deterministic train/val/test split by content hash (the standard
     * leakage-safe pipeline split: same doc always lands in the same
     * split, independent of partitioning/order). md5-derived so the

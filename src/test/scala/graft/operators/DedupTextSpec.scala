@@ -83,6 +83,18 @@ class DedupTextSpec extends SparkSpec {
       s"prod=${prod.size} oracle=${oracle.size} inter=$inter")
   }
 
+  test("repetitionStats matches hand-computed fractions") {
+    val d = Seq((1L, "a a a b", "en", "s1"), (2L, "w x y z", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = TextOps.repetitionStats(d)
+      .as[(Long, Long, Double, Double, Double)].collect().sortBy(_._1)
+    // doc 1: 4 tokens {a,a,a,b}; bigrams [aa,aa,ab] -> top 2/3;
+    // trigrams [aaa,aab] all unique -> 0/2
+    assert(got(0) === ((1L, 4L, 2.0 / 4, 2.0 / 3, 0.0)))
+    // doc 2: all distinct
+    assert(got(1) === ((2L, 4L, 0.0, 1.0 / 3, 0.0)))
+  }
+
   test("semanticDedup: exact copies dedupe to the lowest id, only within cluster") {
     // two identical vectors (1,2), a same-cluster near-copy (3), and an
     // orthogonal vector (4) that lands in another cluster
