@@ -116,7 +116,8 @@ object Bench {
     // Drop the query battery's cached data first: the throughput numbers
     // must not pay another workload's GC bill.
     spark.catalog.clearCache()
-    val (ingestOps, ingestQps, compactSec, writeAmp, deltaFrac) =
+    val (ingestOps, ingestQps, compactSec, writeAmp, deltaFrac,
+        flushLagMsOut) =
       try {
         import graft.segments.Segments
         import graft.streaming.IngestPipeline
@@ -159,14 +160,15 @@ object Bench {
         val passes = (0 until 2).map { p =>
           val tree = s"$tmp/tree$p"; val ckpt = s"$tmp/ckpt$p"
           val t0 = System.nanoTime()
-          IngestPipeline.runOnce(spark, src, tree, ckpt)
+          val lags = IngestPipeline.runOnce(spark, src, tree, ckpt)
           val ingSec = (System.nanoTime() - t0) / 1e9
           val t1 = System.nanoTime()
           Segments.compact(spark, tree, "stable-000")
           val cSec = (System.nanoTime() - t1) / 1e9
-          (tree, ingSec, cSec)
+          (tree, ingSec, cSec, lags)
         }
-        val (tree, ingSec, cSec) = passes.minBy(_._2)
+        val (tree, ingSec, cSec, lags) = passes.minBy(_._2)
+        val flushLagMs = if (lags.isEmpty) -1.0 else lags.max.toDouble
         // steady-state follow-up wave: ~2% of ids upserted after compaction
         val wave = spark.read.parquet(src)
           .filter(col("op") === "INSERT" && col("vec_id") % 50 === 0)
@@ -190,10 +192,10 @@ object Bench {
           .map(_.head.num_vectors).sum
         val wAmp = rowsWritten.toDouble / math.max(1L, nOps)
         Segments.deleteDir(tmp)
-        (nOps, nOps / ingSec, cSec, wAmp, dFrac)
+        (nOps, nOps / ingSec, cSec, wAmp, dFrac, flushLagMs)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] ingest bench FAILED: ${e.getMessage}")
-        (-1L, -1.0, -1.0, -1.0, -1.0)
+        (-1L, -1.0, -1.0, -1.0, -1.0, -1.0)
       }
 
     // Corpus-scale KNN (the sf tables are 2k vectors — fixed-overhead-
@@ -292,7 +294,7 @@ object Bench {
 
     // exit 0 even with failures: the JSON line (with its "failed" list) is
     // the contract — a non-zero rc would discard the whole measurement
-    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"failed":$failed,"recall_at_tuned_nprobe":${num(tunedRecall, 4)},"tuned_nprobe":$tunedNprobe,"ivf_nlist":$nlist,"n_queries_per_batch":$nQueries,"knn_exact_per_query_ms":${num(perQueryMs, 2)},"knn_1m_exact_qps":${num(knn1mExactQps, 1)},"ivf_assign_1m_rows_per_sec":${num(assign1mRowsPerSec, 0)},"knn_1m_ivf_qps":${num(knn1mIvfQps, 1)},"ivf_1m_query_p50_ms":${num(ivf1mP50Ms, 1)},"ivf_1m_query_p99_ms":${num(ivf1mP99Ms, 1)},"job_dispatch_floor_ms":${num(dispatchFloorMs, 1)},"ingest_ops":$ingestOps,"ingest_ops_per_sec":${num(ingestQps, 1)},"compact_sec":${num(compactSec, 3)},"write_amplification":${num(writeAmp, 3)},"delta_resident_fraction":${num(deltaFrac, 4)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"failed":$failed,"recall_at_tuned_nprobe":${num(tunedRecall, 4)},"tuned_nprobe":$tunedNprobe,"ivf_nlist":$nlist,"n_queries_per_batch":$nQueries,"knn_exact_per_query_ms":${num(perQueryMs, 2)},"knn_1m_exact_qps":${num(knn1mExactQps, 1)},"ivf_assign_1m_rows_per_sec":${num(assign1mRowsPerSec, 0)},"knn_1m_ivf_qps":${num(knn1mIvfQps, 1)},"ivf_1m_query_p50_ms":${num(ivf1mP50Ms, 1)},"ivf_1m_query_p99_ms":${num(ivf1mP99Ms, 1)},"job_dispatch_floor_ms":${num(dispatchFloorMs, 1)},"ingest_ops":$ingestOps,"ingest_ops_per_sec":${num(ingestQps, 1)},"flush_lag_ms":${num(flushLagMsOut, 1)},"compact_sec":${num(compactSec, 3)},"write_amplification":${num(writeAmp, 3)},"delta_resident_fraction":${num(deltaFrac, 4)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

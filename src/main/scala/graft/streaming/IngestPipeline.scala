@@ -110,9 +110,17 @@ object IngestPipeline {
   /** Run one AvailableNow pass to completion (helper for batch-style use
     * and tests).
     */
+  /** Run to completion. Returns per-micro-batch trigger-execution times in
+    * ms — the flush-lag analogue of the reference's `woved_flush_lag_ms`
+    * metric (configs/woved-default.yaml:156): time from batch availability
+    * to durable segment commit.
+    */
   def runOnce(spark: SparkSession, sourceDir: String, baseDir: String,
-      checkpointDir: String): Unit = {
+      checkpointDir: String): Seq[Long] = {
     val q = start(spark, sourceDir, baseDir, checkpointDir)
     q.awaitTermination()
+    q.recentProgress.toSeq
+      .flatMap(p => Option(p.durationMs.get("triggerExecution")))
+      .map(_.longValue())
   }
 }
