@@ -25,5 +25,17 @@ object GraftFunctions {
       exprs => MinhashSigs(exprs(0), 32), "scala_udf")
     reg.createOrReplaceTempFunction("graft_simhash",
       exprs => SimhashSig(exprs(0), 28), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_md5_28",
+      exprs => Md5Hash28(exprs(0)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_sorted_intersect_count",
+      exprs => SortedIntersectCount(exprs(0), exprs(1)), "scala_udf")
+    // UDF-backed ids (S6/S7): registered through the UDF registry so the
+    // SQL surface carries the whole §2.5 library
+    spark.udf.register("graft_uuid_v7",
+      org.apache.spark.sql.functions.udf(() => IdFunctions.uuidV7String())
+        .asNondeterministic())
+    spark.udf.register("graft_crc32c",
+      org.apache.spark.sql.functions.udf(
+        (bytes: Array[Byte]) => IdFunctions.crc32cLong(bytes)))
   }
 }

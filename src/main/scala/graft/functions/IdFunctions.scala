@@ -50,15 +50,16 @@ object IdFunctions {
   /** S7: CRC32C checksum of a binary column (WAL frame checksum,
     * reference types.h:87, configs/woved-default.yaml:44).
     */
+  private[graft] def crc32cLong(bytes: Array[Byte]): java.lang.Long =
+    if (bytes == null) null
+    else {
+      val crc = new java.util.zip.CRC32C()
+      crc.update(bytes)
+      java.lang.Long.valueOf(crc.getValue)
+    }
+
   def crc32c(c: Column): Column = {
-    val f = udf((bytes: Array[Byte]) => {
-      if (bytes == null) null.asInstanceOf[java.lang.Long]
-      else {
-        val crc = new java.util.zip.CRC32C()
-        crc.update(bytes)
-        java.lang.Long.valueOf(crc.getValue)
-      }
-    })
+    val f = udf((bytes: Array[Byte]) => crc32cLong(bytes))
     f(c)
   }
 }

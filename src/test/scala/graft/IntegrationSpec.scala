@@ -133,5 +133,26 @@ class IntegrationSpec extends SparkSpec {
       .as[(Double, Long)].head()
     assert(math.abs(r._1 - 1.0) < 1e-5) // embeddings are unit-norm
     assert(r._2 !== 0L)
+
+    // embeddings can also be passed raw (float arrays read in place)
+    val rf = spark.sql(
+      """SELECT graft_dot(embedding, embedding) AS nsq
+        |FROM emb_sql ORDER BY vec_id LIMIT 1""".stripMargin)
+      .as[Double].head()
+    assert(rf === r._1)
+
+    val ids = spark.sql(
+      """SELECT graft_uuid_v7() AS u,
+        |       graft_crc32c(CAST('graft' AS BINARY)) AS c,
+        |       graft_sorted_intersect_count(array('a','b','c'),
+        |                                    array('b','c','d')) AS si
+        |""".stripMargin).as[(String, Long, Int)].head()
+    assert(ids._1.matches(
+      "[0-9a-f]{8}-[0-9a-f]{4}-7[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}"))
+    // CRC32C("graft") cross-checked against java.util.zip.CRC32C directly
+    val crc = new java.util.zip.CRC32C()
+    crc.update("graft".getBytes("UTF-8"))
+    assert(ids._2 === crc.getValue)
+    assert(ids._3 === 2)
   }
 }
