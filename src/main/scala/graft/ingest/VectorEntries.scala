@@ -32,4 +32,14 @@ object VectorEntries {
   /** Q3: ANY-of tag overlap predicate (reference msg-buf.h:243-255). */
   def tagsAny(tags: Seq[Int]) =
     arrays_overlap(col("tags"), lit(tags.toArray))
+
+  /** Physical multi-tenant layout (SURVEY §1.3; reference partitions the
+    * collection by tenant/namespace hashes, types.h:28-31): Parquet
+    * partitioned by (tenant, namespace_id), so Q2 equality filters become
+    * directory-level partition pruning — at 100 TB a tenant query reads
+    * zero bytes outside its own directories.
+    */
+  def writeTenantLayout(entries: DataFrame, dir: String): Unit =
+    entries.write.partitionBy("tenant", "namespace_id")
+      .mode("overwrite").parquet(dir)
 }

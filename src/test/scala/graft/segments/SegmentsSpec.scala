@@ -44,6 +44,41 @@ class SegmentsSpec extends SparkSpec {
     Segments.deleteDir(base)
   }
 
+  test("compaction crash-replay: killed after segment write, rerun converges") {
+    // the reference's compaction_merge kill point (fault-inject.sh:9):
+    // crash AFTER the stable segment hits disk but BEFORE the catalog
+    // marks deltas replaced — a rerun must overwrite idempotently and
+    // land in the same final state as an uninterrupted compact
+    val base = tmpBase()
+    val rows = segmentRows.cache()
+    Segments.writeSegment(rows.filter(col("epoch") < 2000), base, "d0", false)
+    Segments.writeSegment(rows.filter(col("epoch") >= 2000), base, "d1", false)
+    // simulate the torn first attempt: stable segment written, no catalog
+    // replacement (writeSegment appends the stable descriptor only)
+    val deltas = Segments.catalogDescriptors(spark, base)
+      .filter(!_.is_stable)
+      .map(d => spark.read.parquet(d.file_path)).reduce(_ unionByName _)
+    val resolved = graft.operators.Lww.latestBy(deltas, "id_hash", "epoch")
+      .filter(!col("deleted"))
+    Segments.writeSegment(resolved, base, "s0", isStable = true)
+    // deltas still live in the catalog -> recovery reruns the compact
+    assert(Segments.catalogDescriptors(spark, base)
+      .count(!_.is_stable) === 2)
+    Segments.compact(spark, base, "s0")
+    // converged: one live stable, contents equal the mutation-log oracle
+    val cat = Segments.catalog(spark, base)
+      .select("segment_id", "is_stable").as[(String, Boolean)].collect()
+    assert(cat.toSet === Set(("s0", true)))
+    val stable = Segments.readSegments(spark, base, Some(true))
+      .select("vec_id", "epoch").as[(Long, Long)].collect().sortBy(_._1)
+    val oracle = MutationLog.live(MutationLog.deterministicLog(emb))
+      .select("vec_id", "epoch").as[(Long, Long)].collect().sortBy(_._1)
+    assert(stable.toSeq === oracle.toSeq)
+    // and a further compact is a no-op (idempotent at the API level)
+    assert(Segments.compact(spark, base, "s1").isEmpty)
+    Segments.deleteDir(base)
+  }
+
   test("segment layout is partitioned by centroid_id (IVF pruning layout)") {
     val base = tmpBase()
     Segments.writeSegment(segmentRows.filter(!col("deleted")), base, "d0", false)
