@@ -82,6 +82,23 @@ object ProfPoint {
       Ivf.searchPoint(assigned, qv, cmat, "ip", 10, nprobe = 8).collect()
       println(f"noaqe $i: total=${ms(t0)}%8.1f ms")
     }
+    // short-lineage serve cache: parquet roundtrip erases the build
+    // lineage (explode/assign/sort) so per-request analysis is a trivial
+    // FileScan tree; cache stays columnar with batch stats
+    val tmp = java.nio.file.Files.createTempDirectory("profpoint-").toString
+    assigned.write.parquet(s"$tmp/serve")
+    val serve2 = spark.read.parquet(s"$tmp/serve").cache()
+    serve2.count()
+    assigned.unpersist()
+    Ivf.searchPoint(serve2, qs.head, cmat, "ip", 10, nprobe = 8).collect()
+    val lat2 = (0 until 30).map { i =>
+      val qv = qs(i % qs.length)
+      val t0 = System.nanoTime()
+      Ivf.searchPoint(serve2, qv, cmat, "ip", 10, nprobe = 8).collect()
+      ms(t0)
+    }.sorted
+    println(f"shortlineage: p50=${lat2(15)}%8.1f p90=${lat2(27)}%8.1f max=${lat2(29)}%8.1f ms")
+    graft.segments.Segments.deleteDir(tmp)
     println("--- plan ---")
     Ivf.searchPoint(assigned, qs.head, cmat, "ip", 10, nprobe = 8)
       .explain("formatted")

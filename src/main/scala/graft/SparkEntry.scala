@@ -984,10 +984,13 @@ object SparkEntry {
          |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
          |  CAST(n - len(list_distinct(toks)) AS DOUBLE) / n
          |    AS dup_token_frac,
-         |  CAST(list_max(bc) AS DOUBLE) / (n - 1) AS top_bigram_frac,
-         |  CAST(list_sum(list_transform(tc,
-         |    c -> CASE WHEN c > 1 THEN c ELSE 0 END)) AS DOUBLE) / (n - 2)
-         |    AS dup_trigram_frac
+         |  CASE WHEN n >= 2 THEN
+         |    CAST(list_max(bc) AS DOUBLE) / (n - 1) END
+         |    AS top_bigram_frac,
+         |  CASE WHEN n >= 3 THEN
+         |    CAST(list_sum(list_transform(tc,
+         |      c -> CASE WHEN c > 1 THEN c ELSE 0 END)) AS DOUBLE) / (n - 2)
+         |    END AS dup_trigram_frac
          |FROM c""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,

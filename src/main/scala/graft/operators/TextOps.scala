@@ -99,14 +99,18 @@ object TextOps {
       val prevEq = concat(array(lit(false)), slice(ne, lit(1), size(ne) - 1))
       size(filter(zip_with(ne, prevEq, (a, b) => a || b), x => x))
     }
+    // short-doc guard: below k tokens there are no k-grams (and Spark's
+    // sequence(0, n-k) would run DESCENDING for n < k) -> null fraction
+    def guarded(k: Int, frac: => org.apache.spark.sql.Column) =
+      when(n >= k, frac).otherwise(lit(null).cast("double"))
     docs.select(
       col("doc_id"),
       n.cast("long").as("n_tokens"),
       ((n - size(array_distinct(t))).cast("double") / n)
         .as("dup_token_frac"),
-      (maxRun(nextEq(grams(2))).cast("double") / (n - 1))
+      guarded(2, maxRun(nextEq(grams(2))).cast("double") / (n - 1))
         .as("top_bigram_frac"),
-      (dupPositions(nextEq(grams(3))).cast("double") / (n - 2))
+      guarded(3, dupPositions(nextEq(grams(3))).cast("double") / (n - 2))
         .as("dup_trigram_frac"))
   }
 

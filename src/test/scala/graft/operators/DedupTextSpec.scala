@@ -93,6 +93,12 @@ class DedupTextSpec extends SparkSpec {
     assert(got(0) === ((1L, 4L, 2.0 / 4, 2.0 / 3, 0.0)))
     // doc 2: all distinct
     assert(got(1) === ((2L, 4L, 0.0, 1.0 / 3, 0.0)))
+    // short docs don't crash: below k tokens the k-gram fractions are null
+    val short = TextOps.repetitionStats(
+      Seq((3L, "hi", "en", "s1")).toDF("doc_id", "text", "lang", "source"))
+      .collect().head
+    assert(short.getLong(1) === 1L)
+    assert(short.isNullAt(3) && short.isNullAt(4))
   }
 
   test("semanticDedup: exact copies dedupe to the lowest id, only within cluster") {
