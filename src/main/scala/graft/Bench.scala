@@ -101,6 +101,36 @@ object Bench {
         (np, r, k)
       } catch { case _: Throwable => (-1, -1.0, -1) }
 
+    // recall of the two-phase PQ paths vs the exact scan (same query
+    // batch, k=10): |approx ∩ exact| / |exact| — BASELINE's 0.95 recall
+    // budget applies to every approximate path, not just IVF
+    def recallOf(name: String): Double =
+      try {
+        val exact = SparkEntry.queries("knn_exact_ip")(spark, sfDir)
+          .select("query_id", "vec_id")
+        val approx = SparkEntry.queries(name)(spark, sfDir)
+          .select("query_id", "vec_id")
+        approx.intersect(exact).count().toDouble / exact.count()
+      } catch { case _: Throwable => -1.0 }
+    val recallPq = recallOf("knn_pq2phase")
+    val recallOpq = recallOf("knn_pq_opq")
+    // production PQ: per-subspace KMeans codebooks (B3) — the
+    // deterministic codebook above exists only for oracle parity
+    val recallPqTrained =
+      try {
+        val e = Tables.load(spark, sfDir, "embeddings")
+        val qb = graft.operators.Knn.defaultQueries(e)
+        // reference-spec codebook richness: 8-bit codewords per subspace
+        // (config.h:87 pq_bits=8 -> k=256), rerank_factor 4 (config.h:93)
+        val cb = graft.index.Pq.trainCodebook(e, 8, 8, 256)
+        val approx = graft.index.Pq
+          .twoPhaseSearch(e, graft.index.Pq.encode(e, cb), cb, qb, 10, 4)
+          .select("query_id", "vec_id")
+        val exact = SparkEntry.queries("knn_exact_ip")(spark, sfDir)
+          .select("query_id", "vec_id")
+        approx.intersect(exact).count().toDouble / exact.count()
+      } catch { case _: Throwable => -1.0 }
+
     // each knn_* wall time covers the whole query BATCH (20 queries at
     // sf0.01, 80 at sf0.1, reference max 100/request); the per-query
     // amortized latency is what compares against BASELINE.md's 150 ms p99
@@ -294,7 +324,7 @@ object Bench {
 
     // exit 0 even with failures: the JSON line (with its "failed" list) is
     // the contract — a non-zero rc would discard the whole measurement
-    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"failed":$failed,"recall_at_tuned_nprobe":${num(tunedRecall, 4)},"tuned_nprobe":$tunedNprobe,"ivf_nlist":$nlist,"n_queries_per_batch":$nQueries,"knn_exact_per_query_ms":${num(perQueryMs, 2)},"knn_1m_exact_qps":${num(knn1mExactQps, 1)},"ivf_assign_1m_rows_per_sec":${num(assign1mRowsPerSec, 0)},"knn_1m_ivf_qps":${num(knn1mIvfQps, 1)},"ivf_1m_query_p50_ms":${num(ivf1mP50Ms, 1)},"ivf_1m_query_p99_ms":${num(ivf1mP99Ms, 1)},"job_dispatch_floor_ms":${num(dispatchFloorMs, 1)},"ingest_ops":$ingestOps,"ingest_ops_per_sec":${num(ingestQps, 1)},"flush_lag_ms":${num(flushLagMsOut, 1)},"compact_sec":${num(compactSec, 3)},"write_amplification":${num(writeAmp, 3)},"delta_resident_fraction":${num(deltaFrac, 4)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"failed":$failed,"recall_at_tuned_nprobe":${num(tunedRecall, 4)},"recall_pq2phase":${num(recallPq, 4)},"recall_pq_trained":${num(recallPqTrained, 4)},"recall_pq_opq":${num(recallOpq, 4)},"tuned_nprobe":$tunedNprobe,"ivf_nlist":$nlist,"n_queries_per_batch":$nQueries,"knn_exact_per_query_ms":${num(perQueryMs, 2)},"knn_1m_exact_qps":${num(knn1mExactQps, 1)},"ivf_assign_1m_rows_per_sec":${num(assign1mRowsPerSec, 0)},"knn_1m_ivf_qps":${num(knn1mIvfQps, 1)},"ivf_1m_query_p50_ms":${num(ivf1mP50Ms, 1)},"ivf_1m_query_p99_ms":${num(ivf1mP99Ms, 1)},"job_dispatch_floor_ms":${num(dispatchFloorMs, 1)},"ingest_ops":$ingestOps,"ingest_ops_per_sec":${num(ingestQps, 1)},"flush_lag_ms":${num(flushLagMsOut, 1)},"compact_sec":${num(compactSec, 3)},"write_amplification":${num(writeAmp, 3)},"delta_resident_fraction":${num(deltaFrac, 4)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
