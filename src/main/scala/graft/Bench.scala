@@ -114,22 +114,37 @@ object Bench {
       } catch { case _: Throwable => -1.0 }
     val recallPq = recallOf("knn_pq2phase")
     val recallOpq = recallOf("knn_pq_opq")
-    // production PQ: per-subspace KMeans codebooks (B3) — the
-    // deterministic codebook above exists only for oracle parity
-    val recallPqTrained =
+    // production PQ: per-subspace KMeans codebooks (B3) at reference
+    // richness (config.h:87 pq_bits=8 -> k=256). rerank_factor defaults
+    // to 4 (config.h:93) but the recall target dominates — like the
+    // nprobe autotuner, sweep rerank upward to the smallest factor
+    // meeting 0.95 (each doubling scans 10*rerank exact candidates per
+    // query; still a tiny fraction of the corpus)
+    val (recallPqTrained, recallPqTuned, pqRerank) =
       try {
         val e = Tables.load(spark, sfDir, "embeddings")
         val qb = graft.operators.Knn.defaultQueries(e)
-        // reference-spec codebook richness: 8-bit codewords per subspace
-        // (config.h:87 pq_bits=8 -> k=256), rerank_factor 4 (config.h:93)
         val cb = graft.index.Pq.trainCodebook(e, 8, 8, 256)
-        val approx = graft.index.Pq
-          .twoPhaseSearch(e, graft.index.Pq.encode(e, cb), cb, qb, 10, 4)
-          .select("query_id", "vec_id")
+        val codes = graft.index.Pq.encode(e, cb)
         val exact = SparkEntry.queries("knn_exact_ip")(spark, sfDir)
-          .select("query_id", "vec_id")
-        approx.intersect(exact).count().toDouble / exact.count()
-      } catch { case _: Throwable => -1.0 }
+          .select("query_id", "vec_id").cache()
+        val nExact = exact.count()
+        def recallAt(rerank: Int): Double =
+          graft.index.Pq.twoPhaseSearch(e, codes, cb, qb, 10, rerank)
+            .select("query_id", "vec_id")
+            .intersect(exact).count().toDouble / nExact
+        var r4 = -1.0
+        var chosenF = -1
+        var chosenR = -1.0
+        val it = Seq(4, 8, 16, 32).iterator
+        while (it.hasNext && chosenR < 0.95) {
+          val f = it.next(); val r = recallAt(f)
+          if (f == 4) r4 = r
+          chosenF = f; chosenR = r
+        }
+        exact.unpersist()
+        (r4, chosenR, chosenF)
+      } catch { case _: Throwable => (-1.0, -1.0, -1) }
 
     // each knn_* wall time covers the whole query BATCH (20 queries at
     // sf0.01, 80 at sf0.1, reference max 100/request); the per-query
@@ -324,7 +339,7 @@ object Bench {
 
     // exit 0 even with failures: the JSON line (with its "failed" list) is
     // the contract — a non-zero rc would discard the whole measurement
-    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"failed":$failed,"recall_at_tuned_nprobe":${num(tunedRecall, 4)},"recall_pq2phase":${num(recallPq, 4)},"recall_pq_trained":${num(recallPqTrained, 4)},"recall_pq_opq":${num(recallOpq, 4)},"tuned_nprobe":$tunedNprobe,"ivf_nlist":$nlist,"n_queries_per_batch":$nQueries,"knn_exact_per_query_ms":${num(perQueryMs, 2)},"knn_1m_exact_qps":${num(knn1mExactQps, 1)},"ivf_assign_1m_rows_per_sec":${num(assign1mRowsPerSec, 0)},"knn_1m_ivf_qps":${num(knn1mIvfQps, 1)},"ivf_1m_query_p50_ms":${num(ivf1mP50Ms, 1)},"ivf_1m_query_p99_ms":${num(ivf1mP99Ms, 1)},"job_dispatch_floor_ms":${num(dispatchFloorMs, 1)},"ingest_ops":$ingestOps,"ingest_ops_per_sec":${num(ingestQps, 1)},"flush_lag_ms":${num(flushLagMsOut, 1)},"compact_sec":${num(compactSec, 3)},"write_amplification":${num(writeAmp, 3)},"delta_resident_fraction":${num(deltaFrac, 4)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"failed":$failed,"recall_at_tuned_nprobe":${num(tunedRecall, 4)},"recall_pq2phase":${num(recallPq, 4)},"recall_pq_trained":${num(recallPqTrained, 4)},"recall_pq_at_tuned_rerank":${num(recallPqTuned, 4)},"pq_tuned_rerank":$pqRerank,"recall_pq_opq":${num(recallOpq, 4)},"tuned_nprobe":$tunedNprobe,"ivf_nlist":$nlist,"n_queries_per_batch":$nQueries,"knn_exact_per_query_ms":${num(perQueryMs, 2)},"knn_1m_exact_qps":${num(knn1mExactQps, 1)},"ivf_assign_1m_rows_per_sec":${num(assign1mRowsPerSec, 0)},"knn_1m_ivf_qps":${num(knn1mIvfQps, 1)},"ivf_1m_query_p50_ms":${num(ivf1mP50Ms, 1)},"ivf_1m_query_p99_ms":${num(ivf1mP99Ms, 1)},"job_dispatch_floor_ms":${num(dispatchFloorMs, 1)},"ingest_ops":$ingestOps,"ingest_ops_per_sec":${num(ingestQps, 1)},"flush_lag_ms":${num(flushLagMsOut, 1)},"compact_sec":${num(compactSec, 3)},"write_amplification":${num(writeAmp, 3)},"delta_resident_fraction":${num(deltaFrac, 4)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
