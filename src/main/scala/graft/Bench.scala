@@ -113,14 +113,13 @@ object Bench {
         approx.intersect(exact).count().toDouble / exact.count()
       } catch { case _: Throwable => -1.0 }
     val recallPq = recallOf("knn_pq2phase")
-    val recallOpq = recallOf("knn_pq_opq")
     // production PQ: per-subspace KMeans codebooks (B3) at reference
     // richness (config.h:87 pq_bits=8 -> k=256). rerank_factor defaults
     // to 4 (config.h:93) but the recall target dominates — like the
     // nprobe autotuner, sweep rerank upward to the smallest factor
     // meeting 0.95 (each doubling scans 10*rerank exact candidates per
     // query; still a tiny fraction of the corpus)
-    val (recallPqTrained, recallPqTuned, pqRerank) =
+    val (recallPqTrained, recallPqTuned, pqRerank, recallOpq) =
       try {
         val e = Tables.load(spark, sfDir, "embeddings")
         val qb = graft.operators.Knn.defaultQueries(e)
@@ -142,9 +141,18 @@ object Bench {
           if (f == 4) r4 = r
           chosenF = f; chosenR = r
         }
+        // OPQ at the SAME richness, default rerank — apples-to-apples
+        // with r4 (OPQ's reason to exist is beating plain PQ at equal
+        // settings; OpqSpec asserts it, this measures it)
+        val (rot, ocb) = graft.index.Opq.trainCodebookOpq(e, 8, 8, 256)
+        val opqR = graft.index.Opq
+          .twoPhaseSearch(e, graft.index.Opq.encode(e, rot, ocb), rot, ocb,
+            qb, 10, 4)
+          .select("query_id", "vec_id")
+          .intersect(exact).count().toDouble / nExact
         exact.unpersist()
-        (r4, chosenR, chosenF)
-      } catch { case _: Throwable => (-1.0, -1.0, -1) }
+        (r4, chosenR, chosenF, opqR)
+      } catch { case _: Throwable => (-1.0, -1.0, -1, -1.0) }
 
     // each knn_* wall time covers the whole query BATCH (20 queries at
     // sf0.01, 80 at sf0.1, reference max 100/request); the per-query
