@@ -86,6 +86,18 @@ object TopK {
       h
     } else h
 
+  // shared with the native TypedImperativeAggregate (TopKAggExpr)
+  private[graft] def heapInsert(h: Heap, id: Long, score: Double): Heap =
+    insert(h, id, score)
+  private[graft] def heapMerge(a: Heap, b: Heap): Heap = {
+    var h = a
+    var i = 0
+    while (i < b.n) { h = insert(h, b.ids(i), b.scores(i)); i += 1 }
+    h
+  }
+  private[graft] def beatsPub(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+    beats(s1, i1, s2, i2)
+
   class TopKAgg(k: Int) extends Aggregator[Scored, Heap, Seq[Scored]] {
     override def zero: Heap = Heap(k, 0, new Array[Long](k), new Array[Double](k))
     override def reduce(h: Heap, x: Scored): Heap = insert(h, x.id, x.score)
@@ -118,20 +130,30 @@ object TopK {
   /** Aggregator-based top-k: map-side partial aggregation, minimal shuffle.
     * Input columns are (groupCol: long, idCol: long, scoreCol: double);
     * output has the same three columns.
+    *
+    * Runs as a native `TypedImperativeAggregate` ([[graft.functions.expr
+    * .TopKAggExpr]]): update reads (id, score) off the unsafe row — no
+    * per-row object, no encoder round-trip (the typed-Aggregator form's
+    * `AppendColumns` allocated a `Scored` per scored pair).
     */
   def viaAggregator(scored: DataFrame, groupCol: String, idCol: String,
       scoreCol: String, k: Int): DataFrame = {
-    val spark = scored.sparkSession
-    import spark.implicits._
-    val agg = new TopKAgg(k).toColumn
+    import org.apache.spark.sql.GraftBridge
+    val agg = GraftBridge.column(
+      graft.functions.expr.TopKAggExpr(
+        GraftBridge.expression(col(idCol)),
+        GraftBridge.expression(col(scoreCol)),
+        k).toAggregateExpression())
     scored
-      .select(col(groupCol).cast("long"), col(idCol).cast("long"),
-        col(scoreCol).cast("double"))
-      .as[(Long, Long, Double)]
-      .groupByKey(_._1)
-      .mapValues(t => Scored(t._2, t._3))
-      .agg(agg.name("topk"))
-      .select(col("key").as(groupCol), explode(col("topk")).as("s"))
+      // casts live in this (codegen) projection, so the aggregate's
+      // children bind to plain long/double attributes and update() reads
+      // primitives straight off the row
+      .select(col(groupCol).cast("long").as(groupCol),
+        col(idCol).cast("long").as(idCol),
+        col(scoreCol).cast("double").as(scoreCol))
+      .groupBy(col(groupCol))
+      .agg(agg.as("topk"))
+      .select(col(groupCol), explode(col("topk")).as("s"))
       .select(col(groupCol), col("s.id").as(idCol), col("s.score").as(scoreCol))
   }
 }
