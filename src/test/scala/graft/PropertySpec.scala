@@ -53,6 +53,39 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("TopKAggExpr binary buffer roundtrips and matches TopKAgg results") {
+    import graft.functions.expr.TopKAggExpr
+    import graft.operators.TopK.{Scored, TopKAgg}
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    (1 to 100).foreach { seed =>
+      val rnd = new Random(seed)
+      val xs = scoredList(rnd)
+      val k = 1 + rnd.nextInt(20)
+      val expr = TopKAggExpr(
+        BoundReference(0, LongType, nullable = false),
+        BoundReference(1, DoubleType, nullable = false), k)
+      val h = xs.foldLeft(expr.createAggregationBuffer()) { case (acc, (id, s)) =>
+        expr.update(acc,
+          org.apache.spark.sql.catalyst.InternalRow(id, s))
+      }
+      // serialize → deserialize → merge with empty ≡ identity
+      val rt = expr.merge(expr.createAggregationBuffer(),
+        expr.deserialize(expr.serialize(h)))
+      val got = expr.eval(rt)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
+        .array.toSeq
+        .map(_.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      // same answer as the typed Aggregator over the same input
+      val agg = new TopKAgg(k)
+      val expect = agg.finish(xs.foldLeft(agg.zero) { case (acc, (id, s)) =>
+        agg.reduce(acc, Scored(id, s))
+      }).map(s => (s.id, s.score))
+      assert(got === expect, s"seed=$seed k=$k")
+    }
+  }
+
   test("WAL roundtrip preserves random payloads and epochs") {
     (1 to 30).foreach { seed =>
       val rnd = new Random(2000 + seed)
