@@ -132,6 +132,16 @@ object SparkEntry {
       Ivf.search(Ivf.assign(e, cents), q(s, dir), cents, "ip", 10, 3)
         .select("query_id", "vec_id", "score")
     }),
+    // the composite QueryRequest shape (types.h:67-75): tags_any + tenant
+    // equality + nprobe restriction in ONE request
+    "knn_ivf_filtered" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cents = Ivf.deterministicCentroids(e, 50)
+      val entries = Ivf.assign(VectorEntries.fromEmbeddings(e), cents)
+      Ivf.search(entries, q(s, dir), cents, "ip", 10, 3,
+          filter = col("tenant") === "t1" && VectorEntries.tagsAny(Seq(3, 11)))
+        .select("query_id", "vec_id", "score")
+    }),
     // serving path: the 10 lowest-id battery queries served as independent
     // single requests (driver-side probes + TakeOrderedAndProject — the
     // request loop is the serving pattern, not a data loop; capped at 10
@@ -582,6 +592,20 @@ object SparkEntry {
          |SELECT query_id, vec_id, score FROM ivftop
          |WHERE query_id IN (
          |  SELECT query_id FROM q ORDER BY query_id LIMIT 10)""".stripMargin,
+    "knn_ivf_filtered" ->
+      s"""$IVF
+         |SELECT query_id, vec_id, score FROM (
+         |  SELECT f.*, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, vec_id ASC) AS rn
+         |  FROM (SELECT p.query_id, a.vec_id,
+         |      list_dot_product(p.qv, a.e) AS score
+         |    FROM prb p JOIN asg a USING (centroid_id)
+         |    JOIN emb em ON em.vec_id = a.vec_id
+         |    WHERE 't' || CAST(a.vec_id % 3 AS VARCHAR) = 't1'
+         |      AND list_has_any(
+         |        [CAST(em.label AS BIGINT), 10 + a.vec_id % 5],
+         |        [CAST(3 AS BIGINT), CAST(11 AS BIGINT)])) f) t
+         |WHERE rn <= 10""".stripMargin,
     "knn_pq2phase" ->
       s"""$EMB,
          |cb AS (SELECT r.j, vec_id AS code_id,

@@ -80,10 +80,15 @@ object Ivf {
     * pruning, not a shuffle of the data side.
     */
   def search(assigned: DataFrame, queries: DataFrame, centroids: DataFrame,
-      metric: String, k: Int, nprobe: Int,
+      metric: String, k: Int, nprobe: Int, filter: Column = lit(true),
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val probeSet = probes(queries, centroids, nprobe)
-    val scored = assigned.join(broadcast(probeSet), Seq("centroid_id"))
+    // predicate applies before the probe join: tenant/tag filters (Q2/Q3)
+    // compose with IVF pruning the way the reference's QueryRequest does
+    // (tags_any + nprobe in one request, types.h:67-75) — on partitioned
+    // storage both reach the scan
+    val scored = assigned.filter(filter)
+      .join(broadcast(probeSet), Seq("centroid_id"))
       .select(col("query_id"), col(idCol),
         Knn.score(metric, col("qv"), col(vecCol)).as("score"))
     Knn.topK(scored, metric, k, idCol)
