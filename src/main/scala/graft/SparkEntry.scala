@@ -132,6 +132,15 @@ object SparkEntry {
       Ivf.search(Ivf.assign(e, cents), q(s, dir), cents, "ip", 10, 3)
         .select("query_id", "vec_id", "score")
     }),
+    // Q6's candidate sampling INSIDE the probed lists (sample_p,
+    // config.h:78 / types.h:74) — composes with the nprobe restriction
+    "knn_ivf_sampled" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cents = Ivf.deterministicCentroids(e, 50)
+      Ivf.search(Ivf.assign(e, cents), q(s, dir), cents, "ip", 10, 3,
+          filter = Knn.sampleFilter(25))
+        .select("query_id", "vec_id", "score")
+    }),
     // the composite QueryRequest shape (types.h:67-75): tags_any + tenant
     // equality + nprobe restriction in ONE request
     "knn_ivf_filtered" -> ((s, dir) => {
@@ -592,6 +601,16 @@ object SparkEntry {
          |SELECT query_id, vec_id, score FROM ivftop
          |WHERE query_id IN (
          |  SELECT query_id FROM q ORDER BY query_id LIMIT 10)""".stripMargin,
+    "knn_ivf_sampled" ->
+      s"""$IVF
+         |SELECT query_id, vec_id, score FROM (
+         |  SELECT f.*, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, vec_id ASC) AS rn
+         |  FROM (SELECT p.query_id, a.vec_id,
+         |      list_dot_product(p.qv, a.e) AS score
+         |    FROM prb p JOIN asg a USING (centroid_id)
+         |    WHERE (a.vec_id * 2654435761) % 100 < 25) f) t
+         |WHERE rn <= 10""".stripMargin,
     "knn_ivf_filtered" ->
       s"""$IVF
          |SELECT query_id, vec_id, score FROM (
