@@ -318,6 +318,8 @@ object SparkEntry {
     }),
     // ---- T7: events analytics ------------------------------------------
     "events_hourly" -> ((s, dir) => EventOps.hourlyAgg(events(s, dir))),
+    "events_top_types" -> ((s, dir) =>
+      EventOps.topTypesHourly(events(s, dir))),
     "events_sessions" -> ((s, dir) => EventOps.sessionize(events(s, dir))),
     "events_props" -> ((s, dir) => EventOps.propsKDistribution(events(s, dir))),
     // salted two-phase aggregation: identical answer to events_props
@@ -785,6 +787,15 @@ object SparkEntry {
         |  round(sum(value), 4) AS sum_value,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_top_types" ->
+      """WITH h AS (SELECT date_trunc('hour', ts) AS h, event_type,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT h, event_type, n, row_number() OVER (
+        |    PARTITION BY h ORDER BY n DESC, event_type ASC) AS rnk FROM h)
+        |SELECT CAST(epoch(h) AS BIGINT) AS hour_ts, event_type,
+        |  CAST(n AS BIGINT) AS n, CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk <= 3""".stripMargin,
     "events_sessions" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus
         |  FROM events),

@@ -23,6 +23,23 @@ object EventOps {
       .select(unix_timestamp(col("h")).as("hour_ts"), col("event_type"),
         col("n"), round(col("sum_value"), 4).as("sum_value"), col("n_users"))
 
+  /** Per-hour top-k event types by count (T7 + Q9 composition): rank over
+    * the hourly aggregate. The aggregate bounds the ranked input to
+    * (hours × types) rows, so the window sorts a tiny relation no matter
+    * the raw event volume — the raw scan never reaches a window.
+    */
+  def topTypesHourly(events: DataFrame, k: Int = 3): DataFrame = {
+    val hourly = events
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("h"))
+      .orderBy(col("n").desc, col("event_type").asc)
+    hourly.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(unix_timestamp(col("h")).as("hour_ts"), col("event_type"),
+        col("n").cast("long").as("n"), col("rnk").cast("long").as("rnk"))
+  }
+
   /** Sessionization: per user, a new session starts when the gap from the
     * previous event exceeds `gapMinutes`. Output: one row per session with
     * bounds and counts. Window-function shape (lag + running sum) — the
