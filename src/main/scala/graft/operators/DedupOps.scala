@@ -201,8 +201,11 @@ object DedupOps {
   def minhashPairsOracle(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
       shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
+    // sorted at materialization: the verify step's merge-intersect kernel
+    // requires sorted input, and minhash sigs are order-independent (min
+    // over transform) — mirrors minhashNearDups
     val sh = docs.select(col("doc_id"),
-      shingles(col("text"), shingleN).as("sh")).cache()
+      array_sort(shingles(col("text"), shingleN)).as("sh")).cache()
     val sigs = sh.select(col("doc_id"),
       graft.functions.expr.SketchExpressions.minhashSigs(
         transform(col("sh"), s => md5Hash28(s)), numHashes).as("minhash"))

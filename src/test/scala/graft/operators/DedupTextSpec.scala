@@ -34,6 +34,19 @@ class DedupTextSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0))
   }
 
+  test("minhash oracle jaccard is exact when shared shingles differ in relative order") {
+    // cyclic rotations: identical shingle SETS, but the (distinct,
+    // first-occurrence-ordered) shingle arrays differ in order — the
+    // merge-intersect verify kernel must still count every shared shingle
+    val rot = Seq(
+      (1L, "a b c a b c a b c a b", "en", "s1"),
+      (2L, "b c a b c a b c a b c", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    val pairs = DedupOps.minhashPairsOracle(rot, threshold = 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.toSeq === Seq((1L, 2L, 1.0)))
+  }
+
   test("simhash oracle: identical docs at hamming 0, different docs apart") {
     val pairs = DedupOps.simhashPairsOracle(toy, maxHamming = 0)
       .as[(Long, Long, Long)].collect()
