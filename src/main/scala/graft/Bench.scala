@@ -23,13 +23,13 @@ import graft.index.Ivf
   *  - delta resident fraction ≤5% (types.h:143): delta-tier share after
   *    compaction plus one steady-state follow-up wave;
   *  - query p99 150 ms (types.h:141): single-request latency over a
-  *    1M-vector corpus through the searchPoint serving path.
-  *    `ivf_1m_query_p50/p99_ms` are over per-query steady-state minima
-  *    (3 attempts each — same best-of-N rationale as the battery);
-  *    `ivf_1m_query_p99_raw_ms` is the unfiltered distribution, and
-  *    `job_dispatch_floor_ms` (an empty 32-task job) exposes shared-
-  *    container contention: when the floor is tens of ms, the raw tail
-  *    measures the neighborhood, not the engine.
+  *    1M-vector corpus through the ServingIndex path at reference-shaped
+  *    nlist ≈ 1024. `ivf_1m_query_p50/p99_ms` are the CONTRACT numbers
+  *    (raw all-attempts distribution); `*_steady_ms` are per-query minima
+  *    of 3 attempts (warm-server steady state). `job_dispatch_floor_ms`
+  *    (an empty 32-task job) exposes shared-container contention; the
+  *    latency loop reruns until the floor is ≤ 15 ms (≤3 rounds) and
+  *    `floor_gate_ok` records whether it settled.
   */
 object Bench {
 
@@ -67,12 +67,16 @@ object Bench {
       System.err.println(s"[bench] stored-tree warmup FAILED: ${e.getMessage}")
     }
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    val flaky = scala.collection.mutable.ArrayBuffer.empty[String]
     // best of two runs per query: run 1 pays the one-time whole-stage-
     // codegen JIT of each plan (measured 3-4x on the stored-search paths),
     // which a resident engine pays once per plan-cache lifetime, not per
-    // query — BASELINE.md's 150 ms p99 is a warm-server number
+    // query — BASELINE.md's 150 ms p99 is a warm-server number. A query
+    // that fails ANY run is listed (failed if all runs fail, flaky if it
+    // also succeeded once) — a flaky query must not silently report its
+    // passing time as if nothing happened.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (0 until 2).flatMap { _ =>
+      val runs = (0 until 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable =>
@@ -80,13 +84,16 @@ object Bench {
           None
         }
       }
+      val times = runs.flatten
       if (times.isEmpty) failures += name
+      else if (runs.exists(_.isEmpty)) flaky += name
       name -> (if (times.nonEmpty) times.min else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v, 3) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failed = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val flakyJson = flaky.map("\"" + _ + "\"").mkString("[", ",", "]")
 
     // BASELINE.md recall target (0.95, types.h:140): calibrate nprobe on
     // trained centroids (B1 production path) and report the achieved
@@ -266,7 +273,8 @@ object Bench {
     // zero shuffle), (c) IVF-probed QPS at nprobe/nlist ≈ 1/8. Best-of-2
     // each, same steady-state rationale as above.
     val (knn1mExactQps, assign1mRowsPerSec, knn1mIvfQps, ivf1mP50Ms,
-        ivf1mP99Ms, ivf1mP99RawMs, dispatchFloorMs) =
+        ivf1mP99Ms, ivf1mP50SteadyMs, ivf1mP99SteadyMs, dispatchFloorMs,
+        floorGateOk, servNlist, servNprobe) =
       try {
         val e = Tables.load(spark, sfDir, "embeddings")
         val n0 = e.count()
@@ -301,74 +309,73 @@ object Bench {
         val ivfSec = best2(
           Ivf.search(assigned, qs, cents, "ip", 10, nprobe = 8).count())
         // single-request latency distribution: BASELINE's 150 ms is a
-        // per-query p99, not a batch-amortized mean — serve the 80 queries
-        // one request at a time against the 1M corpus through the
-        // searchPoint serving path (driver-side probes, literal query,
-        // TakeOrderedAndProject). AQE off for the loop: adaptive
-        // re-planning adds a stage round-trip a lone request can't
-        // amortize (measured ~2x on this path). The dispatch floor (an
-        // empty 32-task job, best of 3) is reported alongside — in
-        // local mode it bounds any request from below regardless of
-        // operator design.
-        val cmat = Ivf.collectCentroids(cents)
+        // per-query p99 through the SERVING path — the ServingIndex
+        // (packed per-list blocks, one list per cached partition,
+        // runJob on only the probed partitions, driver merge; no SQL
+        // planning per request). Reference-shaped parameters: nlist ≈ 1024
+        // (config.h:74 — per-probe scan cost, not dispatch, dominates) and
+        // nprobe 8. ivf_1m_query_p50/p99_ms are the CONTRACT numbers: the
+        // raw all-attempts distribution. The *_steady_ms variants are over
+        // per-query minima of 3 attempts (the warm-server steady state);
+        // job_dispatch_floor_ms (an empty 32-task job, best of 3) exposes
+        // shared-container contention. Floor gate: if the floor exceeds
+        // 15 ms the whole loop reruns (up to 3 rounds) and the JSON flags
+        // floor_gate_ok=false when it never settled — so round-over-round
+        // comparisons know whether they measured the engine or the
+        // neighborhood.
         val qRows = qs.collect().map(_.getSeq[Float](1).toArray)
-        // serving cache: clustered by centroid_id (the in-memory analogue
-        // of the centroid-partitioned segment layout) so batch min/max
-        // stats skip unprobed lists; the batch-path cache above stays
-        // unclustered (hashing 64 lists into 32 partitions skews the
-        // batch join). Drop the other caches first — the latency loop
-        // must not measure their GC bill.
-        val serve = Ivf.assign(big, cents)
-          .repartition(cpus.toInt, col("centroid_id"))
-          .sortWithinPartitions("centroid_id")
-          .cache()
-        serve.count()
+        val targetNlist = 1024
+        val servCents = Ivf.deterministicCentroids(e,
+          (n0 / targetNlist).toInt.max(1))
+        val nlistServ = servCents.count().toInt
+        val idx = graft.index.ServingIndex.build(
+          Ivf.assign(big, servCents), servCents, "ip")
         big.unpersist(); assigned.unpersist()
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        val (p50, p99, p99raw, floorMs) =
-          try {
-            Ivf.searchPoint(serve, qRows.head, cmat, "ip", 10, nprobe = 8)
-              .collect() // warm the plan/codegen once, untimed
-            // 3 attempts per query; the per-query MIN is the steady-state
-            // latency (same best-of-N rationale as the battery: a shared
-            // container's one-off GC/contention spikes are visible in the
-            // raw distribution and the dispatch floor, not in per-request
-            // operator cost). p50/p99 are over the per-query mins; the
-            // raw all-attempts p99 rides along for honesty.
-            val attempts = (0 until 3).map { _ =>
-              qRows.map { qv =>
-                val t0 = System.nanoTime()
-                Ivf.searchPoint(serve, qv, cmat, "ip", 10, nprobe = 8)
-                  .collect()
-                (System.nanoTime() - t0) / 1e6
-              }
-            }
-            val perQueryMin = qRows.indices
-              .map(i => attempts.map(_(i)).min).sorted
-            val raw = attempts.flatten.sorted
-            val floor = (0 until 3).map { _ =>
+        val nprobeServ = 8
+        def floorNow(): Double = (0 until 3).map { _ =>
+          val t0 = System.nanoTime()
+          spark.sparkContext.parallelize(0 until cpus.toInt, cpus.toInt)
+            .map(_ => 1).count()
+          (System.nanoTime() - t0) / 1e6
+        }.min
+        (0 until 5).foreach { _ =>
+          idx.search(qRows.head, 10, nprobeServ) // warm JIT, untimed
+        }
+        def latencyRound(): (Seq[Double], Seq[Double], Double) = {
+          val attempts = (0 until 3).map { _ =>
+            qRows.map { qv =>
               val t0 = System.nanoTime()
-              spark.sparkContext.parallelize(0 until cpus.toInt, cpus.toInt)
-                .map(_ => 1).count()
+              idx.search(qv, 10, nprobeServ)
               (System.nanoTime() - t0) / 1e6
-            }.min
-            (perQueryMin(perQueryMin.length / 2),
-              perQueryMin(math.min(perQueryMin.length - 1,
-                perQueryMin.length * 99 / 100)),
-              raw(math.min(raw.length - 1, raw.length * 99 / 100)), floor)
-          } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
-        val r = (nQs / exactSec, nBig / assignSec, nQs / ivfSec, p50, p99,
-          p99raw, floorMs)
-        serve.unpersist(); qs.unpersist()
+            }
+          }
+          val raw = attempts.flatten.sorted
+          val steady = qRows.indices.map(i => attempts.map(_(i)).min).sorted
+          (raw.toSeq, steady.toSeq, floorNow())
+        }
+        var round = latencyRound()
+        var tries = 1
+        while (round._3 > 15.0 && tries < 3) {
+          System.err.println(
+            s"[bench] dispatch floor ${num(round._3, 1)} ms > 15 — rerunning latency loop")
+          round = latencyRound(); tries += 1
+        }
+        val (raw, steady, floor) = round
+        def pctl(xs: Seq[Double], p: Int): Double =
+          xs(math.min(xs.length - 1, xs.length * p / 100))
+        val r = (nQs / exactSec, nBig / assignSec, nQs / ivfSec,
+          pctl(raw, 50), pctl(raw, 99), pctl(steady, 50), pctl(steady, 99),
+          floor, floor <= 15.0, nlistServ, nprobeServ)
+        idx.unpersist(); qs.unpersist()
         r
       } catch { case e: Throwable =>
         System.err.println(s"[bench] corpus-scale knn FAILED: ${e.getMessage}")
-        (-1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0)
+        (-1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, false, -1, -1)
       }
 
     // exit 0 even with failures: the JSON line (with its "failed" list) is
     // the contract — a non-zero rc would discard the whole measurement
-    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"failed":$failed,"recall_at_tuned_nprobe":${num(tunedRecall, 4)},"recall_pq2phase":${num(recallPq, 4)},"recall_pq_trained":${num(recallPqTrained, 4)},"recall_pq_at_tuned_rerank":${num(recallPqTuned, 4)},"pq_tuned_rerank":$pqRerank,"recall_pq_opq":${num(recallOpq, 4)},"tuned_nprobe":$tunedNprobe,"ivf_nlist":$nlist,"n_queries_per_batch":$nQueries,"knn_exact_per_query_ms":${num(perQueryMs, 2)},"knn_1m_exact_qps":${num(knn1mExactQps, 1)},"ivf_assign_1m_rows_per_sec":${num(assign1mRowsPerSec, 0)},"knn_1m_ivf_qps":${num(knn1mIvfQps, 1)},"ivf_1m_query_p50_ms":${num(ivf1mP50Ms, 1)},"ivf_1m_query_p99_ms":${num(ivf1mP99Ms, 1)},"ivf_1m_query_p99_raw_ms":${num(ivf1mP99RawMs, 1)},"job_dispatch_floor_ms":${num(dispatchFloorMs, 1)},"ingest_ops":$ingestOps,"ingest_ops_per_sec":${num(ingestQps, 1)},"flush_lag_ms":${num(flushLagMsOut, 1)},"compact_sec":${num(compactSec, 3)},"write_amplification":${num(writeAmp, 3)},"delta_resident_fraction":${num(deltaFrac, 4)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"failed":$failed,"flaky":$flakyJson,"recall_at_tuned_nprobe":${num(tunedRecall, 4)},"recall_pq2phase":${num(recallPq, 4)},"recall_pq_trained":${num(recallPqTrained, 4)},"recall_pq_at_tuned_rerank":${num(recallPqTuned, 4)},"pq_tuned_rerank":$pqRerank,"recall_pq_opq":${num(recallOpq, 4)},"tuned_nprobe":$tunedNprobe,"ivf_nlist":$nlist,"n_queries_per_batch":$nQueries,"knn_exact_per_query_ms":${num(perQueryMs, 2)},"knn_1m_exact_qps":${num(knn1mExactQps, 1)},"ivf_assign_1m_rows_per_sec":${num(assign1mRowsPerSec, 0)},"knn_1m_ivf_qps":${num(knn1mIvfQps, 1)},"serving_nlist":$servNlist,"serving_nprobe":$servNprobe,"ivf_1m_query_p50_ms":${num(ivf1mP50Ms, 1)},"ivf_1m_query_p99_ms":${num(ivf1mP99Ms, 1)},"ivf_1m_query_p50_steady_ms":${num(ivf1mP50SteadyMs, 1)},"ivf_1m_query_p99_steady_ms":${num(ivf1mP99SteadyMs, 1)},"job_dispatch_floor_ms":${num(dispatchFloorMs, 1)},"floor_gate_ms":15,"floor_gate_ok":$floorGateOk,"ingest_ops":$ingestOps,"ingest_ops_per_sec":${num(ingestQps, 1)},"flush_lag_ms":${num(flushLagMsOut, 1)},"compact_sec":${num(compactSec, 3)},"write_amplification":${num(writeAmp, 3)},"delta_resident_fraction":${num(deltaFrac, 4)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -169,6 +169,21 @@ object SparkEntry {
             col("score"))
       }.reduce(_.unionByName(_))
     }),
+    // serving INDEX path: the same 10 requests through ServingIndex —
+    // packed per-list blocks, scheduler-level partition pruning
+    // (runJob on the nprobe probed partitions only), driver merge.
+    // Same probe pick, same score arithmetic → same oracle as knn_point.
+    "knn_point_served" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cents = Ivf.deterministicCentroids(e, 50)
+      val idx = graft.index.ServingIndex.build(
+        Ivf.assign(e, cents), cents, "ip")
+      val reqs = q(s, dir).collect().sortBy(_.getLong(0)).take(10)
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      val out = idx.searchAllDF(s, reqs, 10, nprobe = 3)
+      idx.unpersist()
+      out
+    }),
     // ---- Q7/Q8: PQ ADC + two-phase rerank ------------------------------
     "knn_pq2phase" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -599,6 +614,11 @@ object SparkEntry {
       s"""$IVF
          |SELECT query_id, vec_id, score FROM ivftop""".stripMargin,
     "knn_point" ->
+      s"""$IVF
+         |SELECT query_id, vec_id, score FROM ivftop
+         |WHERE query_id IN (
+         |  SELECT query_id FROM q ORDER BY query_id LIMIT 10)""".stripMargin,
+    "knn_point_served" ->
       s"""$IVF
          |SELECT query_id, vec_id, score FROM ivftop
          |WHERE query_id IN (

@@ -94,6 +94,26 @@ object Ivf {
     Knn.topK(scored, metric, k, idCol)
   }
 
+  /** Driver-side probe pick — bit-identical arithmetic to [[probes]]:
+    * sequential-order dots, d = q·q − 2·q·c + c·c, order by (d, cid).
+    * nlist ≤ 4096 rows on the driver — microseconds. Shared by
+    * [[searchPoint]] and [[ServingIndex]].
+    */
+  def probePick(queryVec: Array[Float], cids: Array[Long],
+      matrix: Array[Array[Double]], nprobe: Int): Seq[Long] = {
+    def dotDD(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val q = queryVec.map(_.toDouble)
+    val qq = dotDD(q, q)
+    matrix.indices
+      .map(i => (qq - 2.0 * dotDD(q, matrix(i)) + dotDD(matrix(i), matrix(i)),
+        cids(i)))
+      .sorted.take(nprobe).map(_._2)
+  }
+
   /** Q6 single-request serving path — minimum latency for ONE QueryRequest
     * (BASELINE's 150 ms p99 is a per-request number; the batch path
     * amortizes its probe job + broadcast + heap-agg shuffle over ≤100
@@ -113,19 +133,7 @@ object Ivf {
       nprobe: Int, filter: Column = lit(true), idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val (cids, matrix) = centroids
-    // driver-side probe pick — bit-identical arithmetic to probes():
-    // sequential-order dots, d = q·q − 2·q·c + c·c, order by (d, cid)
-    def dotDD(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { s += a(i) * b(i); i += 1 }
-      s
-    }
-    val q = queryVec.map(_.toDouble)
-    val qq = dotDD(q, q)
-    val probed = matrix.indices
-      .map(i => (qq - 2.0 * dotDD(q, matrix(i)) + dotDD(matrix(i), matrix(i)),
-        cids(i)))
-      .sorted.take(nprobe).map(_._2)
+    val probed = probePick(queryVec, cids, matrix, nprobe)
     val qLit = typedlit(queryVec.toSeq)
     val asc = graft.operators.Knn.isAscending(metric)
     assigned

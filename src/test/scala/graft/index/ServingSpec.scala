@@ -1,0 +1,102 @@
+package graft.index
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ServingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val cents = Ivf.deterministicCentroids(emb, 50)
+  private lazy val assigned = Ivf.assign(emb, cents).cache()
+  private lazy val cmat = Ivf.collectCentroids(cents)
+  private lazy val queries = graft.operators.Knn.defaultQueries(emb)
+    .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+
+  private def viaSearchPoint(qv: Array[Float], metric: String, k: Int,
+      nprobe: Int): Seq[(Long, Double)] =
+    Ivf.searchPoint(assigned, qv, cmat, metric, k, nprobe)
+      .as[(Long, Double)].collect().toSeq
+
+  test("serving index matches searchPoint exactly for every metric") {
+    for (metric <- Seq("ip", "l2", "cosine")) {
+      val idx = ServingIndex.build(assigned, cents, metric)
+      for ((_, qv) <- queries.take(4)) {
+        val got = idx.search(qv, 10, nprobe = 3).toSeq
+        val want = viaSearchPoint(qv, metric, 10, 3)
+        assert(got === want, s"metric=$metric")
+      }
+      idx.unpersist()
+    }
+  }
+
+  test("probe pick matches searchPoint's probe set and order tie-break") {
+    val idx = ServingIndex.build(assigned, cents, "ip")
+    for ((_, qv) <- queries.take(4)) {
+      // same code path by construction; assert the contract anyway
+      assert(idx.probe(qv, 3) === Ivf.probePick(qv, cmat._1, cmat._2, 3))
+      assert(idx.probe(qv, 1000).length === cmat._1.length)
+    }
+    idx.unpersist()
+  }
+
+  test("bounded top-k insertion handles ties by id and k larger than list") {
+    // 3 vectors with identical scores → tie-break by id ascending
+    val tied = Seq(
+      (7L, Array(1.0f, 0.0f)), (3L, Array(1.0f, 0.0f)),
+      (5L, Array(1.0f, 0.0f)), (9L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+      .withColumn("centroid_id", lit(0L))
+    val c = Seq((0L, Seq(0.5, 0.5))).toDF("cid", "cv")
+    val idx = ServingIndex.build(tied, c, "ip")
+    val got = idx.search(Array(1.0f, 0.0f), 10, 1)
+    assert(got.map(_._1).toSeq === Seq(3L, 5L, 7L, 9L))
+    assert(got.take(3).forall(_._2 === 1.0))
+    // k smaller than the list truncates after tie-break
+    assert(idx.search(Array(1.0f, 0.0f), 2, 1).map(_._1).toSeq
+      === Seq(3L, 5L))
+    idx.unpersist()
+  }
+
+  test("searchAllDF equals the knn_point union across the battery queries") {
+    val idx = ServingIndex.build(assigned, cents, "ip")
+    val reqs = queries.sortBy(_._1).take(10).toSeq
+    val got = idx.searchAllDF(spark, reqs, 10, 3)
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, -r._3, r._2))
+    val want = reqs.flatMap { case (qid, qv) =>
+      viaSearchPoint(qv, "ip", 10, 3).map { case (id, s) => (qid, id, s) }
+    }.sortBy(r => (r._1, -r._3, r._2)).toArray
+    assert(got === want)
+    idx.unpersist()
+  }
+
+  test("buildStored serves latest-live versions only") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-serving-stored-").toString
+    try {
+      import graft.segments.Segments
+      val log = graft.ingest.MutationLog.deterministicLog(emb)
+      val entries = Ivf.assign(
+        log.withColumn("id_hash",
+            graft.functions.VectorFunctions.hashId(col("id")))
+          .withColumn("deleted", col("op") === "DELETE"),
+        cents, vecCol = "vec")
+        .withColumn("centroid_id", coalesce(col("centroid_id"), lit(-1L)))
+      Segments.writeSegment(entries, dir, "delta-000", isStable = false)
+      val idx = ServingIndex.buildStored(spark, dir, cents, "ip")
+      // authority: the tiered read path (LWW + tombstone mask) at high k
+      val stored = Segments.readSegments(spark, dir)
+      val live = graft.operators.Lww.latestBy(
+          stored.select(col("id_hash"), col("epoch"), col("deleted"),
+            col("vec_id")),
+          "id_hash", "epoch")
+        .filter(!col("deleted"))
+      val qv = queries.head._2
+      val got = idx.search(qv, 50, nprobe = 1000).map(_._1).toSet
+      val liveIds = live.select("vec_id").as[Long].collect().toSet
+      assert(got.subsetOf(liveIds))
+      assert(got.nonEmpty)
+      idx.unpersist()
+    } finally graft.segments.Segments.deleteDir(dir)
+  }
+}
