@@ -68,30 +68,13 @@ object SparkEntry {
       })
   }
 
-  /** Shared OPQ model per sfDir — training (PCA covariance pass + m
-    * per-subspace KMeans fits) is a deterministic index-BUILD step (B3),
-    * done once per store in the reference (config.h:88), so it is built
-    * once per JVM and the `knn_pq_opq` entry measures encode+search.
-    */
-  private object OpqModel {
-    import graft.index.Opq
-    private val cache = scala.collection.concurrent.TrieMap
-      .empty[String, (Opq.Rotation, Pq.Codebook)]
-    def get(s: SparkSession, dir: String): (Opq.Rotation, Pq.Codebook) =
-      cache.getOrElseUpdate(dir,
-        Opq.trainCodebookOpq(emb(s, dir), m = 8, dsub = 8, k = 16,
-          maxIter = 3))
-  }
-
-  /** Build the per-sfDir index artifacts (stored segment tree, OPQ model)
-    * if not already built — index-build steps (B2/B3), exposed so the
-    * bench can run them untimed: the reference's latency budget
-    * (types.h:141) is search against an existing index, not index
-    * construction.
+  /** Build the per-sfDir index artifacts (stored segment tree) if not
+    * already built — index-build steps (B2), exposed so the bench can run
+    * them untimed: the reference's latency budget (types.h:141) is search
+    * against an existing index, not index construction.
     */
   def warmStoredTree(spark: SparkSession, dir: String): Unit = {
     SegTree.get(spark, dir)
-    OpqModel.get(spark, dir)
     ()
   }
 
@@ -190,15 +173,18 @@ object SparkEntry {
       val cb = Pq.deterministicCodebook(e, 8, 8, 50)
       Pq.twoPhaseSearch(e, Pq.encode(e, cb), cb, q(s, dir), 10, 4)
     }),
-    // ---- B3+OPQ: rotated PQ two-phase (rows-only: the PCA rotation is
-    // data-derived and not DuckDB-reproducible; OpqSpec proves recall and
-    // score exactness instead)
+    // ---- B3+OPQ: rotated PQ two-phase, oracle-gated end to end with the
+    // FIXED signed-permutation rotation (non-data-derived, so DuckDB
+    // replays rotate → deterministic codebook → ADC → rerank exactly);
+    // the data-derived iterative trainer keeps its OpqSpec recall gates
+    // and the bench measures its recall vs plain PQ
     "knn_pq_opq" -> ((s, dir) => {
       import graft.index.Opq
       val e = emb(s, dir)
-      // light training config: this entry proves the wiring end to end;
-      // OpqSpec carries the recall/quality assertions at full settings
-      val (rot, cb) = OpqModel.get(s, dir)
+      val rot = Opq.fixedRotation(64)
+      val rotated = e.select(col("vec_id"),
+        Opq.rotate(rot, col("embedding")).as("embedding"))
+      val cb = Pq.deterministicCodebook(rotated, 8, 8, 50)
       Opq.twoPhaseSearch(e, Opq.encode(e, rot, cb), rot, cb, q(s, dir),
         10, 4)
     }),
@@ -682,6 +668,49 @@ object SparkEntry {
          |    PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rn
          |  FROM exact) t
          |WHERE rn <= 10""".stripMargin,
+    "knn_pq_opq" ->
+      s"""$EMB,
+         |remb AS (SELECT vec_id, list_transform(range(64),
+         |    i -> (CASE WHEN i % 2 = 0 THEN 1.0 ELSE -1.0 END)
+         |      * e[((17 * i + 3) % 64) + 1]) AS e
+         |  FROM emb),
+         |rq AS (SELECT query_id, list_transform(range(64),
+         |    i -> (CASE WHEN i % 2 = 0 THEN 1.0 ELSE -1.0 END)
+         |      * qv[((17 * i + 3) % 64) + 1]) AS qv
+         |  FROM q),
+         |cb AS (SELECT r.j, vec_id AS code_id,
+         |    e[r.j*8+1 : r.j*8+8] AS cw
+         |  FROM remb, range(8) r(j) WHERE vec_id % 50 = 0),
+         |sv AS (SELECT remb.vec_id, r.j, e[r.j*8+1 : r.j*8+8] AS s
+         |  FROM remb, range(8) r(j)),
+         |codes AS (SELECT vec_id, j, code_id FROM (
+         |    SELECT sv.vec_id, sv.j, cb.code_id, row_number() OVER (
+         |      PARTITION BY sv.vec_id, sv.j ORDER BY
+         |        list_dot_product(sv.s, sv.s)
+         |          - 2 * list_dot_product(sv.s, cb.cw)
+         |          + list_dot_product(cb.cw, cb.cw) ASC, cb.code_id ASC) AS rn
+         |    FROM sv JOIN cb USING (j)) t
+         |  WHERE rn = 1),
+         |lut AS (SELECT rq.query_id, cb.j, cb.code_id,
+         |    list_dot_product(rq.qv[cb.j*8+1 : cb.j*8+8], cb.cw) AS part
+         |  FROM rq CROSS JOIN cb),
+         |adc AS (SELECT l.query_id, c.vec_id,
+         |    list_sum(list(l.part ORDER BY l.j)) AS approx_score
+         |  FROM codes c JOIN lut l ON c.j = l.j AND c.code_id = l.code_id
+         |  GROUP BY l.query_id, c.vec_id),
+         |cand AS (SELECT query_id, vec_id FROM (
+         |    SELECT adc.*, row_number() OVER (
+         |      PARTITION BY query_id
+         |      ORDER BY approx_score DESC, vec_id ASC) AS rn FROM adc) t
+         |  WHERE rn <= 40),
+         |exact AS (SELECT cand.query_id, cand.vec_id,
+         |    list_dot_product(q.qv, emb.e) AS score
+         |  FROM cand JOIN q USING (query_id) JOIN emb USING (vec_id))
+         |SELECT query_id, vec_id, score FROM (
+         |  SELECT exact.*, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rn
+         |  FROM exact) t
+         |WHERE rn <= 10""".stripMargin,
     "recall_ivf" ->
       s"""$IVF,
          |exacttop AS (SELECT query_id, vec_id FROM (
@@ -845,6 +874,22 @@ object SparkEntry {
         |FROM (SELECT TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1)
         |    AS BIGINT) AS k FROM events) t
         |WHERE k IS NOT NULL GROUP BY 1""".stripMargin,
+    "doc_fingerprint" ->
+      s"""$DOCTOKS,
+         |th AS (SELECT doc_id,
+         |    list_transform(t,
+         |      tk -> CAST(('0x'||substr(md5(tk),1,7)) AS BIGINT)) AS th,
+         |    len(t) AS n
+         |  FROM dt)
+         |SELECT doc_id, CASE
+         |    WHEN n = 0 THEN CAST(0 AS BIGINT)
+         |    WHEN n < 4 THEN list_reduce(th,
+         |      (a, h) -> (a * 1000003 + h) % 2147483647)
+         |    ELSE list_min(list_transform(range(n - 3),
+         |      i -> list_reduce(th[i+1:i+4],
+         |        (a, h) -> (a * 1000003 + h) % 2147483647)))
+         |  END AS fingerprint
+         |FROM th""".stripMargin,
     "text_stats" ->
       s"""$DOCTOKS
          |SELECT d.doc_id,

@@ -85,6 +85,21 @@ object Opq {
     (evals, evecs, d)
   }
 
+  /** Fixed, non-data-derived orthonormal rotation: a signed permutation —
+    * rotated(i) = s_i · v(p_i) with p_i = (17·i + 3) mod d and s_i = ±1 by
+    * parity of i. 17 is odd so p is a bijection for any even d, and a
+    * signed permutation matrix is orthonormal. Exists so the OPQ
+    * *pipeline* (rotate → encode → ADC → rerank-on-raw invariance) can be
+    * replayed bit-for-bit by the DuckDB oracle (`knn_pq_opq`); the
+    * data-derived trainers keep their ScalaTest/bench recall gates.
+    */
+  def fixedRotation(d: Int): Rotation =
+    Rotation(Array.tabulate(d) { i =>
+      val row = new Array[Double](d)
+      row((17 * i + 3) % d) = if (i % 2 == 0) 1.0 else -1.0
+      row
+    })
+
   /** Non-parametric OPQ (Ge et al. §3.1 / ck-means): alternate
     *  (1) Procrustes rotation update — R = U·Vᵀ from the SVD of the
     *      reconstruction-cross-covariance M = Σ y·xᵀ (the orthonormal R

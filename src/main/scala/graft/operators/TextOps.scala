@@ -162,30 +162,41 @@ object TextOps {
   }
 
   /** Rolling polynomial hash fingerprint (winnowing-style): hash every
-    * w-token window with a base-31 rolling hash over token hashes, keep the
-    * minimum — a robust-to-reordering-at-the-margins content fingerprint.
-    * UDF (not oracle-expressible); property-tested in ScalaTest.
+    * w-token window with a base-1000003 mod-(2^31−1) rolling hash over
+    * md5-derived token hashes, keep the minimum — a robust-to-reordering-
+    * at-the-margins content fingerprint, fully oracle-expressible
+    * (`list_reduce` over `md5` token hashes in DuckDB; mod-prime keeps
+    * every intermediate in BIGINT range, same trick as the minhash
+    * oracle).
+    *
+    * No UDF and no array expression inside a lambda body: window hashes
+    * build as a zip_with CHAIN over SHIFTED copies of the token-hash
+    * array — after step k, acc(i) is the hash of tokens [i, i+k]; shorter
+    * shifted arrays null-pad, so incomplete tail windows go null and
+    * `array_min` (null-skipping) sees only complete windows. Row-local,
+    * O(w·n) per row, no shuffle.
     */
   def fingerprint(docs: DataFrame, w: Int = 4): DataFrame = {
-    val fp = udf { s: String =>
-      val toks = s.toLowerCase.split(" ", -1).filter(_.nonEmpty)
-      if (toks.length == 0) 0L
-      else {
-        val hs = toks.map(t => t.foldLeft(1125899906842597L)(
-          (h, c) => h * 31 + c))
-        val n = math.max(1, hs.length - w + 1)
-        var minH = Long.MaxValue
-        var i = 0
-        while (i < n) {
-          var h = 0L
-          var j = 0
-          while (j < math.min(w, hs.length)) { h = h * 1000003L + hs(i + j); j += 1 }
-          if (h < minH) minH = h
-          i += 1
-        }
-        minH
+    val P = 2147483647L // 2^31 - 1, prime (matches the minhash oracle)
+    val B = 1000003L
+    val toksE = filter(tokens(col("text")), x => x =!= "")
+    val thE = transform(toksE, t =>
+      graft.functions.expr.SketchExpressions.md5Hash28(t))
+    val fpCol = {
+      val th = col("__th")
+      val n = size(th)
+      // acc_k(i) = hash of tokens [i, i+k]; th values are 28-bit < P, so
+      // the k=0 chain is th itself ((0·B + h) mod P = h)
+      var acc: Column = th
+      for (k <- 1 until w) {
+        val shifted = slice(th, lit(k + 1), greatest(n - k, lit(0)))
+        acc = zip_with(acc, shifted, (a, h) => (a * B + h) % P)
       }
+      when(n === 0, lit(0L))
+        .when(n < w, aggregate(th, lit(0L), (a, h) => (a * B + h) % P))
+        .otherwise(array_min(acc))
     }
-    docs.select(col("doc_id"), fp(col("text")).as("fingerprint"))
+    docs.withColumn("__th", thE)
+      .select(col("doc_id"), fpCol.as("fingerprint"))
   }
 }
