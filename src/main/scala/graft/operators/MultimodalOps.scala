@@ -63,24 +63,17 @@ object MultimodalOps {
     }
   }
 
-  /** Metadata extraction over bounded per-partition batches — the batch
-    * loop is where a real vectorized codec (or GPU hand-off) would sit.
+  /** Metadata extraction: binary → typed struct column via a
+    * struct-returning UDF — stays IN-PLAN (columnar scan → project → agg,
+    * no RDD hop, no serialization round-trip; the former mapPartitions
+    * variant cost a full InternalRow↔Row conversion for a header parse a
+    * UDF expresses directly). A real vectorized codec swaps in as an
+    * `mapInPandas`/Arrow batch stage at the same position without touching
+    * downstream plan shape.
     */
-  def decodeMeta(media: DataFrame, batchSize: Int = 64): DataFrame = {
-    val spark = media.sparkSession
-    val schema = StructType(media.schema.fields :+
-      StructField("meta", org.apache.spark.sql.Encoders.product[MediaMeta].schema))
-    val rdd = media.rdd.mapPartitions { it =>
-      it.grouped(batchSize).flatMap { batch =>
-        // batch boundary: a real implementation decodes `batch` as one unit
-        batch.map { r =>
-          val m = decodeHeader(r.getAs[Array[Byte]]("data"))
-          Row.fromSeq(r.toSeq :+ Row(m.valid, m.kind, m.width, m.height,
-            m.frames, m.payload_bytes))
-        }
-      }
-    }
-    spark.createDataFrame(rdd, schema)
+  def decodeMeta(media: DataFrame): DataFrame = {
+    val dec = udf { data: Array[Byte] => decodeHeader(data) }
+    media.withColumn("meta", dec(col("data")))
   }
 
   /** Feature-extraction STUB: binary → dense embedding (deterministic byte

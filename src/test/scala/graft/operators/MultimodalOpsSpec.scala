@@ -9,12 +9,16 @@ class MultimodalOpsSpec extends SparkSpec {
 
   private def media = MultimodalOps.syntheticMedia(docs).cache()
 
-  test("decodeMeta parses headers for every blob; batch shape holds") {
-    val m = MultimodalOps.decodeMeta(media, batchSize = 7)
+  test("decodeMeta parses headers for every blob and stays in-plan") {
+    val m = MultimodalOps.decodeMeta(media)
     assert(m.filter(!col("meta.valid")).count() === 0)
     assert(m.count() === docs.count())
     val kinds = m.select("meta.kind").distinct().as[Int].collect().sorted
     assert(kinds.toSeq === Seq(0, 1, 2))
+    // no RDD hop: the decode is a projection over the source plan, never
+    // an ExistingRDD scan (which would cost a serialization round-trip)
+    val plan = m.queryExecution.executedPlan.toString
+    assert(!plan.contains("ExistingRDD"), plan)
   }
 
   test("corrupt blobs surface as invalid, not crashes") {
