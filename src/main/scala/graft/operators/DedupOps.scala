@@ -342,9 +342,17 @@ object DedupOps {
     * to the lowest-id earlier vector it matches. The cluster bound is
     * what makes this feasible at 100 TB — assignment is the map-side
     * codegen argmin (zero shuffle, see [[graft.index.Ivf.assign]]), the
-    * only shuffle key is `centroid_id`, and the quadratic term is bounded
-    * by the largest cluster (size clusters via nlist; salt a cluster that
-    * outgrows a task). `assigned` must carry `centroid_id`.
+    * only shuffle key is `(centroid_id, block-pair)`, and the quadratic
+    * term is bounded by `maxBlock`: a cluster of size n splits into
+    * B = ⌈n / maxBlock⌉ hash blocks, and the self-join runs per BLOCK
+    * PAIR (i ≤ j) — within-block pairs on the diagonal keys, cross-block
+    * boundary pairs on the (i < j) keys — so one hot cluster becomes
+    * B(B+1)/2 bounded tasks spread across the shuffle instead of one
+    * straggler. Pair coverage is exact (every unordered same-cluster pair
+    * lands on exactly one block-pair key), so results are independent of
+    * `maxBlock`; clusters under the budget keep B = 1 and the plan
+    * degenerates to the plain per-cluster self-join. `assigned` must
+    * carry `centroid_id`.
     *
     * The threshold is workload-tuned: ~0.95 on real web-scale embeddings;
     * the synthetic test embeddings have no true near-dups (max
@@ -354,15 +362,34 @@ object DedupOps {
     * Output: (vec_id, canonical_id) for every vector that is a semantic
     * duplicate of an earlier (lower-id) same-cluster vector.
     */
-  def semanticDedup(assigned: DataFrame, threshold: Double): DataFrame = {
-    val side = assigned.select(col("vec_id"), col("centroid_id"),
-      col("embedding").as("e"),
-      sqrt(VectorFunctions.dotD(col("embedding"), col("embedding")))
-        .as("nrm"))
-    side.as("x").join(side.as("y"),
+  def semanticDedup(assigned: DataFrame, threshold: Double,
+      maxBlock: Int = 4096): DataFrame = {
+    val sizes = assigned.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("__csz"))
+    val side = assigned.join(broadcast(sizes), Seq("centroid_id"))
+      .select(col("vec_id"), col("centroid_id"),
+        col("embedding").as("e"),
+        sqrt(VectorFunctions.dotD(col("embedding"), col("embedding")))
+          .as("nrm"),
+        ceil(col("__csz").cast("double") / maxBlock).cast("int").as("__nb"))
+      .withColumn("__b",
+        pmod(xxhash64(col("vec_id")), col("__nb")).cast("int"))
+    // x carries block-pair keys (b, j) for j ∈ [b, B); y carries (i, b)
+    // for i ∈ [0, b] — joining on the pair key yields each (i, j) block
+    // pair exactly once
+    val xs = side.withColumn("__j",
+      explode(sequence(col("__b"), col("__nb") - 1)))
+    val ys = side.withColumn("__i",
+      explode(sequence(lit(0), col("__b"))))
+    xs.as("x").join(ys.as("y"),
         col("x.centroid_id") === col("y.centroid_id") &&
-          col("x.vec_id") < col("y.vec_id"))
-      .select(col("y.vec_id").as("vec_id"), col("x.vec_id").as("cand"),
+          col("x.__b") === col("y.__i") && col("x.__j") === col("y.__b") &&
+          // diagonal blocks order by id; cross blocks take every pair
+          // (orientation is arbitrary there — normalized below)
+          (col("x.__b") < col("y.__b") || col("x.vec_id") < col("y.vec_id")))
+      .select(
+        greatest(col("x.vec_id"), col("y.vec_id")).as("vec_id"),
+        least(col("x.vec_id"), col("y.vec_id")).as("cand"),
         (VectorFunctions.dotD(col("x.e"), col("y.e"))
           / (col("x.nrm") * col("y.nrm"))).as("cosine"))
       .filter(col("cosine") >= threshold)

@@ -146,6 +146,23 @@ class DedupTextSpec extends SparkSpec {
     }
   }
 
+  test("semanticDedup salting: one pathological hot cluster, results independent of maxBlock") {
+    // 50% of rows land in one centroid — the hot-cluster case that would
+    // otherwise become a single quadratic straggler task
+    val e = emb.limit(400)
+    val hot = e.withColumn("centroid_id",
+      when(col("vec_id") % 2 === 0, 0L).otherwise(col("vec_id") % 7 + 1))
+    def run(maxBlock: Int) =
+      DedupOps.semanticDedup(hot, 0.2, maxBlock)
+        .as[(Long, Long)].collect().toSet
+    val unsalted = run(Int.MaxValue) // B = 1 everywhere
+    val salted = run(25)             // hot cluster splits into 8 blocks
+    assert(salted === unsalted)
+    assert(unsalted.nonEmpty)
+    // sanity: salting actually engaged (the hot cluster exceeds 25 rows)
+    assert(hot.filter(col("centroid_id") === 0L).count() > 25)
+  }
+
   test("sorted_intersect_count equals size(array_intersect) on sorted distinct arrays") {
     val df = docs.select(
       array_sort(array_distinct(split(lower(col("text")), " "))).as("ta"),
