@@ -379,9 +379,61 @@ object Bench {
         (-1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, false, -1, -1)
       }
 
+    // Reference-scale configuration stress (config.h:19,74,84-94: dim 768,
+    // nlist 4096, PQ m=96 × k=256): synthesized vectors, deterministic.
+    // Proves the reference-object plumbing at real parameter sizes — the
+    // 4096×768 centroid matrix (~25 MB) rides the NearestIndex reference
+    // object, the m=96 codebook LUT is a reference object too (as a
+    // typedlit it was ~1.6 MB of plan tree), and the two-phase plan
+    // analyzes/executes without literal bloat.
+    val (s768Rows, s768AssignRps, s768EncodeRps, s768TwoPhaseSec) =
+      try {
+        val d = 768; val nlist = 4096; val m = 96; val dsub = 8; val k = 256
+        val n = 50000L
+        val gen = spark.range(n).select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(d - 1)),
+            t => (pmod(xxhash64(col("id"), t), lit(1000L)).cast("double")
+              / 500.0 - 1.0).cast("float")).as("embedding"))
+        val big = gen.repartition(cpus.toInt).cache()
+        big.count() // materialize, untimed
+        val rnd = new scala.util.Random(42)
+        val cents = Array.fill(nlist)(Array.fill(d)(rnd.nextGaussian()))
+        val centsDf = {
+          import spark.implicits._
+          cents.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+            .toSeq.toDF("cid", "cv")
+        }
+        def best2(f: => Long): Double =
+          (0 until 2).map { _ =>
+            val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+          }.min
+        val assignSec = best2(
+          Ivf.assign(big, centsDf).select(count(col("centroid_id"))).head()
+            .getLong(0))
+        val cbRnd = new scala.util.Random(7)
+        val cb = graft.index.Pq.Codebook(m, dsub,
+          Array.tabulate(k)(_.toLong),
+          Array.fill(m)(Array.fill(k)(Array.fill(dsub)(cbRnd.nextGaussian()))))
+        val encodeSec = best2(
+          graft.index.Pq.encode(big, cb).select(count(col("codes"))).head()
+            .getLong(0))
+        val codes = graft.index.Pq.encode(big, cb).cache()
+        codes.count() // build step, untimed
+        val qs768 = big.filter(col("vec_id") % (n / 20) === 0)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        val twoPhaseSec = best2(
+          graft.index.Pq.twoPhaseSearch(big, codes, cb, qs768, 10, 4)
+            .count())
+        big.unpersist(); codes.unpersist()
+        (n, n / assignSec, n / encodeSec, twoPhaseSec)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] dim-768 stress FAILED: ${e.getMessage}")
+        (-1L, -1.0, -1.0, -1.0)
+      }
+
     // exit 0 even with failures: the JSON line (with its "failed" list) is
     // the contract — a non-zero rc would discard the whole measurement
-    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"failed":$failed,"flaky":$flakyJson,"recall_at_tuned_nprobe":${num(tunedRecall, 4)},"recall_pq2phase":${num(recallPq, 4)},"recall_pq_trained":${num(recallPqTrained, 4)},"recall_pq_at_tuned_rerank":${num(recallPqTuned, 4)},"pq_tuned_rerank":$pqRerank,"recall_pq_opq":${num(recallOpq, 4)},"tuned_nprobe":$tunedNprobe,"ivf_nlist":$nlist,"n_queries_per_batch":$nQueries,"knn_exact_per_query_ms":${num(perQueryMs, 2)},"knn_1m_exact_qps":${num(knn1mExactQps, 1)},"ivf_assign_1m_rows_per_sec":${num(assign1mRowsPerSec, 0)},"knn_1m_ivf_qps":${num(knn1mIvfQps, 1)},"serving_nlist":$servNlist,"serving_nprobe":$servNprobe,"ivf_1m_query_p50_ms":${num(ivf1mP50Ms, 1)},"ivf_1m_query_p99_ms":${num(ivf1mP99Ms, 1)},"ivf_1m_query_p50_steady_ms":${num(ivf1mP50SteadyMs, 1)},"ivf_1m_query_p99_steady_ms":${num(ivf1mP99SteadyMs, 1)},"job_dispatch_floor_ms":${num(dispatchFloorMs, 1)},"floor_gate_ms":15,"floor_gate_ok":$floorGateOk,"ingest_ops":$ingestOps,"ingest_ops_per_sec":${num(ingestQps, 1)},"flush_lag_ms":${num(flushLagMsOut, 1)},"compact_sec":${num(compactSec, 3)},"write_amplification":${num(writeAmp, 3)},"delta_resident_fraction":${num(deltaFrac, 4)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"failed":$failed,"flaky":$flakyJson,"recall_at_tuned_nprobe":${num(tunedRecall, 4)},"recall_pq2phase":${num(recallPq, 4)},"recall_pq_trained":${num(recallPqTrained, 4)},"recall_pq_at_tuned_rerank":${num(recallPqTuned, 4)},"pq_tuned_rerank":$pqRerank,"recall_pq_opq":${num(recallOpq, 4)},"tuned_nprobe":$tunedNprobe,"ivf_nlist":$nlist,"n_queries_per_batch":$nQueries,"knn_exact_per_query_ms":${num(perQueryMs, 2)},"knn_1m_exact_qps":${num(knn1mExactQps, 1)},"ivf_assign_1m_rows_per_sec":${num(assign1mRowsPerSec, 0)},"knn_1m_ivf_qps":${num(knn1mIvfQps, 1)},"serving_nlist":$servNlist,"serving_nprobe":$servNprobe,"ivf_1m_query_p50_ms":${num(ivf1mP50Ms, 1)},"ivf_1m_query_p99_ms":${num(ivf1mP99Ms, 1)},"ivf_1m_query_p50_steady_ms":${num(ivf1mP50SteadyMs, 1)},"ivf_1m_query_p99_steady_ms":${num(ivf1mP99SteadyMs, 1)},"job_dispatch_floor_ms":${num(dispatchFloorMs, 1)},"floor_gate_ms":15,"floor_gate_ok":$floorGateOk,"stress768_rows":$s768Rows,"stress768_assign_rows_per_sec":${num(s768AssignRps, 0)},"stress768_pq96_encode_rows_per_sec":${num(s768EncodeRps, 0)},"stress768_pq96_2phase_sec":${num(s768TwoPhaseSec, 3)},"ingest_ops":$ingestOps,"ingest_ops_per_sec":${num(ingestQps, 1)},"flush_lag_ms":${num(flushLagMsOut, 1)},"compact_sec":${num(compactSec, 3)},"write_amplification":${num(writeAmp, 3)},"delta_resident_fraction":${num(deltaFrac, 4)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -212,6 +212,87 @@ case class MatVec(child: Expression, matrix: Array[Array[Double]])
     copy(child = c)
 }
 
+/** Per-query PQ ADC lookup table (Q7): lut(j)(c) = Σ_t q(j·dsub+t)·cw(t),
+  * sequential double accumulation per codeword — the same values as the
+  * former `typedlit`-based column (dot of the query subvector with every
+  * codeword). The codebook rides as a codegen REFERENCE OBJECT: at the
+  * reference's m=96 × k=256 × dsub=8 (config.h:84-94) a literal codebook
+  * is ~1.6 MB of plan tree — copied into every canonicalized comparison,
+  * explain string, and per-stage task binary — where a reference object
+  * is one broadcast-once pointer.
+  */
+case class PqLut(child: Expression, codebooks: Array[Array[Array[Double]]],
+    dsub: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (NumericArrays.ok(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"pq_lut requires a numeric array, got ${child.dataType}")
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = false),
+      containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val read = NumericArrays.reader(child.dataType)
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val m = codebooks.length
+    val out = new Array[Any](m)
+    var j = 0
+    while (j < m) {
+      val book = codebooks(j)
+      val lut = new Array[Double](book.length)
+      var c = 0
+      while (c < book.length) {
+        val cw = book(c)
+        var s = 0.0
+        var t = 0
+        while (t < dsub) { s += read(v, j * dsub + t) * cw(t); t += 1 }
+        lut(c) = s
+        c += 1
+      }
+      out(j) = new org.apache.spark.sql.catalyst.util.GenericArrayData(lut)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val books = ctx.addReferenceObj("books", codebooks, "double[][][]")
+    val out = ctx.freshName("out")
+    val lut = ctx.freshName("lut")
+    val book = ctx.freshName("book")
+    val cw = ctx.freshName("cw")
+    val j = ctx.freshName("j")
+    val c = ctx.freshName("c")
+    val t = ctx.freshName("t")
+    val s = ctx.freshName("s")
+    nullSafeCodeGen(ctx, ev, v => {
+      val get = NumericArrays.getter(child.dataType, v, s"($j * $dsub + $t)")
+      s"""
+         |Object[] $out = new Object[$books.length];
+         |for (int $j = 0; $j < $books.length; $j++) {
+         |  double[][] $book = $books[$j];
+         |  double[] $lut = new double[$book.length];
+         |  for (int $c = 0; $c < $book.length; $c++) {
+         |    double[] $cw = $book[$c];
+         |    double $s = 0.0;
+         |    for (int $t = 0; $t < $dsub; $t++) {
+         |      $s += $get * $cw[$t];
+         |    }
+         |    $lut[$c] = $s;
+         |  }
+         |  $out[$j] = new org.apache.spark.sql.catalyst.util.GenericArrayData($lut);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object IndexExpressions {
   /** Map-side argmin over a small matrix (centroids / PQ sub-codebook):
     * index of the row minimizing expanded-form L2 to `vec`, ties → lowest
@@ -228,4 +309,9 @@ object IndexExpressions {
   /** Dense matrix × vector (OPQ rotation): map-side, whole-stage codegen. */
   def matVec(vec: Column, matrix: Array[Array[Double]]): Column =
     GraftBridge.column(MatVec(GraftBridge.expression(vec), matrix))
+
+  /** Per-query PQ ADC LUT from a reference-object codebook (no typedlit). */
+  def pqLut(qv: Column, codebooks: Array[Array[Array[Double]]],
+      dsub: Int): Column =
+    GraftBridge.column(PqLut(GraftBridge.expression(qv), codebooks, dsub))
 }

@@ -71,15 +71,13 @@ object Pq {
 
   /** Per-query ADC look-up table column: lut(j)(c) = dot(q_j, cw(j)(c)).
     * Materialized once per query row (m×k doubles), broadcast with the
-    * query set.
+    * query set. The codebook is a codegen reference object, NOT a literal:
+    * at reference scale (m=96 × k=256, config.h:84-94) a `typedlit`
+    * codebook is ~1.6 MB of plan tree repeated through every optimizer
+    * pass and stage closure.
     */
-  def lutColumn(cb: Codebook) = {
-    val cbLit = typedlit(cb.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
-    transform(sequence(lit(0), lit(cb.m - 1)), j =>
-      transform(element_at(cbLit, j + 1), cw =>
-        dotD(slice(col("qv").cast("array<double>"),
-          j * cb.dsub + 1, lit(cb.dsub)), cw)))
-  }
+  def lutColumn(cb: Codebook) =
+    IndexExpressions.pqLut(col("qv"), cb.codebooks, cb.dsub)
 
   /** Q7 ADC phase 1: approximate score = Σ_j lut(j)(codes(j)), sequential
     * in subspace order (oracle: `list_sum(list(part ORDER BY j))`).
