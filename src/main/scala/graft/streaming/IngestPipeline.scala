@@ -93,6 +93,68 @@ object IngestPipeline {
     }
   }
 
+  /** Typed mutation record for the stateful ingest variant. */
+  case class Mutation(op: String, vec_id: Long, id: String, id_hash: Long,
+      epoch: Long, deleted: Boolean, centroid_id: Long, vec: Seq[Double])
+
+  /** T3 stateful variant: CROSS-batch LWW in the state store. The default
+    * pipeline ([[start]]) keeps no mutable state — within-batch LWW at
+    * flush, cross-batch versions resolve at read time via epochs. That
+    * read-side work grows with the number of live versions per id; for
+    * workloads with long ingest histories and heavy re-upserts this
+    * variant bounds it: the state store holds max-epoch-seen per id_hash
+    * (the Spark analogue of the reference's mutable latest-by-id map,
+    * latest-by-id.h:110-157), each batch emits only rows STRICTLY newer
+    * than state — so a flushed segment never contains a version that was
+    * already superseded at flush time, and stale out-of-order
+    * re-deliveries never reach disk at all.
+    *
+    * State is one long per live id (epoch ties keep the first-seen row);
+    * checkpointed with the stream, so crash replays roll state back in
+    * lockstep with the batch (exactly-once is preserved). At 100 TB the
+    * state partitions by id_hash across executors like any keyed state —
+    * size it via `spark.sql.streaming.stateStore` settings; the stateless
+    * [[start]] remains the right default when re-upsert rates are low.
+    */
+  def startResolved(spark: SparkSession, sourceDir: String, baseDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val reader = spark.readStream.schema(mutationSchema)
+    val src = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(sourceDir).as[Mutation]
+    val resolved = src.groupByKey(_.id_hash)
+      .flatMapGroupsWithState[Long, Mutation](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, rows, state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+          val newest = rows.maxBy(_.epoch) // within-batch LWW
+          val prev = state.getOption.getOrElse(Long.MinValue)
+          if (newest.epoch > prev) {
+            state.update(newest.epoch)
+            Iterator.single(newest)
+          } else Iterator.empty
+      }
+    resolved.toDF().writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        flushBatch(batch, baseDir, batchId)
+      }
+      .start()
+  }
+
+  /** [[startResolved]] run to completion (helper for tests/batch use). */
+  def runOnceResolved(spark: SparkSession, sourceDir: String,
+      baseDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val q = startResolved(spark, sourceDir, baseDir, checkpointDir,
+      maxFilesPerTrigger = maxFilesPerTrigger)
+    q.awaitTermination()
+  }
+
   /** T5 read-your-writes: the live view over everything flushed so far
     * (plus an optional still-in-flight buffer DataFrame).
     */

@@ -92,4 +92,42 @@ class IngestPipelineSpec extends SparkSpec {
     assert(seg === ((1001L, "delta-00000")))
     Segments.deleteDir(base)
   }
+
+  test("stateful cross-batch LWW: flushed segments are already resolved (T3)") {
+    val src = tmp("graft-state-src-")
+    val base = tmp("graft-state-base-")
+    val ckpt = tmp("graft-state-ckpt-")
+    def rows(rs: (String, Long, Long, Long)*) = rs.toSeq
+      .map { case (op, vid, hash, ep) =>
+        (op, vid, s"id-$vid", hash, ep, op == "DELETE", 0L,
+          Seq(0.1, 0.2)) }
+      .toDF("op", "vec_id", "id", "id_hash", "epoch", "deleted",
+        "centroid_id", "vec")
+    // 3 batches with overlapping ids: A re-upserted (newer), B re-delivered
+    // stale, A re-delivered out-of-order stale
+    val batches = Seq(
+      rows(("INSERT", 1L, 101L, 1L), ("INSERT", 2L, 102L, 2L)),
+      rows(("UPSERT", 1L, 101L, 10L), ("INSERT", 2L, 102L, 1L)),
+      rows(("UPSERT", 1L, 101L, 5L), ("INSERT", 3L, 103L, 3L)))
+    batches.foreach { b =>
+      b.coalesce(1).write.mode("append").parquet(src)
+      Thread.sleep(1100) // distinct mod-times → deterministic batch order
+    }
+    IngestPipeline.runOnceResolved(spark, src, base, ckpt,
+      maxFilesPerTrigger = Some(1))
+    val segs = Segments.readSegments(spark, base)
+      .select("segment_id", "id_hash", "epoch")
+      .as[(String, Long, Long)].collect().sorted
+    // batch 2: stale B(epoch 1 < state 2) dropped, only A@10 flushed;
+    // batch 3: out-of-order A@5 (< state 10) dropped, only C@3 flushed
+    assert(segs.toSeq === Seq(
+      ("delta-00000", 101L, 1L), ("delta-00000", 102L, 2L),
+      ("delta-00001", 101L, 10L),
+      ("delta-00002", 103L, 3L)))
+    // live view agrees with the latest-version oracle
+    val live = IngestPipeline.liveView(spark, base)
+      .select("id_hash", "epoch").as[(Long, Long)].collect().sorted
+    assert(live.toSeq === Seq((101L, 10L), (102L, 2L), (103L, 3L)))
+    Seq(src, base, ckpt).foreach(Segments.deleteDir)
+  }
 }
