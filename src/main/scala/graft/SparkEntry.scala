@@ -152,6 +152,24 @@ object SparkEntry {
             col("score"))
       }.reduce(_.unionByName(_))
     }),
+    // serving INDEX path with the full QueryRequest predicate surface
+    // (tenant + tags_any composed with nprobe, types.h:67-75): rows are
+    // filtered in-task before scoring. Same result set as the batch
+    // knn_ivf_filtered restricted to these 10 requests.
+    "knn_point_served_filtered" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cents = Ivf.deterministicCentroids(e, 50)
+      val entries = Ivf.assign(VectorEntries.fromEmbeddings(e), cents)
+      val idx = graft.index.ServingIndex.build(entries, cents, "ip",
+        tenantCol = Some("tenant"), tagsCol = Some("tags"))
+      val reqs = q(s, dir).collect().sortBy(_.getLong(0)).take(10)
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      val out = idx.searchAllDF(s, reqs, 10, nprobe = 3,
+        filter = graft.index.ServingFilter(tenant = Some("t1"),
+          tagsAny = Some(Seq(3L, 11L))))
+      idx.unpersist()
+      out
+    }),
     // serving INDEX path: the same 10 requests through ServingIndex —
     // packed per-list blocks, scheduler-level partition pruning
     // (runJob on the nprobe probed partitions only), driver merge.
@@ -633,6 +651,22 @@ object SparkEntry {
          |        [CAST(em.label AS BIGINT), 10 + a.vec_id % 5],
          |        [CAST(3 AS BIGINT), CAST(11 AS BIGINT)])) f) t
          |WHERE rn <= 10""".stripMargin,
+    "knn_point_served_filtered" ->
+      s"""$IVF
+         |SELECT query_id, vec_id, score FROM (
+         |  SELECT f.*, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, vec_id ASC) AS rn
+         |  FROM (SELECT p.query_id, a.vec_id,
+         |      list_dot_product(p.qv, a.e) AS score
+         |    FROM prb p JOIN asg a USING (centroid_id)
+         |    JOIN emb em ON em.vec_id = a.vec_id
+         |    WHERE 't' || CAST(a.vec_id % 3 AS VARCHAR) = 't1'
+         |      AND list_has_any(
+         |        [CAST(em.label AS BIGINT), 10 + a.vec_id % 5],
+         |        [CAST(3 AS BIGINT), CAST(11 AS BIGINT)])) f) t
+         |WHERE rn <= 10
+         |  AND query_id IN (
+         |    SELECT query_id FROM q ORDER BY query_id LIMIT 10)""".stripMargin,
     "knn_pq2phase" ->
       s"""$EMB,
          |cb AS (SELECT r.j, vec_id AS code_id,

@@ -10,10 +10,28 @@ import org.apache.spark.storage.StorageLevel
 /** One packed inverted list: ids + row-major flat vectors (the serving
   * analogue of the reference's in-memory IVF list, config.h:74-82). Flat
   * primitive arrays — no per-row objects, no boxing — so a probe scan is a
-  * tight sequential loop over contiguous floats.
+  * tight sequential loop over contiguous floats. `tenants`/`tags` are
+  * null unless the index was built with attribute columns (then aligned
+  * row-wise with `ids`).
   */
 final case class ListBlock(cid: Long, ids: Array[Long], vecs: Array[Float],
-    dim: Int)
+    dim: Int, tenants: Array[String] = null,
+    tags: Array[Array[Long]] = null)
+
+/** Per-request predicate for the serving path — the reference
+  * QueryRequest's filter surface (types.h:67-75): tenant equality (Q2),
+  * tags ANY-of (Q3), and the deterministic sample gate (sample_p,
+  * config.h:78). Arithmetic matches the SQL paths exactly
+  * ([[graft.operators.Knn.sampleFilter]]'s Knuth-multiplicative bucket).
+  */
+final case class ServingFilter(tenant: Option[String] = None,
+    tagsAny: Option[Seq[Long]] = None, sampleP: Option[Int] = None) {
+  def isEmpty: Boolean = tenant.isEmpty && tagsAny.isEmpty && sampleP.isEmpty
+}
+
+object ServingFilter {
+  val none: ServingFilter = ServingFilter()
+}
 
 private final class ExactPartitioner(n: Int) extends Partitioner {
   override def numPartitions: Int = n
@@ -70,10 +88,13 @@ final class ServingIndex private (
   def probe(q: Array[Float], nprobe: Int): Seq[Long] =
     Ivf.probePick(q, cids, matrix, nprobe)
 
-  /** One QueryRequest: top-k over the probed lists. Returns (id, score)
+  /** One QueryRequest: top-k over the probed lists, optionally through
+    * the request's tenant/tags/sample predicate (evaluated in-task before
+    * scoring — filtered rows never pay a dot product). Returns (id, score)
     * in final rank order (score best-first, ties by id asc).
     */
-  def search(q: Array[Float], k: Int, nprobe: Int): Array[(Long, Double)] = {
+  def search(q: Array[Float], k: Int, nprobe: Int,
+      filter: ServingFilter = ServingFilter.none): Array[(Long, Double)] = {
     val probed = probe(q, nprobe)
     val parts = probed.flatMap(cidToPart.get).distinct.toArray
     if (parts.isEmpty) return Array.empty
@@ -83,7 +104,7 @@ final class ServingIndex private (
     val partials: Array[Array[(Long, Double)]] = blocks.sparkContext.runJob(
       blocks,
       (it: Iterator[ListBlock]) =>
-        ServingIndex.scanTopK(it, q, k, m, ascL, probedSet),
+        ServingIndex.scanTopK(it, q, k, m, ascL, probedSet, filter),
       parts.toIndexedSeq)
     val merged = partials.flatten.sortBy {
       case (id, s) => (if (ascL) s else -s, id)
@@ -97,9 +118,10 @@ final class ServingIndex private (
     * request; only O(queries × k) rows ever reach the driver).
     */
   def searchAllDF(spark: SparkSession, queries: Seq[(Long, Array[Float])],
-      k: Int, nprobe: Int): DataFrame = {
+      k: Int, nprobe: Int,
+      filter: ServingFilter = ServingFilter.none): DataFrame = {
     val rows = queries.flatMap { case (qid, qv) =>
-      search(qv, k, nprobe).map { case (id, s) => Row(qid, id, s) }
+      search(qv, k, nprobe, filter).map { case (id, s) => Row(qid, id, s) }
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1),
@@ -119,19 +141,28 @@ object ServingIndex {
     * step — untimed in serving terms, rerun on refresh.
     */
   def build(assigned: DataFrame, centroids: DataFrame, metric: String,
-      idCol: String = "vec_id", vecCol: String = "embedding"): ServingIndex = {
-    val spark = assigned.sparkSession
-    import spark.implicits._
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      tenantCol: Option[String] = None,
+      tagsCol: Option[String] = None): ServingIndex = {
     val (cids, matrix) = Ivf.collectCentroids(centroids)
     val cidToPart = cids.zipWithIndex.toMap
     val dim = matrix.headOption.map(_.length).getOrElse(0)
-    val keyed = assigned
-      .select(col("centroid_id").cast("long"), col(idCol).cast("long"),
-        col(vecCol).cast("array<float>"))
-      .as[(Long, Long, Array[Float])]
-      .rdd
-      .flatMap { case (cid, id, v) =>
-        cidToPart.get(cid).map(p => (p, (cid, id, v)))
+    val hasTenant = tenantCol.isDefined
+    val hasTags = tagsCol.isDefined
+    val cols = Seq(col("centroid_id").cast("long"),
+        col(idCol).cast("long"), col(vecCol).cast("array<float>")) ++
+      tenantCol.map(c => col(c).cast("string")) ++
+      tagsCol.map(c => col(c).cast("array<long>"))
+    val tenantIdx = 3
+    val tagsIdx = if (hasTenant) 4 else 3
+    val keyed = assigned.select(cols: _*).rdd
+      .flatMap { r =>
+        val cid = r.getLong(0)
+        cidToPart.get(cid).map { p =>
+          (p, (cid, r.getLong(1), r.getSeq[Float](2).toArray,
+            if (hasTenant) r.getString(tenantIdx) else null,
+            if (hasTags) r.getSeq[Long](tagsIdx).toArray else null))
+        }
       }
     val blocks = keyed
       .partitionBy(new ExactPartitioner(cids.length))
@@ -144,13 +175,17 @@ object ServingIndex {
           val d = rows.head._2._3.length
           val ids = new Array[Long](n)
           val vecs = new Array[Float](n * d)
+          val tenants = if (hasTenant) new Array[String](n) else null
+          val tags = if (hasTags) new Array[Array[Long]](n) else null
           var i = 0
           while (i < n) {
             ids(i) = rows(i)._2._2
             System.arraycopy(rows(i)._2._3, 0, vecs, i * d, d)
+            if (hasTenant) tenants(i) = rows(i)._2._4
+            if (hasTags) tags(i) = rows(i)._2._5
             i += 1
           }
-          Iterator.single(ListBlock(cid, ids, vecs, d))
+          Iterator.single(ListBlock(cid, ids, vecs, d, tenants, tags))
         }
       }, preservesPartitioning = true)
       .persist(StorageLevel.MEMORY_ONLY)
@@ -181,8 +216,11 @@ object ServingIndex {
     * kernels.
     */
   private[index] def scanTopK(it: Iterator[ListBlock], q: Array[Float],
-      k: Int, metric: String, asc: Boolean,
-      probed: Set[Long]): Array[(Long, Double)] = {
+      k: Int, metric: String, asc: Boolean, probed: Set[Long],
+      filter: ServingFilter = ServingFilter.none): Array[(Long, Double)] = {
+    val wantTenant = filter.tenant.orNull
+    val wantTags = filter.tagsAny.map(_.toArray).orNull
+    val sampleP = filter.sampleP.getOrElse(-1)
     // insertion top-k: k is small (reference max_k 100, config.h:180);
     // arrays, no allocation per candidate
     val scores = new Array[Double](k)
@@ -216,6 +254,34 @@ object ServingIndex {
         }
       }
     }
+    // per-row predicate, cheapest test first — a rejected row never pays
+    // a dot product. Sample arithmetic = Knn.sampleFilter's
+    // pmod(vec_id · 2654435761, 100) < p, wrap-and-positive-mod exactly.
+    def pass(b: ListBlock, r: Int): Boolean = {
+      if (sampleP >= 0) {
+        val m = (b.ids(r) * 2654435761L) % 100L
+        if ((if (m < 0) m + 100L else m) >= sampleP) return false
+      }
+      if (wantTenant != null &&
+        (b.tenants == null || b.tenants(r) != wantTenant)) return false
+      if (wantTags != null) {
+        if (b.tags == null) return false
+        val rowTags = b.tags(r)
+        if (rowTags == null) return false
+        var hit = false
+        var i = 0
+        while (!hit && i < wantTags.length) {
+          var j = 0
+          while (!hit && j < rowTags.length) {
+            if (rowTags(j) == wantTags(i)) hit = true
+            j += 1
+          }
+          i += 1
+        }
+        if (!hit) return false
+      }
+      true
+    }
     while (it.hasNext) {
       val b = it.next()
       if (probed.contains(b.cid)) {
@@ -223,6 +289,8 @@ object ServingIndex {
         val n = b.ids.length
         var r = 0
         while (r < n) {
+          if (!pass(b, r)) { r += 1 }
+          else {
           val off = r * d
           var s = 0.0
           var i = 0
@@ -250,6 +318,7 @@ object ServingIndex {
           }
           insert(s, b.ids(r))
           r += 1
+          }
         }
       }
     }

@@ -70,6 +70,30 @@ class ServingSpec extends SparkSpec {
     idx.unpersist()
   }
 
+  test("filtered serving matches searchPoint under tenant/tags/sample predicates") {
+    import graft.ingest.VectorEntries
+    val entries = Ivf.assign(VectorEntries.fromEmbeddings(emb), cents).cache()
+    val idx = ServingIndex.build(entries, cents, "ip",
+      tenantCol = Some("tenant"), tagsCol = Some("tags"))
+    def viaPoint(qv: Array[Float], f: org.apache.spark.sql.Column) =
+      Ivf.searchPoint(entries, qv, cmat, "ip", 10, 3, filter = f)
+        .as[(Long, Double)].collect().toSeq
+    for ((_, qv) <- queries.take(3)) {
+      // tenant + tags (the composite QueryRequest gate)
+      assert(idx.search(qv, 10, 3, ServingFilter(tenant = Some("t1"),
+          tagsAny = Some(Seq(3L, 11L)))).toSeq
+        === viaPoint(qv, col("tenant") === "t1" &&
+          VectorEntries.tagsAny(Seq(3, 11))))
+      // sample_p gate
+      assert(idx.search(qv, 10, 3, ServingFilter(sampleP = Some(25))).toSeq
+        === viaPoint(qv, graft.operators.Knn.sampleFilter(25)))
+      // no filter → same as unfiltered
+      assert(idx.search(qv, 10, 3, ServingFilter.none).toSeq
+        === viaPoint(qv, lit(true)))
+    }
+    idx.unpersist(); entries.unpersist()
+  }
+
   test("buildStored serves latest-live versions only") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-serving-stored-").toString
