@@ -358,6 +358,10 @@ object SparkEntry {
     "text_stats" -> ((s, dir) => TextOps.textStats(docs(s, dir))),
     "lang_id" -> ((s, dir) => TextOps.langId(docs(s, dir))),
     "doc_fingerprint" -> ((s, dir) => TextOps.fingerprint(docs(s, dir))),
+    "lm_score" -> ((s, dir) => TextOps.unigramScore(docs(s, dir))),
+    "boilerplate_ngrams" -> ((s, dir) =>
+      TextOps.boilerplateNgrams(docs(s, dir))),
+    "pii_redact" -> ((s, dir) => TextOps.piiRedact(docs(s, dir))),
     // ---- dedup ----------------------------------------------------------
     "dedup_exact" -> ((s, dir) => DedupOps.exactGroups(docs(s, dir))),
     "dedup_jaccard" -> ((s, dir) =>
@@ -908,6 +912,43 @@ object SparkEntry {
         |FROM (SELECT TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1)
         |    AS BIGINT) AS k FROM events) t
         |WHERE k IS NOT NULL GROUP BY 1""".stripMargin,
+    "lm_score" ->
+      s"""$DOCTOKS,
+         |ex AS (SELECT doc_id, unnest(t) AS tok FROM dt),
+         |cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+         |  FROM ex GROUP BY tok),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt)
+         |SELECT e.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(c.c) AS BIGINT) AS sum_freq,
+         |  CAST(sum(c.c) AS DOUBLE) /
+         |    (CAST(count(*) AS DOUBLE) * CAST((SELECT n FROM tot) AS DOUBLE))
+         |    AS avg_freq
+         |FROM ex e JOIN cnt c USING (tok)
+         |GROUP BY e.doc_id""".stripMargin,
+    "boilerplate_ngrams" ->
+      s"""$DOCTOKS,
+         |g0 AS (SELECT doc_id, t,
+         |    unnest(range(greatest(len(t) - 4, 0))) AS i
+         |  FROM dt),
+         |g AS (SELECT doc_id, array_to_string(t[i+1 : i+5], ' ') AS gram
+         |  FROM g0)
+         |SELECT gram, CAST(count(*) AS BIGINT) AS n_occurrences,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |FROM g GROUP BY gram
+         |HAVING count(DISTINCT doc_id) >= 2
+         |ORDER BY n_occurrences DESC, gram ASC
+         |LIMIT 50""".stripMargin,
+    "pii_redact" ->
+      """WITH d AS (SELECT doc_id, text FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_emails,
+        |  md5(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+        |    'g')) AS redacted_md5
+        |FROM d""".stripMargin,
     "doc_fingerprint" ->
       s"""$DOCTOKS,
          |th AS (SELECT doc_id,

@@ -114,6 +114,76 @@ object TextOps {
         .as("dup_trigram_frac"))
   }
 
+  /** Unigram LM quality score — the CCNet-style frequency filter
+    * (Wenzek et al. 2019 use a 5-gram LM; the unigram variant keeps the
+    * same "how typical is this doc's vocabulary" signal with exact
+    * arithmetic): per-token corpus frequencies, per-doc mean frequency.
+    * Log-free and integer-summed ON PURPOSE — `ln` differs by ulps
+    * between libm implementations and distributed double sums are
+    * order-dependent, but long sums are exact, so
+    * avg_freq = sum_freq / (n_tokens · total) is bit-reproducible by the
+    * DuckDB oracle.
+    *
+    * Scale shape: token counts are one hash-agg with map-side combine;
+    * the score join shuffles on token — heavy-tailed ("the" is hot), so
+    * at 100 TB either salt the hot keys (the [[SkewOps]] two-phase
+    * pattern) or bound the vocabulary to top-V + an OOV floor and
+    * broadcast it. AQE skew-join handles moderate tails automatically.
+    */
+  def unigramScore(docs: DataFrame): DataFrame = {
+    val t = filter(tokens(col("text")), x => x =!= "")
+    val exploded = docs.select(col("doc_id"), explode(t).as("tok"))
+    val counts = exploded.groupBy(col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).cast("long").as("n"))
+    exploded.join(counts, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("c")).as("sum_freq"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("sum_freq").cast("long").as("sum_freq"),
+        (col("sum_freq").cast("double")
+          / (col("n_tokens").cast("double") * col("n").cast("double")))
+          .as("avg_freq"))
+  }
+
+  /** Cross-doc boilerplate n-grams: the curator query behind boilerplate
+    * removal — every n-gram occurring in ≥2 distinct docs, ranked by
+    * total occurrences. One explode + one hash-agg with map-side
+    * combine; the top-k is a TakeOrdered, never a global sort.
+    */
+  def boilerplateNgrams(docs: DataFrame, n: Int = 5,
+      limit: Int = 50): DataFrame = {
+    val t = filter(tokens(col("text")), x => x =!= "")
+    // all positions (not distinct): occurrence counts need multiplicity
+    val grams = transform(sequence(lit(0), size(t) - n),
+      i => concat_ws(" ", slice(t, i + 1, lit(n))))
+    docs.select(col("doc_id"),
+        explode(when(size(t) >= n, grams).otherwise(array())).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_occurrences").desc, col("gram").asc)
+      .limit(limit)
+  }
+
+  /** PII redaction: replace email addresses with a fixed token and count
+    * them (the standard pre-training scrub stage). The pattern stays in
+    * the common Java-regex/RE2 subset so the DuckDB oracle replays it;
+    * output carries an md5 of the redacted text rather than the text
+    * itself (compact, still an exact equality witness). Row-local, no
+    * shuffle.
+    */
+  def piiRedact(docs: DataFrame): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    docs.select(col("doc_id"),
+      regexp_count(col("text"), lit(emailRe)).cast("long").as("n_emails"),
+      md5(regexp_replace(col("text"), emailRe, "<EMAIL>").cast("binary"))
+        .as("redacted_md5"))
+  }
+
   /** Deterministic train/val/test split by content hash (the standard
     * leakage-safe pipeline split: same doc always lands in the same
     * split, independent of partitioning/order). md5-derived so the

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("unigramScore: hand-computed frequencies on a toy corpus") {
+    // corpus: "a a b" + "b c" → counts a=2 b=2 c=1, total=5
+    val d = Seq((1L, "a a b", "en", "s"), (2L, "b c", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = TextOps.unigramScore(d)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    // doc 1: tokens a,a,b → sum 2+2+2=6, avg 6/(3·5)
+    assert(got(0) === ((1L, 3L, 6L, 6.0 / 15.0)))
+    // doc 2: tokens b,c → sum 2+1=3, avg 3/(2·5)
+    assert(got(1) === ((2L, 2L, 3L, 3.0 / 10.0)))
+    // common-vocabulary docs score higher than rare-vocabulary docs
+    val scores = TextOps.unigramScore(docs)
+      .select("avg_freq").as[Double].collect()
+    assert(scores.forall(s => s > 0.0 && s <= 1.0))
+  }
+
+  test("boilerplateNgrams finds cross-doc repeated 5-grams, ranked") {
+    val boiler = "all rights reserved click here now"
+    val d = Seq(
+      (1L, s"alpha beta $boiler gamma", "en", "s"),
+      (2L, s"delta $boiler epsilon zeta", "en", "s"),
+      (3L, s"unique words only in this doc", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = TextOps.boilerplateNgrams(d, 5, 10)
+      .as[(String, Long, Long)].collect()
+    // the shared 6-token run yields two shared 5-grams, each in 2 docs
+    assert(got.length === 2)
+    assert(got.forall(_._3 === 2L))
+    assert(got.map(_._1).contains("all rights reserved click here"))
+    assert(got.map(_._1).contains("rights reserved click here now"))
+    // short docs (< 5 tokens) don't blow up
+    val short = Seq((9L, "too short", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    assert(TextOps.boilerplateNgrams(short).count() === 0)
+  }
+
+  test("piiRedact counts and replaces emails deterministically") {
+    val d = Seq(
+      (1L, "contact me at alice@example.com or bob.smith+x@sub.domain.org", "en", "s"),
+      (2L, "no pii here at all", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = TextOps.piiRedact(d)
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(got(0)._2 === 2L)
+    assert(got(1)._2 === 0L)
+    // the redaction hash equals the md5 of the hand-redacted text
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("contact me at <EMAIL> or <EMAIL>".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(got(0)._3 === expected)
+    // untouched text hashes to its own md5 (replacement is a no-op)
+    val plain = java.security.MessageDigest.getInstance("MD5")
+      .digest("no pii here at all".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(got(1)._3 === plain)
+  }
+}
