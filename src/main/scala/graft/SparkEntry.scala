@@ -300,6 +300,37 @@ object SparkEntry {
           dotD(col("qv"), col("vec")).as("score"))
       TopK.viaAggregator(scored, "query_id", "vec_id", "score", 10)
     }),
+    // tiered read on the SERVING path: stored index + in-flight buffer
+    // overlay with version masking (shadow set ships with the probe job,
+    // overlay winners join driver-side) — same live-view semantics as
+    // tiered_knn, probe-all so the oracle is identical
+    "tiered_knn_served" -> ((s, dir) => {
+      import graft.segments.Segments
+      val e = emb(s, dir)
+      val cents = Ivf.deterministicCentroids(e, 50)
+      val rows = Ivf.assign(
+          MutationLog.deterministicLog(e)
+            .withColumn("id_hash", hashId(col("id")))
+            .withColumn("deleted", col("op") === "DELETE"),
+          cents, vecCol = "vec")
+        .withColumn("centroid_id", coalesce(col("centroid_id"), lit(-1L)))
+        .select("vec_id", "id_hash", "epoch", "deleted", "centroid_id",
+          "vec")
+        .cache()
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-tiered-served-").toString
+      Segments.writeSegment(rows.filter(col("epoch") < 2000), base,
+        "delta-000", isStable = false)
+      val idx = graft.index.ServingIndex.buildStored(s, base, cents, "ip")
+      val overlay = graft.index.ServingOverlay.fromDataFrame(
+        rows.filter(col("epoch") >= 2000))
+      val reqs = q(s, dir).collect().sortBy(_.getLong(0))
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      val out = idx.searchAllDF(s, reqs, 10, nprobe = Int.MaxValue,
+        overlay = Some(overlay))
+      idx.unpersist()
+      out
+    }),
     // ---- Q6 on the physical layout: stored-segment IVF search ----------
     "knn_ivf_stored" -> ((s, dir) => {
       val cents = Ivf.deterministicCentroids(emb(s, dir), 50)
@@ -792,6 +823,18 @@ object SparkEntry {
          |  min(epoch) AS min_epoch, max(epoch) AS max_epoch
          |FROM log GROUP BY op""".stripMargin,
     "tiered_knn" ->
+      s"""$MUTLOG,
+         |qq AS (SELECT vec_id AS query_id, e AS qv FROM emb
+         |  WHERE vec_id % 25 = 0),
+         |scored AS (SELECT qq.query_id, l.vec_id,
+         |    list_dot_product(qq.qv, l.vec) AS score
+         |  FROM qq CROSS JOIN live l)
+         |SELECT query_id, vec_id, score FROM (
+         |  SELECT scored.*, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rn
+         |  FROM scored) t
+         |WHERE rn <= 10""".stripMargin,
+    "tiered_knn_served" ->
       s"""$MUTLOG,
          |qq AS (SELECT vec_id AS query_id, e AS qv FROM emb
          |  WHERE vec_id % 25 = 0),

@@ -16,7 +16,7 @@ import org.apache.spark.storage.StorageLevel
   */
 final case class ListBlock(cid: Long, ids: Array[Long], vecs: Array[Float],
     dim: Int, tenants: Array[String] = null,
-    tags: Array[Array[Long]] = null)
+    tags: Array[Array[Long]] = null, vecsD: Array[Double] = null)
 
 /** Per-request predicate for the serving path — the reference
   * QueryRequest's filter surface (types.h:67-75): tenant equality (Q2),
@@ -31,6 +31,53 @@ final case class ServingFilter(tenant: Option[String] = None,
 
 object ServingFilter {
   val none: ServingFilter = ServingFilter()
+}
+
+/** In-flight buffer tier for the serving path (T5/Q10 read-your-writes on
+  * serving; reference msg-buf.h buffer + segments with version masking):
+  * the mutations accepted since the index was last rebuilt, held
+  * driver-side. Bounded by flush cadence — the measured delta-resident
+  * fraction is ~2%, and the reference's buffer is capped by the flush
+  * threshold (config.h:29) — so the overlay stays MBs even for a large
+  * served corpus; rebuild the index and drain on flush.
+  *
+  * Semantics match [[graft.operators.TieredScan.liveView]]: any overlay
+  * version of an id SHADOWS the stored version (buffer epochs are ≥
+  * flushed epochs by construction), the overlay's own LWW winner
+  * represents the id, and tombstoned winners mask without becoming
+  * candidates.
+  */
+final class ServingOverlay private (
+    private[index] val shadowed: Set[Long],
+    private[index] val winners: Array[(Long, Long, Array[Double])]) // (id, cid, vec)
+    extends Serializable {
+  def size: Int = winners.length
+}
+
+object ServingOverlay {
+  /** Build from buffered mutation rows
+    * (cols: idCol, epoch, deleted, centroid_id, vecCol). Vectors are held
+    * as doubles — exact for float sources, lossless for double sources —
+    * so overlay scores match the SQL paths bit-for-bit.
+    */
+  def fromDataFrame(buffer: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "vec"): ServingOverlay = {
+    val rows = buffer
+      .select(col(idCol).cast("long"), col("epoch").cast("long"),
+        col("deleted").cast("boolean"), col("centroid_id").cast("long"),
+        col(vecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3),
+        if (r.isNullAt(4)) null else r.getSeq[Double](4).toArray))
+    val byId = rows.groupBy(_._1)
+    val winners = byId.valuesIterator
+      .map(_.maxBy(_._2)) // LWW within the buffer
+      .collect { case (id, _, deleted, cid, vec) if !deleted && vec != null =>
+        (id, cid, vec)
+      }
+      .toArray
+    new ServingOverlay(byId.keySet, winners)
+  }
 }
 
 private final class ExactPartitioner(n: Int) extends Partitioner {
@@ -112,6 +159,41 @@ final class ServingIndex private (
     merged.take(k)
   }
 
+  /** Tiered request: stored index + in-flight buffer overlay with version
+    * masking — the serving-path twin of the tiered read
+    * ([[graft.operators.TieredScan.liveView]] semantics). Stored rows
+    * whose id has ANY buffered version are skipped in-task (the shadow
+    * set ships with the probe job — it is delta-fraction small); the
+    * overlay's live LWW winners within the probed lists join the
+    * candidate pool driver-side with the same score arithmetic. Overlay
+    * scan cost is O(overlay) per request on the driver — microseconds at
+    * the measured 2% delta fraction.
+    */
+  def searchWithOverlay(q: Array[Float], k: Int, nprobe: Int,
+      overlay: ServingOverlay): Array[(Long, Double)] = {
+    val probed = probe(q, nprobe)
+    val probedSet = probed.toSet
+    val parts = probed.flatMap(cidToPart.get).distinct.toArray
+    val m = metric
+    val ascL = asc
+    val shadow = overlay.shadowed
+    val partials: Array[Array[(Long, Double)]] =
+      if (parts.isEmpty) Array.empty
+      else blocks.sparkContext.runJob(
+        blocks,
+        (it: Iterator[ListBlock]) =>
+          ServingIndex.scanTopK(it, q, k, m, ascL, probedSet,
+            ServingFilter.none, shadow),
+        parts.toIndexedSeq)
+    val overlayCands = overlay.winners.iterator
+      .filter(w => probedSet.contains(w._2))
+      .map(w => (w._1, ServingIndex.scoreOne(q, w._3, m)))
+      .toArray
+    (partials.flatten ++ overlayCands)
+      .sortBy { case (id, s) => (if (ascL) s else -s, id) }
+      .take(k)
+  }
+
   /** Battery/verify helper: a request loop over `queries`, results as a
     * DataFrame (query_id, vec_id, score) — k rows per request, built on
     * the driver (the serving pattern: each query IS an independent
@@ -119,9 +201,14 @@ final class ServingIndex private (
     */
   def searchAllDF(spark: SparkSession, queries: Seq[(Long, Array[Float])],
       k: Int, nprobe: Int,
-      filter: ServingFilter = ServingFilter.none): DataFrame = {
+      filter: ServingFilter = ServingFilter.none,
+      overlay: Option[ServingOverlay] = None): DataFrame = {
     val rows = queries.flatMap { case (qid, qv) =>
-      search(qv, k, nprobe, filter).map { case (id, s) => Row(qid, id, s) }
+      val hits = overlay match {
+        case Some(o) => searchWithOverlay(qv, k, nprobe, o)
+        case None => search(qv, k, nprobe, filter)
+      }
+      hits.map { case (id, s) => Row(qid, id, s) }
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1),
@@ -149,8 +236,19 @@ object ServingIndex {
     val dim = matrix.headOption.map(_.length).getOrElse(0)
     val hasTenant = tenantCol.isDefined
     val hasTags = tagsCol.isDefined
+    // precision follows the source: float embeddings pack as float[]
+    // (half the memory at serving scale), double vectors (e.g. segment
+    // `vec` columns) pack as double[] — a float downcast would shift
+    // scores off the SQL paths by ulps and break the oracle hash
+    val isDouble =
+      assigned.schema(vecCol).dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, _) => true
+        case _ => false
+      }
+    val vecType = if (isDouble) "array<double>" else "array<float>"
     val cols = Seq(col("centroid_id").cast("long"),
-        col(idCol).cast("long"), col(vecCol).cast("array<float>")) ++
+        col(idCol).cast("long"), col(vecCol).cast(vecType)) ++
       tenantCol.map(c => col(c).cast("string")) ++
       tagsCol.map(c => col(c).cast("array<long>"))
     val tenantIdx = 3
@@ -159,7 +257,10 @@ object ServingIndex {
       .flatMap { r =>
         val cid = r.getLong(0)
         cidToPart.get(cid).map { p =>
-          (p, (cid, r.getLong(1), r.getSeq[Float](2).toArray,
+          val vec: AnyRef =
+            if (isDouble) r.getSeq[Double](2).toArray
+            else r.getSeq[Float](2).toArray
+          (p, (cid, r.getLong(1), vec,
             if (hasTenant) r.getString(tenantIdx) else null,
             if (hasTags) r.getSeq[Long](tagsIdx).toArray else null))
         }
@@ -172,20 +273,29 @@ object ServingIndex {
         else {
           val cid = rows.head._2._1
           val n = rows.length
-          val d = rows.head._2._3.length
+          val d =
+            if (isDouble) rows.head._2._3.asInstanceOf[Array[Double]].length
+            else rows.head._2._3.asInstanceOf[Array[Float]].length
           val ids = new Array[Long](n)
-          val vecs = new Array[Float](n * d)
+          val vecsF = if (isDouble) null else new Array[Float](n * d)
+          val vecsD = if (isDouble) new Array[Double](n * d) else null
           val tenants = if (hasTenant) new Array[String](n) else null
           val tags = if (hasTags) new Array[Array[Long]](n) else null
           var i = 0
           while (i < n) {
             ids(i) = rows(i)._2._2
-            System.arraycopy(rows(i)._2._3, 0, vecs, i * d, d)
+            if (isDouble)
+              System.arraycopy(rows(i)._2._3.asInstanceOf[Array[Double]],
+                0, vecsD, i * d, d)
+            else
+              System.arraycopy(rows(i)._2._3.asInstanceOf[Array[Float]],
+                0, vecsF, i * d, d)
             if (hasTenant) tenants(i) = rows(i)._2._4
             if (hasTags) tags(i) = rows(i)._2._5
             i += 1
           }
-          Iterator.single(ListBlock(cid, ids, vecs, d, tenants, tags))
+          Iterator.single(ListBlock(cid, ids, vecsF, d, tenants, tags,
+            vecsD))
         }
       }, preservesPartitioning = true)
       .persist(StorageLevel.MEMORY_ONLY)
@@ -215,9 +325,38 @@ object ServingIndex {
     * in index order — bit-identical to the codegen DotProduct/L2SqDistance
     * kernels.
     */
+  /** Single-vector score with the exact kernel arithmetic of [[scanTopK]]
+    * (sequential double accumulation) — used for driver-side overlay
+    * candidates so tiered results hash-match the SQL paths.
+    */
+  private[index] def scoreOne(q: Array[Float], v: Array[Double],
+      metric: String): Double = {
+    val d = q.length
+    var s = 0.0
+    var i = 0
+    if (metric == "l2") {
+      while (i < d) {
+        val diff = q(i).toDouble - v(i).toDouble; s += diff * diff; i += 1
+      }
+    } else {
+      while (i < d) { s += q(i).toDouble * v(i).toDouble; i += 1 }
+      if (metric == "cosine") {
+        var nq = 0.0; var nv = 0.0; var j = 0
+        while (j < d) {
+          nq += q(j).toDouble * q(j).toDouble
+          nv += v(j).toDouble * v(j).toDouble
+          j += 1
+        }
+        s = s / (math.sqrt(nq) * math.sqrt(nv))
+      }
+    }
+    s
+  }
+
   private[index] def scanTopK(it: Iterator[ListBlock], q: Array[Float],
       k: Int, metric: String, asc: Boolean, probed: Set[Long],
-      filter: ServingFilter = ServingFilter.none): Array[(Long, Double)] = {
+      filter: ServingFilter = ServingFilter.none,
+      skipIds: Set[Long] = Set.empty): Array[(Long, Double)] = {
     val wantTenant = filter.tenant.orNull
     val wantTags = filter.tagsAny.map(_.toArray).orNull
     val sampleP = filter.sampleP.getOrElse(-1)
@@ -258,6 +397,7 @@ object ServingIndex {
     // a dot product. Sample arithmetic = Knn.sampleFilter's
     // pmod(vec_id · 2654435761, 100) < p, wrap-and-positive-mod exactly.
     def pass(b: ListBlock, r: Int): Boolean = {
+      if (skipIds.nonEmpty && skipIds.contains(b.ids(r))) return false
       if (sampleP >= 0) {
         val m = (b.ids(r) * 2654435761L) % 100L
         if ((if (m < 0) m + 100L else m) >= sampleP) return false
@@ -287,6 +427,12 @@ object ServingIndex {
       if (probed.contains(b.cid)) {
         val d = b.dim
         val n = b.ids.length
+        val vf = b.vecs
+        val vd = b.vecsD
+        // element read dispatches on the packed precision OUTSIDE the
+        // per-dimension loop cost path (JIT specializes each branch);
+        // (double)float reads are exact, so both paths match the codegen
+        // kernels bit-for-bit
         var r = 0
         while (r < n) {
           if (!pass(b, r)) { r += 1 }
@@ -295,20 +441,30 @@ object ServingIndex {
           var s = 0.0
           var i = 0
           if (metric == "l2") {
-            while (i < d) {
-              val diff = q(i).toDouble - b.vecs(off + i).toDouble
-              s += diff * diff; i += 1
-            }
+            if (vd != null)
+              while (i < d) {
+                val diff = q(i).toDouble - vd(off + i)
+                s += diff * diff; i += 1
+              }
+            else
+              while (i < d) {
+                val diff = q(i).toDouble - vf(off + i).toDouble
+                s += diff * diff; i += 1
+              }
           } else {
             // ip and cosine share the dot loop; cosine normalizes below
-            while (i < d) {
-              s += q(i).toDouble * b.vecs(off + i).toDouble; i += 1
-            }
+            if (vd != null)
+              while (i < d) { s += q(i).toDouble * vd(off + i); i += 1 }
+            else
+              while (i < d) {
+                s += q(i).toDouble * vf(off + i).toDouble; i += 1
+              }
             if (metric == "cosine") {
               var nq = 0.0; var nv = 0.0; var j = 0
               while (j < d) {
                 nq += q(j).toDouble * q(j).toDouble
-                nv += b.vecs(off + j).toDouble * b.vecs(off + j).toDouble
+                val x = if (vd != null) vd(off + j) else vf(off + j).toDouble
+                nv += x * x
                 j += 1
               }
               // IEEE division, no zero guard — exactly cosineD's

@@ -94,6 +94,41 @@ class ServingSpec extends SparkSpec {
     idx.unpersist(); entries.unpersist()
   }
 
+  test("overlay: buffered upserts shadow stored rows, deletes mask, inserts appear") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-serving-overlay-").toString
+    try {
+      import graft.segments.Segments
+      // stored tier: ids 1..3 pointing along x
+      val stored = Seq(
+        (1L, 11L, 100L, false, 0L, Seq(1.0, 0.0)),
+        (2L, 12L, 100L, false, 0L, Seq(0.9, 0.1)),
+        (3L, 13L, 100L, false, 0L, Seq(0.8, 0.2)))
+        .toDF("vec_id", "id_hash", "epoch", "deleted", "centroid_id", "vec")
+      Segments.writeSegment(stored, dir, "delta-000", isStable = false)
+      val c = Seq((0L, Seq(0.5, 0.5))).toDF("cid", "cv")
+      val idx = ServingIndex.buildStored(spark, dir, c, "ip")
+      // buffer: id 1 re-upserted with a WORSE vector (must shadow the
+      // stored one), id 2 deleted (must vanish), id 9 newly inserted
+      val buffer = Seq(
+        (1L, 11L, 200L, false, 0L, Seq(0.0, 1.0)),
+        (2L, 12L, 200L, true, 0L, null.asInstanceOf[Seq[Double]]),
+        (9L, 19L, 200L, false, 0L, Seq(1.0, 0.0)))
+        .toDF("vec_id", "id_hash", "epoch", "deleted", "centroid_id", "vec")
+      val overlay = ServingOverlay.fromDataFrame(buffer)
+      val got = idx.searchWithOverlay(Array(1.0f, 0.0f), 10, 1, overlay)
+      // id 9 (buffer insert, score 1.0) first; id 3 stored 0.8; id 1's
+      // BUFFERED version scores 0.0 (not the stored 1.0); id 2 gone
+      assert(got.map(_._1).toSeq === Seq(9L, 3L, 1L))
+      assert(got.head._2 === 1.0)
+      assert(got.find(_._1 == 1L).get._2 === 0.0)
+      // same request without the overlay sees the stored world
+      val plain = idx.search(Array(1.0f, 0.0f), 10, 1)
+      assert(plain.map(_._1).toSeq === Seq(1L, 2L, 3L))
+      idx.unpersist()
+    } finally graft.segments.Segments.deleteDir(dir)
+  }
+
   test("buildStored serves latest-live versions only") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-serving-stored-").toString
