@@ -112,4 +112,60 @@ class QueryFuzzSpec extends SparkSpec {
     }
     entries.unpersist()
   }
+
+  test("random filtered SERVING requests match driver-side brute force exactly") {
+    import graft.index.{Ivf, ServingFilter, ServingIndex}
+    val entries = VectorEntries.fromEmbeddings(emb)
+    val cents = Ivf.deterministicCentroids(emb, 50)
+    val assigned = Ivf.assign(entries, cents).cache()
+    val rows = assigned
+      .select("vec_id", "embedding", "tenant", "tags")
+      .collect().map { r =>
+        (r.getLong(0), r.getSeq[Float](1).toArray, r.getString(2),
+          r.getSeq[Int](3).map(_.toLong))
+      }
+    val byId = rows.map(e => e._1 -> e).toMap
+    val allTags = rows.flatMap(_._4).distinct.sorted
+    def sampled(id: Long, p: Int): Boolean = {
+      val m = (id * 2654435761L) % 100L
+      (if (m < 0) m + 100L else m) < p
+    }
+    for (metric <- Seq("ip", "l2", "cosine")) {
+      val idx = ServingIndex.build(assigned, cents, metric,
+        tenantCol = Some("tenant"), tagsCol = Some("tags"))
+      val asc = Knn.isAscending(metric)
+      (1 to 10).foreach { seed =>
+        val rnd = new Random(100 * seed)
+        val k = 1 + rnd.nextInt(15)
+        val tenantF = if (rnd.nextBoolean()) Some(s"t${rnd.nextInt(3)}") else None
+        val tagsF =
+          if (rnd.nextInt(3) == 0)
+            Some((rnd.shuffle(allTags).take(1 + rnd.nextInt(3)) ++
+              (if (rnd.nextBoolean()) Seq(999L) else Nil)).toSeq)
+          else None
+        val sampleF = if (rnd.nextInt(3) == 0) Some(25 * (1 + rnd.nextInt(3))) else None
+        val q = rnd.shuffle(rows.toSeq).head
+        val got = idx.search(q._2, k, Int.MaxValue,
+          ServingFilter(tenantF, tagsF, sampleF)).toSeq
+        val surviving = rows.filter { e =>
+          tenantF.forall(_ == e._3) &&
+          tagsF.forall(ts => e._4.exists(ts.contains)) &&
+          sampleF.forall(p => sampled(e._1, p))
+        }
+        val expect = surviving.map { e =>
+          val s = metric match {
+            case "ip" => dot(q._2, e._2)
+            case "l2" => l2sq(q._2, e._2)
+            case "cosine" => cos(q._2, e._2)
+          }
+          (e._1, s)
+        }.toSeq.sortBy { case (id, s) => (if (asc) s else -s, id) }.take(k)
+        assert(got === expect,
+          s"seed=$seed metric=$metric k=$k tenant=$tenantF tags=$tagsF " +
+            s"sample=$sampleF q=${q._1}")
+      }
+      idx.unpersist()
+    }
+    assigned.unpersist()
+  }
 }
