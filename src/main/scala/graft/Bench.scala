@@ -279,8 +279,8 @@ object Bench {
     // zero shuffle), (c) IVF-probed QPS at nprobe/nlist ≈ 1/8. Best-of-2
     // each, same steady-state rationale as above.
     val (knn1mExactQps, assign1mRowsPerSec, knn1mIvfQps, ivf1mP50Ms,
-        ivf1mP99Ms, ivf1mP50SteadyMs, ivf1mP99SteadyMs, dispatchFloorMs,
-        floorGateOk, servNlist, servNprobe) =
+        ivf1mP99Ms, ivf1mP50SteadyMs, ivf1mP99SteadyMs, ivf1mFilteredP99Ms,
+        dispatchFloorMs, floorGateOk, servNlist, servNprobe) =
       try {
         val e = Tables.load(spark, sfDir, "embeddings")
         val n0 = e.count()
@@ -334,8 +334,15 @@ object Bench {
         val servCents = Ivf.deterministicCentroids(e,
           (n0 / targetNlist).toInt.max(1))
         val nlistServ = servCents.count().toInt
+        // tenant/tags synthesized with the VectorEntries formulas so the
+        // SAME index serves both the plain and the filtered latency loops
         val idx = graft.index.ServingIndex.build(
-          Ivf.assign(big, servCents), servCents, "ip")
+          Ivf.assign(big, servCents)
+            .withColumn("tenant", concat(lit("t"), col("vec_id") % 3))
+            .withColumn("tags", array((col("vec_id") % 7).cast("long"),
+              lit(10L) + (col("vec_id") % 5).cast("long"))),
+          servCents, "ip",
+          tenantCol = Some("tenant"), tagsCol = Some("tags"))
         big.unpersist(); assigned.unpersist()
         val nprobeServ = 8
         def floorNow(): Double = (0 until 3).map { _ =>
@@ -369,14 +376,28 @@ object Bench {
         val (raw, steady, floor) = round
         def pctl(xs: Seq[Double], p: Int): Double =
           xs(math.min(xs.length - 1, xs.length * p / 100))
+        // filtered serving: the composite QueryRequest (tenant + tags_any
+        // + nprobe) through the same index — filters are in-task row
+        // predicates, so the budget must hold here too
+        val ff = graft.index.ServingFilter(tenant = Some("t1"),
+          tagsAny = Some(Seq(3L, 11L)))
+        idx.search(qRows.head, 10, nprobeServ, ff) // warm, untimed
+        val filteredRaw = (0 until 3).flatMap { _ =>
+          qRows.map { qv =>
+            val t0 = System.nanoTime()
+            idx.search(qv, 10, nprobeServ, ff)
+            (System.nanoTime() - t0) / 1e6
+          }
+        }.sorted
         val r = (nQs / exactSec, nBig / assignSec, nQs / ivfSec,
           pctl(raw, 50), pctl(raw, 99), pctl(steady, 50), pctl(steady, 99),
-          floor, floor <= 15.0, nlistServ, nprobeServ)
+          pctl(filteredRaw, 99), floor, floor <= 15.0, nlistServ,
+          nprobeServ)
         idx.unpersist(); qs.unpersist()
         r
       } catch { case e: Throwable =>
         System.err.println(s"[bench] corpus-scale knn FAILED: ${e.getMessage}")
-        (-1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, false, -1, -1)
+        (-1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, false, -1, -1)
       }
 
     // Reference-scale configuration stress (config.h:19,74,84-94: dim 768,
@@ -433,7 +454,7 @@ object Bench {
 
     // exit 0 even with failures: the JSON line (with its "failed" list) is
     // the contract — a non-zero rc would discard the whole measurement
-    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"failed":$failed,"flaky":$flakyJson,"recall_at_tuned_nprobe":${num(tunedRecall, 4)},"recall_pq2phase":${num(recallPq, 4)},"recall_pq_trained":${num(recallPqTrained, 4)},"recall_pq_at_tuned_rerank":${num(recallPqTuned, 4)},"pq_tuned_rerank":$pqRerank,"recall_pq_opq":${num(recallOpq, 4)},"tuned_nprobe":$tunedNprobe,"ivf_nlist":$nlist,"n_queries_per_batch":$nQueries,"knn_exact_per_query_ms":${num(perQueryMs, 2)},"knn_1m_exact_qps":${num(knn1mExactQps, 1)},"ivf_assign_1m_rows_per_sec":${num(assign1mRowsPerSec, 0)},"knn_1m_ivf_qps":${num(knn1mIvfQps, 1)},"serving_nlist":$servNlist,"serving_nprobe":$servNprobe,"ivf_1m_query_p50_ms":${num(ivf1mP50Ms, 1)},"ivf_1m_query_p99_ms":${num(ivf1mP99Ms, 1)},"ivf_1m_query_p50_steady_ms":${num(ivf1mP50SteadyMs, 1)},"ivf_1m_query_p99_steady_ms":${num(ivf1mP99SteadyMs, 1)},"job_dispatch_floor_ms":${num(dispatchFloorMs, 1)},"floor_gate_ms":15,"floor_gate_ok":$floorGateOk,"stress768_rows":$s768Rows,"stress768_assign_rows_per_sec":${num(s768AssignRps, 0)},"stress768_pq96_encode_rows_per_sec":${num(s768EncodeRps, 0)},"stress768_pq96_2phase_sec":${num(s768TwoPhaseSec, 3)},"ingest_ops":$ingestOps,"ingest_ops_per_sec":${num(ingestQps, 1)},"flush_lag_ms":${num(flushLagMsOut, 1)},"compact_sec":${num(compactSec, 3)},"write_amplification":${num(writeAmp, 3)},"delta_resident_fraction":${num(deltaFrac, 4)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"failed":$failed,"flaky":$flakyJson,"recall_at_tuned_nprobe":${num(tunedRecall, 4)},"recall_pq2phase":${num(recallPq, 4)},"recall_pq_trained":${num(recallPqTrained, 4)},"recall_pq_at_tuned_rerank":${num(recallPqTuned, 4)},"pq_tuned_rerank":$pqRerank,"recall_pq_opq":${num(recallOpq, 4)},"tuned_nprobe":$tunedNprobe,"ivf_nlist":$nlist,"n_queries_per_batch":$nQueries,"knn_exact_per_query_ms":${num(perQueryMs, 2)},"knn_1m_exact_qps":${num(knn1mExactQps, 1)},"ivf_assign_1m_rows_per_sec":${num(assign1mRowsPerSec, 0)},"knn_1m_ivf_qps":${num(knn1mIvfQps, 1)},"serving_nlist":$servNlist,"serving_nprobe":$servNprobe,"ivf_1m_query_p50_ms":${num(ivf1mP50Ms, 1)},"ivf_1m_query_p99_ms":${num(ivf1mP99Ms, 1)},"ivf_1m_query_p50_steady_ms":${num(ivf1mP50SteadyMs, 1)},"ivf_1m_query_p99_steady_ms":${num(ivf1mP99SteadyMs, 1)},"ivf_1m_query_filtered_p99_ms":${num(ivf1mFilteredP99Ms, 1)},"job_dispatch_floor_ms":${num(dispatchFloorMs, 1)},"floor_gate_ms":15,"floor_gate_ok":$floorGateOk,"stress768_rows":$s768Rows,"stress768_assign_rows_per_sec":${num(s768AssignRps, 0)},"stress768_pq96_encode_rows_per_sec":${num(s768EncodeRps, 0)},"stress768_pq96_2phase_sec":${num(s768TwoPhaseSec, 3)},"ingest_ops":$ingestOps,"ingest_ops_per_sec":${num(ingestQps, 1)},"flush_lag_ms":${num(flushLagMsOut, 1)},"compact_sec":${num(compactSec, 3)},"write_amplification":${num(writeAmp, 3)},"delta_resident_fraction":${num(deltaFrac, 4)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

