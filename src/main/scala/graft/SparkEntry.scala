@@ -331,6 +331,33 @@ object SparkEntry {
       idx.unpersist()
       out
     }),
+    // B1 periodic rebuild: re-cluster the stored latest-live rows under a
+    // FINER centroid set (every=25 vs the ingest-time every=50) into a
+    // new stable generation — the 24 h centroid-retrain job
+    // (config.h:96-99). Output = the new layout's per-list profile.
+    "rebuild_layout" -> ((s, dir) => {
+      import graft.segments.Segments
+      val e = emb(s, dir)
+      val cents50 = Ivf.deterministicCentroids(e, 50)
+      val rows = Ivf.assign(
+          MutationLog.deterministicLog(e)
+            .withColumn("id_hash", hashId(col("id")))
+            .withColumn("deleted", col("op") === "DELETE"),
+          cents50, vecCol = "vec")
+        .withColumn("centroid_id", coalesce(col("centroid_id"), lit(-1L)))
+        .select("vec_id", "id_hash", "epoch", "deleted", "centroid_id",
+          "vec")
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-rebuild-").toString
+      Segments.writeSegment(rows, base, "delta-000", isStable = false)
+      val cents25 = Ivf.deterministicCentroids(e, 25)
+      Segments.rebuildLayout(s, base,
+        df => Ivf.assign(df, cents25, vecCol = "vec"), "stable-r2")
+      Segments.readSegments(s, base, stableOnly = Some(true))
+        .groupBy(col("centroid_id"))
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(col("vec_id")).cast("long").as("sum_vec_id"))
+    }),
     // ---- Q6 on the physical layout: stored-segment IVF search ----------
     "knn_ivf_stored" -> ((s, dir) => {
       val cents = Ivf.deterministicCentroids(emb(s, dir), 50)
@@ -834,6 +861,21 @@ object SparkEntry {
          |    PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rn
          |  FROM scored) t
          |WHERE rn <= 10""".stripMargin,
+    "rebuild_layout" ->
+      s"""$MUTLOG,
+         |cent AS (SELECT vec_id AS cid, e AS cv FROM emb
+         |  WHERE vec_id % 25 = 0),
+         |la AS (SELECT vec_id, cid AS centroid_id FROM (
+         |    SELECT l.vec_id, c.cid, row_number() OVER (
+         |      PARTITION BY l.vec_id ORDER BY
+         |        list_dot_product(l.vec, l.vec)
+         |          - 2 * list_dot_product(l.vec, c.cv)
+         |          + list_dot_product(c.cv, c.cv) ASC, c.cid ASC) AS rn
+         |    FROM live l CROSS JOIN cent c) t
+         |  WHERE rn = 1)
+         |SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_vectors,
+         |  CAST(sum(vec_id) AS BIGINT) AS sum_vec_id
+         |FROM la GROUP BY centroid_id""".stripMargin,
     "tiered_knn_served" ->
       s"""$MUTLOG,
          |qq AS (SELECT vec_id AS query_id, e AS qv FROM emb

@@ -303,6 +303,33 @@ object Segments {
     Some(desc)
   }
 
+  /** B1 periodic rebuild (reference retrains global centroids every 24 h,
+    * config.h:96-99): re-cluster the store's latest-live rows under NEW
+    * centroids into one new stable generation and mark every prior active
+    * segment replaced. `reassign` computes the new `centroid_id` (pass
+    * `Ivf.assign(_, newCentroids, vecCol = "vec")` — the map-side codegen
+    * argmin). One pass over the store: tiered scan → narrow LWW →
+    * tombstone purge → reassign → centroid-partitioned stable write. No
+    * driver-side data, no sort; at 100 TB this is the background job that
+    * keeps probe pruning aligned with drifting data.
+    */
+  def rebuildLayout(spark: SparkSession, baseDir: String,
+      reassign: DataFrame => DataFrame,
+      stableSegmentId: String): Option[SegmentDescriptor] = {
+    val active = catalogDescriptors(spark, baseDir)
+    if (active.isEmpty) return None
+    val all = readSegments(spark, baseDir)
+    val resolved = graft.operators.Lww.latestBy(all, "id_hash", "epoch")
+      .filter(!col("deleted"))
+    val relaid = reassign(resolved.drop("centroid_id"))
+    val desc = writeSegment(relaid, baseDir, stableSegmentId,
+      isStable = true)
+    appendCatalog(spark, baseDir, active.map(d =>
+      d.copy(replaced_by = Some(stableSegmentId),
+        created_at = new java.sql.Timestamp(System.currentTimeMillis()))))
+    Some(desc)
+  }
+
   /** Remove a segment tree from disk (test helper / GC). */
   def deleteDir(path: String): Unit = {
     val p = Paths.get(path)

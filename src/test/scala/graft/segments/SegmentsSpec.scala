@@ -172,6 +172,36 @@ class SegmentsSpec extends SparkSpec {
     Segments.deleteDir(base)
   }
 
+  test("rebuildLayout re-clusters latest-live rows and swaps the catalog (B1 rebuild)") {
+    val base = tmpBase()
+    val rows = segmentRows.cache()
+    Segments.writeSegment(rows.filter(col("epoch") < 2000), base, "d0", false)
+    Segments.writeSegment(rows.filter(col("epoch") >= 2000), base, "d1", false)
+    val cents25 = Ivf.deterministicCentroids(emb, 25)
+    val desc = Segments.rebuildLayout(spark, base,
+      df => Ivf.assign(df, cents25, vecCol = "vec"), "stable-gen2")
+    assert(desc.exists(_.segment_id === "stable-gen2"))
+    // catalog: only the new generation is active
+    val active = Segments.catalogDescriptors(spark, base)
+    assert(active.map(_.segment_id) === Seq("stable-gen2"))
+    // contents: exactly the latest-live rows, re-assigned to the finer set
+    val got = Segments.readSegments(spark, base)
+      .select("vec_id", "epoch").as[(Long, Long)].collect().sortBy(_._1)
+    val oracle = MutationLog.live(MutationLog.deterministicLog(emb))
+      .select("vec_id", "epoch").as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === oracle.toSeq)
+    // layout: every row's centroid is from the new (every=25) set
+    val newCids = cents25.select("cid").as[Long].collect().toSet
+    val cids = Segments.readSegments(spark, base)
+      .select("centroid_id").distinct().as[Long].collect()
+    assert(cids.forall(newCids.contains))
+    // rebuild of an empty (all-replaced... fresh) store is a no-op
+    val empty = tmpBase()
+    assert(Segments.rebuildLayout(spark, empty,
+      df => df, "stable-x").isEmpty)
+    Seq(base, empty).foreach(Segments.deleteDir)
+  }
+
   test("catalogStats reports tiers") {
     val base = tmpBase()
     val rows = segmentRows
