@@ -129,6 +129,52 @@ class ServingSpec extends SparkSpec {
     } finally graft.segments.Segments.deleteDir(dir)
   }
 
+  test("overlay fuzz: random flush/buffer splits match the live-set brute force") {
+    val dir0 = java.nio.file.Files
+      .createTempDirectory("graft-overlay-fuzz-").toString
+    import graft.segments.Segments
+    val log = graft.ingest.MutationLog.deterministicLog(emb)
+    val entries = Ivf.assign(
+        log.withColumn("id_hash",
+            graft.functions.VectorFunctions.hashId(col("id")))
+          .withColumn("deleted", col("op") === "DELETE"),
+        cents, vecCol = "vec")
+      .withColumn("centroid_id", coalesce(col("centroid_id"), lit(-1L)))
+      .select("vec_id", "id_hash", "epoch", "deleted", "centroid_id", "vec")
+      .cache()
+    val all = entries.collect().map(r => (r.getLong(0), r.getLong(2),
+      r.getBoolean(3), r.getLong(4),
+      if (r.isNullAt(5)) null else r.getSeq[Double](5).toArray))
+    def dotFD(a: Array[Float], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i); i += 1 }
+      s
+    }
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 7)
+      // random epoch cut: older rows flushed, newer rows still buffered
+      val cut = 1500 + rnd.nextInt(2000)
+      val dir = s"$dir0/t$seed"
+      Segments.writeSegment(entries.filter(col("epoch") < cut), dir,
+        "delta-000", isStable = false)
+      val idx = ServingIndex.buildStored(spark, dir, cents, "ip")
+      val overlay = ServingOverlay.fromDataFrame(
+        entries.filter(col("epoch") >= cut))
+      val k = 5 + rnd.nextInt(20)
+      val (qid, qv) = queries(rnd.nextInt(queries.length))
+      val got = idx.searchWithOverlay(qv, k, Int.MaxValue, overlay).toSeq
+      // brute force: LWW per id over the WHOLE log, live only
+      val live = all.groupBy(_._1).values.map(_.maxBy(_._2))
+        .filter(v => !v._3 && v._5 != null)
+      val expect = live.map(v => (v._1, dotFD(qv, v._5)))
+        .toSeq.sortBy { case (id, s) => (-s, id) }.take(k)
+      assert(got === expect, s"seed=$seed cut=$cut k=$k q=$qid")
+      idx.unpersist()
+    }
+    entries.unpersist()
+    graft.segments.Segments.deleteDir(dir0)
+  }
+
   test("buildStored serves latest-live versions only") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-serving-stored-").toString
