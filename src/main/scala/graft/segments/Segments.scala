@@ -303,6 +303,39 @@ object Segments {
     Some(desc)
   }
 
+  /** A1 catalog checkpoint: fold the append-only manifest history into a
+    * single file and drop the older files — the catalog's own compaction
+    * (one tiny file per flush/compact otherwise accumulates forever).
+    * Crash-safe without coordination: the checkpoint is itself an append
+    * (reader order is file-name order, so for every segment it carries it
+    * supersedes the folded files), and a crash between checkpoint write
+    * and old-file deletion leaves duplicate rows that latest-row-wins
+    * collapses on read. Run from the maintenance job that owns
+    * compaction/rebuild (single catalog writer, like the reference's
+    * background thread) — concurrent catalog appends during a checkpoint
+    * are not coordinated against.
+    */
+  def checkpointCatalog(spark: SparkSession, baseDir: String): Unit = {
+    val dir = s"$baseDir/$CatalogDir"
+    val fs = hfs(spark, dir)
+    val p = new HPath(dir)
+    if (!fs.exists(p)) return
+    val files = fs.listStatus(p).map(_.getPath)
+      .filter(_.getName.startsWith("desc-")).sortBy(_.getName).toSeq
+    if (files.length <= 1) return
+    val latest = scala.collection.mutable.LinkedHashMap
+      .empty[String, SegmentDescriptor]
+    files.foreach { f =>
+      val in = fs.open(f)
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty)
+        .foreach { line => val d = decode(line); latest(d.segment_id) = d }
+      finally in.close()
+    }
+    appendLines(spark, dir, "desc", latest.values.map(encode).toSeq)
+    files.foreach(f => fs.delete(f, false))
+  }
+
   /** B1 periodic rebuild (reference retrains global centroids every 24 h,
     * config.h:96-99): re-cluster the store's latest-live rows under NEW
     * centroids into one new stable generation and mark every prior active

@@ -202,6 +202,34 @@ class SegmentsSpec extends SparkSpec {
     Seq(base, empty).foreach(Segments.deleteDir)
   }
 
+  test("checkpointCatalog folds manifest history without changing the active view") {
+    val base = tmpBase()
+    val rows = segmentRows.cache()
+    Segments.writeSegment(rows.filter(col("epoch") < 2000), base, "d0", false)
+    Segments.writeSegment(rows.filter(col("epoch") >= 2000), base, "d1", false)
+    Segments.compact(spark, base, "stable-0") // appends replacement markers
+    val before = Segments.catalogDescriptors(spark, base)
+      .map(d => (d.segment_id, d.is_stable, d.num_vectors))
+    val histBefore = Segments.allDescriptors(spark, base).length
+    assert(histBefore > 3) // writes + replacement markers accumulated
+    Segments.checkpointCatalog(spark, base)
+    val after = Segments.catalogDescriptors(spark, base)
+      .map(d => (d.segment_id, d.is_stable, d.num_vectors))
+    assert(after === before)
+    // history folded to one final row per segment, in one file
+    assert(Segments.allDescriptors(spark, base).length === 3)
+    val files = new java.io.File(s"$base/_catalog").listFiles()
+      .filter(_.getName.startsWith("desc-"))
+    assert(files.length === 1, files.map(_.getName).mkString(","))
+    // checkpoint of a checkpointed (single-file) catalog is a no-op
+    Segments.checkpointCatalog(spark, base)
+    assert(Segments.catalogDescriptors(spark, base)
+      .map(d => (d.segment_id, d.is_stable, d.num_vectors)) === before)
+    // read path still works end to end
+    assert(Segments.readSegments(spark, base).count() > 0)
+    Segments.deleteDir(base)
+  }
+
   test("catalogStats reports tiers") {
     val base = tmpBase()
     val rows = segmentRows
