@@ -155,12 +155,20 @@ object TextOps {
     */
   def boilerplateNgrams(docs: DataFrame, n: Int = 5,
       limit: Int = 50): DataFrame = {
-    val t = filter(tokens(col("text")), x => x =!= "")
+    // tokens materialize as a projected ATTRIBUTE below the generate so
+    // the per-window lambda slices a computed array instead of
+    // re-tokenizing per position (interpreted HOFs have no CSE — the
+    // inline form measured ~4 s at sf0.1, this one ~1 s)
+    val tAttr = col("__t")
     // all positions (not distinct): occurrence counts need multiplicity
-    val grams = transform(sequence(lit(0), size(t) - n),
-      i => concat_ws(" ", slice(t, i + 1, lit(n))))
-    docs.select(col("doc_id"),
-        explode(when(size(t) >= n, grams).otherwise(array())).as("gram"))
+    val grams = transform(sequence(lit(0), size(tAttr) - n),
+      i => concat_ws(" ", slice(tAttr, i + 1, lit(n))))
+    docs
+      .select(col("doc_id"),
+        filter(tokens(col("text")), x => x =!= "").as("__t"))
+      .select(col("doc_id"),
+        explode(when(size(tAttr) >= n, grams).otherwise(array()))
+          .as("gram"))
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("n_occurrences"),
         countDistinct(col("doc_id")).as("n_docs"))
