@@ -175,6 +175,41 @@ class ServingSpec extends SparkSpec {
     graft.segments.Segments.deleteDir(dir0)
   }
 
+  test("rebuild -> refresh: serving index follows the re-clustered layout end to end") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-serving-rebuild-").toString
+    try {
+      import graft.segments.Segments
+      val log = graft.ingest.MutationLog.deterministicLog(emb)
+      val entries = Ivf.assign(
+          log.withColumn("id_hash",
+              graft.functions.VectorFunctions.hashId(col("id")))
+            .withColumn("deleted", col("op") === "DELETE"),
+          cents, vecCol = "vec")
+        .withColumn("centroid_id", coalesce(col("centroid_id"), lit(-1L)))
+        .select("vec_id", "id_hash", "epoch", "deleted", "centroid_id",
+          "vec")
+      Segments.writeSegment(entries, dir, "delta-000", isStable = false)
+      val idxBefore = ServingIndex.buildStored(spark, dir, cents, "ip")
+      val qv = queries.head._2
+      val before = idxBefore.search(qv, 10, nprobe = 1000).toSeq
+      idxBefore.unpersist()
+      // the 24 h job: re-cluster under a finer centroid set, then refresh
+      val cents25 = Ivf.deterministicCentroids(emb, 25)
+      Segments.rebuildLayout(spark, dir,
+        df => Ivf.assign(df, cents25, vecCol = "vec"), "stable-gen2")
+      val idxAfter = ServingIndex.buildStored(spark, dir, cents25, "ip")
+      // full-probe results are layout-independent: same live rows, same
+      // scores — the layout only changes WHICH lists hold them
+      val after = idxAfter.search(qv, 10, nprobe = 1000).toSeq
+      assert(after === before)
+      // the refreshed index really is on the finer layout: more lists,
+      // and a partial probe touches smaller lists than before
+      assert(idxAfter.cids.length > cents.count())
+      idxAfter.unpersist()
+    } finally graft.segments.Segments.deleteDir(dir)
+  }
+
   test("buildStored serves latest-live versions only") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-serving-stored-").toString
