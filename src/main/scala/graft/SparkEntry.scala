@@ -420,6 +420,7 @@ object SparkEntry {
     "boilerplate_ngrams" -> ((s, dir) =>
       TextOps.boilerplateNgrams(docs(s, dir))),
     "pii_redact" -> ((s, dir) => TextOps.piiRedact(docs(s, dir))),
+    "pack_sequences" -> ((s, dir) => TextOps.packSequences(docs(s, dir))),
     // ---- dedup ----------------------------------------------------------
     "dedup_exact" -> ((s, dir) => DedupOps.exactGroups(docs(s, dir))),
     "dedup_jaccard" -> ((s, dir) =>
@@ -1024,6 +1025,17 @@ object SparkEntry {
          |HAVING count(DISTINCT doc_id) >= 2
          |ORDER BY n_occurrences DESC, gram ASC
          |LIMIT 50""".stripMargin,
+    "pack_sequences" ->
+      s"""$DOCTOKS,
+         |c AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM dt),
+         |s AS (SELECT doc_id, n_tokens,
+         |    CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS seq_start
+         |  FROM c)
+         |SELECT doc_id, n_tokens, seq_start,
+         |  CAST(floor(seq_start / 2048) AS BIGINT) AS seq_id
+         |FROM s""".stripMargin,
     "pii_redact" ->
       """WITH d AS (SELECT doc_id, text FROM documents)
         |SELECT doc_id,

@@ -192,6 +192,52 @@ object TextOps {
         .as("redacted_md5"))
   }
 
+  /** Sequence packing — the pretraining step that concatenates documents
+    * (in deterministic doc_id order) into fixed token-budget training
+    * sequences: each doc gets the global token offset where it starts and
+    * the sequence its start falls in.
+    *
+    * The global running sum is a DISTRIBUTED PREFIX-SUM, not a
+    * single-partition window (the naive `Window.orderBy(doc_id)` with no
+    * partition key funnels 100 TB through one task): range-partition by
+    * doc_id, per-partition running sums in parallel (window keyed by
+    * partition id), and a driver-side exclusive scan over the ≤P
+    * per-partition totals broadcast back as offsets. Exact long
+    * arithmetic end to end, so the DuckDB window-cumsum oracle matches
+    * bit-for-bit.
+    */
+  def packSequences(docs: DataFrame, budgetTokens: Long = 2048,
+      numPartitions: Int = 32): DataFrame = {
+    val spark = docs.sparkSession
+    val counted = docs
+      .select(col("doc_id"),
+        size(filter(tokens(col("text")), x => x =!= ""))
+          .cast("long").as("n_tokens"))
+      .repartitionByRange(numPartitions, col("doc_id"))
+      .withColumn("__pid", spark_partition_id())
+    // per-partition totals -> driver exclusive scan (≤ numPartitions rows)
+    val totals = counted.groupBy(col("__pid"))
+      .agg(sum(col("n_tokens")).as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = {
+      var acc = 0L
+      totals.map { case (pid, t) =>
+        val off = acc; acc += t; (pid, off)
+      } // (pid, tokens before this partition)
+    }
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("__pid", "__off")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    counted.join(broadcast(offDf), Seq("__pid"))
+      .withColumn("seq_start",
+        col("__off") + coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"),
+        col("seq_start").cast("long").as("seq_start"),
+        floor(col("seq_start") / budgetTokens).cast("long").as("seq_id"))
+  }
+
   /** Deterministic train/val/test split by content hash (the standard
     * leakage-safe pipeline split: same doc always lands in the same
     * split, independent of partitioning/order). md5-derived so the

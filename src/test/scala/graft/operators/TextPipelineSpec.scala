@@ -43,6 +43,29 @@ class TextPipelineSpec extends SparkSpec {
     assert(TextOps.boilerplateNgrams(short).count() === 0)
   }
 
+  test("packSequences: contiguous global offsets across partition boundaries") {
+    // 8 partitions over 500 docs forces several partition boundaries —
+    // the distributed prefix-sum must stitch them seamlessly
+    val got = TextOps.packSequences(docs, budgetTokens = 256,
+        numPartitions = 8)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // continuity: each doc starts exactly where the previous one ended
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 === a._3 + a._2, s"gap between doc ${a._1} and ${b._1}")
+    }
+    assert(got.head._3 === 0L)
+    // seq assignment: start / budget
+    got.foreach { case (id, _, start, seq) =>
+      assert(seq === start / 256, s"doc $id")
+    }
+    // budget-independent invariant: same starts at a different partition
+    // count (the prefix-sum is partitioning-independent)
+    val alt = TextOps.packSequences(docs, budgetTokens = 256,
+        numPartitions = 3)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(alt.map(r => (r._1, r._3)).toSeq === got.map(r => (r._1, r._3)).toSeq)
+  }
+
   test("piiRedact counts and replaces emails deterministically") {
     val d = Seq(
       (1L, "contact me at alice@example.com or bob.smith+x@sub.domain.org", "en", "s"),
