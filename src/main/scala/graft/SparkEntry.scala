@@ -421,6 +421,14 @@ object SparkEntry {
       TextOps.boilerplateNgrams(docs(s, dir))),
     "pii_redact" -> ((s, dir) => TextOps.piiRedact(docs(s, dir))),
     "pack_sequences" -> ((s, dir) => TextOps.packSequences(docs(s, dir))),
+    // benchmark set = every 100th doc; training docs sharing any 8-gram
+    // with it are flagged (bench docs trivially contaminate themselves —
+    // the realistic signal is their exact/near duplicates)
+    "decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextOps.contamination(d, d.filter(col("doc_id") % 100 === 0))
+    }),
+    "balanced_mix" -> ((s, dir) => TextOps.balancedMix(docs(s, dir))),
     // ---- dedup ----------------------------------------------------------
     "dedup_exact" -> ((s, dir) => DedupOps.exactGroups(docs(s, dir))),
     "dedup_jaccard" -> ((s, dir) =>
@@ -1025,6 +1033,29 @@ object SparkEntry {
          |HAVING count(DISTINCT doc_id) >= 2
          |ORDER BY n_occurrences DESC, gram ASC
          |LIMIT 50""".stripMargin,
+    "decontaminate" ->
+      s"""$DOCTOKS,
+         |dsh AS (SELECT doc_id, unnest(list_distinct(
+         |    CASE WHEN len(t) >= 8
+         |      THEN list_transform(generate_series(1, len(t) - 7),
+         |        i -> array_to_string(t[i:i+7], chr(1)))
+         |      ELSE [] END)) AS sh
+         |  FROM dt),
+         |bsh AS (SELECT DISTINCT sh FROM dsh WHERE doc_id % 100 = 0),
+         |hits AS (SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+         |  FROM dsh d JOIN bsh USING (sh) GROUP BY d.doc_id)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+         |  COALESCE(h.n_contaminated, 0) > 0 AS contaminated
+         |FROM dt d LEFT JOIN hits h USING (doc_id)""".stripMargin,
+    "balanced_mix" ->
+      """WITH d AS (SELECT doc_id, source, text FROM documents),
+        |c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+        |  FROM d GROUP BY source),
+        |m AS (SELECT CAST(min(n) AS BIGINT) AS mn FROM c)
+        |SELECT doc_id, source FROM d JOIN c USING (source)
+        |WHERE CAST(('0x'||substr(md5(text),1,7)) AS BIGINT) * c.n
+        |  < (SELECT mn FROM m) * 268435456""".stripMargin,
     "pack_sequences" ->
       s"""$DOCTOKS,
          |c AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM dt),

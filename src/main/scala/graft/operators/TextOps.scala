@@ -192,6 +192,55 @@ object TextOps {
         .as("redacted_md5"))
   }
 
+  /** Benchmark decontamination — the standard pre-training scrub that
+    * finds training docs sharing any word n-gram with an evaluation/
+    * benchmark set (so eval answers don't leak into training data). Per
+    * doc: how many distinct benchmark n-grams it contains, and the flag.
+    *
+    * Scale shape: doc shingles explode once, the benchmark side reduces
+    * to a DISTINCT n-gram set, and the only shuffle is the semi-join on
+    * the n-gram key (map-side combine on the count). Benchmark sets are
+    * usually small enough that Spark broadcasts that side automatically;
+    * docs with zero hits survive via the left join.
+    */
+  def contamination(docs: DataFrame, benchDocs: DataFrame,
+      n: Int = 8): DataFrame = {
+    import graft.operators.DedupOps.shingles
+    val dSh = docs.select(col("doc_id"),
+      explode(shingles(col("text"), n)).as("sh"))
+    val bSh = benchDocs.select(explode(shingles(col("text"), n)).as("sh"))
+      .distinct()
+    val hits = dSh.join(bSh, Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_contaminated"))
+    docs.select(col("doc_id")).join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_contaminated"), lit(0L)).cast("long")
+          .as("n_contaminated"))
+      .withColumn("contaminated", col("n_contaminated") > 0)
+  }
+
+  /** Balanced source mixing — downsample every source to the size of the
+    * smallest one (the standard equal-mix curriculum step), with a
+    * DETERMINISTIC content-hash gate so the same doc is kept or dropped
+    * regardless of partitioning or run (same leakage-safe property as
+    * [[hashSplit]]). The keep test is pure integer arithmetic
+    * (hash·count < min·2^28), so the DuckDB oracle replays it exactly.
+    * One tiny counts aggregate broadcast back; the gate itself is
+    * row-local.
+    */
+  def balancedMix(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("__n"))
+    val minN = min(col("__n")).over(
+      org.apache.spark.sql.expressions.Window.partitionBy())
+    val withMin = counts.withColumn("__min", minN)
+    val h = graft.functions.expr.SketchExpressions.md5Hash28(col("text"))
+    docs.join(broadcast(withMin), Seq("source"))
+      .filter(h * col("__n") < col("__min") * lit(1L << 28))
+      .select(col("doc_id"), col("source"))
+  }
+
   /** Sequence packing — the pretraining step that concatenates documents
     * (in deterministic doc_id order) into fixed token-budget training
     * sequences: each doc gets the global token offset where it starts and

@@ -66,6 +66,38 @@ class TextPipelineSpec extends SparkSpec {
     assert(alt.map(r => (r._1, r._3)).toSeq === got.map(r => (r._1, r._3)).toSeq)
   }
 
+  test("contamination flags docs sharing an 8-gram with the benchmark set") {
+    val eightGram = "one two three four five six seven eight"
+    val d = Seq(
+      (1L, s"prefix words $eightGram suffix words here", "en", "s"),
+      (2L, "completely unrelated text with no overlap at all whatsoever", "en", "s"),
+      (3L, s"another doc that also leaks $eightGram in the middle", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val bench = Seq((100L, s"benchmark question: $eightGram answer", "en", "b"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = TextOps.contamination(d, bench)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(got.map(r => (r._1, r._3)).toSeq
+      === Seq((1L, true), (2L, false), (3L, true)))
+    assert(got(0)._2 === 1L) // exactly the one shared 8-gram
+  }
+
+  test("balancedMix downsamples skewed sources to the smallest, deterministically") {
+    val rows = (1 to 200).map(i => (i.toLong, s"doc number $i with words", "en", "big")) ++
+      (201 to 220).map(i => (i.toLong, s"doc number $i with words", "en", "small"))
+    val d = rows.toDF("doc_id", "text", "lang", "source")
+    val kept = TextOps.balancedMix(d).as[(Long, String)].collect()
+    val bySource = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    // smallest source keeps everything; the big one downsamples toward it
+    assert(bySource("small") === 20)
+    assert(bySource("big") < 40, s"big kept ${bySource("big")}")
+    assert(bySource("big") > 5)
+    // content-hash gate → identical keep-set under different partitioning
+    val kept2 = TextOps.balancedMix(d.repartition(7)).as[(Long, String)]
+      .collect()
+    assert(kept2.map(_._1).sorted.toSeq === kept.map(_._1).sorted.toSeq)
+  }
+
   test("piiRedact counts and replaces emails deterministically") {
     val d = Seq(
       (1L, "contact me at alice@example.com or bob.smith+x@sub.domain.org", "en", "s"),
