@@ -358,6 +358,35 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_vectors"),
           sum(col("vec_id")).cast("long").as("sum_vec_id"))
     }),
+    // Q7/Q8 on the physical layout: PQ codes PERSISTED in the segments
+    // (encode at ingest, reference config.h:84-94) — phase 1 reads ONLY
+    // (vec_id, codes) plus the narrow LWW columns from storage (column
+    // pruning), phase 2 reranks from the stored raw vectors
+    "knn_pq_stored" -> ((s, dir) => {
+      import graft.segments.Segments
+      val e = emb(s, dir)
+      val cents = Ivf.deterministicCentroids(e, 50)
+      val cb = Pq.deterministicCodebook(e, 8, 8, 50)
+      val rows = Ivf.assign(
+          MutationLog.deterministicLog(e)
+            .withColumn("id_hash", hashId(col("id")))
+            .withColumn("deleted", col("op") === "DELETE"),
+          cents, vecCol = "vec")
+        .withColumn("centroid_id", coalesce(col("centroid_id"), lit(-1L)))
+        .withColumn("codes",
+          when(col("deleted"), lit(null))
+            .otherwise(Pq.codesColumn(cb, vecCol = "vec")))
+        .select("vec_id", "id_hash", "epoch", "deleted", "centroid_id",
+          "codes", "vec")
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-pq-stored-").toString
+      Segments.writeSegment(rows, base, "delta-000", isStable = false)
+      val all = Segments.readSegments(s, base)
+      val live = graft.operators.Lww.latestBy(all, "id_hash", "epoch")
+        .filter(!col("deleted"))
+      Pq.twoPhaseSearch(live, live.select(col("vec_id"), col("codes")),
+        cb, q(s, dir), 10, 4, vecCol = "vec")
+    }),
     // ---- Q6 on the physical layout: stored-segment IVF search ----------
     "knn_ivf_stored" -> ((s, dir) => {
       val cents = Ivf.deterministicCentroids(emb(s, dir), 50)
@@ -869,6 +898,44 @@ object SparkEntry {
          |  SELECT scored.*, row_number() OVER (
          |    PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rn
          |  FROM scored) t
+         |WHERE rn <= 10""".stripMargin,
+    "knn_pq_stored" ->
+      s"""$MUTLOG,
+         |qq AS (SELECT vec_id AS query_id, e AS qv FROM emb
+         |  WHERE vec_id % 25 = 0),
+         |cb AS (SELECT r.j, vec_id AS code_id,
+         |    e[r.j*8+1 : r.j*8+8] AS cw
+         |  FROM emb, range(8) r(j) WHERE vec_id % 50 = 0),
+         |sv AS (SELECT l.vec_id, r.j, l.vec[r.j*8+1 : r.j*8+8] AS s
+         |  FROM live l, range(8) r(j)),
+         |codes AS (SELECT vec_id, j, code_id FROM (
+         |    SELECT sv.vec_id, sv.j, cb.code_id, row_number() OVER (
+         |      PARTITION BY sv.vec_id, sv.j ORDER BY
+         |        list_dot_product(sv.s, sv.s)
+         |          - 2 * list_dot_product(sv.s, cb.cw)
+         |          + list_dot_product(cb.cw, cb.cw) ASC, cb.code_id ASC) AS rn
+         |    FROM sv JOIN cb USING (j)) t
+         |  WHERE rn = 1),
+         |lut AS (SELECT qq.query_id, cb.j, cb.code_id,
+         |    list_dot_product(qq.qv[cb.j*8+1 : cb.j*8+8], cb.cw) AS part
+         |  FROM qq CROSS JOIN cb),
+         |adc AS (SELECT l.query_id, c.vec_id,
+         |    list_sum(list(l.part ORDER BY l.j)) AS approx_score
+         |  FROM codes c JOIN lut l ON c.j = l.j AND c.code_id = l.code_id
+         |  GROUP BY l.query_id, c.vec_id),
+         |cand AS (SELECT query_id, vec_id FROM (
+         |    SELECT adc.*, row_number() OVER (
+         |      PARTITION BY query_id
+         |      ORDER BY approx_score DESC, vec_id ASC) AS rn FROM adc) t
+         |  WHERE rn <= 40),
+         |exact AS (SELECT cand.query_id, cand.vec_id,
+         |    list_dot_product(qq.qv, l.vec) AS score
+         |  FROM cand JOIN qq USING (query_id)
+         |  JOIN live l USING (vec_id))
+         |SELECT query_id, vec_id, score FROM (
+         |  SELECT exact.*, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rn
+         |  FROM exact) t
          |WHERE rn <= 10""".stripMargin,
     "rebuild_layout" ->
       s"""$MUTLOG,

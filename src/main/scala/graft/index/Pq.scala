@@ -1,6 +1,6 @@
 package graft.index
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
@@ -59,15 +59,20 @@ object Pq {
     * map-side projection producing a single array<int> column.
     */
   def encode(data: DataFrame, cb: Codebook,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // slice the raw (float) vector directly: nearestIndex reads any numeric
-    // element type in place, so no full-vector cast-to-double copy per row
-    val codes = array((0 until cb.m).map { j =>
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    data.select(col(idCol), codesColumn(cb, vecCol).as("codes"))
+
+  /** The encode projection as a composable column — lets ingest persist
+    * codes INTO the segment layout (reference segments carry PQ codes,
+    * config.h:84-94) so stored phase-1 scans read codes only.
+    * Slices the raw (float or double) vector directly: nearestIndex reads
+    * any numeric element type in place, no full-vector cast copy per row.
+    */
+  def codesColumn(cb: Codebook, vecCol: String = "embedding"): Column =
+    array((0 until cb.m).map { j =>
       IndexExpressions.nearestIndex(
         slice(col(vecCol), j * cb.dsub + 1, cb.dsub), cb.codebooks(j))
     }: _*)
-    data.select(col(idCol), codes.as("codes"))
-  }
 
   /** Per-query ADC look-up table column: lut(j)(c) = dot(q_j, cw(j)(c)).
     * Materialized once per query row (m×k doubles), broadcast with the

@@ -230,6 +230,32 @@ class SegmentsSpec extends SparkSpec {
     Segments.deleteDir(base)
   }
 
+  test("stored PQ codes: phase-1 scan reads codes, never raw vectors") {
+    val base = tmpBase()
+    val cb = graft.index.Pq.deterministicCodebook(emb, 8, 8, 50)
+    val rows = segmentRows
+      .withColumn("codes", when(col("deleted"), lit(null))
+        .otherwise(graft.index.Pq.codesColumn(cb, vecCol = "vec")))
+    Segments.writeSegment(rows, base, "d0", false)
+    val all = Segments.readSegments(spark, base)
+    val live = graft.operators.Lww.latestBy(all, "id_hash", "epoch")
+      .filter(!col("deleted"))
+    // the codes-only projection must push column pruning to the parquet
+    // scan — at 100 TB phase 1 reading `vec` would defeat the codes
+    val plan = live.select(col("vec_id"), col("codes"))
+      .queryExecution.executedPlan.toString
+    val reads = "ReadSchema: [^\\n]*".r.findAllIn(plan).toList
+    assert(reads.nonEmpty)
+    reads.foreach(r => assert(!r.contains("vec:"), r))
+    // and the stored codes equal a fresh encode of the stored vectors
+    val stored = live.select(col("vec_id"), col("codes")).as[(Long, Seq[Int])]
+      .collect().toMap
+    val fresh = graft.index.Pq.encode(live, cb, vecCol = "vec")
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(stored === fresh)
+    Segments.deleteDir(base)
+  }
+
   test("catalogStats reports tiers") {
     val base = tmpBase()
     val rows = segmentRows
