@@ -50,14 +50,20 @@ object SparkEntry {
       cache.getOrElseUpdate(dir, {
         val e = emb(s, dir)
         val cents = Ivf.deterministicCentroids(e, 50)
+        // segments carry PQ codes (encode-at-ingest, config.h:84-94) so
+        // stored phase-1 scans read codes only — see knn_pq_stored
+        val cb = Pq.deterministicCodebook(e, 8, 8, 50)
         val rows = Ivf.assign(
             MutationLog.deterministicLog(e)
               .withColumn("id_hash", hashId(col("id")))
               .withColumn("deleted", col("op") === "DELETE"),
             cents, vecCol = "vec")
           .withColumn("centroid_id", coalesce(col("centroid_id"), lit(-1L)))
+          .withColumn("codes",
+            when(col("deleted"), lit(null))
+              .otherwise(Pq.codesColumn(cb, vecCol = "vec")))
           .select("vec_id", "id_hash", "epoch", "deleted", "centroid_id",
-            "vec")
+            "codes", "vec")
         val base = java.nio.file.Files
           .createTempDirectory("graft-segtree-").toString
         Segments.writeSegment(rows.filter(col("epoch") < 2000), base,
@@ -365,23 +371,10 @@ object SparkEntry {
     "knn_pq_stored" -> ((s, dir) => {
       import graft.segments.Segments
       val e = emb(s, dir)
-      val cents = Ivf.deterministicCentroids(e, 50)
       val cb = Pq.deterministicCodebook(e, 8, 8, 50)
-      val rows = Ivf.assign(
-          MutationLog.deterministicLog(e)
-            .withColumn("id_hash", hashId(col("id")))
-            .withColumn("deleted", col("op") === "DELETE"),
-          cents, vecCol = "vec")
-        .withColumn("centroid_id", coalesce(col("centroid_id"), lit(-1L)))
-        .withColumn("codes",
-          when(col("deleted"), lit(null))
-            .otherwise(Pq.codesColumn(cb, vecCol = "vec")))
-        .select("vec_id", "id_hash", "epoch", "deleted", "centroid_id",
-          "codes", "vec")
-      val base = java.nio.file.Files
-        .createTempDirectory("graft-pq-stored-").toString
-      Segments.writeSegment(rows, base, "delta-000", isStable = false)
-      val all = Segments.readSegments(s, base)
+      // codes live IN the shared stored tree (encode-at-ingest): phase 1
+      // reads only (vec_id, codes) + the narrow LWW columns from parquet
+      val all = Segments.readSegments(s, SegTree.get(s, dir))
       val live = graft.operators.Lww.latestBy(all, "id_hash", "epoch")
         .filter(!col("deleted"))
       Pq.twoPhaseSearch(live, live.select(col("vec_id"), col("codes")),
