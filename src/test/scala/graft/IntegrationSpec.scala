@@ -17,6 +17,20 @@ import graft.streaming.IngestPipeline
 class IntegrationSpec extends SparkSpec {
   import spark.implicits._
 
+  test("every registered query is oracle-gated or explicitly exempted") {
+    // the correctness gate only bites for queries with an oracle — this
+    // guards against silently registering un-gated queries. The one
+    // exemption is by design: xxhash64 is not expressible in DuckDB and
+    // the md5 twin (dedup_minhash) carries the hash gate.
+    val exempt = Set("dedup_minhash_prod")
+    val queries = SparkEntry.queries.keySet
+    val oracles = SparkEntry.oracleSql.keySet
+    assert((queries -- oracles) === exempt,
+      s"un-gated queries: ${(queries -- oracles -- exempt).toSeq.sorted}")
+    assert((oracles -- queries).isEmpty,
+      s"orphan oracles: ${(oracles -- queries).toSeq.sorted}")
+  }
+
   test("ingest → flush → compact → tiered filtered KNN, end to end") {
     val src = java.nio.file.Files.createTempDirectory("graft-e2e-src-").toString
     val base = java.nio.file.Files.createTempDirectory("graft-e2e-base-").toString
