@@ -1,6 +1,9 @@
 package graft.index
 
-import org.apache.spark.Partitioner
+import java.util.concurrent.TimeUnit
+
+import org.apache.spark.{Partitioner, SparkContext}
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -33,13 +36,56 @@ object ServingFilter {
   val none: ServingFilter = ServingFilter()
 }
 
+/** Request guardrails — the reference's server-side caps
+  * (config.h:128-131,180; configs/woved-default.yaml:163-169):
+  * `top_k ≤ 100`, `max_candidates = 10000`, per-request deadline 5000 ms,
+  * `max_query_batch = 100`. All four are yaml-configurable in the
+  * reference, so they are constructor parameters here; the defaults ARE
+  * the reference defaults. A misbehaving caller gets a clamp (k), a
+  * probe truncation (candidate pool), a deterministic rejection (batch),
+  * or a cancelled job (deadline) — never an unbounded scan.
+  */
+final case class ServingLimits(maxK: Int = 100, maxCandidates: Int = 10000,
+    maxBatch: Int = 100, deadlineMs: Long = 5000L)
+
+object ServingLimits {
+  /** Reference defaults (config.h:128-131,180). */
+  val reference: ServingLimits = ServingLimits()
+  /** No caps — for oracle/verification paths that must see every row. */
+  val unlimited: ServingLimits =
+    ServingLimits(Int.MaxValue, Int.MaxValue, Int.MaxValue, 0L)
+}
+
+/** Raised when a serving request exceeds its deadline; the underlying
+  * Spark job is cancelled (tasks interrupted), not abandoned.
+  */
+final class ServingDeadlineExceeded(val deadlineMs: Long, cause: Throwable)
+  extends RuntimeException(
+    s"serving request exceeded its ${deadlineMs} ms deadline", cause)
+
+/** One overlay candidate: the buffer's LWW winner for an id, with the
+  * attribute columns (if the overlay carries them) needed to apply a
+  * QueryRequest filter driver-side.
+  */
+final case class OverlayWinner(id: Long, cid: Long, vec: Array[Double],
+    tenant: String = null, tags: Array[Long] = null)
+
 /** In-flight buffer tier for the serving path (T5/Q10 read-your-writes on
-  * serving; reference msg-buf.h buffer + segments with version masking):
-  * the mutations accepted since the index was last rebuilt, held
-  * driver-side. Bounded by flush cadence — the measured delta-resident
-  * fraction is ~2%, and the reference's buffer is capped by the flush
-  * threshold (config.h:29) — so the overlay stays MBs even for a large
-  * served corpus; rebuild the index and drain on flush.
+  * serving; reference msg-buf.h:220-262 buffer scan + latest-by-id
+  * masking): the mutations accepted since the index was last rebuilt.
+  * Winners are held driver-side (delta-fraction small — measured ~2%);
+  * the shadow id set is BROADCAST once per overlay generation, so a
+  * request's probe-task closure carries only the broadcast handle, not
+  * the set. At the reference envelope (5% of 100M vectors buffered) the
+  * set is tens of MB — shipped per executor once per overlay generation
+  * instead of per request, which is the difference between a 150 ms p99
+  * holding and dying on closure serialization.
+  *
+  * Lifecycle: build once per refresh interval from the current buffer;
+  * after a flush rebuilds the stored index, build the next overlay and
+  * `destroy()` this one (drops the broadcast from executors). The class
+  * is deliberately NOT Serializable — accidentally capturing it in a
+  * task closure is a bug and fails fast.
   *
   * Semantics match [[graft.operators.TieredScan.liveView]]: any overlay
   * version of an id SHADOWS the stored version (buffer epochs are ≥
@@ -48,35 +94,67 @@ object ServingFilter {
   * candidates.
   */
 final class ServingOverlay private (
-    private[index] val shadowed: Set[Long],
-    private[index] val winners: Array[(Long, Long, Array[Double])]) // (id, cid, vec)
-    extends Serializable {
+    private[index] val shadowBc: Broadcast[Set[Long]],
+    private[index] val winners: Array[OverlayWinner],
+    private[index] val hasTenant: Boolean,
+    private[index] val hasTags: Boolean) {
   def size: Int = winners.length
+  /** Driver-side view of the shadowed id set (local read, no fetch). */
+  private[index] def shadowed: Set[Long] = shadowBc.value
+  /** Drop the broadcast from executors — call when this overlay
+    * generation is superseded (flush → stored-index rebuild → new
+    * overlay). Blocking=false: executors GC it lazily.
+    */
+  def destroy(): Unit = shadowBc.destroy()
 }
 
 object ServingOverlay {
   /** Build from buffered mutation rows
-    * (cols: idCol, epoch, deleted, centroid_id, vecCol). Vectors are held
-    * as doubles — exact for float sources, lossless for double sources —
-    * so overlay scores match the SQL paths bit-for-bit.
+    * (cols: idCol, epoch, deleted, centroid_id, vecCol [, tenantCol,
+    * tagsCol]). Vectors are held as doubles — exact for float sources,
+    * lossless for double sources — so overlay scores match the SQL paths
+    * bit-for-bit. Pass `tenantCol`/`tagsCol` when requests will combine
+    * an overlay with a tenant/tags filter (the attributes are needed to
+    * gate overlay winners driver-side).
     */
   def fromDataFrame(buffer: DataFrame, idCol: String = "vec_id",
-      vecCol: String = "vec"): ServingOverlay = {
-    val rows = buffer
-      .select(col(idCol).cast("long"), col("epoch").cast("long"),
+      vecCol: String = "vec", tenantCol: Option[String] = None,
+      tagsCol: Option[String] = None): ServingOverlay = {
+    val hasTenant = tenantCol.isDefined
+    val hasTags = tagsCol.isDefined
+    val cols = Seq(col(idCol).cast("long"), col("epoch").cast("long"),
         col("deleted").cast("boolean"), col("centroid_id").cast("long"),
-        col(vecCol).cast("array<double>"))
+        col(vecCol).cast("array<double>")) ++
+      tenantCol.map(c => col(c).cast("string")) ++
+      tagsCol.map(c => col(c).cast("array<long>"))
+    val tenantIdx = 5
+    val tagsIdx = if (hasTenant) 6 else 5
+    val rows = buffer.select(cols: _*)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3),
-        if (r.isNullAt(4)) null else r.getSeq[Double](4).toArray))
+        if (r.isNullAt(4)) null else r.getSeq[Double](4).toArray,
+        if (hasTenant && !r.isNullAt(tenantIdx)) r.getString(tenantIdx)
+        else null,
+        if (hasTags && !r.isNullAt(tagsIdx))
+          r.getSeq[Long](tagsIdx).toArray
+        else null))
     val byId = rows.groupBy(_._1)
     val winners = byId.valuesIterator
-      .map(_.maxBy(_._2)) // LWW within the buffer
-      .collect { case (id, _, deleted, cid, vec) if !deleted && vec != null =>
-        (id, cid, vec)
+      // LWW within the buffer. Epochs are unique per id by the ingest
+      // contract (group-commit epochs); if a tie ever occurs anyway, the
+      // break is DETERMINISTIC (live over deleted, then vector content
+      // hash) so the overlay never diverges run-to-run — the batch path
+      // (Lww.latestBy) keeps all max-epoch rows, which a single-winner
+      // overlay cannot represent, so determinism is the contract here.
+      .map(_.maxBy(r => (r._2, !r._3,
+        if (r._5 == null) 0 else java.util.Arrays.hashCode(r._5))))
+      .collect { case (id, _, deleted, cid, vec, ten, tg)
+        if !deleted && vec != null => OverlayWinner(id, cid, vec, ten, tg)
       }
       .toArray
-    new ServingOverlay(byId.keySet, winners)
+    val sc = buffer.sparkSession.sparkContext
+    new ServingOverlay(sc.broadcast(byId.keySet), winners, hasTenant,
+      hasTags)
   }
 }
 
@@ -111,6 +189,11 @@ private final class ExactPartitioner(n: Int) extends Partitioner {
   * [[Ivf.searchPoint]], so results hash-match the batch path and the DuckDB
   * oracle (gated by `knn_point_served`).
   *
+  * Requests run under [[ServingLimits]] (reference config.h:128-131,180):
+  * k clamps to maxK, the probe set truncates when the candidate pool
+  * (sum of probed list sizes) would exceed maxCandidates, and the probe
+  * job is cancelled past the deadline.
+  *
   * At 1000 executors this is exactly the layout you'd want: each executor
   * holds a slice of the lists, a request touches nprobe of them, and
   * scheduler locality sends each probe task to the executor caching that
@@ -125,7 +208,11 @@ final class ServingIndex private (
     val matrix: Array[Array[Double]],
     private val cidToPart: Map[Long, Int],
     val metric: String,
-    val dim: Int) extends Serializable {
+    val dim: Int,
+    private val listSizes: Map[Long, Int],
+    val hasTenant: Boolean,
+    val hasTags: Boolean,
+    val limits: ServingLimits) extends Serializable {
 
   private val asc = graft.operators.Knn.isAscending(metric)
 
@@ -135,6 +222,37 @@ final class ServingIndex private (
   def probe(q: Array[Float], nprobe: Int): Seq[Long] =
     Ivf.probePick(q, cids, matrix, nprobe)
 
+  /** A filter naming an attribute the index was not built with would
+    * silently reject every row (the SQL twin fails analysis instead) —
+    * reject the request explicitly.
+    */
+  private def validateFilter(filter: ServingFilter,
+      tenantOk: Boolean, tagsOk: Boolean): Unit = {
+    require(filter.tenant.isEmpty || tenantOk,
+      "tenant filter on an index/overlay built without a tenant column")
+    require(filter.tagsAny.isEmpty || tagsOk,
+      "tags filter on an index/overlay built without a tags column")
+  }
+
+  /** max_candidates cap (config.h:129): walk the probe ranking in order,
+    * keep probes while the cumulative candidate pool (probed list sizes)
+    * stays within budget — always at least one probe. Deterministic: the
+    * truncation depends only on the ranking and the built list sizes.
+    */
+  private def capProbes(probed: Seq[Long]): Seq[Long] = {
+    if (limits.maxCandidates == Int.MaxValue) return probed
+    var cum = 0L
+    val keep = Seq.newBuilder[Long]
+    var n = 0
+    probed.foreach { cid =>
+      val sz = listSizes.getOrElse(cid, 0)
+      if (n == 0 || cum + sz <= limits.maxCandidates) {
+        keep += cid; cum += sz; n += 1
+      }
+    }
+    keep.result()
+  }
+
   /** One QueryRequest: top-k over the probed lists, optionally through
     * the request's tenant/tags/sample predicate (evaluated in-task before
     * scoring — filtered rows never pay a dot product). Returns (id, score)
@@ -142,70 +260,91 @@ final class ServingIndex private (
     */
   def search(q: Array[Float], k: Int, nprobe: Int,
       filter: ServingFilter = ServingFilter.none): Array[(Long, Double)] = {
-    val probed = probe(q, nprobe)
+    validateFilter(filter, hasTenant, hasTags)
+    val kk = math.min(k, limits.maxK) // clamp, not reject (config.h:128)
+    val probed = capProbes(probe(q, nprobe))
     val parts = probed.flatMap(cidToPart.get).distinct.toArray
     if (parts.isEmpty) return Array.empty
     val probedSet = probed.toSet
     val m = metric
     val ascL = asc
-    val partials: Array[Array[(Long, Double)]] = blocks.sparkContext.runJob(
-      blocks,
-      (it: Iterator[ListBlock]) =>
-        ServingIndex.scanTopK(it, q, k, m, ascL, probedSet, filter),
-      parts.toIndexedSeq)
+    val partials: Array[Array[(Long, Double)]] =
+      ServingIndex.withDeadline(blocks.sparkContext, limits.deadlineMs) {
+        blocks.sparkContext.runJob(
+          blocks,
+          (it: Iterator[ListBlock]) =>
+            ServingIndex.scanTopK(it, q, kk, m, ascL, probedSet, filter),
+          parts.toIndexedSeq)
+      }
     val merged = partials.flatten.sortBy {
       case (id, s) => (if (ascL) s else -s, id)
     }
-    merged.take(k)
+    merged.take(kk)
   }
 
   /** Tiered request: stored index + in-flight buffer overlay with version
     * masking — the serving-path twin of the tiered read
     * ([[graft.operators.TieredScan.liveView]] semantics). Stored rows
     * whose id has ANY buffered version are skipped in-task (the shadow
-    * set ships with the probe job — it is delta-fraction small); the
-    * overlay's live LWW winners within the probed lists join the
-    * candidate pool driver-side with the same score arithmetic. Overlay
-    * scan cost is O(overlay) per request on the driver — microseconds at
-    * the measured 2% delta fraction.
+    * set rides a per-overlay-generation broadcast — the probe closure
+    * carries only the handle); the overlay's live LWW winners within the
+    * probed lists join the candidate pool driver-side with the same score
+    * arithmetic and the same filter predicate. Overlay scan cost is
+    * O(overlay) per request on the driver — microseconds at the measured
+    * 2% delta fraction.
     */
   def searchWithOverlay(q: Array[Float], k: Int, nprobe: Int,
-      overlay: ServingOverlay): Array[(Long, Double)] = {
-    val probed = probe(q, nprobe)
+      overlay: ServingOverlay,
+      filter: ServingFilter = ServingFilter.none): Array[(Long, Double)] = {
+    validateFilter(filter, hasTenant, hasTags)
+    validateFilter(filter, overlay.hasTenant, overlay.hasTags)
+    val kk = math.min(k, limits.maxK)
+    val probed = capProbes(probe(q, nprobe))
     val probedSet = probed.toSet
     val parts = probed.flatMap(cidToPart.get).distinct.toArray
     val m = metric
     val ascL = asc
-    val shadow = overlay.shadowed
+    val shadowBc = overlay.shadowBc // handle only — the set never ships
     val partials: Array[Array[(Long, Double)]] =
       if (parts.isEmpty) Array.empty
-      else blocks.sparkContext.runJob(
-        blocks,
-        (it: Iterator[ListBlock]) =>
-          ServingIndex.scanTopK(it, q, k, m, ascL, probedSet,
-            ServingFilter.none, shadow),
-        parts.toIndexedSeq)
+      else ServingIndex.withDeadline(blocks.sparkContext, limits.deadlineMs) {
+        blocks.sparkContext.runJob(
+          blocks,
+          (it: Iterator[ListBlock]) =>
+            ServingIndex.scanTopK(it, q, kk, m, ascL, probedSet,
+              filter, shadowBc.value),
+          parts.toIndexedSeq)
+      }
+    // query self-norm is loop-invariant across overlay winners — computed
+    // once (cosine only; the accumulation order inside is unchanged, so
+    // scores stay bit-identical to the per-row form)
+    val nqPre =
+      if (m == "cosine") ServingIndex.queryNormSq(q) else Double.NaN
     val overlayCands = overlay.winners.iterator
-      .filter(w => probedSet.contains(w._2))
-      .map(w => (w._1, ServingIndex.scoreOne(q, w._3, m)))
+      .filter(w => probedSet.contains(w.cid) &&
+        ServingIndex.passWinner(w, filter))
+      .map(w => (w.id, ServingIndex.scoreOne(q, w.vec, m, nqPre)))
       .toArray
     (partials.flatten ++ overlayCands)
       .sortBy { case (id, s) => (if (ascL) s else -s, id) }
-      .take(k)
+      .take(kk)
   }
 
   /** Battery/verify helper: a request loop over `queries`, results as a
     * DataFrame (query_id, vec_id, score) — k rows per request, built on
     * the driver (the serving pattern: each query IS an independent
-    * request; only O(queries × k) rows ever reach the driver).
+    * request; only O(queries × k) rows ever reach the driver). Batches
+    * above max_query_batch are rejected (config.h:131).
     */
   def searchAllDF(spark: SparkSession, queries: Seq[(Long, Array[Float])],
       k: Int, nprobe: Int,
       filter: ServingFilter = ServingFilter.none,
       overlay: Option[ServingOverlay] = None): DataFrame = {
+    require(queries.size <= limits.maxBatch,
+      s"query batch ${queries.size} exceeds max_query_batch ${limits.maxBatch}")
     val rows = queries.flatMap { case (qid, qv) =>
       val hits = overlay match {
-        case Some(o) => searchWithOverlay(qv, k, nprobe, o)
+        case Some(o) => searchWithOverlay(qv, k, nprobe, o, filter)
         case None => search(qv, k, nprobe, filter)
       }
       hits.map { case (id, s) => Row(qid, id, s) }
@@ -222,15 +361,58 @@ final class ServingIndex private (
 
 object ServingIndex {
 
+  // ---- per-request deadline (config.h:130 query timeout) --------------
+  // The probe job runs on the CALLING thread (no hop on the hot path); a
+  // shared daemon watchdog fires cancelJobGroup past the deadline, which
+  // interrupts the probe tasks and fails runJob — mapped to
+  // ServingDeadlineExceeded. Overhead when the deadline never fires:
+  // one schedule + cancel (~µs), invisible at the 150 ms budget.
+  private lazy val watchdog = {
+    val t = new java.util.concurrent.ScheduledThreadPoolExecutor(1,
+      (r: Runnable) => {
+        val th = new Thread(r, "graft-serving-deadline")
+        th.setDaemon(true); th
+      })
+    t.setRemoveOnCancelPolicy(true)
+    t
+  }
+
+  private val groupSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private[index] def withDeadline[T](sc: SparkContext,
+      deadlineMs: Long)(body: => T): T = {
+    if (deadlineMs <= 0L) return body // 0 = no deadline (unlimited)
+    val group = s"graft-serving-${groupSeq.incrementAndGet()}"
+    sc.setJobGroup(group, "serving probe", interruptOnCancel = true)
+    val timedOut = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val task = watchdog.schedule(new Runnable {
+      override def run(): Unit = {
+        timedOut.set(true)
+        sc.cancelJobGroup(group)
+      }
+    }, deadlineMs, TimeUnit.MILLISECONDS)
+    try body
+    catch {
+      case e: Throwable if timedOut.get() =>
+        throw new ServingDeadlineExceeded(deadlineMs, e)
+    } finally {
+      task.cancel(false)
+      sc.clearJobGroup()
+    }
+  }
+
   /** Build from an assigned snapshot (cols: centroid_id, idCol, vecCol).
     * One shuffle (partition by list), then each list packs into flat
     * arrays and is cached where it landed. Build is the B2 index-build
-    * step — untimed in serving terms, rerun on refresh.
+    * step — untimed in serving terms, rerun on refresh. List sizes are
+    * collected at build (nlist longs — driver-sized) to enforce the
+    * max_candidates probe cap without a per-request job.
     */
   def build(assigned: DataFrame, centroids: DataFrame, metric: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
       tenantCol: Option[String] = None,
-      tagsCol: Option[String] = None): ServingIndex = {
+      tagsCol: Option[String] = None,
+      limits: ServingLimits = ServingLimits.reference): ServingIndex = {
     val (cids, matrix) = Ivf.collectCentroids(centroids)
     val cidToPart = cids.zipWithIndex.toMap
     val dim = matrix.headOption.map(_.length).getOrElse(0)
@@ -299,8 +481,11 @@ object ServingIndex {
         }
       }, preservesPartitioning = true)
       .persist(StorageLevel.MEMORY_ONLY)
-    blocks.count() // materialize the cache — build step, not query latency
-    new ServingIndex(blocks, cids, matrix, cidToPart, metric, dim)
+    // materialize the cache AND collect per-list sizes in the same pass —
+    // build step, not query latency; nlist (cid, size) pairs only
+    val listSizes = blocks.map(b => (b.cid, b.ids.length)).collect().toMap
+    new ServingIndex(blocks, cids, matrix, cidToPart, metric, dim,
+      listSizes, hasTenant, hasTags, limits)
   }
 
   /** Build from the stored segment layout: latest-live masking first
@@ -308,7 +493,8 @@ object ServingIndex {
     * The serving refresh path after a flush/compaction.
     */
   def buildStored(spark: SparkSession, baseDir: String, centroids: DataFrame,
-      metric: String): ServingIndex = {
+      metric: String,
+      limits: ServingLimits = ServingLimits.reference): ServingIndex = {
     import graft.segments.Segments
     val all = Segments.readSegments(spark, baseDir)
     val latestLive = graft.operators.Lww.latestBy(
@@ -317,20 +503,42 @@ object ServingIndex {
       .filter(!col("deleted"))
       .select(col("id_hash"), col("epoch"))
     build(all.join(latestLive, Seq("id_hash", "epoch")), centroids, metric,
-      idCol = "vec_id", vecCol = "vec")
+      idCol = "vec_id", vecCol = "vec", limits = limits)
   }
 
-  /** Per-task probe scan: tight loop over a packed list, bounded top-k
-    * with (score, id-asc) tie-break. Double accumulation over float reads
-    * in index order — bit-identical to the codegen DotProduct/L2SqDistance
-    * kernels.
+  /** Query self-norm-squared: sequential double accumulation in index
+    * order — the exact chain the fused per-row loop used, hoisted because
+    * it never varies across rows of one request.
     */
+  private[index] def queryNormSq(q: Array[Float]): Double = {
+    var nq = 0.0
+    var j = 0
+    while (j < q.length) { nq += q(j).toDouble * q(j).toDouble; j += 1 }
+    nq
+  }
+
+  /** Driver-side mirror of [[scanTopK]]'s per-row predicate for overlay
+    * winners — same cheapest-first order, same sample arithmetic.
+    */
+  private[index] def passWinner(w: OverlayWinner,
+      filter: ServingFilter): Boolean = {
+    filter.sampleP.forall { p =>
+      val m = (w.id * 2654435761L) % 100L
+      (if (m < 0) m + 100L else m) < p
+    } &&
+    filter.tenant.forall(t => w.tenant != null && w.tenant == t) &&
+    filter.tagsAny.forall(ts =>
+      w.tags != null && ts.exists(t => w.tags.contains(t)))
+  }
+
   /** Single-vector score with the exact kernel arithmetic of [[scanTopK]]
     * (sequential double accumulation) — used for driver-side overlay
-    * candidates so tiered results hash-match the SQL paths.
+    * candidates so tiered results hash-match the SQL paths. `nqPre` is
+    * the precomputed query norm-squared ([[queryNormSq]]) for cosine;
+    * NaN recomputes it here.
     */
   private[index] def scoreOne(q: Array[Float], v: Array[Double],
-      metric: String): Double = {
+      metric: String, nqPre: Double = Double.NaN): Double = {
     val d = q.length
     var s = 0.0
     var i = 0
@@ -341,18 +549,23 @@ object ServingIndex {
     } else {
       while (i < d) { s += q(i).toDouble * v(i).toDouble; i += 1 }
       if (metric == "cosine") {
-        var nq = 0.0; var nv = 0.0; var j = 0
-        while (j < d) {
-          nq += q(j).toDouble * q(j).toDouble
-          nv += v(j).toDouble * v(j).toDouble
-          j += 1
-        }
+        val nq = if (nqPre.isNaN) queryNormSq(q) else nqPre
+        var nv = 0.0; var j = 0
+        while (j < d) { nv += v(j) * v(j); j += 1 }
         s = s / (math.sqrt(nq) * math.sqrt(nv))
       }
     }
     s
   }
 
+  /** Per-task probe scan: tight loop over a packed list, bounded top-k
+    * with (score, id-asc) tie-break. Double accumulation over float reads
+    * in index order — bit-identical to the codegen DotProduct/L2SqDistance
+    * kernels. The cosine query norm is hoisted out of the row loop
+    * (loop-invariant; the per-variable accumulation chains are unchanged,
+    * so scores are bit-identical to the fused form — and cosine stops
+    * paying ~1.5× the flops of ip).
+    */
   private[index] def scanTopK(it: Iterator[ListBlock], q: Array[Float],
       k: Int, metric: String, asc: Boolean, probed: Set[Long],
       filter: ServingFilter = ServingFilter.none,
@@ -360,6 +573,7 @@ object ServingIndex {
     val wantTenant = filter.tenant.orNull
     val wantTags = filter.tagsAny.map(_.toArray).orNull
     val sampleP = filter.sampleP.getOrElse(-1)
+    val nqPre = if (metric == "cosine") queryNormSq(q) else Double.NaN
     // insertion top-k: k is small (reference max_k 100, config.h:180);
     // arrays, no allocation per candidate
     val scores = new Array[Double](k)
@@ -460,16 +674,15 @@ object ServingIndex {
                 s += q(i).toDouble * vf(off + i).toDouble; i += 1
               }
             if (metric == "cosine") {
-              var nq = 0.0; var nv = 0.0; var j = 0
+              var nv = 0.0; var j = 0
               while (j < d) {
-                nq += q(j).toDouble * q(j).toDouble
                 val x = if (vd != null) vd(off + j) else vf(off + j).toDouble
                 nv += x * x
                 j += 1
               }
               // IEEE division, no zero guard — exactly cosineD's
               // dot/(sqrt·sqrt) op order
-              s = s / (math.sqrt(nq) * math.sqrt(nv))
+              s = s / (math.sqrt(nqPre) * math.sqrt(nv))
             }
           }
           insert(s, b.ids(r))

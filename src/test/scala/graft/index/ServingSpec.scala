@@ -175,6 +175,178 @@ class ServingSpec extends SparkSpec {
     graft.segments.Segments.deleteDir(dir0)
   }
 
+  test("overlay + filter: composite QueryRequest with read-your-writes applies the predicate to BOTH tiers") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-overlay-filter-").toString
+    try {
+      import graft.segments.Segments
+      // stored tier with tenants/tags; id 2 will be shadowed by a buffer
+      // upsert that CHANGES its tenant (the composition trap: the stored
+      // version passes the filter, the live buffered version must not)
+      val stored = Seq(
+        (1L, 11L, 100L, false, 0L, Seq(1.0, 0.0), "t1", Seq(3L)),
+        (2L, 12L, 100L, false, 0L, Seq(0.9, 0.1), "t1", Seq(3L)),
+        (3L, 13L, 100L, false, 0L, Seq(0.8, 0.2), "t2", Seq(5L)))
+        .toDF("vec_id", "id_hash", "epoch", "deleted", "centroid_id",
+          "vec", "tenant", "tags")
+      Segments.writeSegment(stored, dir, "delta-000", isStable = false)
+      val c = Seq((0L, Seq(0.5, 0.5))).toDF("cid", "cv")
+      val all = Segments.readSegments(spark, dir)
+      val idx = ServingIndex.build(all.filter(!col("deleted")), c, "ip",
+        idCol = "vec_id", vecCol = "vec",
+        tenantCol = Some("tenant"), tagsCol = Some("tags"))
+      // buffer: id 2 re-upserted under tenant t2 (filter must now reject
+      // it), id 9 inserted under t1 (filter must admit it)
+      val buffer = Seq(
+        (2L, 12L, 200L, false, 0L, Seq(0.95, 0.0), "t2", Seq(5L)),
+        (9L, 19L, 200L, false, 0L, Seq(0.7, 0.0), "t1", Seq(3L)))
+        .toDF("vec_id", "id_hash", "epoch", "deleted", "centroid_id",
+          "vec", "tenant", "tags")
+      val overlay = ServingOverlay.fromDataFrame(buffer,
+        tenantCol = Some("tenant"), tagsCol = Some("tags"))
+      val got = idx.searchWithOverlay(Array(1.0f, 0.0f), 10, 1, overlay,
+        ServingFilter(tenant = Some("t1")))
+      // t1 live world: stored 1 (1.0), buffered 9 (0.7); stored 2 is
+      // shadowed and its live version is t2; stored 3 is t2
+      assert(got.map(_._1).toSeq === Seq(1L, 9L))
+      // filter + overlay through searchAllDF takes the same path
+      val viaDf = idx.searchAllDF(spark, Seq((0L, Array(1.0f, 0.0f))), 10, 1,
+          filter = ServingFilter(tenant = Some("t1")),
+          overlay = Some(overlay))
+        .select("vec_id").as[Long].collect().toSeq
+      assert(viaDf === Seq(1L, 9L))
+      // a tenant filter against an overlay built WITHOUT tenant attributes
+      // is an explicit rejection, not a silent empty result
+      val blindOverlay = ServingOverlay.fromDataFrame(buffer)
+      intercept[IllegalArgumentException] {
+        idx.searchWithOverlay(Array(1.0f, 0.0f), 10, 1, blindOverlay,
+          ServingFilter(tenant = Some("t1")))
+      }
+      idx.unpersist(); overlay.destroy(); blindOverlay.destroy()
+    } finally graft.segments.Segments.deleteDir(dir)
+  }
+
+  test("overlay lifecycle: flush -> rebuild -> fresh overlay serves the same live world; destroyed overlay fails fast") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-overlay-drain-").toString
+    try {
+      import graft.segments.Segments
+      val log = graft.ingest.MutationLog.deterministicLog(emb)
+      val entries = Ivf.assign(
+          log.withColumn("id_hash",
+              graft.functions.VectorFunctions.hashId(col("id")))
+            .withColumn("deleted", col("op") === "DELETE"),
+          cents, vecCol = "vec")
+        .withColumn("centroid_id", coalesce(col("centroid_id"), lit(-1L)))
+        .select("vec_id", "id_hash", "epoch", "deleted", "centroid_id",
+          "vec")
+        .cache()
+      val cut = 2500
+      Segments.writeSegment(entries.filter(col("epoch") < cut), dir,
+        "delta-000", isStable = false)
+      val idx1 = ServingIndex.buildStored(spark, dir, cents, "ip")
+      val overlay1 = ServingOverlay.fromDataFrame(
+        entries.filter(col("epoch") >= cut))
+      val qv = queries.head._2
+      val before = idx1.searchWithOverlay(qv, 10, Int.MaxValue, overlay1)
+        .toSeq
+      // flush: buffer becomes a segment, the index refreshes from the
+      // store, the overlay generation is drained (destroyed) and replaced
+      // by an empty one
+      Segments.writeSegment(entries.filter(col("epoch") >= cut), dir,
+        "delta-001", isStable = false)
+      idx1.unpersist(); overlay1.destroy()
+      val idx2 = ServingIndex.buildStored(spark, dir, cents, "ip")
+      val overlay2 = ServingOverlay.fromDataFrame(
+        entries.filter(lit(false)))
+      val after = idx2.searchWithOverlay(qv, 10, Int.MaxValue, overlay2)
+        .toSeq
+      assert(after === before)
+      // plain search (no overlay) over the flushed store agrees too
+      assert(idx2.search(qv, 10, Int.MaxValue).toSeq === before)
+      // the destroyed generation cannot be silently reused
+      intercept[Exception] {
+        idx2.searchWithOverlay(qv, 10, Int.MaxValue, overlay1)
+      }
+      idx2.unpersist(); overlay2.destroy()
+      entries.unpersist()
+    } finally graft.segments.Segments.deleteDir(dir)
+  }
+
+  test("guardrails: k clamps to max_k, oversized batches are rejected, filters need their columns") {
+    // 150 rows in one list — k beyond the reference max_k=100 clamps
+    val many = (0 until 150)
+      .map(i => (i.toLong, Seq(1.0f + i * 1e-4f, 0.0f)))
+      .toDF("vec_id", "embedding")
+      .withColumn("centroid_id", lit(0L))
+    val c = Seq((0L, Seq(1.0, 0.0))).toDF("cid", "cv")
+    val idx = ServingIndex.build(many, c, "ip")
+    assert(idx.search(Array(1.0f, 0.0f), 500, 1).length === 100)
+    // batch above max_query_batch=100 is a deterministic rejection
+    val reqs = (0 until 101).map(i => (i.toLong, Array(1.0f, 0.0f)))
+    intercept[IllegalArgumentException] {
+      idx.searchAllDF(spark, reqs, 10, 1)
+    }
+    // a tenant/tags filter against an index without those columns is an
+    // explicit rejection (the SQL twin fails analysis; silence is worse)
+    intercept[IllegalArgumentException] {
+      idx.search(Array(1.0f, 0.0f), 10, 1, ServingFilter(tenant = Some("t1")))
+    }
+    intercept[IllegalArgumentException] {
+      idx.search(Array(1.0f, 0.0f), 10, 1,
+        ServingFilter(tagsAny = Some(Seq(1L))))
+    }
+    idx.unpersist()
+    // custom limits lift the caps (reference yaml makes them config)
+    val idx2 = ServingIndex.build(many, c, "ip",
+      limits = ServingLimits(maxK = 200, maxCandidates = Int.MaxValue,
+        maxBatch = 100, deadlineMs = 5000L))
+    assert(idx2.search(Array(1.0f, 0.0f), 500, 1).length === 150)
+    idx2.unpersist()
+  }
+
+  test("guardrails: max_candidates truncates the probe walk in rank order, never below one probe") {
+    // two 60-row lists along orthogonal axes; the query ranks list 0 first
+    val rows = ((0 until 60).map(i => (i.toLong, Seq(1.0f, i * 1e-3f), 0L)) ++
+      (0 until 60).map(i => (100L + i, Seq(i * 1e-3f, 1.0f), 1L)))
+      .toDF("vec_id", "embedding", "centroid_id")
+    val c = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("cid", "cv")
+    val qv = Array(1.0f, 0.1f)
+    // budget 80: list 0 (60) fits, adding list 1 (120 total) would not →
+    // the pool is list 0 only
+    val capped = ServingIndex.build(rows, c, "ip",
+      limits = ServingLimits(maxCandidates = 80))
+    val got = capped.search(qv, 200, 2)
+    assert(got.length === 60 && got.forall(_._1 < 100L))
+    capped.unpersist()
+    // budget 10 < any list: the best-ranked probe is kept regardless
+    val tiny = ServingIndex.build(rows, c, "ip",
+      limits = ServingLimits(maxCandidates = 10))
+    assert(tiny.search(qv, 200, 2).length === 60)
+    tiny.unpersist()
+    // unlimited budget scans both lists (maxK raised so the pool shows)
+    val full = ServingIndex.build(rows, c, "ip",
+      limits = ServingLimits(maxK = 200))
+    assert(full.search(qv, 200, 2).length === 120)
+    full.unpersist()
+  }
+
+  test("deadline: a probe job past its deadline is cancelled, not awaited") {
+    val sc = spark.sparkContext
+    val t0 = System.nanoTime()
+    intercept[ServingDeadlineExceeded] {
+      ServingIndex.withDeadline(sc, 300L) {
+        sc.parallelize(1 to 4, 4).map { i => Thread.sleep(60000); i }
+          .count()
+      }
+    }
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(ms < 30000.0, s"cancel took ${ms} ms — job was awaited, not cancelled")
+    // the session is healthy afterwards (cancellation is scoped to the
+    // request's job group)
+    assert(sc.parallelize(1 to 4, 4).count() === 4L)
+  }
+
   test("rebuild -> refresh: serving index follows the re-clustered layout end to end") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-serving-rebuild-").toString
