@@ -334,7 +334,41 @@ object SparkEntry {
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
       val out = idx.searchAllDF(s, reqs, 10, nprobe = Int.MaxValue,
         overlay = Some(overlay))
-      idx.unpersist()
+      idx.unpersist(); overlay.destroy()
+      out
+    }),
+    // the overlay COMPOSED with probe pruning (nprobe=3): the interesting
+    // case probe-all cannot exercise — a stale stored version in a probed
+    // list masked by a buffered winner whose own list is NOT probed must
+    // vanish entirely (shadowing is store-wide; candidacy is probed-only).
+    // Oracle mirrors the split: stored tier = epoch < 2000 with its own
+    // LWW + per-row centroid assignment, buffer = epoch >= 2000, probed
+    // top-3 lists per query
+    "tiered_knn_served_pruned" -> ((s, dir) => {
+      import graft.segments.Segments
+      val e = emb(s, dir)
+      val cents = Ivf.deterministicCentroids(e, 50)
+      val rows = Ivf.assign(
+          MutationLog.deterministicLog(e)
+            .withColumn("id_hash", hashId(col("id")))
+            .withColumn("deleted", col("op") === "DELETE"),
+          cents, vecCol = "vec")
+        .withColumn("centroid_id", coalesce(col("centroid_id"), lit(-1L)))
+        .select("vec_id", "id_hash", "epoch", "deleted", "centroid_id",
+          "vec")
+        .cache()
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-tiered-served-pruned-").toString
+      Segments.writeSegment(rows.filter(col("epoch") < 2000), base,
+        "delta-000", isStable = false)
+      val idx = graft.index.ServingIndex.buildStored(s, base, cents, "ip")
+      val overlay = graft.index.ServingOverlay.fromDataFrame(
+        rows.filter(col("epoch") >= 2000))
+      val reqs = q(s, dir).collect().sortBy(_.getLong(0))
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      val out = idx.searchAllDF(s, reqs, 10, nprobe = 3,
+        overlay = Some(overlay))
+      idx.unpersist(); overlay.destroy()
       out
     }),
     // B1 periodic rebuild: re-cluster the stored latest-live rows under a
@@ -952,6 +986,62 @@ object SparkEntry {
          |scored AS (SELECT qq.query_id, l.vec_id,
          |    list_dot_product(qq.qv, l.vec) AS score
          |  FROM qq CROSS JOIN live l)
+         |SELECT query_id, vec_id, score FROM (
+         |  SELECT scored.*, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rn
+         |  FROM scored) t
+         |WHERE rn <= 10""".stripMargin,
+    "tiered_knn_served_pruned" ->
+      s"""$MUTLOG,
+         |qq AS (SELECT vec_id AS query_id, e AS qv FROM emb
+         |  WHERE vec_id % 25 = 0),
+         |cent AS (SELECT vec_id AS cid, e AS cv FROM emb
+         |  WHERE vec_id % 50 = 0),
+         |stored AS (SELECT * FROM log WHERE epoch < 2000),
+         |slive AS (SELECT vec_id, vec FROM (
+         |    SELECT stored.*, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY epoch DESC) AS rn FROM stored) t
+         |  WHERE rn = 1 AND op <> 'DELETE'),
+         |sla AS (SELECT vec_id, vec, cid AS centroid_id FROM (
+         |    SELECT l.vec_id, l.vec, c.cid, row_number() OVER (
+         |      PARTITION BY l.vec_id ORDER BY
+         |        list_dot_product(l.vec, l.vec)
+         |          - 2 * list_dot_product(l.vec, c.cv)
+         |          + list_dot_product(c.cv, c.cv) ASC, c.cid ASC) AS rn
+         |    FROM slive l CROSS JOIN cent c) t
+         |  WHERE rn = 1),
+         |buf AS (SELECT * FROM log WHERE epoch >= 2000),
+         |shadow AS (SELECT DISTINCT vec_id FROM buf),
+         |blive AS (SELECT vec_id, vec FROM (
+         |    SELECT buf.*, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY epoch DESC) AS rn FROM buf) t
+         |  WHERE rn = 1 AND op <> 'DELETE'),
+         |bla AS (SELECT vec_id, vec, cid AS centroid_id FROM (
+         |    SELECT l.vec_id, l.vec, c.cid, row_number() OVER (
+         |      PARTITION BY l.vec_id ORDER BY
+         |        list_dot_product(l.vec, l.vec)
+         |          - 2 * list_dot_product(l.vec, c.cv)
+         |          + list_dot_product(c.cv, c.cv) ASC, c.cid ASC) AS rn
+         |    FROM blive l CROSS JOIN cent c) t
+         |  WHERE rn = 1),
+         |prb AS (SELECT query_id, qv, cid AS centroid_id FROM (
+         |    SELECT qq.query_id, qq.qv, cent.cid, row_number() OVER (
+         |      PARTITION BY qq.query_id ORDER BY
+         |        list_dot_product(qq.qv, qq.qv)
+         |          - 2 * list_dot_product(qq.qv, cent.cv)
+         |          + list_dot_product(cent.cv, cent.cv) ASC, cent.cid ASC)
+         |      AS rn
+         |    FROM qq CROSS JOIN cent) t
+         |  WHERE rn <= 3),
+         |scored AS (
+         |  SELECT p.query_id, a.vec_id,
+         |      list_dot_product(p.qv, a.vec) AS score
+         |    FROM prb p JOIN sla a USING (centroid_id)
+         |    WHERE a.vec_id NOT IN (SELECT vec_id FROM shadow)
+         |  UNION ALL
+         |  SELECT p.query_id, b.vec_id,
+         |      list_dot_product(p.qv, b.vec)
+         |    FROM prb p JOIN bla b USING (centroid_id))
          |SELECT query_id, vec_id, score FROM (
          |  SELECT scored.*, row_number() OVER (
          |    PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rn
