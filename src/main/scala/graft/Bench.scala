@@ -303,6 +303,13 @@ object Bench {
           (0 until 2).map { _ =>
             val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
           }.min
+        // own-GC discipline (same as the latency loop): the battery +
+        // recall sections leave heap garbage whose collection otherwise
+        // lands inside these throughput timings — measured as the r3
+        // knn_1m_exact 82→53.5 "regression" (PLANS.md root cause: the
+        // suspected jittered-replica tie-cost was refuted by a controlled
+        // A/B; the environment was the whole story)
+        System.gc()
         val exactSec = best2(
           graft.operators.Knn.exactBatch(qs, big, "ip", 10).count())
         val nlist = 64
