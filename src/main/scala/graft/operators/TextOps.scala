@@ -124,19 +124,34 @@ object TextOps {
     * avg_freq = sum_freq / (n_tokens · total) is bit-reproducible by the
     * DuckDB oracle.
     *
-    * Scale shape: token counts are one hash-agg with map-side combine;
-    * the score join shuffles on token — heavy-tailed ("the" is hot), so
-    * at 100 TB either salt the hot keys (the [[SkewOps]] two-phase
-    * pattern) or bound the vocabulary to top-V + an OOV floor and
-    * broadcast it. AQE skew-join handles moderate tails automatically.
+    * Scale shape: token counts are one hash-agg with map-side combine.
+    * The score join is the hazard — it shuffles on token and natural
+    * language is Zipfian ("the" alone is ~5% of all rows: one reducer
+    * key inherits 5% of a 100 TB corpus). Mitigation (exact, not an
+    * approximation): split the vocabulary into the top-`hotV` HEAD by
+    * count (a driver-bounded TakeOrdered — hotV rows, KBs) and the
+    * tail. Head rows resolve via a broadcast map-side join — the skewed
+    * keys never shuffle; only tail rows (each token ≤ the rank-hotV
+    * count by construction — skew-free) take the shuffle join. The
+    * head/tail partition is exhaustive and exclusive, so the result is
+    * bit-identical to the naive single join and the DuckDB oracle is
+    * unchanged.
     */
-  def unigramScore(docs: DataFrame): DataFrame = {
+  def unigramScore(docs: DataFrame, hotV: Int = 10000): DataFrame = {
     val t = filter(tokens(col("text")), x => x =!= "")
     val exploded = docs.select(col("doc_id"), explode(t).as("tok"))
     val counts = exploded.groupBy(col("tok"))
       .agg(count(lit(1)).as("c"))
     val total = counts.agg(sum(col("c")).cast("long").as("n"))
-    exploded.join(counts, Seq("tok"))
+    // hot head: TakeOrdered (never a global sort); ties at the boundary
+    // broken by token so the set is deterministic — though ANY split is
+    // correct, since both sides compute the same exact counts
+    val hot = counts.orderBy(col("c").desc, col("tok").asc).limit(hotV)
+    val probed = exploded.join(broadcast(hot), Seq("tok"), "left")
+    val hotHits = probed.filter(col("c").isNotNull)
+    val coldHits = probed.filter(col("c").isNull).drop("c")
+      .join(counts, Seq("tok")) // tail only — no hot keys reach here
+    hotHits.unionByName(coldHits)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("c")).as("sum_freq"))
       .crossJoin(broadcast(total))

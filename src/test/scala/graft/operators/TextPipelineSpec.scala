@@ -23,6 +23,28 @@ class TextPipelineSpec extends SparkSpec {
     assert(scores.forall(s => s > 0.0 && s <= 1.0))
   }
 
+  test("unigramScore hot/cold split is exact at any hotV boundary") {
+    // hotV=2 on a 4-token vocabulary forces BOTH paths live (a,b hot
+    // broadcast; c,d cold shuffle) including a count tie at the boundary;
+    // the split must be invisible in the values
+    val d = Seq((1L, "a a b c", "en", "s"), (2L, "b c d", "en", "s"),
+        (3L, "a d", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val whole = TextOps.unigramScore(d, hotV = 1000000)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    for (v <- Seq(0, 1, 2, 3, 4)) {
+      val split = TextOps.unigramScore(d, hotV = v)
+        .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+      assert(split === whole, s"hotV=$v")
+    }
+    // real corpus, tiny head: still identical
+    val a = TextOps.unigramScore(docs, hotV = 5)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val b = TextOps.unigramScore(docs)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(a === b)
+  }
+
   test("boilerplateNgrams finds cross-doc repeated 5-grams, ranked") {
     val boiler = "all rights reserved click here now"
     val d = Seq(
