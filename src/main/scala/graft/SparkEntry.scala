@@ -110,6 +110,29 @@ object SparkEntry {
       Knn.exactBatch(q(s, dir), VectorEntries.fromEmbeddings(emb(s, dir)),
         "ip", 10,
         filter = col("tenant") === "t1" && VectorEntries.tagsAny(Seq(3, 11)))),
+    // B4 completion — the same filtered KNN THROUGH the row-level tag
+    // index: entries flushed to a segment with per-tag postings
+    // (writeTagIndex) + per-tag counts (writeTagStats); the read takes
+    // the sparse path (posting semi-join before scoring) because the
+    // requested tags bound ~30% selectivity and the threshold is pinned
+    // above it (the reference's dense threshold 0.2 is yaml-tunable;
+    // TagStatsFlushSpec covers both branches at the default). Oracle =
+    // knn_filtered's SQL — the index must be invisible in the values.
+    "knn_filtered_bitmap" -> ((s, dir) => {
+      import graft.segments.Segments
+      val vt = VectorEntries.fromEmbeddings(emb(s, dir))
+        .withColumn("epoch", col("vec_id"))
+        .withColumn("centroid_id", col("vec_id") % 8)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-tagidx-").toString
+      Segments.writeSegment(vt, base, "delta-000", isStable = false)
+      Segments.writeTagStats(vt, base, "delta-000")
+      Segments.writeTagIndex(vt, base, "delta-000")
+      val rows = Segments.scanForTagsRowLevel(s, base, Seq(3, 11),
+        denseThreshold = 0.35)
+      Knn.exactBatch(q(s, dir), rows, "ip", 10,
+        filter = col("tenant") === "t1")
+    }),
     // ---- sample_p restriction (types.h:74) -----------------------------
     "knn_sampled" -> ((s, dir) =>
       Knn.exactBatch(q(s, dir), emb(s, dir), "ip", 10,
@@ -725,6 +748,19 @@ object SparkEntry {
         |         * sqrt(list_dot_product(emb.e, emb.e))) AS score
         |  FROM q CROSS JOIN emb""".stripMargin, 10, desc = true),
     "knn_filtered" -> topkSql(
+      """SELECT q.query_id, v.vec_id,
+        |    list_dot_product(q.qv, v.e) AS score
+        |  FROM q CROSS JOIN (
+        |    SELECT vec_id, e,
+        |      't' || CAST(vec_id % 3 AS VARCHAR) AS tenant,
+        |      [CAST(label AS BIGINT), 10 + vec_id % 5] AS tags
+        |    FROM emb) v
+        |  WHERE v.tenant = 't1'
+        |    AND list_has_any(v.tags, [CAST(3 AS BIGINT), CAST(11 AS BIGINT)])"""
+        .stripMargin, 10, desc = true),
+    // identical semantics to knn_filtered — the row-level tag index must
+    // be invisible in the values, so it shares the oracle verbatim
+    "knn_filtered_bitmap" -> topkSql(
       """SELECT q.query_id, v.vec_id,
         |    list_dot_product(q.qv, v.e) AS score
         |  FROM q CROSS JOIN (

@@ -193,19 +193,44 @@ object Segments {
         max(col("tombstone_ratio")).as("max_tombstone_ratio"))
 
   /** Q5/B4: per-segment tag statistics — the Spark analogue of the
-    * reference's per-segment roaring tag bitmaps (config.h:117-125). If
-    * the rows carry an array `tags` column, record the distinct tag set
-    * (≤50k by dictionary contract) per segment; tags-ANY queries then
-    * prune whole segments before any scan.
+    * reference's per-segment roaring tag bitmap CATALOG
+    * (config.h:117-125). If the rows carry an array `tags` column,
+    * record the per-tag row counts (tag dictionary is ≤50k by contract)
+    * per segment; tags-ANY queries then prune whole segments before any
+    * scan, and the counts drive the dense/sparse decision for the
+    * row-level index ([[scanForTagsRowLevel]]).
     */
   def writeTagStats(rows: DataFrame, baseDir: String,
       segmentId: String): Unit = {
     val spark = rows.sparkSession
-    import spark.implicits._
-    val tags = rows.select(explode(col("tags")).as("tag"))
-      .distinct().as[Int].collect().sorted
+    val counts = rows.select(explode(col("tags")).as("tag"))
+      .groupBy(col("tag")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     appendLines(spark, s"$baseDir/_tagstats", "tags",
-      Seq(s"$segmentId\t${tags.mkString(",")}"))
+      Seq(s"$segmentId\t${counts.map { case (t, c) => s"$t:$c" }.mkString(",")}"))
+  }
+
+  /** Parsed tag stats: segment → (tag → row count). Tolerates the older
+    * count-less `tag,tag` line form (count −1 = unknown). Latest line
+    * per segment wins, matching the catalog's append semantics.
+    */
+  def tagStatsCounts(spark: SparkSession,
+      baseDir: String): Map[String, Map[Int, Long]] = {
+    val latest = scala.collection.mutable.LinkedHashMap
+      .empty[String, Map[Int, Long]]
+    readLines(spark, s"$baseDir/_tagstats", "tags").foreach { line =>
+      val f = line.split("\t", -1)
+      val tags =
+        if (f.length < 2 || f(1).isEmpty) Map.empty[Int, Long]
+        else f(1).split(",").map { e =>
+          e.split(":") match {
+            case Array(t, c) => t.toInt -> c.toLong
+            case Array(t) => t.toInt -> -1L
+          }
+        }.toMap
+      latest(f(0)) = tags
+    }
+    latest.toMap
   }
 
   /** Segments that can contain ≥1 of `tagsAny` — a driver-side filter of
@@ -214,15 +239,78 @@ object Segments {
   def segmentsForTags(spark: SparkSession, baseDir: String,
       tagsAny: Seq[Int]): Seq[String] = {
     val want = tagsAny.toSet
-    readLines(spark, s"$baseDir/_tagstats", "tags")
-      .map { line =>
-        val f = line.split("\t", -1)
-        val tags = if (f.length < 2 || f(1).isEmpty) Set.empty[Int]
-          else f(1).split(",").map(_.toInt).toSet
-        f(0) -> tags
+    tagStatsCounts(spark, baseDir)
+      .collect { case (seg, tags) if tags.keys.exists(want) => seg }
+      .toSeq.distinct
+  }
+
+  /** B4 row-level tag index — the Spark analogue of the reference's
+    * per-segment roaring tag BITMAPS (config.h:117-125, CRoaring in
+    * conanfile.txt:9): one posting list of row ids per (segment, tag),
+    * written at flush as Parquet partitioned BY TAG so a tags-ANY read
+    * opens only the requested tags' directories. `idCols` must uniquely
+    * key rows within the segment (the posting is a row-id set, not a
+    * version set) — pass e.g. Seq("vec_id", "epoch") for multi-version
+    * segments. Build cost is one explode + partitioned write per flush,
+    * the same point the reference builds its bitmaps.
+    */
+  def writeTagIndex(rows: DataFrame, baseDir: String, segmentId: String,
+      idCols: Seq[String] = Seq("vec_id")): Unit = {
+    rows.select(idCols.map(col) :+ explode(col("tags")).as("tag"): _*)
+      .repartition(col("tag"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("tag")
+      .parquet(s"$baseDir/_tagindex/$segmentId")
+  }
+
+  /** Q3/B4 row-level tag read: segment-level prune via the tag stats,
+    * then per segment the reference's dense/sparse split
+    * (config.h:119 dense threshold 0.2):
+    *
+    *  - SPARSE (bound selectivity < `denseThreshold` and a tag index
+    *    exists): semi-join the segment scan against the requested tags'
+    *    postings — the scan decodes only rows surviving the join, and
+    *    with the postings broadcast (they are driver-bounded by the
+    *    selectivity decision itself) Parquet row groups with no tagged
+    *    row are skipped via min/max + bloom instead of decoding every
+    *    row's tags array;
+    *  - DENSE: the in-scan `arrays_overlap` predicate — a bitmap join
+    *    would touch most row groups anyway, so the predicate is cheaper
+    *    (exactly the reference's rationale for the 0.2 threshold).
+    *
+    * Both branches produce identical rows (the posting set IS the
+    * predicate's satisfying set when `idCols` is row-unique), so the
+    * choice is invisible to results — only to the physical plan.
+    */
+  def scanForTagsRowLevel(spark: SparkSession, baseDir: String,
+      tagsAny: Seq[Int], denseThreshold: Double = 0.2,
+      idCols: Seq[String] = Seq("vec_id")): DataFrame = {
+    val want = tagsAny.toSet
+    val stats = tagStatsCounts(spark, baseDir)
+    val fs = hfs(spark, baseDir)
+    val pred = arrays_overlap(col("tags"), lit(tagsAny.toArray))
+    val parts = catalogDescriptors(spark, baseDir).flatMap { d =>
+      stats.get(d.segment_id) match {
+        case Some(tc) if !tc.keys.exists(want) =>
+          None // provably tag-free segment — pruned, never opened
+        case other =>
+          val seg = spark.read.parquet(d.file_path)
+          val bound = other.map(_.filter(kv => want(kv._1)).values.sum)
+            .getOrElse(-1L)
+          val sel =
+            if (bound < 0) 1.0 // unknown stats → dense fallback
+            else bound.toDouble / math.max(1L, d.num_vectors)
+          val idxPath = new HPath(s"$baseDir/_tagindex/${d.segment_id}")
+          if (sel < denseThreshold && fs.exists(idxPath)) {
+            val ids = spark.read.parquet(idxPath.toString)
+              .filter(col("tag").isin(tagsAny: _*)) // partition pruning
+              .select(idCols.map(col): _*).distinct()
+            Some(seg.join(broadcast(ids), idCols, "left_semi"))
+          } else Some(seg.filter(pred))
       }
-      .collect { case (seg, tags) if tags.exists(want) => seg }
-      .distinct
+    }
+    if (parts.isEmpty) spark.emptyDataFrame
+    else parts.reduce(_ unionByName _)
   }
 
   /** Tag-pruned scan: only segments whose tag set overlaps the query. */

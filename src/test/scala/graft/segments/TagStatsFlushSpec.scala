@@ -37,6 +37,43 @@ class TagStatsFlushSpec extends SparkSpec {
     Segments.deleteDir(base)
   }
 
+  test("row-level tag index: sparse semi-join path equals dense predicate path (B4)") {
+    val base = tmp("graft-tagidx-")
+    val vt = VectorEntries.fromEmbeddings(emb)
+      .withColumn("epoch", col("vec_id"))
+      .withColumn("centroid_id", col("vec_id") % 4)
+    Segments.writeSegment(vt, base, "seg0", isStable = false)
+    Segments.writeTagStats(vt, base, "seg0")
+    Segments.writeTagIndex(vt, base, "seg0")
+    // stats carry real per-tag counts (the dense/sparse decision input)
+    val counts = Segments.tagStatsCounts(spark, base)("seg0")
+    val wantCounts = vt.select(explode(col("tags")).as("tag"))
+      .groupBy("tag").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts === wantCounts)
+    val tags = Seq(3, 11)
+    // force each branch via the threshold; both must yield the same rows
+    val sparse = Segments.scanForTagsRowLevel(spark, base, tags,
+      denseThreshold = 1.1)
+    val dense = Segments.scanForTagsRowLevel(spark, base, tags,
+      denseThreshold = 0.0)
+    assert(sparse.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
+      "sparse path must go through the posting semi-join")
+    assert(!dense.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+    val want = vt.filter(arrays_overlap(col("tags"),
+        lit(tags.toArray)))
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(sparse.select("vec_id").as[Long].collect().sorted.toSeq === want)
+    assert(dense.select("vec_id").as[Long].collect().sorted.toSeq === want)
+    // posting read prunes to the requested tag directories only
+    val postings = spark.read.parquet(s"$base/_tagindex/seg0")
+      .filter(col("tag").isin(tags: _*))
+    val scan = postings.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("tag"),
+      "tag postings must prune by partition directory")
+    Segments.deleteDir(base)
+  }
+
   test("flush policy splits oversized batches into range segments (W10)") {
     val base = tmp("graft-flushpolicy-")
     val rows = VectorEntries.fromEmbeddings(emb)
