@@ -58,7 +58,8 @@ object Segments {
     * to 2.6 at bench scale).
     */
   def writeSegment(rowsIn: DataFrame, baseDir: String, segmentId: String,
-      isStable: Boolean, expectedNdvPerFile: Long = 100000L): SegmentDescriptor = {
+      isStable: Boolean, expectedNdvPerFile: Long = 100000L,
+      appendDesc: Boolean = true): SegmentDescriptor = {
     // provenance column (QueryResult.segment_id, types.h:81)
     val rows = rowsIn.drop("segment_id")
       .withColumn("segment_id", lit(segmentId))
@@ -91,7 +92,10 @@ object Segments {
       Option(m("tr")).map(_.asInstanceOf[Double]).getOrElse(0.0),
       new java.sql.Timestamp(System.currentTimeMillis()),
       isStable, None)
-    appendCatalog(spark, baseDir, Seq(desc))
+    // appendDesc=false lets compaction/rebuild publish the new segment
+    // and retire its inputs in ONE atomic catalog append — a crash can
+    // then never leave both generations active
+    if (appendDesc) appendCatalog(spark, baseDir, Seq(desc))
     desc
   }
 
@@ -134,10 +138,17 @@ object Segments {
     // nanoTime + process-wide counter: unique and monotonic within the
     // driver, so file order IS append order (concurrent flushes included)
     val name = f"$prefix-${System.nanoTime()}%020d-${appendSeq.incrementAndGet()}%06d.tsv"
-    val out = fs.create(new HPath(dir, name), false)
+    // write-then-rename: readers filter on the `prefix-` name, so the
+    // in-flight `.tmp.` file is invisible and the append becomes visible
+    // atomically (single-file rename on HDFS/local) — a crash mid-write
+    // can never expose a torn descriptor line
+    val tmp = new HPath(dir, s".tmp.$name")
+    val out = fs.create(tmp, false)
     try out.write((lines.mkString("\n") + "\n")
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    if (!fs.rename(tmp, new HPath(dir, name)))
+      throw new java.io.IOException(s"rename failed: $tmp -> $name")
   }
 
   private def readLines(spark: SparkSession, dir: String,
@@ -383,9 +394,12 @@ object Segments {
     val resolved = graft.operators.Lww.latestBy(deltas, "id_hash", "epoch")
       .filter(!col("deleted"))
     val desc = writeSegment(resolved, baseDir, stableSegmentId,
-      isStable = true)
-    // mark inputs replaced (latest-row-wins in the catalog)
-    appendCatalog(spark, baseDir, deltaDescs.map(d =>
+      isStable = true, appendDesc = false)
+    // publish the stable segment AND retire its inputs in one atomic
+    // append: a crash before this line leaves only the old world (the
+    // orphan data directory is invisible without a descriptor), a crash
+    // after it only the new — never both generations active
+    appendCatalog(spark, baseDir, desc +: deltaDescs.map(d =>
       d.copy(replaced_by = Some(stableSegmentId),
         created_at = new java.sql.Timestamp(System.currentTimeMillis()))))
     Some(desc)
@@ -444,8 +458,13 @@ object Segments {
       .filter(!col("deleted"))
     val relaid = reassign(resolved.drop("centroid_id"))
     val desc = writeSegment(relaid, baseDir, stableSegmentId,
-      isStable = true)
-    appendCatalog(spark, baseDir, active.map(d =>
+      isStable = true, appendDesc = false)
+    // single atomic append (see compact): rebuilt rows keep their
+    // original (id_hash, epoch), so if BOTH generations were ever active
+    // the LWW max-epoch join would keep both copies — duplicate
+    // candidates in every tiered read. The one-append publish makes that
+    // state unreachable rather than merely unlikely.
+    appendCatalog(spark, baseDir, desc +: active.map(d =>
       d.copy(replaced_by = Some(stableSegmentId),
         created_at = new java.sql.Timestamp(System.currentTimeMillis()))))
     Some(desc)

@@ -202,6 +202,49 @@ class SegmentsSpec extends SparkSpec {
     Seq(base, empty).foreach(Segments.deleteDir)
   }
 
+  test("rebuild kill-point: crash before the atomic publish leaves ONLY the old generation; rerun converges") {
+    // rebuild publishes the new descriptor + the replacement markers in
+    // ONE catalog append — unlike compaction, a both-generations-active
+    // state is not benign here (rebuilt rows keep their original
+    // (id_hash, epoch), so LWW would keep BOTH copies → duplicate
+    // candidates). Simulate the only crash window left: new data dir on
+    // disk, publish append never happened.
+    val base = tmpBase()
+    val rows = segmentRows.cache()
+    Segments.writeSegment(rows, base, "d0", false)
+    val before = Segments.readSegments(spark, base)
+      .select("vec_id", "epoch").as[(Long, Long)].collect().sorted.toSeq
+    val cents25 = Ivf.deterministicCentroids(emb, 25)
+    // torn rebuild: the stable generation's data is written, the publish
+    // append is not (appendDesc=false IS the pre-publish state)
+    val resolved = graft.operators.Lww
+      .latestBy(Segments.readSegments(spark, base), "id_hash", "epoch")
+      .filter(!col("deleted"))
+    Segments.writeSegment(
+      Ivf.assign(resolved.drop("centroid_id"), cents25, vecCol = "vec"),
+      base, "stable-gen2", isStable = true, appendDesc = false)
+    // readers see the OLD world only — the orphan directory is invisible
+    // (no descriptor), and no duplicates exist
+    assert(Segments.catalogDescriptors(spark, base)
+      .map(_.segment_id) === Seq("d0"))
+    assert(Segments.readSegments(spark, base)
+      .select("vec_id", "epoch").as[(Long, Long)].collect().sorted.toSeq
+      === before)
+    // recovery: rerun the rebuild (idempotent overwrite of the orphan)
+    Segments.rebuildLayout(spark, base,
+      df => Ivf.assign(df, cents25, vecCol = "vec"), "stable-gen2")
+    assert(Segments.catalogDescriptors(spark, base)
+      .map(_.segment_id) === Seq("stable-gen2"))
+    val after = Segments.readSegments(spark, base)
+      .select("vec_id", "epoch").as[(Long, Long)].collect().sorted.toSeq
+    val oracle = MutationLog.live(MutationLog.deterministicLog(emb))
+      .select("vec_id", "epoch").as[(Long, Long)].collect().sorted.toSeq
+    assert(after === oracle)
+    // no id appears twice (the duplicate-candidates failure mode)
+    assert(after.map(_._1).distinct.length === after.length)
+    Segments.deleteDir(base)
+  }
+
   test("checkpointCatalog folds manifest history without changing the active view") {
     val base = tmpBase()
     val rows = segmentRows.cache()
