@@ -272,6 +272,11 @@ object Bench {
         (-1L, -1.0, -1.0, -1.0, -1.0, -1.0)
       }
 
+    // extra serving metrics appended verbatim to the JSON line (keeps the
+    // headline tuple within Scala's arity): overlay overhead, cosine
+    // serving, and the 10M scale probe
+    val extras = scala.collection.mutable.LinkedHashMap.empty[String, String]
+
     // Corpus-scale KNN (the sf tables are 2k vectors — fixed-overhead-
     // dominated): replicate embeddings to ~1M rows with jittered copies and
     // measure (a) exact-scan QPS for the 80-query batch, (b) map-side IVF
@@ -350,6 +355,17 @@ object Bench {
               lit(10L) + (col("vec_id") % 5).cast("long"))),
           servCents, "ip",
           tenantCol = Some("tenant"), tagsCol = Some("tags"))
+        // read-your-writes overlay at the reference's buffered envelope:
+        // ~100k in-flight rows over the 1M corpus (10%), built BEFORE big
+        // is dropped. The overhead metric below must be independent of
+        // overlay size — the shadow set rides a broadcast, never the
+        // per-request closure.
+        val overlay = graft.index.ServingOverlay.fromDataFrame(
+          Ivf.assign(big, servCents)
+            .filter(col("vec_id") % 10 === 0)
+            .select(col("vec_id"), lit(1L).as("epoch"),
+              lit(false).as("deleted"), col("centroid_id"),
+              col("embedding").cast("array<double>").as("vec")))
         big.unpersist(); assigned.unpersist()
         val nprobeServ = 8
         def floorNow(): Double = (0 until 3).map { _ =>
@@ -404,6 +420,85 @@ object Bench {
             (System.nanoTime() - t0) / 1e6
           }
         }.sorted
+        // read-your-writes serving: the same requests through the 100k-row
+        // overlay. The per-request overhead (p50 delta vs the plain loop)
+        // must be flat in overlay size — the shadow set is broadcast once
+        // per overlay generation, the closure carries only the handle.
+        idx.searchWithOverlay(qRows.head, 10, nprobeServ, overlay) // warm
+        val overlayRaw = (0 until 3).flatMap { _ =>
+          qRows.map { qv =>
+            val t0 = System.nanoTime()
+            idx.searchWithOverlay(qv, 10, nprobeServ, overlay)
+            (System.nanoTime() - t0) / 1e6
+          }
+        }.sorted
+        extras("overlay_rows") = overlay.size.toString
+        extras("ivf_1m_overlay_p50_ms") = num(pctl(overlayRaw, 50), 1)
+        extras("ivf_1m_overlay_p99_ms") = num(pctl(overlayRaw, 99), 1)
+        extras("overlay_request_overhead_ms") =
+          num(pctl(overlayRaw, 50) - pctl(raw, 50), 2)
+        overlay.destroy()
+        // cosine serving on the same corpus/layout: with the query norm
+        // hoisted out of the row loop, cosine should track ip instead of
+        // paying ~1.5x its flops
+        val idxCos = graft.index.ServingIndex.build(
+          Ivf.assign(
+            e.withColumn("rep", explode(sequence(lit(0), lit(reps - 1))))
+              .select((col("vec_id") * lit(reps.toLong) + col("rep"))
+                  .as("vec_id"),
+                transform(col("embedding"),
+                  (x, i) => when(i === 0,
+                    x + col("rep").cast("float") * 1e-6f).otherwise(x))
+                  .as("embedding")),
+            servCents),
+          servCents, "cosine")
+        System.gc()
+        (0 until 5).foreach(_ => idxCos.search(qRows.head, 10, nprobeServ))
+        val cosRaw = (0 until 3).flatMap { _ =>
+          qRows.map { qv =>
+            val t0 = System.nanoTime()
+            idxCos.search(qv, 10, nprobeServ)
+            (System.nanoTime() - t0) / 1e6
+          }
+        }.sorted
+        extras("ivf_1m_cosine_p50_ms") = num(pctl(cosRaw, 50), 1)
+        extras("ivf_1m_cosine_p99_ms") = num(pctl(cosRaw, 99), 1)
+        idxCos.unpersist()
+        // 10M scale probe (the 100x question in miniature): same layout
+        // family (nlist held at ~2000 -> ~5000-row lists), same nprobe, so
+        // a request touches the same 0.4% probed FRACTION of a 10x corpus.
+        // p99 within ~2x of the 1M numbers demonstrates latency scales
+        // with the probed fraction, not the corpus. max_candidates lifted
+        // to 50k for this index (the reference cap is yaml-tunable; the
+        // 10k default would silently clamp nprobe to 2 at 5000-row lists).
+        val reps10 = math.max(1L, 10000000L / math.max(1L, n0)).toInt
+        val big10 = e
+          .withColumn("rep", explode(sequence(lit(0), lit(reps10 - 1))))
+          .select((col("vec_id") * lit(reps10.toLong) + col("rep"))
+              .as("vec_id"),
+            transform(col("embedding"),
+              (x, i) => when(i === 0, x + col("rep").cast("float") * 1e-6f)
+                .otherwise(x)).as("embedding"))
+          .repartition(cpus.toInt)
+        val t10 = System.nanoTime()
+        val idx10 = graft.index.ServingIndex.build(
+          Ivf.assign(big10, servCents), servCents, "ip",
+          limits = graft.index.ServingLimits(maxCandidates = 50000))
+        extras("ivf_10m_build_sec") = num((System.nanoTime() - t10) / 1e9, 1)
+        extras("ivf_10m_rows") = (reps10.toLong * n0).toString
+        System.gc()
+        (0 until 5).foreach(_ => idx10.search(qRows.head, 10, nprobeServ))
+        val raw10 = (0 until 3).flatMap { _ =>
+          qRows.map { qv =>
+            val t0 = System.nanoTime()
+            idx10.search(qv, 10, nprobeServ)
+            (System.nanoTime() - t0) / 1e6
+          }
+        }.sorted
+        extras("ivf_10m_query_p50_ms") = num(pctl(raw10, 50), 1)
+        extras("ivf_10m_query_p99_ms") = num(pctl(raw10, 99), 1)
+        extras("ivf_10m_floor_ms") = num(floorNow(), 1)
+        idx10.unpersist()
         val r = (nQs / exactSec, nBig / assignSec, nQs / ivfSec,
           pctl(raw, 50), pctl(raw, 99), pctl(steady, 50), pctl(steady, 99),
           pctl(filteredRaw, 99), floor, floor <= 15.0, nlistServ,
@@ -469,7 +564,10 @@ object Bench {
 
     // exit 0 even with failures: the JSON line (with its "failed" list) is
     // the contract — a non-zero rc would discard the whole measurement
-    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"failed":$failed,"flaky":$flakyJson,"recall_at_tuned_nprobe":${num(tunedRecall, 4)},"recall_pq2phase":${num(recallPq, 4)},"recall_pq_trained":${num(recallPqTrained, 4)},"recall_pq_at_tuned_rerank":${num(recallPqTuned, 4)},"pq_tuned_rerank":$pqRerank,"recall_pq_opq":${num(recallOpq, 4)},"tuned_nprobe":$tunedNprobe,"ivf_nlist":$nlist,"n_queries_per_batch":$nQueries,"knn_exact_per_query_ms":${num(perQueryMs, 2)},"knn_1m_exact_qps":${num(knn1mExactQps, 1)},"ivf_assign_1m_rows_per_sec":${num(assign1mRowsPerSec, 0)},"knn_1m_ivf_qps":${num(knn1mIvfQps, 1)},"serving_nlist":$servNlist,"serving_nprobe":$servNprobe,"ivf_1m_query_p50_ms":${num(ivf1mP50Ms, 1)},"ivf_1m_query_p99_ms":${num(ivf1mP99Ms, 1)},"ivf_1m_query_p50_steady_ms":${num(ivf1mP50SteadyMs, 1)},"ivf_1m_query_p99_steady_ms":${num(ivf1mP99SteadyMs, 1)},"ivf_1m_query_filtered_p99_ms":${num(ivf1mFilteredP99Ms, 1)},"job_dispatch_floor_ms":${num(dispatchFloorMs, 1)},"floor_gate_ms":15,"floor_gate_ok":$floorGateOk,"stress768_rows":$s768Rows,"stress768_assign_rows_per_sec":${num(s768AssignRps, 0)},"stress768_pq96_encode_rows_per_sec":${num(s768EncodeRps, 0)},"stress768_pq96_2phase_sec":${num(s768TwoPhaseSec, 3)},"ingest_ops":$ingestOps,"ingest_ops_per_sec":${num(ingestQps, 1)},"flush_lag_ms":${num(flushLagMsOut, 1)},"compact_sec":${num(compactSec, 3)},"write_amplification":${num(writeAmp, 3)},"delta_resident_fraction":${num(deltaFrac, 4)},"sf":"$sfDir"}""")
+    val extrasJson = extras.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString(",")
+    val extrasField = if (extrasJson.isEmpty) "" else extrasJson + ","
+    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"failed":$failed,"flaky":$flakyJson,"recall_at_tuned_nprobe":${num(tunedRecall, 4)},"recall_pq2phase":${num(recallPq, 4)},"recall_pq_trained":${num(recallPqTrained, 4)},"recall_pq_at_tuned_rerank":${num(recallPqTuned, 4)},"pq_tuned_rerank":$pqRerank,"recall_pq_opq":${num(recallOpq, 4)},"tuned_nprobe":$tunedNprobe,"ivf_nlist":$nlist,"n_queries_per_batch":$nQueries,"knn_exact_per_query_ms":${num(perQueryMs, 2)},"knn_1m_exact_qps":${num(knn1mExactQps, 1)},"ivf_assign_1m_rows_per_sec":${num(assign1mRowsPerSec, 0)},"knn_1m_ivf_qps":${num(knn1mIvfQps, 1)},"serving_nlist":$servNlist,"serving_nprobe":$servNprobe,"ivf_1m_query_p50_ms":${num(ivf1mP50Ms, 1)},"ivf_1m_query_p99_ms":${num(ivf1mP99Ms, 1)},"ivf_1m_query_p50_steady_ms":${num(ivf1mP50SteadyMs, 1)},"ivf_1m_query_p99_steady_ms":${num(ivf1mP99SteadyMs, 1)},"ivf_1m_query_filtered_p99_ms":${num(ivf1mFilteredP99Ms, 1)},${extrasField}"job_dispatch_floor_ms":${num(dispatchFloorMs, 1)},"floor_gate_ms":15,"floor_gate_ok":$floorGateOk,"stress768_rows":$s768Rows,"stress768_assign_rows_per_sec":${num(s768AssignRps, 0)},"stress768_pq96_encode_rows_per_sec":${num(s768EncodeRps, 0)},"stress768_pq96_2phase_sec":${num(s768TwoPhaseSec, 3)},"ingest_ops":$ingestOps,"ingest_ops_per_sec":${num(ingestQps, 1)},"flush_lag_ms":${num(flushLagMsOut, 1)},"compact_sec":${num(compactSec, 3)},"write_amplification":${num(writeAmp, 3)},"delta_resident_fraction":${num(deltaFrac, 4)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -45,3 +45,96 @@ object NprobeTuner {
     rows.find(_._2 >= target).map(_._1).getOrElse(rows.last._1)
   }
 }
+
+/** RUNTIME nprobe adaptation — the reference's TuningConfig feedback loop
+  * (config.h:138-147: recall_target 0.95, per-tier bands delta [4,8] /
+  * stable [8,16], 1 h decision windows), complementing the offline
+  * calibration sweep above. Fed by sampled per-request recall; at each
+  * window boundary it steps nprobe within [lo, hi]:
+  *
+  *  - under target → jump back to the last setting that met target if
+  *    one is known (it met target a window ago — no overshoot), else
+  *    double toward hi (recover recall fast on a cold start); the
+  *    failing nprobe is remembered as the known floor;
+  *  - at or above target + margin → step down by one (reclaim latency
+  *    slowly), but never INTO the known floor — together with the
+  *    jump-back this kills the classic sawtooth where a controller
+  *    repeatedly re-falls into the same insufficient setting or
+  *    round-trips to the band ceiling after each re-fall;
+  *  - the floor memory expires after `probeEvery` windows so a drifting
+  *    corpus that got EASIER is eventually re-probed (the reference's
+  *    persist_decisions + fresh windows achieve the same).
+  *
+  * Deterministic given the observation stream; O(1) state.
+  */
+final class AdaptiveNprobe(val lo: Int, val hi: Int,
+    target: Double = 0.95, window: Int = 50, margin: Double = 0.02,
+    probeEvery: Int = 24, start: Option[Int] = None) {
+  require(lo >= 1 && hi >= lo, s"band [$lo, $hi]")
+  private var np = math.min(hi, math.max(lo, start.getOrElse(lo)))
+  private var sum = 0.0
+  private var n = 0
+  private var floorNp = 0 // highest nprobe known insufficient (0 = none)
+  private var lastGood = 0 // most recent nprobe that met target (0 = none)
+  private var windowsSinceFail = 0
+
+  def current: Int = np
+
+  /** Feed one sampled recall observation (|approx ∩ reference| / k). */
+  def observe(recall: Double): Unit = {
+    sum += recall; n += 1
+    if (n >= window) {
+      val avg = sum / n
+      sum = 0.0; n = 0
+      if (avg < target) {
+        floorNp = math.max(floorNp, np)
+        windowsSinceFail = 0
+        np =
+          if (lastGood > np) lastGood
+          else math.min(hi, math.max(np + 1, np * 2))
+      } else {
+        lastGood = np
+        windowsSinceFail += 1
+        if (windowsSinceFail >= probeEvery) {
+          floorNp = 0 // age out: re-probe a possibly easier corpus
+          windowsSinceFail = 0
+        }
+        if (avg >= target + margin && np - 1 > math.max(floorNp, lo - 1))
+          np -= 1
+      }
+    }
+  }
+}
+
+/** [[ServingIndex]] wrapped in the runtime controller: every
+  * `sampleEvery`-th request is re-answered at the band ceiling `hi` and
+  * the observed overlap feeds [[AdaptiveNprobe]]. The ceiling is the
+  * quality reference ON PURPOSE: the band's own upper bound is what the
+  * controller may spend, so recall-vs-ceiling is the exactly-attainable
+  * target (absolute recall belongs to the offline sweep, Q13), and the
+  * sample stays cap-safe at any corpus size. Sampling cost: one extra
+  * hi-probe request per `sampleEvery` requests.
+  */
+final class AdaptiveServingIndex(idx: ServingIndex, lo: Int, hi: Int,
+    target: Double = 0.95, window: Int = 50, margin: Double = 0.02,
+    probeEvery: Int = 24, sampleEvery: Int = 10) {
+  private val ctl = new AdaptiveNprobe(lo, hi, target, window, margin,
+    probeEvery)
+  private var reqs = 0L
+
+  def currentNprobe: Int = ctl.current
+
+  def search(q: Array[Float], k: Int,
+      filter: ServingFilter = ServingFilter.none): Array[(Long, Double)] = {
+    val res = idx.search(q, k, ctl.current, filter)
+    reqs += 1
+    if (reqs % sampleEvery == 0) {
+      val ref = idx.search(q, k, hi, filter)
+      if (ref.nonEmpty) {
+        val got = res.iterator.map(_._1).toSet
+        ctl.observe(ref.count(r => got(r._1)).toDouble / ref.length)
+      }
+    }
+    res
+  }
+}

@@ -99,6 +99,12 @@ final class ServingOverlay private (
     private[index] val hasTenant: Boolean,
     private[index] val hasTags: Boolean) {
   def size: Int = winners.length
+  /** Winners grouped by centroid, built once per generation: a request
+    * scans only the PROBED lists' winners — O(probed fraction of the
+    * overlay), not O(overlay) — matching the stored side's pruning.
+    */
+  private[index] val winnersByCid: Map[Long, Array[OverlayWinner]] =
+    winners.groupBy(_.cid)
   /** Driver-side view of the shadowed id set (local read, no fetch). */
   private[index] def shadowed: Set[Long] = shadowBc.value
   /** Drop the broadcast from executors — call when this overlay
@@ -320,9 +326,10 @@ final class ServingIndex private (
     // scores stay bit-identical to the per-row form)
     val nqPre =
       if (m == "cosine") ServingIndex.queryNormSq(q) else Double.NaN
-    val overlayCands = overlay.winners.iterator
-      .filter(w => probedSet.contains(w.cid) &&
-        ServingIndex.passWinner(w, filter))
+    val overlayCands = probed.iterator
+      .flatMap(cid => overlay.winnersByCid.getOrElse(cid,
+        Array.empty[OverlayWinner]))
+      .filter(w => ServingIndex.passWinner(w, filter))
       .map(w => (w.id, ServingIndex.scoreOne(q, w.vec, m, nqPre)))
       .toArray
     (partials.flatten ++ overlayCands)

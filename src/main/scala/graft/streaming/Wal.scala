@@ -13,10 +13,10 @@ import org.apache.spark.sql.types._
   * (include/woved/types.h:85-91; configs/woved-default.yaml:42-44
   * `frame_header: [len_u32, crc32c_u32, epoch_u64]`, checksum crc32c).
   *
-  * Payload here is the UTF-8 JSON of the mutation record (the reference
-  * uses FlatBuffers, wal-record.fbs:21-58 — the framing, checksumming and
-  * recovery semantics are what this reproduces; the payload codec is
-  * pluggable).
+  * Payloads: UTF-8 JSON for the engine's own logs, or the reference's
+  * FlatBuffers `WALRecord` (wal-record.fbs:21-58) via
+  * [[appendRecords]]/[[replayRecords]] + [[WalRecordFb]] for bit-compat
+  * interchange with reference-written logs.
   *
   * Recovery (W3): [[read]] verifies each frame's CRC over
   * [epoch‖payload] and stops cleanly at the first torn/corrupt frame —
@@ -38,15 +38,15 @@ object Wal {
     c.getValue
   }
 
-  /** Append frames to a local WAL file (driver-side; one log per writer —
-    * the reference is single-node, group-commit batches arrive in order).
+  /** Append binary-payload frames to a local WAL file (driver-side; one
+    * log per writer — the reference is single-node, group-commit batches
+    * arrive in order).
     */
-  def append(path: String, records: Seq[(Long, String)]): Unit = {
+  def appendBinary(path: String, records: Seq[(Long, Array[Byte])]): Unit = {
     val fos = new FileOutputStream(path, true)
     val out = new DataOutputStream(fos)
     try {
-      records.foreach { case (epoch, json) =>
-        val payload = json.getBytes(StandardCharsets.UTF_8)
+      records.foreach { case (epoch, payload) =>
         out.writeInt(payload.length)
         out.writeInt(crc(epoch, payload).toInt)
         out.writeLong(epoch)
@@ -57,14 +57,27 @@ object Wal {
     } finally out.close()
   }
 
+  /** JSON-payload convenience (UTF-8 through the binary frame). */
+  def append(path: String, records: Seq[(Long, String)]): Unit =
+    appendBinary(path, records.map { case (e, j) =>
+      (e, j.getBytes(StandardCharsets.UTF_8))
+    })
+
+  /** Bit-compatible reference-format append: the FlatBuffers `WALRecord`
+    * payload (wal-record.fbs:21-58, [[WalRecordFb]]) inside the same
+    * `[len][crc32c][epoch]` frame. Frame epoch = record epoch.
+    */
+  def appendRecords(path: String, records: Seq[WalRecord]): Unit =
+    appendBinary(path, records.map(r => (r.epoch, WalRecordFb.encode(r))))
+
   /** Replay a WAL file: every frame up to (not including) the first torn
     * or checksum-failing frame. Returns (epoch, payload) pairs.
     */
-  def replay(path: String): Seq[(Long, String)] = {
+  def replayBinary(path: String): Seq[(Long, Array[Byte])] = {
     val f = new File(path)
     if (!f.exists()) return Seq.empty
     val in = new DataInputStream(new FileInputStream(f))
-    val out = Seq.newBuilder[(Long, String)]
+    val out = Seq.newBuilder[(Long, Array[Byte])]
     try {
       var ok = true
       while (ok) {
@@ -77,7 +90,7 @@ object Wal {
             val payload = new Array[Byte](len)
             in.readFully(payload)
             if (crc(epoch, payload).toInt == storedCrc)
-              out += ((epoch, new String(payload, StandardCharsets.UTF_8)))
+              out += ((epoch, payload))
             else ok = false // corrupt → stop (recovery semantics)
           }
         } catch { case _: EOFException => ok = false }
@@ -85,6 +98,15 @@ object Wal {
     } finally in.close()
     out.result()
   }
+
+  def replay(path: String): Seq[(Long, String)] =
+    replayBinary(path).map { case (e, p) =>
+      (e, new String(p, StandardCharsets.UTF_8))
+    }
+
+  /** Replay a reference-format (FlatBuffers-payload) WAL. */
+  def replayRecords(path: String): Seq[WalRecord] =
+    replayBinary(path).map { case (_, p) => WalRecordFb.decode(p) }
 
   /** Replayed WAL as a DataFrame of (epoch, payload). */
   def replayDf(spark: SparkSession, path: String): DataFrame = {

@@ -25,4 +25,80 @@ class NprobeTunerSpec extends SparkSpec {
     assert(picked >= 1 && picked <= 10)
     assert(NprobeTuner.pick(swept, target = 2.0) === 10) // unreachable → clamp
   }
+
+  // drive the controller with a synthetic recall curve: `windows` decision
+  // windows of `window` identical observations each; returns nprobe history
+  private def drive(ctl: AdaptiveNprobe, recallOf: Int => Double,
+      windows: Int, window: Int = 10): Seq[Int] =
+    (0 until windows).map { _ =>
+      (0 until window).foreach(_ => ctl.observe(recallOf(ctl.current)))
+      ctl.current
+    }
+
+  test("AdaptiveNprobe converges to the smallest nprobe meeting target, tracks drift both ways") {
+    // regime 1: recall 1→0.80, 2→0.90, 4→0.96, 8+→0.99; smallest ok = 4
+    val r1 = Map(1 -> 0.80, 2 -> 0.90).withDefault(np =>
+      if (np >= 8) 0.99 else if (np >= 4) 0.96 else 0.0)
+    val ctl = new AdaptiveNprobe(1, 16, target = 0.95, window = 10,
+      margin = 0.02, probeEvery = 4)
+    val h1 = drive(ctl, r1, windows = 8)
+    assert(h1.take(2) === Seq(2, 4), h1) // 1 fails → 2; 2 fails → 4
+    assert(h1.drop(2).forall(_ === 4), h1) // 0.96 < target+margin → hold
+    // drift DOWN (harder corpus): 4 now yields 0.90 — must climb to 8
+    val r2 = Map(1 -> 0.70, 2 -> 0.80, 4 -> 0.90).withDefault(np =>
+      if (np >= 8) 0.955 else 0.0)
+    val h2 = drive(ctl, r2, windows = 6)
+    assert(h2.head === 8, h2)
+    assert(h2.forall(_ === 8), h2) // 0.955 < 0.97: no step-down dither
+    // drift UP (easier corpus): everything ≥2 is now ≥ target+margin; the
+    // floor memory ages out after probeEvery windows and the controller
+    // walks down to the new smallest = 2, re-probing 1 only periodically
+    val r3 = Map(1 -> 0.80).withDefault(np => if (np >= 2) 0.99 else 0.0)
+    val h3 = drive(ctl, r3, windows = 40)
+    val settled = h3.drop(8)
+    assert(settled.toSet.subsetOf(Set(1, 2)), h3)
+    // dominated by the new optimum; floor re-probes are periodic, not a
+    // dither (one per ~probeEvery+1 windows)
+    assert(settled.count(_ === 2).toDouble / settled.length >= 0.7, h3)
+  }
+
+  test("AdaptiveNprobe kills the sawtooth at a sharp recall cliff") {
+    // cliff: 8 → 0.94 (just under), 9+ → 0.999 (well over margin). A
+    // memory-less controller would cycle 9→8→16→9→8→16...; the floor
+    // memory pins 9 between re-probes.
+    val cliff = (np: Int) => if (np >= 9) 0.999 else 0.70
+    val ctl = new AdaptiveNprobe(4, 16, target = 0.95, window = 10,
+      margin = 0.02, probeEvery = 8, start = Some(16))
+    val h = drive(ctl, cliff, windows = 24)
+    // after the initial walk-down finds the cliff, it sits at 9 except
+    // for the periodic single-window floor re-probe
+    val tail = h.drop(8)
+    assert(tail.count(_ < 9) <= 3, h)
+    assert(tail.count(_ === 9) >= tail.length - 6, h)
+    assert(h.last >= 9, h)
+  }
+
+  test("AdaptiveServingIndex settles inside its band on the real fixture (vs band-ceiling reference)") {
+    val cents = Ivf.deterministicCentroids(emb, 50)
+    val idx = ServingIndex.build(Ivf.assign(emb, cents), cents, "ip")
+    val qs = Knn.defaultQueries(emb).collect()
+      .map(r => r.getSeq[Float](1).toArray)
+    val nlist = cents.count().toInt
+    val hi = nlist // ceiling = probe-all on this small fixture
+    val adaptive = new AdaptiveServingIndex(idx, lo = 1, hi = hi,
+      target = 0.95, window = 5, sampleEvery = 1)
+    // serve the battery repeatedly; every request is sampled (test mode)
+    (0 until 30).foreach(_ => qs.foreach(q => adaptive.search(q, 10)))
+    val settled = adaptive.currentNprobe
+    assert(settled >= 1 && settled <= hi)
+    // the settled nprobe really meets the target against the ceiling
+    val recallAt = qs.map { q =>
+      val ref = idx.search(q, 10, hi).map(_._1).toSet
+      val got = idx.search(q, 10, settled).map(_._1)
+      got.count(ref).toDouble / ref.size
+    }
+    assert(recallAt.sum / recallAt.length >= 0.95,
+      s"settled=$settled recall=${recallAt.sum / recallAt.length}")
+    idx.unpersist()
+  }
 }

@@ -55,4 +55,85 @@ class WalSpec extends AnyFunSuite {
   test("replay of missing file is empty, not an error") {
     assert(Wal.replay("/tmp/does-not-exist-graft.wal") === Seq.empty)
   }
+
+  private def sampleRecord(e: Long) = WalRecord(
+    op = (e % 3).toByte,
+    id = f"0190-$e%04d-uuid",
+    idHash = e * 0x9E3779B97F4A7C15L, // exercises the sign bit (u64)
+    tenantNsHash = -e,
+    timestampNanos = 1700000000000000000L + e,
+    dim = 4,
+    vector = Array(e.toFloat, -e.toFloat, 0.5f, Float.MinPositiveValue),
+    tags = Array(3, 11, Int.MaxValue),
+    flags = 0x80000001, // u32 high bit
+    epoch = e,
+    centroidId = 65535, // u16 max
+    tenant = s"t${e % 3}",
+    namespace = "ns0")
+
+  test("FlatBuffers WALRecord: encode/decode roundtrip over every field incl. unsigned extremes") {
+    val recs = (1L to 20L).map(sampleRecord) :+
+      WalRecord(2, "", 0L, 0L, 0L, 0, Array.empty, Array.empty, 0, 7L, 0,
+        "", "") // FENCE with everything empty/default
+    recs.foreach { r =>
+      assert(WalRecordFb.decode(WalRecordFb.encode(r)) === r, r.id)
+    }
+  }
+
+  test("FlatBuffers WALRecord: canonical layout invariants (golden header bytes)") {
+    // spot-check the writer against the format spec, not against itself:
+    // root uoffset -> table at 40, vtable of 13 slots (30 bytes) at 4,
+    // table soffset back-references it, epoch inline at table+8
+    val bytes = WalRecordFb.encode(sampleRecord(9L))
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(bb.getInt(0) === 40) // root uoffset
+    assert(bb.getShort(4) === 30) // vtable length: 4 + 13*2
+    assert(bb.getShort(6) === 69) // table length
+    assert(bb.getInt(40) === 36) // soffset: table 40 - vtable 4
+    assert(bb.getLong(48) === 9L) // epoch at table+8 (slot 9 -> offset 8)
+    assert((bb.getShort(4 + 4 + 2 * 9) & 0xffff) === 8) // vtable slot 9
+  }
+
+  test("FlatBuffers WALRecord: general reader decodes a FOREIGN layout (vtable after table, defaults omitted)") {
+    // hand-built conforming buffer in a layout the encoder never emits:
+    // table first (soffset negative), vtable after it, children at the
+    // end, and all defaultable scalars OMITTED (slot offset 0) — the
+    // shape a back-to-front flatc builder produces. Fields present:
+    // id="ab" (slot 1), epoch=5 (slot 9); everything else default.
+    val bb = java.nio.ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val tPos = 8
+    bb.putInt(0, tPos) // root
+    bb.putInt(tPos, -(24 - tPos)) // soffset: vtable at 24, AFTER the table
+    bb.putInt(tPos + 4, 48 - (tPos + 4)) // slot 1 (id) uoffset -> 48
+    bb.putLong(tPos + 8, 5L) // epoch inline
+    // vtable at 24: covers slots 0..9 only (len 4 + 10*2 = 24, spans
+    // 24..47); unset in-range slots are zero = absent
+    bb.putShort(24, 24.toShort)
+    bb.putShort(26, 16.toShort) // table length
+    bb.putShort(24 + 4 + 2 * 1, 4.toShort) // id at table+4
+    bb.putShort(24 + 4 + 2 * 9, 8.toShort) // epoch at table+8
+    // id string at 48 (past the vtable)
+    bb.putInt(48, 2)
+    bb.put(52, 'a'.toByte); bb.put(53, 'b'.toByte); bb.put(54, 0.toByte)
+    val r = WalRecordFb.decode(bb.array())
+    assert(r.id === "ab" && r.epoch === 5L)
+    // omitted slots fall back to defaults, including those past vtable end
+    assert(r.op === 0 && r.idHash === 0L && r.dim === 0 &&
+      r.vector.isEmpty && r.tags.isEmpty && r.flags === 0 &&
+      r.centroidId === 0 && r.tenant === "" && r.namespace === "")
+  }
+
+  test("FlatBuffers payloads ride the crc32c frame with the same recovery semantics") {
+    val p = tmpWal()
+    val recs = (1L to 30L).map(sampleRecord)
+    Wal.appendRecords(p, recs)
+    assert(Wal.replayRecords(p) === recs)
+    // torn tail mid-frame: the prefix survives, the tail is discarded
+    val raf = new RandomAccessFile(p, "rw")
+    raf.setLength(raf.length() - 3)
+    raf.close()
+    assert(Wal.replayRecords(p) === recs.dropRight(1))
+  }
 }
