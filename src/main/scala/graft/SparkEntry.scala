@@ -1402,18 +1402,31 @@ object SparkEntry {
         |      AS BIGINT) % 100 AS b
         |  FROM documents) t
         |GROUP BY 1, 2""".stripMargin,
+    // geometry formulas must equal MultimodalOps.{imgW,imgH,videoFrames,
+    // audioSamples} over h28 = first 28 bits of md5(text); the Spark side
+    // reports REAL decoder output (ImageIO dims, AudioSystem frame count),
+    // so the match proves the codec round-trip end to end
     "media_stats" ->
-      """SELECT CASE CAST(doc_id % 3 AS INTEGER)
-        |    WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
-        |    AS kind,
-        |  CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(least(256, octet_length(CAST(text AS BLOB))))
-        |    AS BIGINT) AS total_bytes,
-        |  CAST(min(64 + doc_id % 64) AS BIGINT) AS min_w,
-        |  CAST(max(64 + doc_id % 64) AS BIGINT) AS max_w,
-        |  CAST(sum(CASE WHEN doc_id % 3 = 2 THEN 8 + doc_id % 8 ELSE 1 END)
-        |    AS BIGINT) AS total_frames
-        |FROM documents GROUP BY 1""".stripMargin,
+      """WITH d AS (SELECT doc_id, text,
+        |    CAST(('0x' || substr(md5(text), 1, 7)) AS BIGINT) AS h
+        |  FROM documents),
+        |m AS (SELECT
+        |    CASE CAST(doc_id % 3 AS INTEGER)
+        |      WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+        |      AS kind,
+        |    CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 64 + h % 64 END AS w,
+        |    CASE WHEN doc_id % 3 = 1 THEN 0
+        |      ELSE 48 + (h // 64) % 48 END AS ht,
+        |    CASE WHEN doc_id % 3 = 0 THEN 1
+        |      WHEN doc_id % 3 = 1 THEN 800 + (h % 64) * 16
+        |      ELSE 8 + (h // 4096) % 8 END AS frames
+        |  FROM d)
+        |SELECT kind, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(w) AS BIGINT) AS min_w,
+        |  CAST(max(w) AS BIGINT) AS max_w,
+        |  CAST(sum(frames) AS BIGINT) AS total_frames,
+        |  CAST(sum(w * ht) AS BIGINT) AS total_px
+        |FROM m GROUP BY 1""".stripMargin,
     "tag_dict" ->
       """WITH emb AS (SELECT vec_id, label FROM embeddings),
         |vt AS (SELECT vec_id,

@@ -1,5 +1,7 @@
 package graft.operators
 
+import java.io.ByteArrayInputStream
+
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
@@ -9,12 +11,58 @@ class MultimodalOpsSpec extends SparkSpec {
 
   private def media = MultimodalOps.syntheticMedia(docs).cache()
 
-  test("decodeMeta parses headers for every blob and stays in-plan") {
+  test("image blobs are REAL PNG: ImageIO round-trips the md5(text) geometry") {
+    val rows = media.filter(col("kind") === "image")
+      .join(docs.select(col("doc_id").as("media_id"), col("text")),
+        Seq("media_id"))
+      .select("media_id", "data", "text").limit(20).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val data = r.getAs[Array[Byte]]("data")
+      // real PNG container magic
+      assert((data(0) & 0xff) == 0x89 && data(1) == 'P')
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(data))
+      val h = MultimodalOps.h28(r.getString(2))
+      assert(img.getWidth === MultimodalOps.imgW(h))
+      assert(img.getHeight === MultimodalOps.imgH(h))
+      // pixel content round-trips losslessly: first pixel = first text
+      // bytes tiled as RGB
+      val content = r.getString(2).getBytes("UTF-8").take(256)
+      if (content.length >= 3) {
+        val exp = ((content(0) & 0xff) << 16) | ((content(1) & 0xff) << 8) |
+          (content(2) & 0xff)
+        assert((img.getRGB(0, 0) & 0xffffff) === exp)
+      }
+    }
+  }
+
+  test("audio blobs are REAL WAV: the JDK sound stack parses the sample count") {
+    val rows = media.filter(col("kind") === "audio")
+      .join(docs.select(col("doc_id").as("media_id"), col("text")),
+        Seq("media_id"))
+      .select("data", "text").limit(20).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(r.getAs[Array[Byte]]("data")))
+      val h = MultimodalOps.h28(r.getString(1))
+      assert(ais.getFrameLength === MultimodalOps.audioSamples(h))
+      assert(ais.getFormat.getSampleRate === 8000.0f)
+      ais.close()
+    }
+  }
+
+  test("decodeMeta really decodes (PNG dims, WAV frames) and stays in-plan") {
     val m = MultimodalOps.decodeMeta(media)
     assert(m.filter(!col("meta.valid")).count() === 0)
     assert(m.count() === docs.count())
     val kinds = m.select("meta.kind").distinct().as[Int].collect().sorted
     assert(kinds.toSeq === Seq(0, 1, 2))
+    // audio has no spatial dims; images/video do
+    assert(m.filter(col("kind") === "audio" && col("meta.width") =!= 0)
+      .count() === 0)
+    assert(m.filter(col("kind") =!= "audio" && col("meta.width") < 64)
+      .count() === 0)
     // no RDD hop: the decode is a projection over the source plan, never
     // an ExistingRDD scan (which would cost a serialization round-trip)
     val plan = m.queryExecution.executedPlan.toString
@@ -27,17 +75,41 @@ class MultimodalOpsSpec extends SparkSpec {
         .otherwise(col("data")))
     val m = MultimodalOps.decodeMeta(corrupt)
     assert(m.filter(!col("meta.valid")).count() === media.count() / 2)
+    // a PNG magic with garbage body is also invalid, not a crash
+    val fakePng = media.withColumn("data",
+      lit(Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10, 0, 0, 0,
+        0, 1)))
+    assert(MultimodalOps.decodeMeta(fakePng).filter(col("meta.valid"))
+      .count() === 0)
   }
 
-  test("resize clamps dimensions and keeps payload size") {
-    val before = MultimodalOps.decodeMeta(media)
-      .select(sum("meta.payload_bytes")).as[Long].head()
-    val resized = MultimodalOps.decodeMeta(
-      MultimodalOps.resize(media, 64, 48))
-    assert(resized.filter(col("meta.width") > 64 || col("meta.height") > 48)
-      .count() === 0)
-    val after = resized.select(sum("meta.payload_bytes")).as[Long].head()
-    assert(after === before)
+  test("resize really resamples: dims clamp to the box, nearest-neighbor pixels verify") {
+    val resized = MultimodalOps.resize(media, 64, 48)
+    val m = MultimodalOps.decodeMeta(resized)
+    assert(m.filter(!col("meta.valid")).count() === 0)
+    assert(m.filter(col("kind") === "image" &&
+      (col("meta.width") > 64 || col("meta.height") > 48)).count() === 0)
+    // pixel-level check on one image: out(x,y) == in(x*W/w, y*H/h)
+    val before = media.filter(col("kind") === "image")
+      .select("media_id", "data").limit(1).collect().head
+    val after = resized.filter(col("media_id") === before.getLong(0))
+      .select("data").head().getAs[Array[Byte]](0)
+    val src = javax.imageio.ImageIO.read(
+      new ByteArrayInputStream(before.getAs[Array[Byte]]("data")))
+    val dst = javax.imageio.ImageIO.read(new ByteArrayInputStream(after))
+    for (x <- Seq(0, dst.getWidth - 1); y <- Seq(0, dst.getHeight - 1)) {
+      val sx = x * src.getWidth / dst.getWidth
+      val sy = y * src.getHeight / dst.getHeight
+      assert(dst.getRGB(x, y) === src.getRGB(sx, sy), s"($x,$y)")
+    }
+    // audio/video payloads pass through untouched
+    val beforeBytes = media.filter(col("kind") =!= "image")
+      .select(sum(length(col("data")))).as[Long].head()
+    val afterBytes = resized.join(media.select(col("media_id"),
+        col("kind").as("k")), Seq("media_id"))
+      .filter(col("k") =!= "image")
+      .select(sum(length(col("data")))).as[Long].head()
+    assert(afterBytes === beforeBytes)
   }
 
   test("video frame sampling yields stride-spaced frame rows") {
@@ -48,14 +120,20 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(perVid.filter(col("count") < 2 || col("count") > 4).count() === 0)
   }
 
-  test("extracted features feed the ANN/dedup path end to end") {
+  test("extracted features come from decoded content and feed the ANN/dedup path") {
     val feats = MultimodalOps.extractFeatures(media)
       .withColumn("vec_id", col("media_id"))
-    // exact duplicate texts produce identical payloads → cosine 1 pairs
+    // exact duplicate texts of the same kind produce identical decoded
+    // content → identical grid/RMS features → cosine 1 pairs
     val pairs = DedupOps.cosineTopPairs(
       feats.select(col("vec_id"), col("embedding")), 5)
       .as[(Long, Long, Double)].collect()
     assert(pairs.nonEmpty)
     assert(pairs.head._3 > 0.999)
+    // image features are real luminance means in [0,1], not byte folds
+    val img = feats.filter(col("kind") === "image")
+      .select("embedding").as[Seq[Float]].head()
+    assert(img.length === MultimodalOps.FeatureDim)
+    assert(img.forall(v => v >= 0.0f && v <= 1.0f))
   }
 }
