@@ -583,6 +583,9 @@ object SparkEntry {
           row_number().over(w).cast("long").as("rnk"))
         .filter(col("rnk") <= 3)
     }),
+    // ---- int8 storage quantization --------------------------------------
+    "emb_quantize" -> ((s, dir) =>
+      graft.operators.Quantize.int8Stats(emb(s, dir))),
     // ---- vector table stats ---------------------------------------------
     "emb_label_stats" -> ((s, dir) => {
       val e = emb(s, dir).withColumn("nsq",
@@ -1539,6 +1542,24 @@ object SparkEntry {
         |SELECT label, CAST(count(*) AS BIGINT) AS n,
         |  min(list_dot_product(e, e)) AS min_norm_sq,
         |  max(list_dot_product(e, e)) AS max_norm_sq
-        |FROM emb GROUP BY label""".stripMargin
+        |FROM emb GROUP BY label""".stripMargin,
+    // floor(x/s + 0.5) half-up on purpose — bit-identical across engines,
+    // unlike round()'s differing half-even/half-away conventions
+    "emb_quantize" ->
+      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, e,
+        |    list_max(list_transform(e, x -> abs(x))) / 127.0 AS sc
+        |  FROM emb),
+        |c AS (SELECT vec_id, e, sc,
+        |    CASE WHEN sc = 0 THEN list_transform(e, x -> 0)
+        |      ELSE list_transform(e,
+        |        x -> CAST(floor(x / sc + 0.5) AS INTEGER)) END AS codes
+        |  FROM s)
+        |SELECT vec_id, sc AS scale,
+        |  CAST(list_sum(codes) AS BIGINT) AS sum_code,
+        |  list_max(list_transform(generate_series(1, len(e)),
+        |    i -> abs(e[i] - codes[i] * sc))) AS max_err
+        |FROM c""".stripMargin
   )
 }
