@@ -128,6 +128,9 @@ object Bench {
         approx.intersect(exact).count().toDouble / exact.count()
       } catch { case _: Throwable => -1.0 }
     val recallPq = recallOf("knn_pq2phase")
+    // int8 storage quantization is near-lossless for search — its recall
+    // rides next to the PQ numbers as the cheap-compression baseline
+    val recallInt8 = recallOf("knn_int8")
     // production PQ: per-subspace KMeans codebooks (B3) at reference
     // richness (config.h:87 pq_bits=8 -> k=256). rerank_factor defaults
     // to 4 (config.h:93) but the recall target dominates — like the
@@ -567,7 +570,7 @@ object Bench {
     val extrasJson = extras.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString(",")
     val extrasField = if (extrasJson.isEmpty) "" else extrasJson + ","
-    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"failed":$failed,"flaky":$flakyJson,"recall_at_tuned_nprobe":${num(tunedRecall, 4)},"recall_pq2phase":${num(recallPq, 4)},"recall_pq_trained":${num(recallPqTrained, 4)},"recall_pq_at_tuned_rerank":${num(recallPqTuned, 4)},"pq_tuned_rerank":$pqRerank,"recall_pq_opq":${num(recallOpq, 4)},"tuned_nprobe":$tunedNprobe,"ivf_nlist":$nlist,"n_queries_per_batch":$nQueries,"knn_exact_per_query_ms":${num(perQueryMs, 2)},"knn_1m_exact_qps":${num(knn1mExactQps, 1)},"ivf_assign_1m_rows_per_sec":${num(assign1mRowsPerSec, 0)},"knn_1m_ivf_qps":${num(knn1mIvfQps, 1)},"serving_nlist":$servNlist,"serving_nprobe":$servNprobe,"ivf_1m_query_p50_ms":${num(ivf1mP50Ms, 1)},"ivf_1m_query_p99_ms":${num(ivf1mP99Ms, 1)},"ivf_1m_query_p50_steady_ms":${num(ivf1mP50SteadyMs, 1)},"ivf_1m_query_p99_steady_ms":${num(ivf1mP99SteadyMs, 1)},"ivf_1m_query_filtered_p99_ms":${num(ivf1mFilteredP99Ms, 1)},${extrasField}"job_dispatch_floor_ms":${num(dispatchFloorMs, 1)},"floor_gate_ms":15,"floor_gate_ok":$floorGateOk,"stress768_rows":$s768Rows,"stress768_assign_rows_per_sec":${num(s768AssignRps, 0)},"stress768_pq96_encode_rows_per_sec":${num(s768EncodeRps, 0)},"stress768_pq96_2phase_sec":${num(s768TwoPhaseSec, 3)},"ingest_ops":$ingestOps,"ingest_ops_per_sec":${num(ingestQps, 1)},"flush_lag_ms":${num(flushLagMsOut, 1)},"compact_sec":${num(compactSec, 3)},"write_amplification":${num(writeAmp, 3)},"delta_resident_fraction":${num(deltaFrac, 4)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"failed":$failed,"flaky":$flakyJson,"recall_at_tuned_nprobe":${num(tunedRecall, 4)},"recall_pq2phase":${num(recallPq, 4)},"recall_int8":${num(recallInt8, 4)},"recall_pq_trained":${num(recallPqTrained, 4)},"recall_pq_at_tuned_rerank":${num(recallPqTuned, 4)},"pq_tuned_rerank":$pqRerank,"recall_pq_opq":${num(recallOpq, 4)},"tuned_nprobe":$tunedNprobe,"ivf_nlist":$nlist,"n_queries_per_batch":$nQueries,"knn_exact_per_query_ms":${num(perQueryMs, 2)},"knn_1m_exact_qps":${num(knn1mExactQps, 1)},"ivf_assign_1m_rows_per_sec":${num(assign1mRowsPerSec, 0)},"knn_1m_ivf_qps":${num(knn1mIvfQps, 1)},"serving_nlist":$servNlist,"serving_nprobe":$servNprobe,"ivf_1m_query_p50_ms":${num(ivf1mP50Ms, 1)},"ivf_1m_query_p99_ms":${num(ivf1mP99Ms, 1)},"ivf_1m_query_p50_steady_ms":${num(ivf1mP50SteadyMs, 1)},"ivf_1m_query_p99_steady_ms":${num(ivf1mP99SteadyMs, 1)},"ivf_1m_query_filtered_p99_ms":${num(ivf1mFilteredP99Ms, 1)},${extrasField}"job_dispatch_floor_ms":${num(dispatchFloorMs, 1)},"floor_gate_ms":15,"floor_gate_ok":$floorGateOk,"stress768_rows":$s768Rows,"stress768_assign_rows_per_sec":${num(s768AssignRps, 0)},"stress768_pq96_encode_rows_per_sec":${num(s768EncodeRps, 0)},"stress768_pq96_2phase_sec":${num(s768TwoPhaseSec, 3)},"ingest_ops":$ingestOps,"ingest_ops_per_sec":${num(ingestQps, 1)},"flush_lag_ms":${num(flushLagMsOut, 1)},"compact_sec":${num(compactSec, 3)},"write_amplification":${num(writeAmp, 3)},"delta_resident_fraction":${num(deltaFrac, 4)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

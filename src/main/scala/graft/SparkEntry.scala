@@ -586,6 +586,10 @@ object SparkEntry {
     // ---- int8 storage quantization --------------------------------------
     "emb_quantize" -> ((s, dir) =>
       graft.operators.Quantize.int8Stats(emb(s, dir))),
+    // int8-scored two-phase KNN over the quantized corpus (phase-1
+    // integer dot on codes × scales, exact; phase-2 raw-vector rerank)
+    "knn_int8" -> ((s, dir) =>
+      graft.operators.Quantize.int8TwoPhase(emb(s, dir), q(s, dir), 10, 4)),
     // ---- vector table stats ---------------------------------------------
     "emb_label_stats" -> ((s, dir) => {
       val e = emb(s, dir).withColumn("nsq",
@@ -1543,6 +1547,33 @@ object SparkEntry {
         |  min(list_dot_product(e, e)) AS min_norm_sq,
         |  max(list_dot_product(e, e)) AS max_norm_sq
         |FROM emb GROUP BY label""".stripMargin,
+    "knn_int8" ->
+      s"""$EMB,
+         |qs8 AS (SELECT vec_id, e,
+         |    list_max(list_transform(e, x -> abs(x))) / 127.0 AS sc
+         |  FROM emb),
+         |qc8 AS (SELECT vec_id, sc,
+         |    CASE WHEN sc = 0 THEN list_transform(e, x -> 0)
+         |      ELSE list_transform(e,
+         |        x -> CAST(floor(x / sc + 0.5) AS INTEGER)) END AS codes
+         |  FROM qs8),
+         |qq8 AS (SELECT vec_id AS query_id, sc AS q_sc, codes AS q_codes
+         |  FROM qc8 WHERE vec_id % 25 = 0),
+         |approx AS (SELECT q.query_id, c.vec_id,
+         |    list_dot_product(q.q_codes, c.codes) * (q.q_sc * c.sc) AS a
+         |  FROM qq8 q CROSS JOIN qc8 c),
+         |cand AS (SELECT query_id, vec_id FROM (
+         |    SELECT approx.*, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY a DESC, vec_id ASC) AS rn FROM approx) t
+         |  WHERE rn <= 40),
+         |exact AS (SELECT cand.query_id, cand.vec_id,
+         |    list_dot_product(q.qv, emb.e) AS score
+         |  FROM cand JOIN q USING (query_id) JOIN emb USING (vec_id))
+         |SELECT query_id, vec_id, score FROM (
+         |  SELECT exact.*, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rn
+         |  FROM exact) t
+         |WHERE rn <= 10""".stripMargin,
     // floor(x/s + 0.5) half-up on purpose — bit-identical across engines,
     // unlike round()'s differing half-even/half-away conventions
     "emb_quantize" ->

@@ -43,6 +43,44 @@ object Quantize {
           .as("codes"))
   }
 
+  /** Int8-scored two-phase KNN — the scan you actually run over an
+    * int8-compressed corpus at 100 TB: phase 1 scores candidates
+    * directly on the codes (integer dot — the codegen [[graft.functions.
+    * VectorFunctions.dotD]] kernel reads int arrays in place; products
+    * ≤ 127² · dim stay exact in double accumulation — times the two
+    * scale factors), phase 2 reranks the rerank×k survivors against the
+    * raw vectors, exactly the PQ two-phase shape
+    * ([[graft.index.Pq.twoPhaseSearch]]) with a 4×-smaller scan instead
+    * of a codebook. Phase-1 arithmetic is fully exact (integer dot,
+    * two double multiplies), so the DuckDB oracle replays the candidate
+    * sets bit-for-bit — unlike real SIMD-int8 engines there is no
+    * approximation ambiguity to paper over.
+    */
+  def int8TwoPhase(data: DataFrame, queries: DataFrame, k: Int,
+      rerank: Int = 4, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorFunctions.dotD
+    val vc = int8Codes(data, idCol, vecCol)
+    val qc = int8Codes(
+        queries.select(col("query_id").as(idCol), col("qv").as(vecCol)),
+        idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("scale").as("__qs"),
+        col("codes").as("__qc"))
+    val approx = vc.crossJoin(broadcast(qc))
+      .select(col("query_id"), col(idCol),
+        (dotD(col("__qc"), col("codes")) * (col("__qs") * col("scale")))
+          .as("approx_score"))
+    val candidates = TopK.viaAggregator(approx, "query_id", idCol,
+        "approx_score", rerank * k)
+      .select(col("query_id"), col(idCol))
+    val exact = broadcast(candidates)
+      .join(queries, Seq("query_id"))
+      .join(data.select(col(idCol), col(vecCol)), Seq(idCol))
+      .select(col("query_id"), col(idCol),
+        dotD(col("qv"), col(vecCol)).as("score"))
+    TopK.viaAggregator(exact, "query_id", idCol, "score", k)
+  }
+
   /** Gated stats: per-vector scale, exact integer code sum, and the
     * measured max |x − code·scale| (≤ scale/2 by construction). Every
     * value is IEEE-deterministic (integer sums exact; max is

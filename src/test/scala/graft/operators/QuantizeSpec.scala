@@ -42,6 +42,25 @@ class QuantizeSpec extends SparkSpec {
     }
   }
 
+  test("int8 two-phase recall is near-exact (quantization is near-lossless for search)") {
+    import graft.operators.Knn
+    val qs = Knn.defaultQueries(emb)
+    val exact = Knn.exactBatch(qs, emb, "ip", 10)
+      .select("query_id", "vec_id").cache()
+    val nExact = exact.count()
+    val got = Quantize.int8TwoPhase(emb, qs, 10, 4)
+      .select("query_id", "vec_id")
+    val recall = got.intersect(exact).count().toDouble / nExact
+    assert(recall >= 0.95, s"int8 recall $recall")
+    // exact-rerank scores equal the exact path's scores on the hits
+    val scores = Quantize.int8TwoPhase(emb, qs, 10, 4)
+      .join(Knn.exactBatch(qs, emb, "ip", 10)
+        .withColumnRenamed("score", "exact_score"),
+        Seq("query_id", "vec_id"))
+    assert(scores.filter(col("score") =!= col("exact_score")).count() === 0)
+    exact.unpersist()
+  }
+
   test("zero vectors quantize to scale 0 / zero codes, no NaNs") {
     val z = Seq((1L, Seq(0.0f, 0.0f, 0.0f)), (2L, Seq(1.0f, -2.0f, 0.5f)))
       .toDF("vec_id", "embedding")
