@@ -10,23 +10,26 @@ import org.apache.spark.sql.functions._
   * opaque `binary` payloads + typed metadata, with decode / feature-extract
   * / resize / frame-sample stages.
   *
-  * Image and audio use REAL codecs — the JDK's own: `javax.imageio`
-  * (PNG encode/decode, lossless pixel round-trip) and
-  * `javax.sound.sampled` (RIFF/WAVE PCM). No external codec library is
-  * needed or used. Video remains the one documented stub (the JDK ships
-  * no video codec): a `GRFT`-magic header carrying real plan shapes.
+  * ALL THREE modalities use REAL codecs, no external library:
+  *   - image: `javax.imageio` PNG (lossless pixel round-trip);
+  *   - audio: `javax.sound.sampled` RIFF/WAVE PCM;
+  *   - video: MJPEG-in-AVI — a hand-rolled RIFF/AVI container
+  *     reader/writer (the public wire format: fourcc + LE32 size chunks,
+  *     LIST nesting, word alignment, avih/strh/strf headers, idx1 index)
+  *     whose frames are real JPEG images decoded by `javax.imageio`'s
+  *     JPEG codec. Frame sampling and video features decode actual
+  *     compressed frames.
   *
-  * Determinism contract for the oracle: blob CONTENT (pixels, samples)
-  * derives from the document text, and blob GEOMETRY (width, height,
-  * frames, sample count) derives from the first 28 bits of `md5(text)` —
-  * both exactly replicable in SQL (`md5` + integer arithmetic), so the
-  * gated `media_stats` values are independent of encoder byte output
-  * (PNG sizes may vary across encoders; decoded pixels never do).
+  * Determinism contract for the oracle: blob CONTENT (pixels, samples,
+  * frames) derives from the document text, and blob GEOMETRY (width,
+  * height, frames, sample count) derives from the first 28 bits of
+  * `md5(text)` — both exactly replicable in SQL (`md5` + integer
+  * arithmetic), so the gated `media_stats` values are independent of
+  * encoder byte output (PNG/JPEG sizes may vary across encoders; decoded
+  * geometry never does).
   */
 object MultimodalOps {
 
-  val MAGIC: Int = 0x47524654 // "GRFT" — video-stub magic
-  val HeaderLen = 20
   val FeatureDim = 16
 
   /** First 28 bits of md5(text) as a non-negative Long — the same value
@@ -46,20 +49,23 @@ object MultimodalOps {
   def videoFrames(h: Long): Int = (8 + (h / 4096) % 8).toInt
   def audioSamples(h: Long): Int = (800 + (h % 64) * 16).toInt
 
-  private object Codec {
+  private[operators] object Codec {
     // headless + no ImageIO disk cache: decodes must never touch /tmp
     System.setProperty("java.awt.headless", "true")
     javax.imageio.ImageIO.setUseCache(false)
 
-    /** Deterministic RGB image: text bytes tiled across the pixel grid. */
-    def pngBytes(w: Int, h: Int, content: Array[Byte]): Array[Byte] = {
+    /** Deterministic RGB raster: text bytes tiled across the pixel grid,
+      * shifted by `frame` so successive video frames differ.
+      */
+    def rasterImage(w: Int, h: Int, content: Array[Byte],
+        frame: Int = 0): BufferedImage = {
       val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
       val n = math.max(1, content.length)
       var y = 0
       while (y < h) {
         var x = 0
         while (x < w) {
-          val i = (y * w + x) * 3
+          val i = (y * w + x) * 3 + frame
           val r = content(i % n) & 0xff
           val g = content((i + 1) % n) & 0xff
           val b = content((i + 2) % n) & 0xff
@@ -68,13 +74,23 @@ object MultimodalOps {
         }
         y += 1
       }
+      img
+    }
+
+    def pngBytes(w: Int, h: Int, content: Array[Byte]): Array[Byte] = {
       val bos = new ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", bos)
+      javax.imageio.ImageIO.write(rasterImage(w, h, content), "png", bos)
       bos.toByteArray
     }
 
     def readImage(data: Array[Byte]): BufferedImage =
       javax.imageio.ImageIO.read(new ByteArrayInputStream(data))
+
+    def jpegBytes(img: BufferedImage): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
 
     /** Deterministic 16-bit mono PCM WAV at 8 kHz: samples from text
       * bytes (centered, scaled to exercise the full range).
@@ -108,9 +124,10 @@ object MultimodalOps {
         d(3) == 'F' && d(8) == 'W' && d(9) == 'A' && d(10) == 'V' &&
         d(11) == 'E'
 
-    def isGrft(d: Array[Byte]): Boolean =
-      d.length >= HeaderLen &&
-        java.nio.ByteBuffer.wrap(d, 0, 4).getInt == MAGIC
+    def isAvi(d: Array[Byte]): Boolean =
+      d.length > 12 && d(0) == 'R' && d(1) == 'I' && d(2) == 'F' &&
+        d(3) == 'F' && d(8) == 'A' && d(9) == 'V' && d(10) == 'I' &&
+        d(11) == ' '
 
     /** Real WAV parse via the JDK sound stack → (sampleFrames). */
     def wavFrames(data: Array[Byte]): Int = {
@@ -118,10 +135,167 @@ object MultimodalOps {
         .getAudioInputStream(new ByteArrayInputStream(data))
       try ais.getFrameLength.toInt finally ais.close()
     }
+
+    // ---- MJPEG-in-AVI: hand-rolled RIFF container ----------------------
+    // Wire format per the public AVI spec: every chunk is
+    // [fourcc][LE32 size][payload, word-aligned]; 'LIST' chunks carry a
+    // list-type fourcc then sub-chunks; the top-level form is
+    // RIFF('AVI ', LIST('hdrl', avih, LIST('strl', strh, strf)),
+    //            LIST('movi', 00dc...), idx1).
+
+    private def le32(bb: ByteArrayOutputStream, v: Int): Unit = {
+      bb.write(v & 0xff); bb.write((v >> 8) & 0xff)
+      bb.write((v >> 16) & 0xff); bb.write((v >> 24) & 0xff)
+    }
+    private def le16(bb: ByteArrayOutputStream, v: Int): Unit = {
+      bb.write(v & 0xff); bb.write((v >> 8) & 0xff)
+    }
+    private def fcc(bb: ByteArrayOutputStream, s: String): Unit =
+      bb.write(s.getBytes("US-ASCII"))
+
+    /** Encode `nFrames` deterministic JPEG frames into an AVI container
+      * with a standard header set and idx1 index.
+      */
+    def aviMjpegBytes(w: Int, h: Int, nFrames: Int,
+        content: Array[Byte]): Array[Byte] = {
+      val frames = Array.tabulate(nFrames)(f =>
+        jpegBytes(rasterImage(w, h, content, f)))
+      val maxF = frames.map(_.length).max
+
+      val strl = new ByteArrayOutputStream()
+      fcc(strl, "strl")
+      fcc(strl, "strh"); le32(strl, 56)
+      fcc(strl, "vids"); fcc(strl, "MJPG")
+      le32(strl, 0) // dwFlags
+      le16(strl, 0); le16(strl, 0) // wPriority, wLanguage
+      le32(strl, 0) // dwInitialFrames
+      le32(strl, 1); le32(strl, 15) // dwScale / dwRate = 15 fps
+      le32(strl, 0) // dwStart
+      le32(strl, nFrames) // dwLength
+      le32(strl, maxF) // dwSuggestedBufferSize
+      le32(strl, -1) // dwQuality
+      le32(strl, 0) // dwSampleSize
+      le16(strl, 0); le16(strl, 0); le16(strl, w); le16(strl, h) // rcFrame
+      fcc(strl, "strf"); le32(strl, 40)
+      le32(strl, 40) // biSize (BITMAPINFOHEADER)
+      le32(strl, w); le32(strl, h)
+      le16(strl, 1); le16(strl, 24) // biPlanes, biBitCount
+      fcc(strl, "MJPG") // biCompression
+      le32(strl, w * h * 3) // biSizeImage
+      le32(strl, 0); le32(strl, 0); le32(strl, 0); le32(strl, 0)
+
+      val hdrl = new ByteArrayOutputStream()
+      fcc(hdrl, "hdrl")
+      fcc(hdrl, "avih"); le32(hdrl, 56)
+      le32(hdrl, 66667) // dwMicroSecPerFrame (15 fps)
+      le32(hdrl, 0); le32(hdrl, 0) // dwMaxBytesPerSec, dwPaddingGranularity
+      le32(hdrl, 0x10) // dwFlags = AVIF_HASINDEX
+      le32(hdrl, nFrames) // dwTotalFrames
+      le32(hdrl, 0) // dwInitialFrames
+      le32(hdrl, 1) // dwStreams
+      le32(hdrl, maxF) // dwSuggestedBufferSize
+      le32(hdrl, w); le32(hdrl, h)
+      le32(hdrl, 0); le32(hdrl, 0); le32(hdrl, 0); le32(hdrl, 0) // reserved
+      fcc(hdrl, "LIST"); le32(hdrl, strl.size())
+      hdrl.write(strl.toByteArray)
+
+      val movi = new ByteArrayOutputStream()
+      fcc(movi, "movi")
+      // idx1 offsets: position of each chunk's fourcc relative to the
+      // 'movi' list-type fourcc (first chunk therefore at offset 4)
+      val offsets = new Array[Int](nFrames)
+      var i = 0
+      while (i < nFrames) {
+        offsets(i) = movi.size()
+        fcc(movi, "00dc"); le32(movi, frames(i).length)
+        movi.write(frames(i))
+        if ((frames(i).length & 1) == 1) movi.write(0)
+        i += 1
+      }
+
+      val idx = new ByteArrayOutputStream()
+      i = 0
+      while (i < nFrames) {
+        fcc(idx, "00dc"); le32(idx, 0x10) // AVIIF_KEYFRAME
+        le32(idx, offsets(i)); le32(idx, frames(i).length)
+        i += 1
+      }
+
+      val out = new ByteArrayOutputStream()
+      fcc(out, "RIFF")
+      val riffLen = 4 + (8 + hdrl.size()) + (8 + movi.size()) +
+        (8 + idx.size())
+      le32(out, riffLen)
+      fcc(out, "AVI ")
+      fcc(out, "LIST"); le32(out, hdrl.size()); out.write(hdrl.toByteArray)
+      fcc(out, "LIST"); le32(out, movi.size()); out.write(movi.toByteArray)
+      fcc(out, "idx1"); le32(out, idx.size()); out.write(idx.toByteArray)
+      out.toByteArray
+    }
+
+    private def rdLe32(d: Array[Byte], o: Int): Int =
+      (d(o) & 0xff) | ((d(o + 1) & 0xff) << 8) |
+        ((d(o + 2) & 0xff) << 16) | ((d(o + 3) & 0xff) << 24)
+    private def rdFcc(d: Array[Byte], o: Int): String =
+      new String(d, o, 4, "US-ASCII")
+
+    /** Walk the chunks of a RIFF payload region `[from, until)`,
+      * returning (fourcc, payloadStart, payloadLen) per chunk in order.
+      * General over any RIFF file (word-aligned advance, bounds-checked).
+      */
+    def riffChunks(d: Array[Byte], from: Int,
+        until: Int): Seq[(String, Int, Int)] = {
+      val out = Seq.newBuilder[(String, Int, Int)]
+      var o = from
+      while (o + 8 <= until) {
+        val id = rdFcc(d, o)
+        val len = rdLe32(d, o + 4)
+        if (len < 0 || o + 8 + len > until) return out.result()
+        out += ((id, o + 8, len))
+        o += 8 + len + (len & 1) // word alignment
+      }
+      out.result()
+    }
+
+    /** Locate the LIST chunk with the given list-type fourcc. Returns the
+      * payload region AFTER the list-type fourcc.
+      */
+    private def findList(d: Array[Byte], from: Int, until: Int,
+        listType: String): Option[(Int, Int)] =
+      riffChunks(d, from, until).collectFirst {
+        case ("LIST", s, l) if l >= 4 && rdFcc(d, s) == listType =>
+          (s + 4, s + l)
+      }
+
+    /** Parse the avih main header → (width, height, totalFrames). */
+    def aviMeta(d: Array[Byte]): Option[(Int, Int, Int)] =
+      findList(d, 12, d.length, "hdrl").flatMap { case (s, e) =>
+        riffChunks(d, s, e).collectFirst {
+          case ("avih", as, al) if al >= 56 =>
+            (rdLe32(d, as + 32), rdLe32(d, as + 36), rdLe32(d, as + 16))
+        }
+      }
+
+    /** Extract the compressed frame payloads ('##dc'/'##db' chunks) from
+      * the movi list, in stream order.
+      */
+    def aviFrameChunks(d: Array[Byte]): Array[Array[Byte]] =
+      findList(d, 12, d.length, "movi") match {
+        case Some((s, e)) =>
+          riffChunks(d, s, e).collect {
+            case (id, cs, cl) if id.endsWith("dc") || id.endsWith("db") =>
+              java.util.Arrays.copyOfRange(d, cs, cs + cl)
+          }.toArray
+        case None => Array.empty
+      }
+
+    /** Decode frame `idx` of an MJPEG AVI to a real image. */
+    def aviFrame(d: Array[Byte], idx: Int): BufferedImage =
+      readImage(aviFrameChunks(d)(idx))
   }
 
   /** Deterministic fixture: one real media blob per doc; kind cycles
-    * image (PNG) / audio (WAV) / video (GRFT stub). Content from the
+    * image (PNG) / audio (WAV) / video (MJPEG AVI). Content from the
     * text, geometry from md5(text) — see the object doc.
     */
   def syntheticMedia(docs: DataFrame): DataFrame = {
@@ -135,12 +309,8 @@ object MultimodalOps {
       kind match {
         case 0 => Codec.pngBytes(imgW(h), imgH(h), content)
         case 1 => Codec.wavBytes(audioSamples(h), content)
-        case _ =>
-          val bb = java.nio.ByteBuffer.allocate(HeaderLen + content.length)
-          bb.putInt(MAGIC).putInt(2).putInt(imgW(h)).putInt(imgH(h))
-            .putInt(videoFrames(h))
-          bb.put(content)
-          bb.array()
+        case _ => Codec.aviMjpegBytes(imgW(h), imgH(h), videoFrames(h),
+          content)
       }
     }
     docs.select(col("doc_id").as("media_id"),
@@ -153,8 +323,9 @@ object MultimodalOps {
       frames: Int, payload_bytes: Int)
 
   /** Format sniff + REAL decode: PNG via ImageIO (decoded dimensions),
-    * WAV via AudioSystem (real frame count), GRFT video stub header.
-    * Unknown/corrupt bytes → invalid, never a crash.
+    * WAV via AudioSystem (real frame count), AVI via the RIFF walker
+    * (avih header dims + frame count, payload = sum of movi frame
+    * chunks). Unknown/corrupt bytes → invalid, never a crash.
     */
   private def decodeBlob(data: Array[Byte]): MediaMeta = {
     if (data == null || data.length < 12) MediaMeta(false, -1, 0, 0, 0, 0)
@@ -165,11 +336,13 @@ object MultimodalOps {
         else MediaMeta(true, 0, img.getWidth, img.getHeight, 1, data.length)
       } else if (Codec.isWav(data)) {
         MediaMeta(true, 1, 0, 0, Codec.wavFrames(data), data.length)
-      } else if (Codec.isGrft(data)) {
-        val bb = java.nio.ByteBuffer.wrap(data)
-        bb.getInt() // magic
-        MediaMeta(true, bb.getInt(), bb.getInt(), bb.getInt(), bb.getInt(),
-          data.length - HeaderLen)
+      } else if (Codec.isAvi(data)) {
+        Codec.aviMeta(data) match {
+          case Some((w, h, n)) =>
+            val payload = Codec.aviFrameChunks(data).map(_.length).sum
+            MediaMeta(true, 2, w, h, n, payload)
+          case None => MediaMeta(false, -1, 0, 0, 0, 0)
+        }
       } else MediaMeta(false, -1, 0, 0, 0, 0)
     } catch { case _: Exception => MediaMeta(false, -1, 0, 0, 0, 0) }
   }
@@ -185,11 +358,39 @@ object MultimodalOps {
     media.withColumn("meta", dec(col("data")))
   }
 
+  /** 4×4 grid of mean luminance over a decoded pixel raster,
+    * accumulated into `v` (the video path averages over frames).
+    */
+  private def lumGrid(img: BufferedImage, v: Array[Float],
+      weight: Float): Unit = {
+    val w = img.getWidth; val h = img.getHeight
+    val acc = new Array[Float](FeatureDim)
+    val cnt = new Array[Int](FeatureDim)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val cell = math.min(3, y * 4 / h) * 4 + math.min(3, x * 4 / w)
+        val rgb = img.getRGB(x, y)
+        val lum = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        acc(cell) += lum / 765.0f
+        cnt(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var c = 0
+    while (c < FeatureDim) {
+      if (cnt(c) > 0) v(c) += weight * acc(c) / cnt(c); c += 1
+    }
+  }
+
   /** Feature extraction from DECODED content (not container bytes):
     * images → 4×4 grid of mean luminance over the real pixel raster;
     * audio → RMS energy over 16 equal windows of the real PCM samples;
-    * video (stub) → payload byte fold. All 16-dim, deterministic (codec
-    * round-trips are lossless), feeding the ANN/dedup path unchanged.
+    * video → the luminance grid averaged over every DECODED MJPEG frame.
+    * All 16-dim, deterministic (one encoder, one decoder, same JVM),
+    * feeding the ANN/dedup path unchanged.
     */
   def extractFeatures(media: DataFrame): DataFrame = {
     val feats = udf { data: Array[Byte] =>
@@ -197,28 +398,7 @@ object MultimodalOps {
       if (data != null && data.length >= 12) try {
         if (Codec.isPng(data)) {
           val img = Codec.readImage(data)
-          if (img != null) {
-            val w = img.getWidth; val h = img.getHeight
-            val cnt = new Array[Int](FeatureDim)
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val cell = math.min(3, y * 4 / h) * 4 + math.min(3, x * 4 / w)
-                val rgb = img.getRGB(x, y)
-                val lum = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
-                  (rgb & 0xff)
-                v(cell) += lum / 765.0f
-                cnt(cell) += 1
-                x += 1
-              }
-              y += 1
-            }
-            var c = 0
-            while (c < FeatureDim) {
-              if (cnt(c) > 0) v(c) /= cnt(c); c += 1
-            }
-          }
+          if (img != null) lumGrid(img, v, 1.0f)
         } else if (Codec.isWav(data)) {
           val bb = java.nio.ByteBuffer.wrap(data)
             .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -232,11 +412,14 @@ object MultimodalOps {
           }
           var c = 0
           while (c < FeatureDim) { v(c) = math.sqrt(v(c)).toFloat; c += 1 }
-        } else {
-          var i = HeaderLen
-          while (i < data.length) {
-            v(i % FeatureDim) += (data(i) & 0xFF) / 255.0f
-            i += 1
+        } else if (Codec.isAvi(data)) {
+          val frames = Codec.aviFrameChunks(data)
+          if (frames.nonEmpty) {
+            val wgt = 1.0f / frames.length
+            frames.foreach { jb =>
+              val img = Codec.readImage(jb)
+              if (img != null) lumGrid(img, v, wgt)
+            }
           }
         }
       } catch { case _: Exception => () }
@@ -282,16 +465,42 @@ object MultimodalOps {
     media.withColumn("data", rs(col("data")))
   }
 
-  /** Frame-sample for video (stride sampling over the stub header's frame
-    * count — the explode shape of real frame extraction; the JDK has no
-    * video codec, so this is the one remaining decode stub).
+  /** Frame-sample for video: REALLY decodes every stride-th MJPEG frame
+    * from the AVI container and emits one row per sampled frame with the
+    * decoded geometry and mean luminance — proof the pixels came out of
+    * the codec, not the header. Stays in-plan (array-returning UDF +
+    * explode; no RDD hop).
     */
-  def sampleFrames(media: DataFrame, stride: Int = 4): DataFrame =
-    decodeMeta(media)
-      .filter(col("kind") === "video" && col("meta.valid"))
-      .select(col("media_id"),
-        explode(sequence(lit(0), col("meta.frames") - 1, lit(stride)))
-          .as("frame_idx"))
+  def sampleFrames(media: DataFrame, stride: Int = 4): DataFrame = {
+    val sample = udf { data: Array[Byte] =>
+      if (data == null || !Codec.isAvi(data)) Array.empty[(Int, Int, Int, Double)]
+      else try {
+        val frames = Codec.aviFrameChunks(data)
+        (0 until frames.length by stride).map { i =>
+          val img = Codec.readImage(frames(i))
+          var lum = 0.0
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              lum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+                (rgb & 0xff)) / 765.0
+              x += 1
+            }
+            y += 1
+          }
+          (i, img.getWidth, img.getHeight,
+            lum / (img.getWidth * img.getHeight))
+        }.toArray
+      } catch { case _: Exception => Array.empty[(Int, Int, Int, Double)] }
+    }
+    media.filter(col("kind") === "video")
+      .select(col("media_id"), explode(sample(col("data"))).as("f"))
+      .select(col("media_id"), col("f._1").as("frame_idx"),
+        col("f._2").as("frame_w"), col("f._3").as("frame_h"),
+        col("f._4").as("mean_lum"))
+  }
 
   /** Per-kind corpus stats over DECODED metadata (the query a curator
     * runs before a training job). Every value is decoder output and
