@@ -516,6 +516,7 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) => DedupOps.simhashPairsOracle(docs(s, dir))),
     "dedup_minhash_prod" -> ((s, dir) =>
       DedupOps.minhashNearDups(docs(s, dir), threshold = 0.5)),
+    "dup_spans" -> ((s, dir) => DedupOps.dupSpans(docs(s, dir))),
     "cosine_pairs" -> ((s, dir) =>
       DedupOps.cosineTopPairs(emb(s, dir), 50)),
     // ---- S9: tag dictionary ---------------------------------------------
@@ -1390,6 +1391,53 @@ object SparkEntry {
          |    ON x.chunk_id = y.chunk_id AND x.chunk = y.chunk
          |      AND x.doc_id < y.doc_id)
          |SELECT a, b, hamming FROM pairs WHERE hamming <= 3""".stripMargin,
+    // dup_spans: same 8-token rolling mod-prime window hash as the Spark
+    // side; the interval-merge fold packs (covered, lastEnd) into one
+    // BIGINT (10^13 + covered*10^6 + end) because DuckDB's list_reduce is
+    // init-less — the Spark fold seeds with ss[0] to mirror it exactly
+    "dup_spans" ->
+      s"""$DOCTOKS,
+         |th AS (SELECT doc_id,
+         |    list_transform(t,
+         |      tk -> CAST(('0x'||substr(md5(tk),1,7)) AS BIGINT)) AS th,
+         |    len(t) AS n
+         |  FROM dt),
+         |win AS (SELECT t.doc_id, r.i AS pos,
+         |    list_reduce(t.th[r.i+1:r.i+8],
+         |      (a, h) -> (a * 1000003 + h) % 2147483647) AS whash
+         |  FROM th t,
+         |    LATERAL (SELECT unnest(range(greatest(t.n - 7, 0))) AS i) r),
+         |dh AS (SELECT whash FROM win GROUP BY whash HAVING count(*) >= 2),
+         |dup AS (SELECT w.doc_id, CAST(w.pos AS BIGINT) AS pos
+         |  FROM win w JOIN dh USING (whash)),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_windows,
+         |    list_sort(list(pos)) AS ss
+         |  FROM dup GROUP BY doc_id),
+         |cov AS (SELECT doc_id, dup_windows,
+         |    CASE WHEN len(ss) = 1 THEN CAST(8 AS BIGINT)
+         |      ELSE CAST(FLOOR((list_reduce(ss,
+         |        (acc, s) -> CASE WHEN acc < 10000000000000
+         |          THEN 10000000000000
+         |            + (8 + GREATEST(s + 8 - GREATEST(acc + 8, s), 0))
+         |              * 1000000
+         |            + GREATEST(acc + 8, s + 8)
+         |          ELSE 10000000000000
+         |            + ((acc - 10000000000000) // 1000000
+         |               + GREATEST(s + 8
+         |                   - GREATEST((acc - 10000000000000) % 1000000, s),
+         |                 0)) * 1000000
+         |            + GREATEST((acc - 10000000000000) % 1000000, s + 8)
+         |        END) - 10000000000000) / 1000000) AS BIGINT)
+         |    END AS dup_tokens
+         |  FROM agg)
+         |SELECT th.doc_id, CAST(th.n AS BIGINT) AS n_tokens,
+         |  CAST(greatest(th.n - 7, 0) AS BIGINT) AS n_windows,
+         |  CAST(COALESCE(c.dup_windows, 0) AS BIGINT) AS dup_windows,
+         |  CAST(COALESCE(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+         |  CASE WHEN th.n > 0
+         |    THEN CAST(COALESCE(c.dup_tokens, 0) AS DOUBLE) / th.n
+         |    ELSE 0.0 END AS dup_frac
+         |FROM th LEFT JOIN cov c USING (doc_id)""".stripMargin,
     "cosine_pairs" ->
       """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
         |  FROM embeddings)

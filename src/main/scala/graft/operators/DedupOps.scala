@@ -411,4 +411,94 @@ object DedupOps {
       .orderBy(col("cosine").desc, col("a").asc, col("b").asc)
       .limit(limit)
   }
+
+  /** Cross-document duplicated-SPAN detection — the sub-document exact-
+    * substring dedup of "Deduplicating Training Data Makes Language
+    * Models Better" (Lee et al. 2022, arXiv:2107.06499): any w-token
+    * window whose content appears ≥ `minCount` times anywhere in the
+    * corpus (another doc OR a repeat within the same doc) is a
+    * duplicated span. Output, one row per document: window counts and
+    * the number/fraction of tokens covered by at least one duplicated
+    * window (overlapping [pos, pos+w) intervals merged).
+    *
+    * Spark-first shape (the paper's suffix array is a single-node
+    * construct; corpus-wide window-hash counting is its distributed
+    * analog): window hashes are a row-local zip_with rolling-hash chain
+    * (same mod-prime polynomial as [[TextOps.fingerprint]] — no UDF, no
+    * HOF-lambda re-evaluation), then the ONLY wide operations are the
+    * window-hash count hash-aggregate (map-side combined) and the join
+    * of windows against the ≥minCount hash set, both keyed by the
+    * 31-bit window hash — never all-pairs, never a sort of the corpus.
+    * Per-doc interval merge is a fold over that doc's sorted duplicate
+    * positions (bounded by doc length, row-local after the join).
+    *
+    * The interval-merge fold packs (covered, lastEnd) into one BIGINT
+    * (FLAG + covered·10^6 + end) so the SQL oracle can replay it with
+    * DuckDB's init-less `list_reduce`; the Spark fold seeds with the
+    * first element to match those semantics exactly.
+    */
+  def dupSpans(docs: DataFrame, w: Int = 8, minCount: Int = 2): DataFrame = {
+    val P = 2147483647L // 2^31 − 1 (matches fingerprint/minhash oracles)
+    val B = 1000003L
+    val FLAG = 10000000000000L // 10^13: packed-state marker; positions and
+    val PACK = 1000000L //        covered counts stay < 10^6 per doc
+    val thE = transform(filter(toks(col("text")), x => x =!= ""),
+      t => graft.functions.expr.SketchExpressions.md5Hash28(t))
+
+    val base = docs.select(col("doc_id"), thE.as("__th"))
+      .withColumn("__n", size(col("__th")))
+    // window-hash array: after step k, acc(i) hashes tokens [i, i+k];
+    // shifted copies null-pad so only complete windows survive the slice
+    val whCol = {
+      val th = col("__th"); val n = col("__n")
+      var acc: Column = th
+      for (k <- 1 until w) {
+        val shifted = slice(th, lit(k + 1), greatest(n - k, lit(0)))
+        acc = zip_with(acc, shifted, (a, h) => (a * B + h) % P)
+      }
+      when(n < w, array().cast("array<bigint>"))
+        .otherwise(slice(acc, lit(1), n - w + 1))
+    }
+    val windows = base.select(col("doc_id"),
+      posexplode(whCol).as(Seq("pos", "whash")))
+
+    val dupHashes = windows.groupBy(col("whash"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .select(col("whash"))
+    val dupWin = windows.join(dupHashes, Seq("whash"))
+
+    // interval merge over sorted starts: state = FLAG + covered·PACK + end
+    def unpackC(acc: Column): Column =
+      floor((acc - FLAG) / PACK).cast("long")
+    def unpackE(acc: Column): Column = (acc - FLAG) % PACK
+    def merge(acc: Column, s: Column): Column = {
+      val c = when(acc < FLAG, lit(w.toLong)).otherwise(unpackC(acc))
+      val e = when(acc < FLAG, acc + w).otherwise(unpackE(acc))
+      val add = greatest(s + w - greatest(e, s), lit(0L))
+      lit(FLAG) + (c + add) * PACK + greatest(e, s + w)
+    }
+    val perDoc = dupWin.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dup_windows"),
+        sort_array(collect_list(col("pos").cast("long"))).as("__ss"))
+      .withColumn("dup_tokens",
+        when(size(col("__ss")) === 1, lit(w.toLong))
+          .otherwise(
+            floor((aggregate(
+              slice(col("__ss"), lit(2), size(col("__ss")) - 1),
+              element_at(col("__ss"), 1),
+              (acc, s) => merge(acc, s)) - FLAG) / PACK).cast("long")))
+      .select(col("doc_id"), col("dup_windows"), col("dup_tokens"))
+
+    base.select(col("doc_id"), col("__n").cast("long").as("n_tokens"),
+        greatest(col("__n") - (w - 1), lit(0)).cast("long").as("n_windows"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_windows"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        when(col("n_tokens") > 0,
+          coalesce(col("dup_tokens"), lit(0L)).cast("double")
+            / col("n_tokens"))
+          .otherwise(lit(0.0)).as("dup_frac"))
+  }
 }

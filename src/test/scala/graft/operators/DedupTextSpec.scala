@@ -184,4 +184,38 @@ class DedupTextSpec extends SparkSpec {
         .sortedIntersectCount(col("ta"), col("tb"))).as[Int].collect().toSeq
     assert(got === Seq(0, 0, 0, 2))
   }
+
+  test("dupSpans: cross-doc and within-doc duplicated windows, merged interval coverage") {
+    val d = Seq(
+      // docs 1/2 share the 3-token windows "a b c" and "b c d"
+      (1L, "a b c d e f g h"),
+      (2L, "x y a b c d q r"),
+      // fully unique
+      (3L, "m n o p s t u v"),
+      // within-doc repetition: every window identical → full coverage
+      (4L, "z z z z z z z z z z"),
+      // two DISJOINT shared spans — exercises the gap in the merge fold
+      (5L, "aa bb cc k1 k2 k3 dd ee ff"),
+      (6L, "aa bb cc m1 m2 m3 dd ee ff"))
+      .toDF("doc_id", "text")
+    val out = DedupOps.dupSpans(d, w = 3)
+      .select("doc_id", "n_tokens", "n_windows", "dup_windows",
+        "dup_tokens", "dup_frac")
+      .as[(Long, Long, Long, Long, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    // doc1: dup windows at pos 0,1 → [0,3)∪[1,4) = 4 tokens of 8
+    assert(out(1L) === ((1L, 8L, 6L, 2L, 4L, 0.5)))
+    assert(out(2L) === ((2L, 8L, 6L, 2L, 4L, 0.5)))
+    assert(out(3L) === ((3L, 8L, 6L, 0L, 0L, 0.0)))
+    // doc4: all 8 windows are the same hash (count 8 ≥ 2) → covers all 10
+    assert(out(4L) === ((4L, 10L, 8L, 8L, 10L, 1.0)))
+    // docs 5/6: dup at pos 0 and 6 → [0,3)∪[6,9) = 6 of 9
+    assert(out(5L) === ((5L, 9L, 7L, 2L, 6L, 6.0 / 9.0)))
+    assert(out(6L) === ((6L, 9L, 7L, 2L, 6L, 6.0 / 9.0)))
+    // short doc (< w tokens) → zero windows, present with zeros
+    val short = DedupOps.dupSpans(
+      Seq((7L, "only two")).toDF("doc_id", "text"), w = 3)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(short.toSeq === Seq((7L, 2L, 0L, 0L, 0L, 0.0)))
+  }
 }
