@@ -556,6 +556,8 @@ object SparkEntry {
           TextOps.hashSplit(d, col("doc_id")).as("split"))
         .agg(count(lit(1)).as("n"))
     }),
+    "stratified_sample" -> ((s, dir) =>
+      TextOps.stratifiedSample(docs(s, dir), k = 5)),
     // ---- relational (TPC-H-ish) -----------------------------------------
     "q1_pricing" -> ((s, dir) =>
       Tables.load(s, dir, "lineitem")
@@ -1457,6 +1459,19 @@ object SparkEntry {
         |      AS BIGINT) % 100 AS b
         |  FROM documents) t
         |GROUP BY 1, 2""".stripMargin,
+    // the Spark side computes this with a bounded-heap aggregate (never a
+    // per-source sort); row_number here is the same (hv, doc_id) order
+    "stratified_sample" ->
+      """WITH h AS (SELECT source, doc_id,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))
+        |      AS BIGINT) AS hv
+        |  FROM documents),
+        |r AS (SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source ORDER BY hv, doc_id)
+        |      AS rn
+        |  FROM h)
+        |SELECT source, doc_id, CAST(rn AS BIGINT) AS smp_rank
+        |FROM r WHERE rn <= 5""".stripMargin,
     // geometry formulas must equal MultimodalOps.{imgW,imgH,videoFrames,
     // audioSamples} over h28 = first 28 bits of md5(text); the Spark side
     // reports REAL decoder output (ImageIO dims, AudioSystem frame count),

@@ -2,10 +2,18 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Optional third arg: comma-separated query-name filter (run only
+  * those). Env GRAFT_EXPLAIN=1 additionally prints each query's
+  * formatted physical plan — the plan-audit tool behind PLANS.md.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
+    val explain = sys.env.get("GRAFT_EXPLAIN").contains("1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -17,17 +25,25 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      // repartition(1), not coalesce(1): coalesce collapses a shuffle-free
-      // query into ONE task (a row-local map over the scan would run
-      // single-threaded); the extra tiny shuffle keeps upstream parallel.
-      // The driver's compare sorts before hashing, so row order is free.
-      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
+        // repartition(1), not coalesce(1): coalesce collapses a shuffle-free
+        // query into ONE task (a row-local map over the scan would run
+        // single-threaded); the extra tiny shuffle keeps upstream parallel.
+        // The driver's compare sorts before hashing, so row order is free.
+        try {
+          val df = fn(spark, sfDir)
+          if (explain) {
+            println(s"==== $name ====")
+            println(df.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode))
+          }
+          df.repartition(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
       }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -490,8 +490,11 @@ object DedupOps {
               (acc, s) => merge(acc, s)) - FLAG) / PACK).cast("long")))
       .select(col("doc_id"), col("dup_windows"), col("dup_tokens"))
 
-    base.select(col("doc_id"), col("__n").cast("long").as("n_tokens"),
-        greatest(col("__n") - (w - 1), lit(0)).cast("long").as("n_windows"))
+    // the doc spine only needs the token COUNT — recomputing the md5
+    // token-hash transform here would double the row-local hash work
+    val nTok = size(filter(toks(col("text")), x => x =!= ""))
+    docs.select(col("doc_id"), nTok.cast("long").as("n_tokens"),
+        greatest(nTok - (w - 1), lit(0)).cast("long").as("n_windows"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"), col("n_windows"),
         coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),

@@ -317,6 +317,47 @@ object TextOps {
       .otherwise("test")
   }
 
+  /** Deterministic stratified sampling: the k lowest-content-hash
+    * documents per source — the stable "fixed eval slice per domain" a
+    * large curation run pins (same docs under reruns and repartitioning;
+    * corpus growth only perturbs the margin).
+    *
+    * Spark-first shape: per-source top-k rides the bounded-heap native
+    * aggregate ([[TopK.viaAggregator]]) — map-side partial heaps, the
+    * shuffle carries at most k rows per source per task, and no
+    * per-source sort ever happens (the window row_number alternative
+    * sorts the whole corpus inside each source partition — the thing
+    * that dies on a billion-row source). The k×|sources| winner set is
+    * then broadcast back against the corpus to recover attributes, and
+    * in-sample ranks come from a window over k-bounded groups.
+    *
+    * The heap's group key is the first 60 bits of md5(source) — no
+    * dictionary pass; cross-source collisions at tens-of-sources
+    * cardinality are ~2^-55 and deterministic. The sample hash is the
+    * same md5-28-bit-of-doc_id the split operator uses, so the DuckDB
+    * oracle replays both.
+    */
+  def stratifiedSample(docs: DataFrame, k: Int = 5): DataFrame = {
+    import graft.operators.TopK
+    val hv = conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
+      .cast("long")
+    val srcKey = conv(substring(md5(col("source")), 1, 15), 16, 10)
+      .cast("long")
+    // negate: the heap keeps (score desc, id asc) = smallest hashes,
+    // ties to the lower doc_id — exactly ORDER BY hv, doc_id. 28-bit
+    // values round-trip double exactly.
+    val scored = docs.select(srcKey.as("__src"), col("doc_id"),
+      (-hv).cast("double").as("__neg"))
+    val top = TopK.viaAggregator(scored, "__src", "doc_id", "__neg", k)
+      .select(col("doc_id"), (-col("__neg")).cast("long").as("hv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("hv"), col("doc_id"))
+    docs.select(col("doc_id"), col("source"))
+      .join(broadcast(top), Seq("doc_id"))
+      .withColumn("smp_rank", row_number().over(w).cast("long"))
+      .select(col("source"), col("doc_id"), col("smp_rank"))
+  }
+
   /** Language stopword lists for the n-gram/stopword language-ID heuristic.
     * Order is the tie-break priority.
     */

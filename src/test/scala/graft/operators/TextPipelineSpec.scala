@@ -140,4 +140,30 @@ class TextPipelineSpec extends SparkSpec {
       .map("%02x".format(_)).mkString
     assert(got(1)._3 === plain)
   }
+
+  test("stratifiedSample: heap-aggregate sample equals the sorted-rank definition") {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs.select(col("doc_id"), col("source"))
+    val k = 3
+    val got = TextOps.stratifiedSample(docs, k)
+      .as[(String, Long, Long)].collect().toSet
+    // reference semantics: k lowest md5-28bit(doc_id) per source
+    val hv = conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
+      .cast("long")
+    val exp = d.withColumn("hv", hv)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("hv"), col("doc_id"))))
+      .filter(col("rn") <= k)
+      .select(col("source"), col("doc_id"), col("rn").cast("long"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got === exp)
+    // every source is represented with exactly min(k, source size) rows
+    val sizes = d.groupBy("source").count().as[(String, Long)].collect().toMap
+    val gotSizes = got.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(gotSizes === sizes.view.mapValues(math.min(k.toLong, _)).toMap)
+    // deterministic under repartitioning
+    val shuffled = TextOps.stratifiedSample(docs.repartition(7), k)
+      .as[(String, Long, Long)].collect().toSet
+    assert(shuffled === got)
+  }
 }
