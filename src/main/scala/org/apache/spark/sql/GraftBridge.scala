@@ -14,4 +14,15 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register a native-expression SQL function on a live session —
+    * `sessionState`/`FunctionRegistry` sit behind `private[sql]` in
+    * Spark 4, same visibility story as the Column converters above.
+    * Config-time injection ([[graft.GraftExtensions]]) needs no bridge.
+    */
+  def registerFunction(spark: SparkSession,
+      id: org.apache.spark.sql.catalyst.FunctionIdentifier,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
 }
