@@ -26,10 +26,15 @@ import graft.index.Ivf
   *    1M-vector corpus through the ServingIndex path at reference-shaped
   *    nlist ≈ 1024. `ivf_1m_query_p50/p99_ms` are the CONTRACT numbers
   *    (raw all-attempts distribution); `*_steady_ms` are per-query minima
-  *    of 3 attempts (warm-server steady state). `job_dispatch_floor_ms`
+  *    of 5 attempts (warm-server steady state). `job_dispatch_floor_ms`
   *    (an empty 32-task job) exposes shared-container contention; the
   *    latency loop reruns until the floor is ≤ 15 ms (≤3 rounds) and
-  *    `floor_gate_ok` records whether it settled.
+  *    `floor_gate_ok` records whether it settled. Two further honesty
+  *    gates, both with the pre-rerun value disclosed in the JSON when
+  *    they fire: latency loops rerun when raw p99 > 5x steady p99 (a
+  *    mid-loop stall the floor bracket can't see), and the 1M throughput
+  *    timings remeasure when the dispatch floor is sick immediately
+  *    after a timing (external contention, not engine cost).
   */
 object Bench {
 
@@ -311,6 +316,30 @@ object Bench {
           (0 until 2).map { _ =>
             val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
           }.min
+        def floorQuick(): Double = (0 until 3).map { _ =>
+          val t0 = System.nanoTime()
+          spark.sparkContext.parallelize(0 until cpus.toInt, cpus.toInt)
+            .map(_ => 1).count()
+          (System.nanoTime() - t0) / 1e6
+        }.min
+        // throughput twin of the latency loop's floor gate: if the
+        // dispatch floor is sick right after a timing, the timing ran
+        // under external contention (observed as a 7x knn_1m_exact swing
+        // between back-to-back identical runs) — remeasure, ≤2 extra
+        // rounds, keeping the LAST value either way
+        def gatedBest2(label: String)(f: => Long): Double = {
+          val first = best2(f)
+          var t = first
+          var tries = 0
+          while (floorQuick() > 15.0 && tries < 2) {
+            System.err.println(
+              s"[bench] $label timed under a sick dispatch floor — remeasuring")
+            System.gc()
+            t = best2(f); tries += 1
+          }
+          if (tries > 0) extras(s"${label}_first_sec") = num(first, 3)
+          t
+        }
         // own-GC discipline (same as the latency loop): the battery +
         // recall sections leave heap garbage whose collection otherwise
         // lands inside these throughput timings — measured as the r3
@@ -318,16 +347,16 @@ object Bench {
         // suspected jittered-replica tie-cost was refuted by a controlled
         // A/B; the environment was the whole story)
         System.gc()
-        val exactSec = best2(
+        val exactSec = gatedBest2("knn_1m_exact")(
           graft.operators.Knn.exactBatch(qs, big, "ip", 10).count())
         val nlist = 64
         val cents = Ivf.deterministicCentroids(e, (n0 / nlist).toInt.max(1))
-        val assignSec = best2(
+        val assignSec = gatedBest2("ivf_assign_1m")(
           Ivf.assign(big, cents).select(count(col("centroid_id"))).head()
             .getLong(0))
         val assigned = Ivf.assign(big, cents).cache()
         assigned.count() // materialize, untimed (build step B2)
-        val ivfSec = best2(
+        val ivfSec = gatedBest2("knn_1m_ivf")(
           Ivf.search(assigned, qs, cents, "ip", 10, nprobe = 8).count())
         // single-request latency distribution: BASELINE's 150 ms is a
         // per-query p99 through the SERVING path — the ServingIndex
@@ -464,18 +493,26 @@ object Bench {
         // must be flat in overlay size — the shadow set is broadcast once
         // per overlay generation, the closure carries only the handle.
         idx.searchWithOverlay(qRows.head, 10, nprobeServ, overlay) // warm
-        val overlayRaw = (0 until 3).flatMap { _ =>
+        val overlayAttempts = (0 until 3).map { _ =>
           qRows.map { qv =>
             val t0 = System.nanoTime()
             idx.searchWithOverlay(qv, 10, nprobeServ, overlay)
             (System.nanoTime() - t0) / 1e6
           }
-        }.sorted
+        }
+        val overlayRaw = overlayAttempts.flatten.sorted
+        val overlaySteady =
+          qRows.indices.map(i => overlayAttempts.map(_(i)).min).sorted
         extras("overlay_rows") = overlay.size.toString
         extras("ivf_1m_overlay_p50_ms") = num(pctl(overlayRaw, 50), 1)
         extras("ivf_1m_overlay_p99_ms") = num(pctl(overlayRaw, 99), 1)
+        // overhead from the STEADY distributions (per-query minima): the
+        // raw p50s of two separately-timed loops can differ by more than
+        // the true overhead when a contention window lands in one of them
+        // (measured as a negative delta on a noisy box) — minima cancel
+        // the stalls, leaving the overlay's own cost
         extras("overlay_request_overhead_ms") =
-          num(pctl(overlayRaw, 50) - pctl(raw, 50), 2)
+          num(pctl(overlaySteady, 50) - pctl(steady, 50), 2)
         overlay.destroy()
         // cosine serving on the same corpus/layout: with the query norm
         // hoisted out of the row loop, cosine should track ip instead of
@@ -527,15 +564,35 @@ object Bench {
         extras("ivf_10m_rows") = (reps10.toLong * n0).toString
         System.gc()
         (0 until 5).foreach(_ => idx10.search(qRows.head, 10, nprobeServ))
-        val raw10 = (0 until 3).flatMap { _ =>
-          qRows.map { qv =>
-            val t0 = System.nanoTime()
-            idx10.search(qv, 10, nprobeServ)
-            (System.nanoTime() - t0) / 1e6
+        def round10(): (Seq[Double], Seq[Double]) = {
+          val attempts = (0 until 3).map { _ =>
+            qRows.map { qv =>
+              val t0 = System.nanoTime()
+              idx10.search(qv, 10, nprobeServ)
+              (System.nanoTime() - t0) / 1e6
+            }
           }
-        }.sorted
+          (attempts.flatten.sorted.toSeq,
+            qRows.indices.map(i => attempts.map(_(i)).min).sorted.toSeq)
+        }
+        // same stall-spike rerun as the 1M loop — this probe is the
+        // latency-tracks-probed-fraction evidence, so a mid-loop stall
+        // would misread as "10x corpus = 10x tail"
+        var r10 = round10()
+        val firstP99of10 = pctl(r10._1, 99)
+        var spikes10 = 0
+        while (pctl(r10._1, 99) >
+            5.0 * math.max(1.0, pctl(r10._2, 99)) && spikes10 < 2) {
+          System.err.println("[bench] 10M raw p99 stall spike — rerunning")
+          System.gc()
+          r10 = round10(); spikes10 += 1
+        }
+        if (spikes10 > 0)
+          extras("ivf_10m_query_p99_first_ms") = num(firstP99of10, 1)
+        val raw10 = r10._1
         extras("ivf_10m_query_p50_ms") = num(pctl(raw10, 50), 1)
         extras("ivf_10m_query_p99_ms") = num(pctl(raw10, 99), 1)
+        extras("ivf_10m_query_p99_steady_ms") = num(pctl(r10._2, 99), 1)
         extras("ivf_10m_floor_ms") = num(floorNow(), 1)
         idx10.unpersist()
         val r = (nQs / exactSec, nBig / assignSec, nQs / ivfSec,
@@ -600,6 +657,53 @@ object Bench {
         System.err.println(s"[bench] dim-768 stress FAILED: ${e.getMessage}")
         (-1L, -1.0, -1.0, -1.0)
       }
+
+    // Text-pipeline scale probe: at 100 TB the dedup cost is dominated by
+    // the per-doc scan (shingle → xxhash64 → minhash signature → band
+    // hash), not the sparse bucket join — measure that scan's throughput
+    // over a ~200k-doc replicated corpus (rep-token prefix keeps replicas
+    // from being bit-identical). The banded groupBy count forces every
+    // signature and band hash to materialize; partial aggregation absorbs
+    // the hot replica buckets, so no pair explosion — pair VERIFY cost is
+    // corpus-dependent and already oracle-gated in the battery
+    // (dedup_minhash). SimHash is the same shape with a cheaper sketch.
+    try {
+      val docs = Tables.load(spark, sfDir, "documents")
+      val nd0 = docs.count()
+      val repsD = math.max(1L, 200000L / math.max(1L, nd0)).toInt
+      val bigDocs = docs
+        .withColumn("rep", explode(sequence(lit(0), lit(repsD - 1))))
+        .select((col("doc_id") * lit(repsD.toLong) + col("rep")).as("doc_id"),
+          concat(lit("r"), col("rep").cast("string"), lit(" "), col("text"))
+            .as("text"))
+        .repartition(cpus.toInt)
+        .cache()
+      val nDocs = bigDocs.count() // materialize, untimed
+      def best2d(f: => Long): Double =
+        (0 until 2).map { _ =>
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }.min
+      System.gc()
+      val sigSec = best2d {
+        val sigs = graft.operators.DedupOps.minhashSignatures(bigDocs)
+        val banded = sigs.select(
+          posexplode(transform(sequence(lit(0), lit(15)),
+            b => hash(slice(col("minhash"), b * 4 + 1, lit(4)))))
+            .as(Seq("band_id", "band_hash")))
+        banded.groupBy(col("band_id"), col("band_hash")).count()
+          .select(count(lit(1))).head().getLong(0)
+      }
+      val simSec = best2d(
+        graft.operators.DedupOps.simhash(bigDocs)
+          .select(count(col("simhash"))).head().getLong(0))
+      extras("dedup_docs") = nDocs.toString
+      extras("minhash_lsh_docs_per_sec") = num(nDocs / sigSec, 0)
+      extras("simhash_docs_per_sec") = num(nDocs / simSec, 0)
+      bigDocs.unpersist()
+    } catch { case e: Throwable =>
+      System.err.println(
+        s"[bench] text dedup scale probe FAILED: ${e.getMessage}")
+    }
 
     // exit 0 even with failures: the JSON line (with its "failed" list) is
     // the contract — a non-zero rc would discard the whole measurement
