@@ -513,6 +513,18 @@ object SparkEntry {
     "dedup_jaccard" -> ((s, dir) =>
       DedupOps.jaccardPairsWithin(docs(s, dir), "source", 20)),
     "dedup_minhash" -> ((s, dir) => DedupOps.minhashPairsOracle(docs(s, dir))),
+    // duplicate-cluster canonical labels over the verified near-dup pairs
+    "dedup_clusters" -> ((s, dir) =>
+      DedupOps.dupClusters(
+        DedupOps.minhashPairsOracle(docs(s, dir)).select(col("a"), col("b")))),
+    // which source pairs near-duplicate each other (mix-weight input)
+    "dup_source_matrix" -> ((s, dir) =>
+      DedupOps.dupSourceMatrix(docs(s, dir),
+        DedupOps.minhashPairsOracle(docs(s, dir)).select(col("a"), col("b")))),
+    // per-source survival counts through quality → repetition → near-dup
+    "curation_funnel" -> ((s, dir) =>
+      TextOps.curationFunnel(docs(s, dir),
+        DedupOps.minhashPairsOracle(docs(s, dir)).select(col("a"), col("b")))),
     "dedup_simhash" -> ((s, dir) => DedupOps.simhashPairsOracle(docs(s, dir))),
     "dedup_minhash_prod" -> ((s, dir) =>
       DedupOps.minhashNearDups(docs(s, dir), threshold = 0.5)),
@@ -687,6 +699,43 @@ object SparkEntry {
        |    THEN list_transform(generate_series(1, len(t) - 2),
        |      i -> array_to_string(t[i:i+2], chr(1)))
        |    ELSE [] END) AS sh FROM dt)""".stripMargin
+
+  /** MinHash-LSH verified-pair pipeline through `ver(a, b, jaccard)` —
+    * shared by `dedup_minhash` and the downstream cluster/source-matrix
+    * oracles (same signature/band/verify arithmetic as
+    * [[graft.operators.DedupOps.minhashPairsOracle]]).
+    */
+  private val MINHASH_VER =
+    s"""$SHINGLES,
+       |xs AS (SELECT doc_id, sh,
+       |    list_transform(sh, s2 ->
+       |      CAST(('0x' || substr(md5(s2), 1, 7)) AS BIGINT)) AS xs
+       |  FROM sh),
+       |sig AS (SELECT doc_id, sh,
+       |    list_transform(generate_series(0, 31), i ->
+       |      COALESCE(list_min(list_transform(xs, x ->
+       |        ((2*i + 1) * x + (i * 40503) % 2147483647) % 2147483647)),
+       |        2147483647)) AS sig
+       |  FROM xs),
+       |banded AS (SELECT doc_id, r.b AS band_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      sig[r.b*4+1 : r.b*4+4]),
+       |      (acc, s2) -> (acc * 31 + s2) % 2147483647) AS band_hash
+       |  FROM sig, range(8) r(b)),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM banded x JOIN banded y
+       |    ON x.band_id = y.band_id AND x.band_hash = y.band_hash
+       |      AND x.doc_id < y.doc_id),
+       |ver AS (SELECT cand.a, cand.b,
+       |    CASE WHEN len(sa.sh) + len(sb.sh)
+       |        - len(list_intersect(sa.sh, sb.sh)) = 0 THEN 0.0
+       |      ELSE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |        / CAST(len(sa.sh) + len(sb.sh)
+       |            - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) END
+       |      AS jaccard
+       |  FROM cand
+       |  JOIN sh sa ON sa.doc_id = cand.a
+       |  JOIN sh sb ON sb.doc_id = cand.b)""".stripMargin
 
   /** Q13 oracle: the recall sweep, one UNION ALL block per candidate
     * nprobe, sharing the assignment/exact-topk CTEs.
@@ -1339,37 +1388,60 @@ object SparkEntry {
          |SELECT a, b, jaccard FROM p
          |ORDER BY jaccard DESC, a ASC, b ASC LIMIT 20""".stripMargin,
     "dedup_minhash" ->
-      s"""$SHINGLES,
-         |xs AS (SELECT doc_id, sh,
-         |    list_transform(sh, s2 ->
-         |      CAST(('0x' || substr(md5(s2), 1, 7)) AS BIGINT)) AS xs
-         |  FROM sh),
-         |sig AS (SELECT doc_id, sh,
-         |    list_transform(generate_series(0, 31), i ->
-         |      COALESCE(list_min(list_transform(xs, x ->
-         |        ((2*i + 1) * x + (i * 40503) % 2147483647) % 2147483647)),
-         |        2147483647)) AS sig
-         |  FROM xs),
-         |banded AS (SELECT doc_id, r.b AS band_id,
-         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |      sig[r.b*4+1 : r.b*4+4]),
-         |      (acc, s2) -> (acc * 31 + s2) % 2147483647) AS band_hash
-         |  FROM sig, range(8) r(b)),
-         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |  FROM banded x JOIN banded y
-         |    ON x.band_id = y.band_id AND x.band_hash = y.band_hash
-         |      AND x.doc_id < y.doc_id),
-         |ver AS (SELECT cand.a, cand.b,
-         |    CASE WHEN len(sa.sh) + len(sb.sh)
-         |        - len(list_intersect(sa.sh, sb.sh)) = 0 THEN 0.0
-         |      ELSE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-         |        / CAST(len(sa.sh) + len(sb.sh)
-         |            - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) END
-         |      AS jaccard
-         |  FROM cand
-         |  JOIN sh sa ON sa.doc_id = cand.a
-         |  JOIN sh sb ON sb.doc_id = cand.b)
+      s"""$MINHASH_VER
          |SELECT a, b, jaccard FROM ver WHERE jaccard >= 0.5""".stripMargin,
+    // connected components as a transitive-closure recursive CTE: reach =
+    // fixpoint of edge-relation composition (set-semantics UNION), label =
+    // min over the reachable set including self — identical to the Spark
+    // side's converged min-label propagation
+    "dedup_clusters" ->
+      s"""${MINHASH_VER.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |pr AS (SELECT a, b FROM ver WHERE jaccard >= 0.5),
+         |edges AS (SELECT a AS x, b AS y FROM pr
+         |  UNION SELECT b AS x, a AS y FROM pr),
+         |reach(x, y) AS (
+         |  SELECT x, y FROM edges
+         |  UNION
+         |  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
+         |lab AS (SELECT x AS doc_id, least(x, min(y)) AS canonical_id
+         |  FROM reach GROUP BY x)
+         |SELECT doc_id, canonical_id FROM lab""".stripMargin,
+    "dup_source_matrix" ->
+      s"""$MINHASH_VER,
+         |pr AS (SELECT a, b FROM ver WHERE jaccard >= 0.5),
+         |ps AS (SELECT da.source AS sa, db.source AS sb
+         |  FROM pr JOIN documents da ON da.doc_id = pr.a
+         |  JOIN documents db ON db.doc_id = pr.b)
+         |SELECT least(sa, sb) AS src_x, greatest(sa, sb) AS src_y,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM ps GROUP BY 1, 2""".stripMargin,
+    // same quality arithmetic as token_quality (round 6), same dup-token
+    // fraction as repetition_stats, same verified pairs as dedup_minhash —
+    // the funnel is their sequential composition
+    "curation_funnel" ->
+      s"""$MINHASH_VER,
+         |m AS (SELECT doc_id, source,
+         |    round(
+         |      0.5 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+         |      + 0.3 * (CAST(len(list_filter(toks, x -> list_contains(
+         |          ['the','and','of','to','in','is','that','a','for','it'],
+         |          x))) AS DOUBLE) / len(toks))
+         |      + 0.2 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0), 6)
+         |      AS quality,
+         |    CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)
+         |      / len(toks) AS dup_frac
+         |  FROM d),
+         |losers AS (SELECT DISTINCT b FROM ver WHERE jaccard >= 0.5)
+         |SELECT source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(CASE WHEN quality >= 0.36 THEN 1 END) AS BIGINT)
+         |    AS n_quality,
+         |  CAST(count(CASE WHEN quality >= 0.36 AND dup_frac <= 0.6
+         |    THEN 1 END) AS BIGINT) AS n_clean,
+         |  CAST(count(CASE WHEN quality >= 0.36 AND dup_frac <= 0.6
+         |    AND doc_id NOT IN (SELECT b FROM losers) THEN 1 END) AS BIGINT)
+         |    AS n_kept
+         |FROM m GROUP BY source""".stripMargin,
     "dedup_simhash" ->
       s"""$DOCTOKS,
          |hs AS (SELECT doc_id,

@@ -9,16 +9,29 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
-    * as a timestamp; sessions set `spark.sql.legacy.parquet.nanosAsLong`
-    * and we rebuild a microsecond TimestampType here (truncation — the
-    * same floor DuckDB's `epoch_us` applies to TIMESTAMP_NS, so oracle
-    * comparisons stay exact).
+  /** Normalize `events.ts` to a session-timezone microsecond
+    * TimestampType regardless of how the driver generated the parquet —
+    * the physical type has changed between rounds:
+    *  - TIMESTAMP(NANOS): Spark 4 refuses to read it as a timestamp;
+    *    sessions set `spark.sql.legacy.parquet.nanosAsLong`, it arrives
+    *    as a LongType of nanos, and `div 1000` rebuilds micros (the same
+    *    floor DuckDB applies, so oracle comparisons stay exact);
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as
+    *    TIMESTAMP_NTZ; a plain cast re-tags the same wall-clock instant
+    *    (sessions run in UTC, so the instant is unchanged and DuckDB's
+    *    naive reading agrees);
+    *  - already TimestampType: pass through.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (name == "events") {
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => df
+      }
+    } else df
   }
 }

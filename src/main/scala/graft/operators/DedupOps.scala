@@ -300,8 +300,9 @@ object DedupOps {
     * join + hash-aggregate; converges in O(component diameter) rounds
     * (near-dup clusters are tiny and dense, so 2-4 in practice; the
     * large-star/small-star optimization only matters for pathological
-    * chains). Deterministic, so SQL-oracle-able via recursive CTE —
-    * checked by unit test instead (DuckDB recursion limits).
+    * chains). Deterministic, so SQL-oracle-able via a recursive
+    * transitive-closure CTE — gated by `dedup_clusters` (plus the
+    * DupClusterSpec unit cases).
     */
   def dupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
     // undirected edges, both directions
@@ -334,6 +335,31 @@ object DedupOps {
       i += 1
     }
     labels
+  }
+
+  /** Cross-source near-duplication matrix: how much each source pair
+    * duplicates each other — the curation question behind source mixing
+    * ("is src A mostly a re-crawl of src B?"). Input is any verified
+    * near-dup pair list (a, b); output one row per unordered source pair
+    * with its pair count.
+    *
+    * Scale shape: the pair list is orders of magnitude smaller than the
+    * corpus (only verified near-dups), so the two doc→source resolutions
+    * are shuffle joins keyed by doc_id where the pairs side is tiny —
+    * sort-merge co-partitioned with the (doc_id, source) projection,
+    * never a corpus self-join; the final aggregate has ≤ |sources|²/2
+    * groups with map-side combine.
+    */
+  def dupSourceMatrix(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("a"), col("source").as("sa")),
+        Seq("a"))
+      .join(src.select(col("doc_id").as("b"), col("source").as("sb")),
+        Seq("b"))
+      .groupBy(least(col("sa"), col("sb")).as("src_x"),
+        greatest(col("sa"), col("sb")).as("src_y"))
+      .agg(count(lit(1)).as("n_pairs"))
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,

@@ -40,24 +40,34 @@ object TextOps {
     * ASCII classes. Quality = weighted mix of type-token ratio, stopword
     * ratio, and a length saturation term.
     */
-  def tokenQuality(docs: DataFrame): DataFrame = {
-    val stop = Seq("the", "and", "of", "to", "in", "is", "that", "a", "for",
-      "it")
-    val t = tokens(col("text"))
+  private val stopwords = Seq("the", "and", "of", "to", "in", "is", "that",
+    "a", "for", "it")
+
+  private def nStopwords(t: Column): Column =
+    size(filter(t, x => array_contains(typedlit(stopwords), x)))
+
+  /** The composite quality score over a token array — weighted mix of
+    * type-token ratio, stopword ratio, and a length saturation term,
+    * rounded to 6 places so both engines agree bit-for-bit. Shared by
+    * [[tokenQuality]] and [[curationFunnel]].
+    */
+  private def qualityScore(t: Column): Column = {
     val nTok = size(t)
-    val nStop = size(filter(t,
-      x => array_contains(typedlit(stop), x)))
+    val ttr = size(array_distinct(t)).cast("double") / nTok
+    val stopRatio = nStopwords(t).cast("double") / nTok
+    val lenSat = least(lit(1.0), nTok.cast("double") / lit(100.0))
+    round(lit(0.5) * ttr + lit(0.3) * stopRatio + lit(0.2) * lenSat, 6)
+  }
+
+  def tokenQuality(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
     val bpe = size(regexp_extract_all(lower(col("text")),
       lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
-    val ttr = size(array_distinct(t)).cast("double") / nTok
-    val stopRatio = nStop.cast("double") / nTok
-    val lenSat = least(lit(1.0), nTok.cast("double") / lit(100.0))
     docs.select(
       col("doc_id"),
       bpe.cast("long").as("n_bpe_tokens"),
-      nStop.cast("long").as("n_stopwords"),
-      round(lit(0.5) * ttr + lit(0.3) * stopRatio + lit(0.2) * lenSat, 6)
-        .as("quality"))
+      nStopwords(t).cast("long").as("n_stopwords"),
+      qualityScore(t).as("quality"))
   }
 
   /** Repetition quality stats (the Gopher / RefinedWeb-style repetition
@@ -254,6 +264,38 @@ object TextOps {
     docs.join(broadcast(withMin), Seq("source"))
       .filter(h * col("__n") < col("__min") * lit(1L << 28))
       .select(col("doc_id"), col("source"))
+  }
+
+  /** End-to-end curation funnel — the per-source survival counts through
+    * the pipeline's sequential gates (the report every corpus-curation run
+    * ends with): all docs → quality score ≥ `minQuality` → duplicate-token
+    * fraction ≤ `maxDupFrac` → not a near-duplicate loser (docs appearing
+    * as the higher-id `b` side of a verified near-dup pair are the ones a
+    * keep-lowest-id dedup pass drops).
+    *
+    * Scale shape: both row-local gates are computed inline on the scan (no
+    * join back to a separate quality table — one pass); the loser set is
+    * the only join, keyed by doc_id against a pair list that is orders of
+    * magnitude smaller than the corpus; the final aggregate has |sources|
+    * groups with map-side combine.
+    */
+  def curationFunnel(docs: DataFrame, dupPairs: DataFrame,
+      minQuality: Double = 0.36, maxDupFrac: Double = 0.6): DataFrame = {
+    val t = tokens(col("text"))
+    val dupFrac = (size(t) - size(array_distinct(t))).cast("double") / size(t)
+    val losers = dupPairs.select(col("b").as("doc_id")).distinct()
+      .withColumn("__dup", lit(true))
+    val qOk = col("quality") >= minQuality
+    val cleanOk = qOk && col("dup_frac") <= maxDupFrac
+    docs.select(col("doc_id"), col("source"),
+        qualityScore(t).as("quality"), dupFrac.as("dup_frac"))
+      .join(losers, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(qOk, 1)).as("n_quality"),
+        count(when(cleanOk, 1)).as("n_clean"),
+        count(when(cleanOk && col("__dup").isNull, 1)).as("n_kept"))
   }
 
   /** Sequence packing — the pretraining step that concatenates documents

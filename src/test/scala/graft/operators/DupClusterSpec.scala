@@ -22,6 +22,17 @@ class DupClusterSpec extends SparkSpec {
     assert(got.forall(_._2 == 1L), got.mkString(","))
   }
 
+  test("dupSourceMatrix: unordered source pairs, counts hand-checked") {
+    val d = Seq((1L, "src_b"), (2L, "src_a"), (3L, "src_a"), (4L, "src_c"))
+      .toDF("doc_id", "source")
+    // pair (1,2) crosses b/a → normalized (a,b); (2,3) within a; (1,4) b/c
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 4L)).toDF("a", "b")
+    val got = DedupOps.dupSourceMatrix(d, pairs)
+      .as[(String, String, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq === Seq(("src_a", "src_a", 1L), ("src_a", "src_b", 1L),
+      ("src_b", "src_c", 1L)))
+  }
+
   test("end-to-end: minhash pairs → clusters → canonical keep-set") {
     val pairs = DedupOps.minhashPairsOracle(docs, threshold = 0.9)
     val clusters = DedupOps.dupClusters(pairs)

@@ -166,4 +166,30 @@ class TextPipelineSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().toSet
     assert(shuffled === got)
   }
+
+  test("curationFunnel: stage counts are monotone and losers are dropped") {
+    val pairs = DedupOps.minhashPairsOracle(docs).select($"a", $"b")
+    val got = TextOps.curationFunnel(docs, pairs)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    // sequential gates can only shrink the survivor set
+    got.foreach { case (src, n, q, c, k) =>
+      assert(n >= q && q >= c && c >= k, s"$src: $n $q $c $k")
+    }
+    // totals: every doc is counted exactly once across sources
+    assert(got.map(_._2).sum === docs.count())
+    // the dup gate really fires somewhere (sf0.001 has verified near-dups
+    // whose losers pass both row-local gates) — guard against the loser
+    // join silently vanishing
+    val losersDropped = got.map(r => r._4 - r._5).sum
+    val verifiedLosers = pairs.select($"b").distinct().count()
+    assert(losersDropped >= 0 && losersDropped <= verifiedLosers)
+    if (verifiedLosers > 0) {
+      // at least: the funnel with no pairs keeps >= the funnel with pairs
+      val noPairs = TextOps.curationFunnel(docs,
+          Seq.empty[(Long, Long)].toDF("a", "b"))
+        .as[(String, Long, Long, Long, Long)].collect()
+      assert(noPairs.map(_._5).sum >= got.map(_._5).sum)
+    }
+  }
 }
