@@ -22,6 +22,35 @@ class DupClusterSpec extends SparkSpec {
     assert(got.forall(_._2 == 1L), got.mkString(","))
   }
 
+  test("dupClusters matches a driver-side union-find on random graphs") {
+    val rnd = new scala.util.Random(12345)
+    for (trial <- 0 until 3) {
+      val n = 30 + rnd.nextInt(40)
+      val m = 20 + rnd.nextInt(60)
+      val edges = Seq.fill(m)(
+          (rnd.nextInt(n).toLong + 1L, rnd.nextInt(n).toLong + 1L))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      // union-find with union-by-min-root: by induction every tree's root
+      // is its component's minimum id, so find(x) = the canonical label
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+        .map(x => (x, find(x))).toMap
+      val got = DedupOps.dupClusters(edges.toDF("a", "b"), maxIter = 50)
+        .as[(Long, Long)].collect().toMap
+      assert(got === expected, s"trial $trial")
+    }
+  }
+
   test("dupSourceMatrix: unordered source pairs, counts hand-checked") {
     val d = Seq((1L, "src_b"), (2L, "src_a"), (3L, "src_a"), (4L, "src_c"))
       .toDF("doc_id", "source")
