@@ -175,6 +175,80 @@ class ServingSpec extends SparkSpec {
     graft.segments.Segments.deleteDir(dir0)
   }
 
+  test("overlay fuzz with PRUNED probes + sample filter: both tiers obey the probe set") {
+    // the composition the probe-all fuzz above cannot catch: a buffered
+    // winner in an UNPROBED list must still shadow its stale stored
+    // version in a probed list without itself becoming a candidate, and
+    // the sample gate applies to both tiers — randomized over epoch cut,
+    // nprobe, k, and sample p
+    val dir0 = java.nio.file.Files
+      .createTempDirectory("graft-overlay-prune-fuzz-").toString
+    import graft.segments.Segments
+    val log = graft.ingest.MutationLog.deterministicLog(emb)
+    val entries = Ivf.assign(
+        log.withColumn("id_hash",
+            graft.functions.VectorFunctions.hashId(col("id")))
+          .withColumn("deleted", col("op") === "DELETE"),
+        cents, vecCol = "vec")
+      .withColumn("centroid_id", coalesce(col("centroid_id"), lit(-1L)))
+      .select("vec_id", "id_hash", "epoch", "deleted", "centroid_id", "vec")
+      .cache()
+    val all = entries.collect().map(r => (r.getLong(0), r.getLong(2),
+      r.getBoolean(3), r.getLong(4),
+      if (r.isNullAt(5)) null else r.getSeq[Double](5).toArray))
+    def dotFD(a: Array[Float], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i); i += 1 }
+      s
+    }
+    def samplePass(id: Long, p: Int): Boolean = {
+      val m = (id * 2654435761L) % 100L
+      (if (m < 0) m + 100L else m) < p
+    }
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 31 + 5)
+      val cut = 1500 + rnd.nextInt(2000)
+      val dir = s"$dir0/t$seed"
+      Segments.writeSegment(entries.filter(col("epoch") < cut), dir,
+        "delta-000", isStable = false)
+      val idx = ServingIndex.buildStored(spark, dir, cents, "ip")
+      val overlay = ServingOverlay.fromDataFrame(
+        entries.filter(col("epoch") >= cut))
+      val k = 3 + rnd.nextInt(12)
+      val nprobe = 1 + rnd.nextInt(4)
+      val pOpt = Seq(None, Some(30), Some(60), Some(90))(rnd.nextInt(4))
+      val (qid, qv) = queries(rnd.nextInt(queries.length))
+      val got = idx.searchWithOverlay(qv, k, nprobe, overlay,
+        ServingFilter(sampleP = pOpt)).toSeq
+      // driver-side brute force of the tiered + pruned semantics:
+      val probed = idx.probe(qv, nprobe).toSet
+      val buffered = all.filter(_._2 >= cut)
+      val shadow = buffered.map(_._1).toSet
+      // stored tier: store-latest live rows (buildStored's LWW within the
+      // flushed world), probed list only, not shadowed, sample-gated
+      val storedCand = all.filter(_._2 < cut)
+        .groupBy(_._1).values.map(_.maxBy(_._2))
+        .filter(v => !v._3 && v._5 != null)
+        .filter(v => probed.contains(v._4))
+        .filter(v => !shadow.contains(v._1))
+        .filter(v => pOpt.forall(samplePass(v._1, _)))
+      // overlay tier: buffer LWW winners, live, probed list, sample-gated
+      val overlayCand = buffered
+        .groupBy(_._1).values.map(_.maxBy(_._2))
+        .filter(v => !v._3 && v._5 != null)
+        .filter(v => probed.contains(v._4))
+        .filter(v => pOpt.forall(samplePass(v._1, _)))
+      val expect = (storedCand ++ overlayCand)
+        .map(v => (v._1, dotFD(qv, v._5)))
+        .toSeq.sortBy { case (id, s) => (-s, id) }.take(k)
+      assert(got === expect,
+        s"seed=$seed cut=$cut k=$k nprobe=$nprobe p=$pOpt q=$qid")
+      idx.unpersist()
+    }
+    entries.unpersist()
+    graft.segments.Segments.deleteDir(dir0)
+  }
+
   test("overlay + filter: composite QueryRequest with read-your-writes applies the predicate to BOTH tiers") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-overlay-filter-").toString
