@@ -508,6 +508,17 @@ object SparkEntry {
       TextOps.contamination(d, d.filter(col("doc_id") % 100 === 0))
     }),
     "balanced_mix" -> ((s, dir) => TextOps.balancedMix(docs(s, dir))),
+    // the fixture's sources are equal-sized (every keep rate would be 1)
+    // AND doc_id % |sources| IS the source index, so any doc_id-arithmetic
+    // skew is degenerate — skew on an md5 slice DISJOINT from the mix
+    // gate's first-7-chars hash instead: source srcK keeps a doc iff
+    // hash(text)[8:14] % 100 < 100 − 4·K, so sizes fall monotonically
+    // with K and every sqrt keep-rate is exercised, not just 1.0
+    "temperature_mix" -> ((s, dir) =>
+      TextOps.temperatureMix(docs(s, dir).filter(
+        pmod(conv(substring(md5(col("text")), 8, 7), 16, 10).cast("long"),
+          lit(100L)) <
+          lit(100) - lit(4) * substring(col("source"), 4, 10).cast("int")))),
     // ---- dedup ----------------------------------------------------------
     "dedup_exact" -> ((s, dir) => DedupOps.exactGroups(docs(s, dir))),
     "dedup_jaccard" -> ((s, dir) =>
@@ -1301,6 +1312,18 @@ object SparkEntry {
         |SELECT doc_id, source FROM d JOIN c USING (source)
         |WHERE CAST(('0x'||substr(md5(text),1,7)) AS BIGINT) * c.n
         |  < (SELECT mn FROM m) * 268435456""".stripMargin,
+    // same arithmetic chain as TextOps.temperatureMix: min/n division,
+    // IEEE-exact sqrt, one multiply — no cross-source double sum anywhere
+    "temperature_mix" ->
+      """WITH d AS (SELECT doc_id, source, text FROM documents
+        |  WHERE CAST(('0x'||substr(md5(text),8,7)) AS BIGINT) % 100
+        |    < 100 - 4 * CAST(substr(source, 4) AS INT)),
+        |c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+        |  FROM d GROUP BY source),
+        |m AS (SELECT CAST(min(n) AS BIGINT) AS mn FROM c)
+        |SELECT doc_id, source FROM d JOIN c USING (source)
+        |WHERE CAST(CAST(('0x'||substr(md5(text),1,7)) AS BIGINT) AS DOUBLE)
+        |  < sqrt(CAST((SELECT mn FROM m) AS DOUBLE) / c.n) * 268435456.0""".stripMargin,
     "pack_sequences" ->
       s"""$DOCTOKS,
          |c AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM dt),

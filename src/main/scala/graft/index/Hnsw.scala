@@ -263,7 +263,7 @@ final class HnswHotCache(idx: ServingIndex, maxElements: Int = 1000000,
     graph = g
   }
 
-  /** Serve: cache first when it can plausibly answer (holds ≥ k·ef
+  /** Serve: cache first when it can plausibly answer (holds ≥ 4·k
     * vectors), else the distributed probe path; cache answers are
     * APPROXIMATE over the hot subset — the fallback is the
     * ground-truth-complete path, mirroring the reference's cache-miss

@@ -266,6 +266,34 @@ object TextOps {
       .select(col("doc_id"), col("source"))
   }
 
+  /** Temperature-smoothed source mixing (the α = 0.5 exponential
+    * smoothing used for multilingual/source rebalancing in pretraining —
+    * keep rate ∝ n_s^(α−1), so kept counts ∝ n_s^α: big sources are
+    * downsampled toward, small sources kept whole). Anchored at the
+    * smallest source (its keep rate is 1), which removes the cross-source
+    * normalization SUM — a distributed double sum is order-dependent and
+    * would let the two engines disagree in the last ulp on gate
+    * boundaries. Everything left is IEEE-exact: one integer count min,
+    * one division, one `sqrt` (correctly rounded by IEEE 754 — `pow`/`ln`
+    * are NOT, which is why α is fixed at 0.5), one multiply, and the
+    * deterministic 28-bit content-hash gate shared with [[balancedMix]].
+    *
+    * Scale shape: counts are one tiny aggregate broadcast back; the gate
+    * is row-local — no shuffle of the corpus.
+    */
+  def temperatureMix(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("__n"))
+    val minN = min(col("__n")).over(
+      org.apache.spark.sql.expressions.Window.partitionBy())
+    val withMin = counts.withColumn("__min", minN)
+    val h = graft.functions.expr.SketchExpressions.md5Hash28(col("text"))
+    val keepRate = sqrt(col("__min").cast("double") / col("__n"))
+    docs.join(broadcast(withMin), Seq("source"))
+      .filter(h.cast("double") < keepRate * lit((1L << 28).toDouble))
+      .select(col("doc_id"), col("source"))
+  }
+
   /** End-to-end curation funnel — the per-source survival counts through
     * the pipeline's sequential gates (the report every corpus-curation run
     * ends with): all docs → quality score ≥ `minQuality` → duplicate-token
