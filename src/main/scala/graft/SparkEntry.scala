@@ -496,6 +496,7 @@ object SparkEntry {
     "lang_id" -> ((s, dir) => TextOps.langId(docs(s, dir))),
     "doc_fingerprint" -> ((s, dir) => TextOps.fingerprint(docs(s, dir))),
     "lm_score" -> ((s, dir) => TextOps.unigramScore(docs(s, dir))),
+    "lm_bigram" -> ((s, dir) => TextOps.bigramScore(docs(s, dir))),
     "boilerplate_ngrams" -> ((s, dir) =>
       TextOps.boilerplateNgrams(docs(s, dir))),
     "pii_redact" -> ((s, dir) => TextOps.piiRedact(docs(s, dir))),
@@ -1275,6 +1276,25 @@ object SparkEntry {
          |    (CAST(count(*) AS DOUBLE) * CAST((SELECT n FROM tot) AS DOUBLE))
          |    AS avg_freq
          |FROM ex e JOIN cnt c USING (tok)
+         |GROUP BY e.doc_id""".stripMargin,
+    // bigram twin of lm_score: same integer-sum contract over bigram keys
+    "lm_bigram" ->
+      s"""$DOCTOKS,
+         |g0 AS (SELECT doc_id, t,
+         |    unnest(range(greatest(len(t) - 1, 0))) AS i
+         |  FROM dt),
+         |ex AS (SELECT doc_id, array_to_string(t[i+1 : i+2], ' ') AS bg
+         |  FROM g0),
+         |cnt AS (SELECT bg, CAST(count(*) AS BIGINT) AS c
+         |  FROM ex GROUP BY bg),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt)
+         |SELECT e.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(c.c) AS BIGINT) AS sum_freq,
+         |  CAST(sum(c.c) AS DOUBLE) /
+         |    (CAST(count(*) AS DOUBLE) * CAST((SELECT n FROM tot) AS DOUBLE))
+         |    AS avg_freq
+         |FROM ex e JOIN cnt c USING (bg)
          |GROUP BY e.doc_id""".stripMargin,
     "boilerplate_ngrams" ->
       s"""$DOCTOKS,

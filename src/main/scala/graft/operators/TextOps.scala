@@ -173,6 +173,49 @@ object TextOps {
           .as("avg_freq"))
   }
 
+  /** Bigram LM quality score — the context-sensitive step of the CCNet
+    * family ([[unigramScore]] measures vocabulary typicality; this
+    * measures TRANSITION typicality: a word-salad doc built from common
+    * words has common unigrams but rare bigrams). Same exact-arithmetic
+    * contract: per-doc sum of corpus bigram counts over the doc's bigram
+    * positions — integer sums, one final division, no logs — so the
+    * DuckDB oracle replays it bit-for-bit.
+    *
+    * Scale shape: identical to the unigram path with the bigram string
+    * as the join key. Bigram distributions are Zipfian too (flatter than
+    * unigrams, but the head still dominates), so the same exact hot/cold
+    * vocabulary split applies: top-`hotV` bigrams resolve via broadcast
+    * map-side, only the skew-free tail shuffles.
+    */
+  def bigramScore(docs: DataFrame, hotV: Int = 10000): DataFrame = {
+    val tAttr = col("__t")
+    val grams = transform(sequence(lit(0), size(tAttr) - 2),
+      i => concat_ws(" ", slice(tAttr, i + 1, lit(2))))
+    val exploded = docs
+      .select(col("doc_id"), filter(tokens(col("text")), x => x =!= "")
+        .as("__t"))
+      .select(col("doc_id"),
+        explode(when(size(tAttr) >= 2, grams).otherwise(array()))
+          .as("bg"))
+    val counts = exploded.groupBy(col("bg")).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).cast("long").as("n"))
+    val hot = counts.orderBy(col("c").desc, col("bg").asc).limit(hotV)
+    val probed = exploded.join(broadcast(hot), Seq("bg"), "left")
+    val hotHits = probed.filter(col("c").isNotNull)
+    val coldHits = probed.filter(col("c").isNull).drop("c")
+      .join(counts, Seq("bg"))
+    hotHits.unionByName(coldHits)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("c")).as("sum_freq"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        col("n_bigrams").cast("long").as("n_bigrams"),
+        col("sum_freq").cast("long").as("sum_freq"),
+        (col("sum_freq").cast("double")
+          / (col("n_bigrams").cast("double") * col("n").cast("double")))
+          .as("avg_freq"))
+  }
+
   /** Cross-doc boilerplate n-grams: the curator query behind boilerplate
     * removal — every n-gram occurring in ≥2 distinct docs, ranked by
     * total occurrences. One explode + one hash-agg with map-side

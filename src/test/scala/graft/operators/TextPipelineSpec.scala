@@ -45,6 +45,27 @@ class TextPipelineSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("bigramScore: hand-computed transition counts; hot/cold split exact") {
+    // docs: "a b a b" → bigrams (a b),(b a),(a b); "a b c" → (a b),(b c)
+    // corpus counts: (a b)=3, (b a)=1, (b c)=1, total=5
+    val d = Seq((1L, "a b a b", "en", "s"), (2L, "a b c", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val whole = TextOps.bigramScore(d, hotV = 1000000)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // doc 1: 3+1+3=7 over 3 positions; doc 2: 3+1=4 over 2 positions
+    assert(whole === Seq((1L, 3L, 7L, 7.0 / 15.0), (2L, 2L, 4L, 4.0 / 10.0)))
+    // split exactness at every boundary incl. the count tie (b a)=(b c)
+    for (v <- Seq(0, 1, 2, 3)) {
+      val split = TextOps.bigramScore(d, hotV = v)
+        .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+      assert(split === whole, s"hotV=$v")
+    }
+    // a single-token doc yields no bigrams and no output row
+    val single = Seq((9L, "solo", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    assert(TextOps.bigramScore(single).count() === 0L)
+  }
+
   test("boilerplateNgrams finds cross-doc repeated 5-grams, ranked") {
     val boiler = "all rights reserved click here now"
     val d = Seq(
