@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
@@ -509,6 +509,21 @@ object SparkEntry {
       TextOps.contamination(d, d.filter(col("doc_id") % 100 === 0))
     }),
     "balanced_mix" -> ((s, dir) => TextOps.balancedMix(docs(s, dir))),
+    // fuzzy decontamination: near-duplicates ACROSS the corpus/benchmark
+    // boundary (the MinHash-based scrub complementing `decontaminate`'s
+    // exact n-gram overlap — catches paraphrased leakage the exact path
+    // misses). Bench set = doc_id % 10 == 0 (a richer fixture than the
+    // exact gate's % 100 — the banded pairs must actually straddle).
+    // Output: corpus doc ids to drop.
+    "decontaminate_fuzzy" -> ((s, dir) => {
+      val pairs = DedupOps.minhashPairsOracle(docs(s, dir))
+        .select(col("a"), col("b"))
+      val isBench = (c: Column) => c % 10 === 0
+      pairs.filter(isBench(col("a")) =!= isBench(col("b")))
+        .select(when(isBench(col("a")), col("b")).otherwise(col("a"))
+          .as("doc_id"))
+        .distinct()
+    }),
     // the fixture's sources are equal-sized (every keep rate would be 1)
     // AND doc_id % |sources| IS the source index, so any doc_id-arithmetic
     // skew is degenerate — skew on an md5 slice DISJOINT from the mix
@@ -1458,6 +1473,12 @@ object SparkEntry {
          |SELECT least(sa, sb) AS src_x, greatest(sa, sb) AS src_y,
          |  CAST(count(*) AS BIGINT) AS n_pairs
          |FROM ps GROUP BY 1, 2""".stripMargin,
+    "decontaminate_fuzzy" ->
+      s"""$MINHASH_VER,
+         |pr AS (SELECT a, b FROM ver WHERE jaccard >= 0.5),
+         |x AS (SELECT CASE WHEN a % 10 = 0 THEN b ELSE a END AS doc_id
+         |  FROM pr WHERE (a % 10 = 0) <> (b % 10 = 0))
+         |SELECT DISTINCT doc_id FROM x""".stripMargin,
     // same quality arithmetic as token_quality (round 6), same dup-token
     // fraction as repetition_stats, same verified pairs as dedup_minhash —
     // the funnel is their sequential composition
