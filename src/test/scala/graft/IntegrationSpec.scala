@@ -137,12 +137,12 @@ class IntegrationSpec extends SparkSpec {
   }
 
   test("SQL users get the kernel library via graft_* functions") {
-    graft.functions.GraftFunctions.register(spark)
+    graft.GraftFunctions.register(spark)
     emb.createOrReplaceTempView("emb_sql")
     val r = spark.sql(
       """SELECT graft_dot(CAST(embedding AS ARRAY<DOUBLE>),
         |                 CAST(embedding AS ARRAY<DOUBLE>)) AS nsq,
-        |       graft_hash_id(CAST(vec_id AS STRING)) AS h
+        |       graft_xxhash64_0(CAST(vec_id AS STRING)) AS h
         |FROM emb_sql ORDER BY vec_id LIMIT 1""".stripMargin)
       .as[(Double, Long)].head()
     assert(math.abs(r._1 - 1.0) < 1e-5) // embeddings are unit-norm
