@@ -54,7 +54,7 @@ object ProfCompact {
     t("  count deltas")(un.count())
     val cols2 = un.columns
     val resolved = un.groupBy(col("id_hash"))
-      .agg(max_by(struct(cols2.map(col): _*), col("epoch")).as("m"))
+      .agg(max_by(struct(cols2.toIndexedSeq.map(col): _*), col("epoch")).as("m"))
       .select(col("m.*")).filter(!col("deleted"))
     t("  resolve count")(resolved.count())
     t("  writeSegment stable")(Segments.writeSegment(resolved, base, "stable-pre", isStable = true, expectedNdvPerFile = 2048L))

@@ -40,7 +40,7 @@ object ProfStored {
         .select(col("id_hash"), col("epoch"))
       t("latestLive count")(latestLive.count())
       val scored = all
-        .filter(col("centroid_id").isin(probedCids: _*))
+        .filter(col("centroid_id").isin(probedCids.toIndexedSeq: _*))
         .join(latestLive, Seq("id_hash", "epoch"))
         .join(broadcast(probeSet), Seq("centroid_id"))
         .select(col("query_id"), col("vec_id"),

@@ -67,7 +67,7 @@ object ProfileFlush {
     val cols = batch.columns
     val deduped = batch
       .groupBy(col("id_hash"))
-      .agg(max_by(struct(cols.map(col): _*), col("epoch")).as("m"))
+      .agg(max_by(struct(cols.toIndexedSeq.map(col): _*), col("epoch")).as("m"))
       .select(col("m.*"))
       .cache()
     t("dedupe+cache+count")(deduped.count())
@@ -78,7 +78,7 @@ object ProfileFlush {
     // single-pass variant: no cache, dedupe flows straight into the write
     val deduped2 = batch
       .groupBy(col("id_hash"))
-      .agg(max_by(struct(cols.map(col): _*), col("epoch")).as("m"))
+      .agg(max_by(struct(cols.toIndexedSeq.map(col): _*), col("epoch")).as("m"))
       .select(col("m.*"))
     t("writeSegment (single pass)")(
       Segments.writeSegment(deduped2, s"$tmp/tree3", "delta-y",

@@ -47,7 +47,7 @@ object Smoke {
 
     println("== entry() driver contract: rows>0 ==")
     val er = SparkEntry.entry(spark)
-    println(s"entry rows = ${er.count}")
+    println(s"entry rows = ${er.count()}")
     er.show(5)
 
     println("== knn_ivf plan: assignment must be map-side (no crossJoin/Window before topk) ==")

@@ -173,7 +173,7 @@ object Ivf {
       .filter(!col("deleted"))
       .select(col("id_hash"), col("epoch"))
     val scored = all
-      .filter(col("centroid_id").isin(probedCids: _*))
+      .filter(col("centroid_id").isin(probedCids.toIndexedSeq: _*))
       .join(latestLive, Seq("id_hash", "epoch")) // keep only latest+live
       .join(broadcast(probeSet), Seq("centroid_id"))
       .select(col("query_id"), col(idCol),

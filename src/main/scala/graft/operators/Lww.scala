@@ -27,6 +27,6 @@ object Lww {
   def latestBy(df: DataFrame, key: String, ord: String): DataFrame = {
     val latest = df.groupBy(col(key)).agg(max(col(ord)).as(ord))
     df.join(latest.hint("shuffle_hash"), Seq(key, ord))
-      .select(df.columns.map(col): _*)
+      .select(df.columns.toIndexedSeq.map(col): _*)
   }
 }
