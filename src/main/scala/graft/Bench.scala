@@ -32,9 +32,22 @@ import graft.index.Ivf
   *    `floor_gate_ok` records whether it settled. Two further honesty
   *    gates, both with the pre-rerun value disclosed in the JSON when
   *    they fire: latency loops rerun when raw p99 > 5x steady p99 (a
-  *    mid-loop stall the floor bracket can't see), and the 1M throughput
-  *    timings remeasure when the dispatch floor is sick immediately
-  *    after a timing (external contention, not engine cost).
+  *    mid-loop stall the floor bracket can't see), and the 1M/stress768
+  *    throughput timings remeasure when the dispatch floor is sick
+  *    immediately after a timing (external contention, not engine cost).
+  *
+  * Self-adjudication (every serving section, not just the plain loop):
+  * filtered/posting/overlay/10M sections each emit raw p99, steady p99
+  * (per-query minima), and bracketing dispatch floors ALWAYS, so a
+  * drifting box is distinguishable from a systematic regression in the
+  * record itself. Overlay overhead is measured by INTERLEAVING plain and
+  * overlay requests in one loop and differencing per-query minima
+  * pairwise — immune to the between-section drift that made r4's
+  * subtraction-of-old-baseline metric read 36.7 ms of weather as
+  * overlay cost. A `calib_*_sec` series (one constant reference query at
+  * every section boundary) lets round-over-round diffs normalize for
+  * machine weather, and the full JSON line is also written to
+  * BENCH_FULL.json (the driver's log capture truncates long lines).
   */
 object Bench {
 
@@ -52,6 +65,21 @@ object Bench {
       finally s.close()
     }
   }
+
+  /** Scheduler dispatch floor: an empty nTasks-task job, best of 3 — the
+    * cost of getting any work onto the executors at all. Sick floor =
+    * shared-container contention, not engine cost.
+    */
+  private def floorProbe(spark: SparkSession, nTasks: Int): Double =
+    (0 until 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.sparkContext.parallelize(0 until nTasks, nTasks)
+        .map(_ => 1).count()
+      (System.nanoTime() - t0) / 1e6
+    }.min
+
+  private def pctl(xs: Seq[Double], p: Int): Double =
+    xs(math.min(xs.length - 1, xs.length * p / 100))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -73,6 +101,21 @@ object Bench {
     }
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     val flaky = scala.collection.mutable.ArrayBuffer.empty[String]
+    // extra metrics appended verbatim to the JSON line (keeps the headline
+    // tuples within Scala's arity)
+    val extras = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // machine-weather calibration: one constant, cheap, cache-independent
+    // reference query (segment_stats — stable at 0.077 s across rounds)
+    // timed at every section boundary. Round-over-round per-query diffs
+    // divide by this series to separate engine changes from box weather —
+    // the instrument the r4 record lacked when small fixed-cost queries
+    // drifted 2-4x while heavy ones were flat.
+    def calib(tag: String): Unit =
+      try {
+        val t0 = System.nanoTime()
+        SparkEntry.queries("segment_stats")(spark, sfDir).count()
+        extras(s"calib_${tag}_sec") = num((System.nanoTime() - t0) / 1e9, 3)
+      } catch { case _: Throwable => extras(s"calib_${tag}_sec") = "-1" }
     // best of two runs per query: run 1 pays the one-time whole-stage-
     // codegen JIT of each plan (measured 3-4x on the stored-search paths),
     // which a resident engine pays once per plan-cache lifetime, not per
@@ -99,6 +142,7 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failed = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     val flakyJson = flaky.map("\"" + _ + "\"").mkString("[", ",", "]")
+    calib("after_battery")
 
     // BASELINE.md recall target (0.95, types.h:140): calibrate nprobe on
     // trained centroids (B1 production path) and report the achieved
@@ -194,6 +238,8 @@ object Bench {
       .filter(_ > 0).map(w => w * 1000.0 / math.max(1L, nQueries))
       .getOrElse(-1.0)
 
+    calib("after_recall")
+
     // Ingest / write-amp / delta-fraction (T1-T4, W4, W11 on real volume).
     // Drop the query battery's cached data first: the throughput numbers
     // must not pay another workload's GC bill.
@@ -280,17 +326,13 @@ object Bench {
         (-1L, -1.0, -1.0, -1.0, -1.0, -1.0)
       }
 
-    // extra serving metrics appended verbatim to the JSON line (keeps the
-    // headline tuple within Scala's arity): overlay overhead, cosine
-    // serving, and the 10M scale probe
-    val extras = scala.collection.mutable.LinkedHashMap.empty[String, String]
-
     // Corpus-scale KNN (the sf tables are 2k vectors — fixed-overhead-
     // dominated): replicate embeddings to ~1M rows with jittered copies and
     // measure (a) exact-scan QPS for the 80-query batch, (b) map-side IVF
     // assignment throughput (the 100-TB ingest bottleneck, one codegen pass,
     // zero shuffle), (c) IVF-probed QPS at nprobe/nlist ≈ 1/8. Best-of-2
     // each, same steady-state rationale as above.
+    calib("before_serving")
     val (knn1mExactQps, assign1mRowsPerSec, knn1mIvfQps, ivf1mP50Ms,
         ivf1mP99Ms, ivf1mP50SteadyMs, ivf1mP99SteadyMs, ivf1mFilteredP99Ms,
         dispatchFloorMs, floorGateOk, servNlist, servNprobe) =
@@ -316,12 +358,7 @@ object Bench {
           (0 until 2).map { _ =>
             val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
           }.min
-        def floorQuick(): Double = (0 until 3).map { _ =>
-          val t0 = System.nanoTime()
-          spark.sparkContext.parallelize(0 until cpus.toInt, cpus.toInt)
-            .map(_ => 1).count()
-          (System.nanoTime() - t0) / 1e6
-        }.min
+        def floorQuick(): Double = floorProbe(spark, cpus.toInt)
         // throughput twin of the latency loop's floor gate: if the
         // dispatch floor is sick right after a timing, the timing ran
         // under external contention (observed as a 7x knn_1m_exact swing
@@ -392,20 +429,28 @@ object Bench {
         // is dropped. The overhead metric below must be independent of
         // overlay size — the shadow set rides a broadcast, never the
         // per-request closure.
+        val overlayRowsDf = Ivf.assign(big, servCents)
+          .select(col("vec_id"), lit(1L).as("epoch"),
+            lit(false).as("deleted"), col("centroid_id"),
+            col("embedding").cast("array<double>").as("vec"))
         val overlay = graft.index.ServingOverlay.fromDataFrame(
-          Ivf.assign(big, servCents)
-            .filter(col("vec_id") % 10 === 0)
-            .select(col("vec_id"), lit(1L).as("epoch"),
-              lit(false).as("deleted"), col("centroid_id"),
-              col("embedding").cast("array<double>").as("vec")))
+          overlayRowsDf.filter(col("vec_id") % 10 === 0))
+        // overlay-size invariance probe: the FULL 1M-row corpus as the
+        // in-flight buffer (every stored row shadowed). Per-request cost
+        // must stay flat: a request touches only the probed lists'
+        // winners, and the shadow test is a broadcast binary search.
+        // Built here (big still cached), measured after the 100k section;
+        // optional — a failure loses only its own extras.
+        val overlayFull =
+          try Some(graft.index.ServingOverlay.fromDataFrame(overlayRowsDf))
+          catch { case e: Throwable =>
+            System.err.println(
+              s"[bench] full-corpus overlay build FAILED: ${e.getMessage}")
+            None
+          }
         big.unpersist(); assigned.unpersist()
         val nprobeServ = 8
-        def floorNow(): Double = (0 until 3).map { _ =>
-          val t0 = System.nanoTime()
-          spark.sparkContext.parallelize(0 until cpus.toInt, cpus.toInt)
-            .map(_ => 1).count()
-          (System.nanoTime() - t0) / 1e6
-        }.min
+        def floorNow(): Double = floorProbe(spark, cpus.toInt)
         // drop the benchmark's own garbage before measuring: the battery
         // and index builds leave heap pressure whose GC pauses would land
         // in the serving tail — a real server's p99 owns its own GC, not
@@ -429,8 +474,6 @@ object Bench {
           val steady = qRows.indices.map(i => attempts.map(_(i)).min).sorted
           (raw.toSeq, steady.toSeq, floorNow())
         }
-        def pctl(xs: Seq[Double], p: Int): Double =
-          xs(math.min(xs.length - 1, xs.length * p / 100))
         var round = latencyRound()
         var tries = 1
         while (round._3 > 15.0 && tries < 3) {
@@ -459,61 +502,142 @@ object Bench {
         if (spikeTries > 0)
           extras("ivf_1m_query_p99_first_ms") = num(firstRawP99, 1)
         val (raw, steady, floor) = round
+        // generic single-request latency section over a search thunk:
+        // 3-attempt raw + per-query-min steady distributions, stall-spike
+        // rerun (raw p99 > 5x steady p99, ≤2 extra rounds) with the first
+        // value DISCLOSED as <tag>_p99_first_ms. Every serving section
+        // below runs through this, so every section self-adjudicates.
+        def latencyOf(tag: String,
+            run: Array[Float] => Unit): (Seq[Double], Seq[Double]) = {
+          run(qRows.head) // warm, untimed
+          def one(): (Seq[Double], Seq[Double]) = {
+            val at = (0 until 3).map { _ =>
+              qRows.map { qv =>
+                val t0 = System.nanoTime()
+                run(qv)
+                (System.nanoTime() - t0) / 1e6
+              }
+            }
+            (at.flatten.sorted.toSeq,
+              qRows.indices.map(i => at.map(_(i)).min).sorted.toSeq)
+          }
+          var r = one()
+          val first = pctl(r._1, 99)
+          var spikes = 0
+          while (pctl(r._1, 99) > 5.0 * math.max(1.0, pctl(r._2, 99)) &&
+              spikes < 2) {
+            System.err.println(s"[bench] $tag raw p99 stall spike — rerunning")
+            System.gc()
+            r = one(); spikes += 1
+          }
+          if (spikes > 0) extras(s"${tag}_p99_first_ms") = num(first, 1)
+          r
+        }
         // filtered serving: the composite QueryRequest (tenant + tags_any
         // + nprobe) through the same index — filters are in-task row
-        // predicates, so the budget must hold here too
+        // predicates, so the budget must hold here too. Raw p99 stays the
+        // CONTRACT number; steady p99 and bracketing dispatch floors are
+        // emitted ALWAYS so the record can adjudicate spike-vs-systematic
+        // by itself (r4's 236.9 ms driver outlier was undecidable).
         val ff = graft.index.ServingFilter(tenant = Some("t1"),
           tagsAny = Some(Seq(3L, 11L)))
-        idx.search(qRows.head, 10, nprobeServ, ff) // warm, untimed
-        def filteredRound(): (Seq[Double], Seq[Double]) = {
-          val attempts = (0 until 3).map { _ =>
-            qRows.map { qv =>
-              val t0 = System.nanoTime()
-              idx.search(qv, 10, nprobeServ, ff)
-              (System.nanoTime() - t0) / 1e6
-            }
-          }
-          (attempts.flatten.sorted.toSeq,
-            qRows.indices.map(i => attempts.map(_(i)).min).sorted.toSeq)
-        }
-        var fRound = filteredRound()
-        val firstFilteredP99 = pctl(fRound._1, 99)
-        var fSpikes = 0
-        while (pctl(fRound._1, 99) >
-            5.0 * math.max(1.0, pctl(fRound._2, 99)) && fSpikes < 2) {
-          System.err.println("[bench] filtered raw p99 stall spike — rerunning")
+        System.gc()
+        extras("ivf_1m_filtered_floor_before_ms") = num(floorNow(), 1)
+        val (filteredRaw, filteredSteady) =
+          latencyOf("ivf_1m_filtered", qv => idx.search(qv, 10, nprobeServ, ff))
+        extras("ivf_1m_filtered_p50_ms") = num(pctl(filteredRaw, 50), 1)
+        extras("ivf_1m_filtered_p99_steady_ms") =
+          num(pctl(filteredSteady, 99), 1)
+        extras("ivf_1m_filtered_floor_after_ms") = num(floorNow(), 1)
+        // posting-prefiltered serving: ONE selective tag (vec_id % 7 == 3,
+        // ~14% of rows — under the 0.2 dense threshold, so every list
+        // serves it from the per-list posting union, the reference's
+        // roaring-prefilter role). The claim this number carries: a
+        // selective filtered request is CHEAPER than a plain one, because
+        // only the posting rows are ever touched.
+        val ffPost = graft.index.ServingFilter(tagsAny = Some(Seq(3L)))
+        val (postingRaw, postingSteady) =
+          latencyOf("ivf_1m_posting",
+            qv => idx.search(qv, 10, nprobeServ, ffPost))
+        extras("ivf_1m_posting_p50_ms") = num(pctl(postingRaw, 50), 1)
+        extras("ivf_1m_posting_p99_ms") = num(pctl(postingRaw, 99), 1)
+        extras("ivf_1m_posting_p99_steady_ms") =
+          num(pctl(postingSteady, 99), 1)
+        // read-your-writes overlay, INTERLEAVED A/B: each attempt times
+        // plain-then-overlay back to back for the same query; the
+        // overhead is the p50 of per-query (overlay min − plain min)
+        // deltas. r4 differenced overlay-steady against the main loop's
+        // p50 measured minutes earlier — on a drifting box that measures
+        // the drift, not the overlay (driver 36.7 ms vs clean 0.30).
+        // Pairwise minima cancel both stalls and drift by construction.
+        def overlaySection(tag: String, servIdx: graft.index.ServingIndex,
+            ov: graft.index.ServingOverlay): Unit = {
           System.gc()
-          fRound = filteredRound(); fSpikes += 1
-        }
-        if (fSpikes > 0)
-          extras("ivf_1m_filtered_p99_first_ms") = num(firstFilteredP99, 1)
-        val filteredRaw = fRound._1
-        // read-your-writes serving: the same requests through the 100k-row
-        // overlay. The per-request overhead (p50 delta vs the plain loop)
-        // must be flat in overlay size — the shadow set is broadcast once
-        // per overlay generation, the closure carries only the handle.
-        idx.searchWithOverlay(qRows.head, 10, nprobeServ, overlay) // warm
-        val overlayAttempts = (0 until 3).map { _ =>
-          qRows.map { qv =>
-            val t0 = System.nanoTime()
-            idx.searchWithOverlay(qv, 10, nprobeServ, overlay)
-            (System.nanoTime() - t0) / 1e6
+          servIdx.search(qRows.head, 10, nprobeServ) // warm both paths
+          servIdx.searchWithOverlay(qRows.head, 10, nprobeServ, ov)
+          extras(s"${tag}_floor_before_ms") = num(floorNow(), 1)
+          val nq = qRows.length
+          def roundAB(): (Seq[Double], Array[Double], Array[Double]) = {
+            val plainMin = Array.fill(nq)(Double.MaxValue)
+            val ovMin = Array.fill(nq)(Double.MaxValue)
+            val rawOv = Seq.newBuilder[Double]
+            (0 until 3).foreach { _ =>
+              var i = 0
+              while (i < nq) {
+                val qv = qRows(i)
+                val t0 = System.nanoTime()
+                servIdx.search(qv, 10, nprobeServ)
+                val tPlain = (System.nanoTime() - t0) / 1e6
+                val t1 = System.nanoTime()
+                servIdx.searchWithOverlay(qv, 10, nprobeServ, ov)
+                val tOv = (System.nanoTime() - t1) / 1e6
+                if (tPlain < plainMin(i)) plainMin(i) = tPlain
+                if (tOv < ovMin(i)) ovMin(i) = tOv
+                rawOv += tOv
+                i += 1
+              }
+            }
+            (rawOv.result().sorted, ovMin, plainMin)
           }
+          var r = roundAB()
+          val first = pctl(r._1, 99)
+          var spikes = 0
+          while (pctl(r._1, 99) >
+              5.0 * math.max(1.0, pctl(r._2.toSeq.sorted, 99)) &&
+              spikes < 2) {
+            System.err.println(s"[bench] $tag raw p99 stall spike — rerunning")
+            System.gc()
+            r = roundAB(); spikes += 1
+          }
+          if (spikes > 0) extras(s"${tag}_p99_first_ms") = num(first, 1)
+          val (rawOv, ovMin, plainMin) = r
+          val deltas = ovMin.indices.map(i => ovMin(i) - plainMin(i))
+            .sorted.toSeq
+          extras(s"${tag}_rows") = ov.size.toString
+          extras(s"${tag}_p50_ms") = num(pctl(rawOv, 50), 1)
+          extras(s"${tag}_p99_ms") = num(pctl(rawOv, 99), 1)
+          extras(s"${tag}_p99_steady_ms") =
+            num(pctl(ovMin.toSeq.sorted, 99), 1)
+          extras(s"${tag}_overhead_ms") = num(pctl(deltas, 50), 2)
+          extras(s"${tag}_floor_after_ms") = num(floorNow(), 1)
         }
-        val overlayRaw = overlayAttempts.flatten.sorted
-        val overlaySteady =
-          qRows.indices.map(i => overlayAttempts.map(_(i)).min).sorted
+        overlaySection("ivf_1m_overlay", idx, overlay)
+        // legacy key, now sourced from the interleaved pairwise metric
         extras("overlay_rows") = overlay.size.toString
-        extras("ivf_1m_overlay_p50_ms") = num(pctl(overlayRaw, 50), 1)
-        extras("ivf_1m_overlay_p99_ms") = num(pctl(overlayRaw, 99), 1)
-        // overhead from the STEADY distributions (per-query minima): the
-        // raw p50s of two separately-timed loops can differ by more than
-        // the true overhead when a contention window lands in one of them
-        // (measured as a negative delta on a noisy box) — minima cancel
-        // the stalls, leaving the overlay's own cost
         extras("overlay_request_overhead_ms") =
-          num(pctl(overlaySteady, 50) - pctl(steady, 50), 2)
+          extras("ivf_1m_overlay_overhead_ms")
         overlay.destroy()
+        // overlay-size invariance: the same corpus with the FULL 1M-row
+        // buffer — overhead must stay flat (probed-fraction winner scan +
+        // O(log n) shadow binary search, never O(overlay) per request)
+        overlayFull.foreach { ovF =>
+          try overlaySection("ivf_1m_overlay_full", idx, ovF)
+          catch { case e: Throwable =>
+            System.err.println(
+              s"[bench] full-corpus overlay section FAILED: ${e.getMessage}")
+          }
+          ovF.destroy()
+        }
         // cosine serving on the same corpus/layout: with the query norm
         // hoisted out of the row loop, cosine should track ip instead of
         // paying ~1.5x its flops
@@ -556,44 +680,57 @@ object Bench {
               (x, i) => when(i === 0, x + col("rep").cast("float") * 1e-6f)
                 .otherwise(x)).as("embedding"))
           .repartition(cpus.toInt)
+        // attrs synthesized with the same formulas as the 1M index so the
+        // 10M probe composes with filters and an overlay — the two
+        // compositions that regressed at 1M in the r4 driver run must be
+        // proven invariant at 10x, not just the plain probe
+        val assigned10 = Ivf.assign(big10, servCents)
+          .withColumn("tenant", concat(lit("t"), col("vec_id") % 3))
+          .withColumn("tags", array((col("vec_id") % 7).cast("long"),
+            lit(10L) + (col("vec_id") % 5).cast("long")))
         val t10 = System.nanoTime()
         val idx10 = graft.index.ServingIndex.build(
-          Ivf.assign(big10, servCents), servCents, "ip",
+          assigned10, servCents, "ip",
+          tenantCol = Some("tenant"), tagsCol = Some("tags"),
           limits = graft.index.ServingLimits(maxCandidates = 50000))
         extras("ivf_10m_build_sec") = num((System.nanoTime() - t10) / 1e9, 1)
         extras("ivf_10m_rows") = (reps10.toLong * n0).toString
         System.gc()
-        (0 until 5).foreach(_ => idx10.search(qRows.head, 10, nprobeServ))
-        def round10(): (Seq[Double], Seq[Double]) = {
-          val attempts = (0 until 3).map { _ =>
-            qRows.map { qv =>
-              val t0 = System.nanoTime()
-              idx10.search(qv, 10, nprobeServ)
-              (System.nanoTime() - t0) / 1e6
-            }
-          }
-          (attempts.flatten.sorted.toSeq,
-            qRows.indices.map(i => attempts.map(_(i)).min).sorted.toSeq)
-        }
-        // same stall-spike rerun as the 1M loop — this probe is the
-        // latency-tracks-probed-fraction evidence, so a mid-loop stall
-        // would misread as "10x corpus = 10x tail"
-        var r10 = round10()
-        val firstP99of10 = pctl(r10._1, 99)
-        var spikes10 = 0
-        while (pctl(r10._1, 99) >
-            5.0 * math.max(1.0, pctl(r10._2, 99)) && spikes10 < 2) {
-          System.err.println("[bench] 10M raw p99 stall spike — rerunning")
-          System.gc()
-          r10 = round10(); spikes10 += 1
-        }
-        if (spikes10 > 0)
-          extras("ivf_10m_query_p99_first_ms") = num(firstP99of10, 1)
-        val raw10 = r10._1
+        (0 until 4).foreach(_ => idx10.search(qRows.head, 10, nprobeServ))
+        // this probe is the latency-tracks-probed-fraction evidence, so a
+        // mid-loop stall would misread as "10x corpus = 10x tail" —
+        // latencyOf's spike-rerun + disclosure applies here like everywhere
+        val (raw10, steady10) =
+          latencyOf("ivf_10m_query", qv => idx10.search(qv, 10, nprobeServ))
         extras("ivf_10m_query_p50_ms") = num(pctl(raw10, 50), 1)
         extras("ivf_10m_query_p99_ms") = num(pctl(raw10, 99), 1)
-        extras("ivf_10m_query_p99_steady_ms") = num(pctl(r10._2, 99), 1)
+        extras("ivf_10m_query_p99_steady_ms") = num(pctl(steady10, 99), 1)
         extras("ivf_10m_floor_ms") = num(floorNow(), 1)
+        // filtered at 10M: same composite QueryRequest as the 1M loop
+        try {
+          val (f10Raw, f10Steady) = latencyOf("ivf_10m_filtered",
+            qv => idx10.search(qv, 10, nprobeServ, ff))
+          extras("ivf_10m_filtered_p50_ms") = num(pctl(f10Raw, 50), 1)
+          extras("ivf_10m_filtered_p99_ms") = num(pctl(f10Raw, 99), 1)
+          extras("ivf_10m_filtered_p99_steady_ms") =
+            num(pctl(f10Steady, 99), 1)
+          extras("ivf_10m_filtered_floor_after_ms") = num(floorNow(), 1)
+        } catch { case ex: Throwable =>
+          System.err.println(s"[bench] 10M filtered FAILED: ${ex.getMessage}")
+        }
+        // overlay at 10M: ~100k buffered rows (1%) over the 10x corpus,
+        // interleaved A/B like the 1M sections
+        try {
+          val overlay10 = graft.index.ServingOverlay.fromDataFrame(
+            assigned10.filter(col("vec_id") % 100 === 0)
+              .select(col("vec_id"), lit(1L).as("epoch"),
+                lit(false).as("deleted"), col("centroid_id"),
+                col("embedding").cast("array<double>").as("vec")))
+          overlaySection("ivf_10m_overlay", idx10, overlay10)
+          overlay10.destroy()
+        } catch { case ex: Throwable =>
+          System.err.println(s"[bench] 10M overlay FAILED: ${ex.getMessage}")
+        }
         idx10.unpersist()
         val r = (nQs / exactSec, nBig / assignSec, nQs / ivfSec,
           pctl(raw, 50), pctl(raw, 99), pctl(steady, 50), pctl(steady, 99),
@@ -605,6 +742,7 @@ object Bench {
         System.err.println(s"[bench] corpus-scale knn FAILED: ${e.getMessage}")
         (-1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, false, -1, -1)
       }
+    calib("after_serving")
 
     // Reference-scale configuration stress (config.h:19,74,84-94: dim 768,
     // nlist 4096, PQ m=96 × k=256): synthesized vectors, deterministic.
@@ -634,29 +772,52 @@ object Bench {
           (0 until 2).map { _ =>
             val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
           }.min
-        val assignSec = best2(
+        // floor-gated, same discipline as the 1M throughput section: if
+        // the dispatch floor is sick right after a timing, the timing ran
+        // under external contention — remeasure (≤2 extra rounds) and
+        // DISCLOSE the first value. Closes the r4 gap where the 4.2x
+        // encode swing (790k → 186k rows/s) was unexplainable from the
+        // record.
+        def gated768(label: String)(f: => Long): Double = {
+          val first = best2(f)
+          var t = first
+          var tries = 0
+          while (floorProbe(spark, cpus.toInt) > 15.0 && tries < 2) {
+            System.err.println(
+              s"[bench] $label timed under a sick dispatch floor — remeasuring")
+            System.gc()
+            t = best2(f); tries += 1
+          }
+          if (tries > 0) extras(s"${label}_first_sec") = num(first, 3)
+          t
+        }
+        System.gc() // own-GC discipline, as in every timed section
+        val assignSec = gated768("stress768_assign")(
           Ivf.assign(big, centsDf).select(count(col("centroid_id"))).head()
             .getLong(0))
         val cbRnd = new scala.util.Random(7)
         val cb = graft.index.Pq.Codebook(m, dsub,
           Array.tabulate(k)(_.toLong),
           Array.fill(m)(Array.fill(k)(Array.fill(dsub)(cbRnd.nextGaussian()))))
-        val encodeSec = best2(
+        val encodeSec = gated768("stress768_encode")(
           graft.index.Pq.encode(big, cb).select(count(col("codes"))).head()
             .getLong(0))
         val codes = graft.index.Pq.encode(big, cb).cache()
         codes.count() // build step, untimed
         val qs768 = big.filter(col("vec_id") % (n / 20) === 0)
           .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-        val twoPhaseSec = best2(
+        val twoPhaseSec = gated768("stress768_2phase")(
           graft.index.Pq.twoPhaseSearch(big, codes, cb, qs768, 10, 4)
             .count())
+        extras("stress768_floor_ms") =
+          num(floorProbe(spark, cpus.toInt), 1)
         big.unpersist(); codes.unpersist()
         (n, n / assignSec, n / encodeSec, twoPhaseSec)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] dim-768 stress FAILED: ${e.getMessage}")
         (-1L, -1.0, -1.0, -1.0)
       }
+    calib("after_stress")
 
     // Text-pipeline scale probe: at 100 TB the dedup cost is dominated by
     // the per-doc scan (shingle → xxhash64 → minhash signature → band
@@ -704,13 +865,27 @@ object Bench {
       System.err.println(
         s"[bench] text dedup scale probe FAILED: ${e.getMessage}")
     }
+    calib("final")
 
     // exit 0 even with failures: the JSON line (with its "failed" list) is
     // the contract — a non-zero rc would discard the whole measurement
     val extrasJson = extras.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString(",")
     val extrasField = if (extrasJson.isEmpty) "" else extrasJson + ","
-    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"failed":$failed,"flaky":$flakyJson,"recall_at_tuned_nprobe":${num(tunedRecall, 4)},"recall_pq2phase":${num(recallPq, 4)},"recall_int8":${num(recallInt8, 4)},"recall_pq_trained":${num(recallPqTrained, 4)},"recall_pq_at_tuned_rerank":${num(recallPqTuned, 4)},"pq_tuned_rerank":$pqRerank,"recall_pq_opq":${num(recallOpq, 4)},"tuned_nprobe":$tunedNprobe,"ivf_nlist":$nlist,"n_queries_per_batch":$nQueries,"knn_exact_per_query_ms":${num(perQueryMs, 2)},"knn_1m_exact_qps":${num(knn1mExactQps, 1)},"ivf_assign_1m_rows_per_sec":${num(assign1mRowsPerSec, 0)},"knn_1m_ivf_qps":${num(knn1mIvfQps, 1)},"serving_nlist":$servNlist,"serving_nprobe":$servNprobe,"ivf_1m_query_p50_ms":${num(ivf1mP50Ms, 1)},"ivf_1m_query_p99_ms":${num(ivf1mP99Ms, 1)},"ivf_1m_query_p50_steady_ms":${num(ivf1mP50SteadyMs, 1)},"ivf_1m_query_p99_steady_ms":${num(ivf1mP99SteadyMs, 1)},"ivf_1m_query_filtered_p99_ms":${num(ivf1mFilteredP99Ms, 1)},${extrasField}"job_dispatch_floor_ms":${num(dispatchFloorMs, 1)},"floor_gate_ms":15,"floor_gate_ok":$floorGateOk,"stress768_rows":$s768Rows,"stress768_assign_rows_per_sec":${num(s768AssignRps, 0)},"stress768_pq96_encode_rows_per_sec":${num(s768EncodeRps, 0)},"stress768_pq96_2phase_sec":${num(s768TwoPhaseSec, 3)},"ingest_ops":$ingestOps,"ingest_ops_per_sec":${num(ingestQps, 1)},"flush_lag_ms":${num(flushLagMsOut, 1)},"compact_sec":${num(compactSec, 3)},"write_amplification":${num(writeAmp, 3)},"delta_resident_fraction":${num(deltaFrac, 4)},"sf":"$sfDir"}""")
+    val jsonLine = s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"failed":$failed,"flaky":$flakyJson,"recall_at_tuned_nprobe":${num(tunedRecall, 4)},"recall_pq2phase":${num(recallPq, 4)},"recall_int8":${num(recallInt8, 4)},"recall_pq_trained":${num(recallPqTrained, 4)},"recall_pq_at_tuned_rerank":${num(recallPqTuned, 4)},"pq_tuned_rerank":$pqRerank,"recall_pq_opq":${num(recallOpq, 4)},"tuned_nprobe":$tunedNprobe,"ivf_nlist":$nlist,"n_queries_per_batch":$nQueries,"knn_exact_per_query_ms":${num(perQueryMs, 2)},"knn_1m_exact_qps":${num(knn1mExactQps, 1)},"ivf_assign_1m_rows_per_sec":${num(assign1mRowsPerSec, 0)},"knn_1m_ivf_qps":${num(knn1mIvfQps, 1)},"serving_nlist":$servNlist,"serving_nprobe":$servNprobe,"ivf_1m_query_p50_ms":${num(ivf1mP50Ms, 1)},"ivf_1m_query_p99_ms":${num(ivf1mP99Ms, 1)},"ivf_1m_query_p50_steady_ms":${num(ivf1mP50SteadyMs, 1)},"ivf_1m_query_p99_steady_ms":${num(ivf1mP99SteadyMs, 1)},"ivf_1m_query_filtered_p99_ms":${num(ivf1mFilteredP99Ms, 1)},${extrasField}"job_dispatch_floor_ms":${num(dispatchFloorMs, 1)},"floor_gate_ms":15,"floor_gate_ok":$floorGateOk,"stress768_rows":$s768Rows,"stress768_assign_rows_per_sec":${num(s768AssignRps, 0)},"stress768_pq96_encode_rows_per_sec":${num(s768EncodeRps, 0)},"stress768_pq96_2phase_sec":${num(s768TwoPhaseSec, 3)},"ingest_ops":$ingestOps,"ingest_ops_per_sec":${num(ingestQps, 1)},"flush_lag_ms":${num(flushLagMsOut, 1)},"compact_sec":${num(compactSec, 3)},"write_amplification":${num(writeAmp, 3)},"delta_resident_fraction":${num(deltaFrac, 4)},"sf":"$sfDir"}"""
+    println(jsonLine)
+    // defensive duplicate: the driver's log capture truncates the head of
+    // long lines (BENCH_r04.json starts mid-key, losing the first ~20
+    // battery entries from the record) — persist the full line to a file
+    // in the repo so every round's complete metrics survive verbatim
+    try {
+      val out = sys.env.getOrElse("GRAFT_BENCH_OUT",
+        "/root/repo/BENCH_FULL.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (jsonLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_FULL write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

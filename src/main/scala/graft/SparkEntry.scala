@@ -74,6 +74,20 @@ object SparkEntry {
       })
   }
 
+  /** Shared verified MinHash near-dup pairs (a, b, jaccard ≥ 0.5) per
+    * sfDir: five battery entries (dedup_minhash, dedup_clusters,
+    * dup_source_matrix, curation_funnel, decontaminate_fuzzy) consume
+    * the same pair list — computed once per JVM, the way an engine
+    * shares a built index across queries, instead of rebuilding the
+    * LSH pipeline (and leaking its shingle cache) per entry.
+    */
+  private object MinhashPairs {
+    private val cache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    def get(s: SparkSession, dir: String): DataFrame =
+      cache.getOrElseUpdate(dir,
+        DedupOps.minhashPairsOracle(Tables.load(s, dir, "documents")))
+  }
+
   /** Build the per-sfDir index artifacts (stored segment tree) if not
     * already built — index-build steps (B2), exposed so the bench can run
     * them untimed: the reference's latency budget (types.h:141) is search
@@ -181,6 +195,35 @@ object SparkEntry {
             col("score"))
       }.reduce(_.unionByName(_))
     }),
+    // Q14: HNSW (reference HNSWCacheConfig, config.h:102-108) oracle-gated
+    // at EXHAUSTIVE beam width — with ef = corpus size the beam search
+    // visits every reachable node, and the deterministic graph is
+    // connected (HnswSpec proves exhaustive-beam == brute force), so the
+    // result IS the exact top-k and the oracle is knn_exact_ip's SQL
+    // verbatim. The graph is driver-side by design: it is the hot CACHE
+    // in front of the distributed index (the reference's own cap is 1M
+    // elements), not the corpus path.
+    "knn_hnsw" -> ((s, dir) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val rows = emb(s, dir).select(col("vec_id"), col("embedding"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      val g = new graft.index.Hnsw("ip")
+      rows.foreach { case (id, v) => g.insert(id, v) }
+      val reqs = q(s, dir).collect().sortBy(_.getLong(0))
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val out = reqs.toIndexedSeq.flatMap { case (qid, qv) =>
+        g.search(qv, 10, ef = rows.length)
+          .map { case (id, sc) => Row(qid, id, sc) }
+      }
+      s.createDataFrame(
+        s.sparkContext.parallelize(out, 1),
+        StructType(Seq(StructField("query_id", LongType, nullable = false),
+          StructField("vec_id", LongType, nullable = false),
+          StructField("score", DoubleType, nullable = false))))
+    }),
     // serving INDEX path with the full QueryRequest predicate surface
     // (tenant + tags_any composed with nprobe, types.h:67-75): rows are
     // filtered in-task before scoring. Same result set as the batch
@@ -191,6 +234,28 @@ object SparkEntry {
       val entries = Ivf.assign(VectorEntries.fromEmbeddings(e), cents)
       val idx = graft.index.ServingIndex.build(entries, cents, "ip",
         tenantCol = Some("tenant"), tagsCol = Some("tags"))
+      val reqs = q(s, dir).collect().sortBy(_.getLong(0)).take(10)
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      val out = idx.searchAllDF(s, reqs, 10, nprobe = 3,
+        filter = graft.index.ServingFilter(tenant = Some("t1"),
+          tagsAny = Some(Seq(3L, 11L))))
+      idx.unpersist()
+      out
+    }),
+    // the SAME filtered serving request through the per-list tag
+    // postings (reference roaring prefilter, config.h:117-125): the
+    // dense threshold is pinned above the fixture's tag selectivities
+    // (~10% for label tags, ~20% for mod tags) so every list posts the
+    // wanted tags and the scan walks posting unions instead of testing
+    // rows. Oracle = knn_point_served_filtered's SQL verbatim — the
+    // prefilter must be invisible in the values.
+    "knn_point_served_posting" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cents = Ivf.deterministicCentroids(e, 50)
+      val entries = Ivf.assign(VectorEntries.fromEmbeddings(e), cents)
+      val idx = graft.index.ServingIndex.build(entries, cents, "ip",
+        tenantCol = Some("tenant"), tagsCol = Some("tags"),
+        tagDenseThreshold = 0.5)
       val reqs = q(s, dir).collect().sortBy(_.getLong(0)).take(10)
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
       val out = idx.searchAllDF(s, reqs, 10, nprobe = 3,
@@ -516,8 +581,7 @@ object SparkEntry {
     // exact gate's % 100 — the banded pairs must actually straddle).
     // Output: corpus doc ids to drop.
     "decontaminate_fuzzy" -> ((s, dir) => {
-      val pairs = DedupOps.minhashPairsOracle(docs(s, dir))
-        .select(col("a"), col("b"))
+      val pairs = MinhashPairs.get(s, dir).select(col("a"), col("b"))
       val isBench = (c: Column) => c % 10 === 0
       pairs.filter(isBench(col("a")) =!= isBench(col("b")))
         .select(when(isBench(col("a")), col("b")).otherwise(col("a"))
@@ -539,19 +603,19 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) => DedupOps.exactGroups(docs(s, dir))),
     "dedup_jaccard" -> ((s, dir) =>
       DedupOps.jaccardPairsWithin(docs(s, dir), "source", 20)),
-    "dedup_minhash" -> ((s, dir) => DedupOps.minhashPairsOracle(docs(s, dir))),
+    "dedup_minhash" -> ((s, dir) => MinhashPairs.get(s, dir)),
     // duplicate-cluster canonical labels over the verified near-dup pairs
     "dedup_clusters" -> ((s, dir) =>
       DedupOps.dupClusters(
-        DedupOps.minhashPairsOracle(docs(s, dir)).select(col("a"), col("b")))),
+        MinhashPairs.get(s, dir).select(col("a"), col("b")))),
     // which source pairs near-duplicate each other (mix-weight input)
     "dup_source_matrix" -> ((s, dir) =>
       DedupOps.dupSourceMatrix(docs(s, dir),
-        DedupOps.minhashPairsOracle(docs(s, dir)).select(col("a"), col("b")))),
+        MinhashPairs.get(s, dir).select(col("a"), col("b")))),
     // per-source survival counts through quality → repetition → near-dup
     "curation_funnel" -> ((s, dir) =>
       TextOps.curationFunnel(docs(s, dir),
-        DedupOps.minhashPairsOracle(docs(s, dir)).select(col("a"), col("b")))),
+        MinhashPairs.get(s, dir).select(col("a"), col("b")))),
     "dedup_simhash" -> ((s, dir) => DedupOps.simhashPairsOracle(docs(s, dir))),
     "dedup_minhash_prod" -> ((s, dir) =>
       DedupOps.minhashNearDups(docs(s, dir), threshold = 0.5)),
@@ -822,6 +886,12 @@ object SparkEntry {
       """SELECT q.query_id, emb.vec_id,
         |    list_dot_product(q.qv, emb.e) AS score
         |  FROM q CROSS JOIN emb""".stripMargin, 10, desc = true),
+    // Q14 at exhaustive beam width == the exact scan (HnswSpec proves
+    // the equivalence; the oracle pins it per-value on real data)
+    "knn_hnsw" -> topkSql(
+      """SELECT q.query_id, emb.vec_id,
+        |    list_dot_product(q.qv, emb.e) AS score
+        |  FROM q CROSS JOIN emb""".stripMargin, 10, desc = true),
     "knn_exact_l2" -> topkSql(
       """SELECT q.query_id, emb.vec_id,
         |    list_sum(list_transform(range(1, 65),
@@ -901,6 +971,24 @@ object SparkEntry {
          |        [CAST(3 AS BIGINT), CAST(11 AS BIGINT)])) f) t
          |WHERE rn <= 10""".stripMargin,
     "knn_point_served_filtered" ->
+      s"""$IVF
+         |SELECT query_id, vec_id, score FROM (
+         |  SELECT f.*, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, vec_id ASC) AS rn
+         |  FROM (SELECT p.query_id, a.vec_id,
+         |      list_dot_product(p.qv, a.e) AS score
+         |    FROM prb p JOIN asg a USING (centroid_id)
+         |    JOIN emb em ON em.vec_id = a.vec_id
+         |    WHERE 't' || CAST(a.vec_id % 3 AS VARCHAR) = 't1'
+         |      AND list_has_any(
+         |        [CAST(em.label AS BIGINT), 10 + a.vec_id % 5],
+         |        [CAST(3 AS BIGINT), CAST(11 AS BIGINT)])) f) t
+         |WHERE rn <= 10
+         |  AND query_id IN (
+         |    SELECT query_id FROM q ORDER BY query_id LIMIT 10)""".stripMargin,
+    // identical semantics to knn_point_served_filtered — the posting
+    // prefilter must be invisible in the values, so it shares the oracle
+    "knn_point_served_posting" ->
       s"""$IVF
          |SELECT query_id, vec_id, score FROM (
          |  SELECT f.*, row_number() OVER (PARTITION BY query_id

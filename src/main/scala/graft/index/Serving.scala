@@ -16,10 +16,21 @@ import org.apache.spark.storage.StorageLevel
   * tight sequential loop over contiguous floats. `tenants`/`tags` are
   * null unless the index was built with attribute columns (then aligned
   * row-wise with `ids`).
+  *
+  * `tagPostings` is the serving twin of the stored row-level tag index
+  * (reference roaring prefilter, config.h:117-125; the SQL-path postings
+  * live in Segments.writeTagIndex): for each tag below the dense
+  * threshold, the sorted row indices carrying it. A tags-ANY request
+  * whose wanted tags are all sparse walks only the posting union instead
+  * of testing every row; `denseTags` (sorted) records which tags were
+  * NOT posted so the scan knows when it must fall back to the per-row
+  * predicate.
   */
 final case class ListBlock(cid: Long, ids: Array[Long], vecs: Array[Float],
     dim: Int, tenants: Array[String] = null,
-    tags: Array[Array[Long]] = null, vecsD: Array[Double] = null)
+    tags: Array[Array[Long]] = null, vecsD: Array[Double] = null,
+    tagPostings: Map[Long, Array[Int]] = null,
+    denseTags: Array[Long] = null)
 
 /** Per-request predicate for the serving path — the reference
   * QueryRequest's filter surface (types.h:67-75): tenant equality (Q2),
@@ -70,16 +81,37 @@ final class ServingDeadlineExceeded(val deadlineMs: Long, cause: Throwable)
 final case class OverlayWinner(id: Long, cid: Long, vec: Array[Double],
     tenant: String = null, tags: Array[Long] = null)
 
+/** Raised when the in-flight buffer exceeds the overlay's capacity cap —
+  * the serving tier's signal that a flush must run before the next
+  * overlay generation (reference buffer cap: 16 GiB, types.h:130).
+  */
+final class OverlayCapacityExceeded(val maxRows: Int)
+  extends RuntimeException(
+    s"buffered mutations exceed the overlay cap ($maxRows rows) — " +
+      "force a flush and rebuild the stored index before the next " +
+      "overlay generation")
+
 /** In-flight buffer tier for the serving path (T5/Q10 read-your-writes on
   * serving; reference msg-buf.h:220-262 buffer scan + latest-by-id
   * masking): the mutations accepted since the index was last rebuilt.
-  * Winners are held driver-side (delta-fraction small — measured ~2%);
-  * the shadow id set is BROADCAST once per overlay generation, so a
-  * request's probe-task closure carries only the broadcast handle, not
-  * the set. At the reference envelope (5% of 100M vectors buffered) the
-  * set is tens of MB — shipped per executor once per overlay generation
-  * instead of per request, which is the difference between a 150 ms p99
-  * holding and dying on closure serialization.
+  * Winners are held driver-side (delta-fraction small — measured ~2%),
+  * grouped by centroid so a request scans only the probed fraction; the
+  * shadow id set is BROADCAST once per overlay generation as a SORTED
+  * PRIMITIVE Array[Long] — 8 B/entry, cheap to (de)serialize if an
+  * executor ever rehydrates it, probed by binary search in-task. A
+  * request's probe-task closure carries only the broadcast handle. At
+  * the reference envelope (5% of 100M vectors buffered) that is 40 MB
+  * shipped per executor once per overlay generation instead of per
+  * request — the difference between a 150 ms p99 holding and dying on
+  * closure serialization.
+  *
+  * Capacity is CAPPED ([[ServingOverlay.defaultMaxRows]], the row
+  * analogue of the reference's 16 GiB buffer cap, types.h:130): a
+  * buffer beyond the cap throws [[OverlayCapacityExceeded]] — the
+  * ingest layer must force a flush (stored-index rebuild) instead of
+  * letting the driver-side winner tier grow unboundedly. This is the
+  * same contract the reference enforces: the buffer tier is bounded,
+  * the stored tier is not.
   *
   * Lifecycle: build once per refresh interval from the current buffer;
   * after a flush rebuilds the stored index, build the next overlay and
@@ -94,7 +126,7 @@ final case class OverlayWinner(id: Long, cid: Long, vec: Array[Double],
   * candidates.
   */
 final class ServingOverlay private (
-    private[index] val shadowBc: Broadcast[Set[Long]],
+    private[index] val shadowBc: Broadcast[Array[Long]],
     private[index] val winners: Array[OverlayWinner],
     private[index] val hasTenant: Boolean,
     private[index] val hasTags: Boolean) {
@@ -106,7 +138,7 @@ final class ServingOverlay private (
   private[index] val winnersByCid: Map[Long, Array[OverlayWinner]] =
     winners.groupBy(_.cid)
   /** Driver-side view of the shadowed id set (local read, no fetch). */
-  private[index] def shadowed: Set[Long] = shadowBc.value
+  private[index] def shadowed: Array[Long] = shadowBc.value
   /** Drop the broadcast from executors — call when this overlay
     * generation is superseded (flush → stored-index rebuild → new
     * overlay). Blocking=false: executors GC it lazily.
@@ -115,17 +147,27 @@ final class ServingOverlay private (
 }
 
 object ServingOverlay {
+  /** Buffer cap in winner rows (≈ the reference's 16 GiB buffer cap,
+    * types.h:130, at 1024-dim double vectors: 2M × 8 KiB = 16 GiB).
+    * Yaml-tunable in the reference, a parameter here.
+    */
+  val defaultMaxRows: Int = 2000000
+
   /** Build from buffered mutation rows
     * (cols: idCol, epoch, deleted, centroid_id, vecCol [, tenantCol,
     * tagsCol]). Vectors are held as doubles — exact for float sources,
     * lossless for double sources — so overlay scores match the SQL paths
     * bit-for-bit. Pass `tenantCol`/`tagsCol` when requests will combine
     * an overlay with a tenant/tags filter (the attributes are needed to
-    * gate overlay winners driver-side).
+    * gate overlay winners driver-side). Throws
+    * [[OverlayCapacityExceeded]] past `maxRows` buffered versions — the
+    * collect is bounded by `limit(maxRows + 1)`, so an over-cap buffer
+    * costs one truncated fetch, never an unbounded driver collect.
     */
   def fromDataFrame(buffer: DataFrame, idCol: String = "vec_id",
       vecCol: String = "vec", tenantCol: Option[String] = None,
-      tagsCol: Option[String] = None): ServingOverlay = {
+      tagsCol: Option[String] = None,
+      maxRows: Int = defaultMaxRows): ServingOverlay = {
     val hasTenant = tenantCol.isDefined
     val hasTags = tagsCol.isDefined
     val cols = Seq(col(idCol).cast("long"), col("epoch").cast("long"),
@@ -135,7 +177,9 @@ object ServingOverlay {
       tagsCol.map(c => col(c).cast("array<long>"))
     val tenantIdx = 5
     val tagsIdx = if (hasTenant) 6 else 5
-    val rows = buffer.select(cols: _*)
+    val fetch = buffer.select(cols: _*)
+    val rows = (if (maxRows == Int.MaxValue) fetch
+      else fetch.limit(maxRows + 1))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3),
         if (r.isNullAt(4)) null else r.getSeq[Double](4).toArray,
@@ -144,6 +188,7 @@ object ServingOverlay {
         if (hasTags && !r.isNullAt(tagsIdx))
           r.getSeq[Long](tagsIdx).toArray
         else null))
+    if (rows.length > maxRows) throw new OverlayCapacityExceeded(maxRows)
     val byId = rows.groupBy(_._1)
     val winners = byId.valuesIterator
       // LWW within the buffer. Epochs are unique per id by the ingest
@@ -158,8 +203,13 @@ object ServingOverlay {
         if !deleted && vec != null => OverlayWinner(id, cid, vec, ten, tg)
       }
       .toArray
+    // sorted primitive shadow: 8 B/entry on the wire and in executor
+    // memory (a boxed Set[Long] is ~50 B/entry and slow to rehydrate
+    // under cache eviction); membership = binary search, no boxing
+    val shadow = byId.keySet.toArray
+    java.util.Arrays.sort(shadow)
     val sc = buffer.sparkSession.sparkContext
-    new ServingOverlay(sc.broadcast(byId.keySet), winners, hasTenant,
+    new ServingOverlay(sc.broadcast(shadow), winners, hasTenant,
       hasTags)
   }
 }
@@ -414,12 +464,19 @@ object ServingIndex {
     * step — untimed in serving terms, rerun on refresh. List sizes are
     * collected at build (nlist longs — driver-sized) to enforce the
     * max_candidates probe cap without a per-request job.
+    *
+    * When `tagsCol` is set, each list also builds per-tag row postings
+    * for tags below `tagDenseThreshold` selectivity (reference roaring
+    * prefilter role, config.h:117-125; default 0.2 = the reference's
+    * dense cutover) — a selective tags-ANY request then walks only the
+    * posting union instead of testing every row ([[scanTopK]]).
     */
   def build(assigned: DataFrame, centroids: DataFrame, metric: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
       tenantCol: Option[String] = None,
       tagsCol: Option[String] = None,
-      limits: ServingLimits = ServingLimits.reference): ServingIndex = {
+      limits: ServingLimits = ServingLimits.reference,
+      tagDenseThreshold: Double = 0.2): ServingIndex = {
     val (cids, matrix) = Ivf.collectCentroids(centroids)
     val cidToPart = cids.zipWithIndex.toMap
     val dim = matrix.headOption.map(_.length).getOrElse(0)
@@ -470,6 +527,11 @@ object ServingIndex {
           val vecsD = if (isDouble) new Array[Double](n * d) else null
           val tenants = if (hasTenant) new Array[String](n) else null
           val tags = if (hasTags) new Array[Array[Long]](n) else null
+          val byTag =
+            if (hasTags)
+              scala.collection.mutable.HashMap
+                .empty[Long, scala.collection.mutable.ArrayBuffer[Int]]
+            else null
           var i = 0
           while (i < n) {
             ids(i) = rows(i)._2._2
@@ -480,11 +542,40 @@ object ServingIndex {
               System.arraycopy(rows(i)._2._3.asInstanceOf[Array[Float]],
                 0, vecsF, i * d, d)
             if (hasTenant) tenants(i) = rows(i)._2._4
-            if (hasTags) tags(i) = rows(i)._2._5
+            if (hasTags) {
+              val tg = rows(i)._2._5
+              tags(i) = tg
+              if (tg != null) {
+                var t = 0
+                while (t < tg.length) {
+                  val buf = byTag.getOrElseUpdate(tg(t),
+                    scala.collection.mutable.ArrayBuffer.empty[Int])
+                  // rows arrive in index order, so a repeated tag in one
+                  // row's array is adjacent — posting lists stay sorted
+                  // and duplicate-free
+                  if (buf.isEmpty || buf.last != i) buf += i
+                  t += 1
+                }
+              }
+            }
             i += 1
           }
+          var tagPostings: Map[Long, Array[Int]] = null
+          var denseTags: Array[Long] = null
+          if (hasTags) {
+            val post = Map.newBuilder[Long, Array[Int]]
+            val dense = scala.collection.mutable.ArrayBuffer.empty[Long]
+            byTag.foreach { case (t, buf) =>
+              if (buf.length.toDouble / n < tagDenseThreshold)
+                post += t -> buf.toArray
+              else dense += t
+            }
+            tagPostings = post.result()
+            denseTags = dense.toArray
+            java.util.Arrays.sort(denseTags)
+          }
           Iterator.single(ListBlock(cid, ids, vecsF, d, tenants, tags,
-            vecsD))
+            vecsD, tagPostings, denseTags))
         }
       }, preservesPartitioning = true)
       .persist(StorageLevel.MEMORY_ONLY)
@@ -565,6 +656,8 @@ object ServingIndex {
     s
   }
 
+  private[index] val noShadow: Array[Long] = Array.emptyLongArray
+
   /** Per-task probe scan: tight loop over a packed list, bounded top-k
     * with (score, id-asc) tie-break. Double accumulation over float reads
     * in index order — bit-identical to the codegen DotProduct/L2SqDistance
@@ -572,11 +665,20 @@ object ServingIndex {
     * (loop-invariant; the per-variable accumulation chains are unchanged,
     * so scores are bit-identical to the fused form — and cosine stops
     * paying ~1.5× the flops of ip).
+    *
+    * `shadow` is the overlay's sorted shadowed-id array (binary-search
+    * membership); empty = no overlay. When every wanted tag is sparse in
+    * a block (posted at build time, [[ListBlock.tagPostings]]), the scan
+    * walks only the posting union instead of testing each row — the
+    * serving analogue of the stored sparse path
+    * (Segments.scanForTagsRowLevel); any dense wanted tag falls back to
+    * the per-row predicate. Both paths see identical row sets, so
+    * results are value-identical by construction.
     */
   private[index] def scanTopK(it: Iterator[ListBlock], q: Array[Float],
       k: Int, metric: String, asc: Boolean, probed: Set[Long],
       filter: ServingFilter = ServingFilter.none,
-      skipIds: Set[Long] = Set.empty): Array[(Long, Double)] = {
+      shadow: Array[Long] = noShadow): Array[(Long, Double)] = {
     val wantTenant = filter.tenant.orNull
     val wantTags = filter.tagsAny.map(_.toArray).orNull
     val sampleP = filter.sampleP.getOrElse(-1)
@@ -617,15 +719,18 @@ object ServingIndex {
     // per-row predicate, cheapest test first — a rejected row never pays
     // a dot product. Sample arithmetic = Knn.sampleFilter's
     // pmod(vec_id · 2654435761, 100) < p, wrap-and-positive-mod exactly.
-    def pass(b: ListBlock, r: Int): Boolean = {
-      if (skipIds.nonEmpty && skipIds.contains(b.ids(r))) return false
+    // `checkTags=false` on the posting path: membership in the posting
+    // union IS the tags-ANY predicate, already proven.
+    def pass(b: ListBlock, r: Int, checkTags: Boolean): Boolean = {
+      if (shadow.length > 0 &&
+        java.util.Arrays.binarySearch(shadow, b.ids(r)) >= 0) return false
       if (sampleP >= 0) {
         val m = (b.ids(r) * 2654435761L) % 100L
         if ((if (m < 0) m + 100L else m) >= sampleP) return false
       }
       if (wantTenant != null &&
         (b.tenants == null || b.tenants(r) != wantTenant)) return false
-      if (wantTags != null) {
+      if (checkTags && wantTags != null) {
         if (b.tags == null) return false
         val rowTags = b.tags(r)
         if (rowTags == null) return false
@@ -654,10 +759,7 @@ object ServingIndex {
         // per-dimension loop cost path (JIT specializes each branch);
         // (double)float reads are exact, so both paths match the codegen
         // kernels bit-for-bit
-        var r = 0
-        while (r < n) {
-          if (!pass(b, r)) { r += 1 }
-          else {
+        def scoreAndInsert(r: Int): Unit = {
           val off = r * d
           var s = 0.0
           var i = 0
@@ -693,7 +795,51 @@ object ServingIndex {
             }
           }
           insert(s, b.ids(r))
-          r += 1
+        }
+        // sparse posting path: every wanted tag was posted at build time
+        // (below the dense threshold) — walk the sorted posting union;
+        // rows outside it cannot satisfy tags-ANY and are never touched
+        val postingRows: Array[Int] =
+          if (wantTags != null && b.tagPostings != null &&
+              !wantTags.exists(t => b.denseTags != null &&
+                java.util.Arrays.binarySearch(b.denseTags, t) >= 0)) {
+            var total = 0
+            var i = 0
+            while (i < wantTags.length) {
+              total += b.tagPostings.getOrElse(wantTags(i),
+                Array.emptyIntArray).length
+              i += 1
+            }
+            val u = new Array[Int](total)
+            var o = 0
+            i = 0
+            while (i < wantTags.length) {
+              val p = b.tagPostings.getOrElse(wantTags(i),
+                Array.emptyIntArray)
+              System.arraycopy(p, 0, u, o, p.length)
+              o += p.length
+              i += 1
+            }
+            java.util.Arrays.sort(u)
+            u
+          } else null
+        if (postingRows != null) {
+          var j = 0
+          var prev = -1
+          while (j < postingRows.length) {
+            val r = postingRows(j)
+            // adjacent duplicates (a row carrying several wanted tags)
+            // are scored once — same row set as the per-row ANY-of test
+            if (r != prev && pass(b, r, checkTags = false))
+              scoreAndInsert(r)
+            prev = r
+            j += 1
+          }
+        } else {
+          var r = 0
+          while (r < n) {
+            if (pass(b, r, checkTags = true)) scoreAndInsert(r)
+            r += 1
           }
         }
       }

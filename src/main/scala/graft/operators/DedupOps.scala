@@ -197,6 +197,12 @@ object DedupOps {
     * self-join, verify candidates with exact shingle Jaccard ≥ threshold.
     * Output (a, b, jaccard). Same banded-LSH shuffle shape as
     * [[minhashNearDups]] — never all-pairs.
+    *
+    * The result is MATERIALIZED (cached + counted) before returning so
+    * the internal shingle cache can be unpersisted here rather than
+    * leaking one cached shingle dataset per caller — downstream
+    * consumers (clusters, source matrix, funnel, decontamination) reuse
+    * the verified pairs, not the shingles.
     */
   def minhashPairsOracle(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
       shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
@@ -220,12 +226,16 @@ object DedupOps {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    cands
+    val out = cands
       .join(sh.select(col("doc_id").as("a"), col("sh").as("sa")), Seq("a"))
       .join(sh.select(col("doc_id").as("b"), col("sh").as("sb")), Seq("b"))
       .select(col("a"), col("b"),
         jaccardSorted(col("sa"), col("sb")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+      .cache()
+    out.count() // materialize so sh can drop now (pairs <<< shingles)
+    sh.unpersist()
+    out
   }
 
   /** 28-bit SimHash (oracle variant): per-bit majority vote over distinct
@@ -334,6 +344,14 @@ object DedupOps {
       labels = updated
       i += 1
     }
+    // a chain component with diameter > maxIter would exit this loop with
+    // silently-wrong labels (the oracle is an exact transitive closure) —
+    // non-convergence must be LOUD, never a quiet wrong answer
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"dupClusters did not converge after $maxIter iterations " +
+          s"($changed labels still changing) — raise maxIter (component " +
+          "diameter exceeds it)")
     labels
   }
 

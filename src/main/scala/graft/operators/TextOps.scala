@@ -341,8 +341,13 @@ object TextOps {
     * the pipeline's sequential gates (the report every corpus-curation run
     * ends with): all docs → quality score ≥ `minQuality` → duplicate-token
     * fraction ≤ `maxDupFrac` → not a near-duplicate loser (docs appearing
-    * as the higher-id `b` side of a verified near-dup pair are the ones a
-    * keep-lowest-id dedup pass drops).
+    * as the higher-id `b` side of a verified near-dup pair). The pair-based
+    * drop set APPROXIMATES a keep-lowest-id dedup pass — exact when every
+    * non-canonical doc pairs directly with a lower id; a doc reachable only
+    * through a chain (never the `b` of any pair, e.g. doc 2 with pairs
+    * (2,3),(1,3)) survives the funnel where a cluster-canonical pass
+    * ([[graft.operators.DedupOps.dupClusters]]) would drop it — derive
+    * losers from dupClusters when cluster-exact counts are needed.
     *
     * Scale shape: both row-local gates are computed inline on the scan (no
     * join back to a separate quality table — one pass); the loser set is

@@ -94,6 +94,52 @@ class ServingSpec extends SparkSpec {
     idx.unpersist(); entries.unpersist()
   }
 
+  test("tag posting prefilter is value-invisible: all-posted == none-posted == per-row searchPoint") {
+    import graft.ingest.VectorEntries
+    val entries = Ivf.assign(VectorEntries.fromEmbeddings(emb), cents).cache()
+    // threshold 1.1: every tag below it → every tag posted (sparse path);
+    // threshold 0.0: no tag below it → everything dense (per-row path)
+    val posted = ServingIndex.build(entries, cents, "ip",
+      tenantCol = Some("tenant"), tagsCol = Some("tags"),
+      tagDenseThreshold = 1.1)
+    val dense = ServingIndex.build(entries, cents, "ip",
+      tenantCol = Some("tenant"), tagsCol = Some("tags"),
+      tagDenseThreshold = 0.0)
+    def viaPoint(qv: Array[Float], f: org.apache.spark.sql.Column) =
+      Ivf.searchPoint(entries, qv, cmat, "ip", 10, 3, filter = f)
+        .as[(Long, Double)].collect().toSeq
+    val filters = Seq(
+      ServingFilter(tagsAny = Some(Seq(3L, 11L)))
+        -> VectorEntries.tagsAny(Seq(3, 11)),
+      // composed with tenant + sample: posting rows still pass the other
+      // predicates
+      ServingFilter(tenant = Some("t1"), tagsAny = Some(Seq(3L, 11L)),
+        sampleP = Some(60))
+        -> (col("tenant") === "t1" && VectorEntries.tagsAny(Seq(3, 11)) &&
+          graft.operators.Knn.sampleFilter(60)),
+      // a tag carried by NO row: posting union is empty → no candidates
+      ServingFilter(tagsAny = Some(Seq(999L))) -> lit(false))
+    for ((_, qv) <- queries.take(3); (sf, sqlF) <- filters) {
+      val want = viaPoint(qv, sqlF)
+      assert(posted.search(qv, 10, 3, sf).toSeq === want, s"posted $sf")
+      assert(dense.search(qv, 10, 3, sf).toSeq === want, s"dense $sf")
+    }
+    posted.unpersist(); dense.unpersist(); entries.unpersist()
+  }
+
+  test("overlay capacity cap: an over-cap buffer throws instead of collecting unboundedly") {
+    val buffer = (0 until 64)
+      .map(i => (i.toLong, 100L + i, false, 0L, Seq(1.0, 0.0)))
+      .toDF("vec_id", "epoch", "deleted", "centroid_id", "vec")
+    intercept[OverlayCapacityExceeded] {
+      ServingOverlay.fromDataFrame(buffer, maxRows = 63)
+    }
+    // at exactly the cap it builds fine
+    val ok = ServingOverlay.fromDataFrame(buffer, maxRows = 64)
+    assert(ok.size === 64)
+    ok.destroy()
+  }
+
   test("overlay: buffered upserts shadow stored rows, deletes mask, inserts appear") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-serving-overlay-").toString
