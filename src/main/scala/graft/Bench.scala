@@ -448,6 +448,16 @@ object Bench {
               s"[bench] full-corpus overlay build FAILED: ${e.getMessage}")
             None
           }
+        // distributed overlay over the same 100k buffer (built while big
+        // is still cached; its packed blocks cache independently)
+        val overlayDist =
+          try Some(graft.index.DistributedServingOverlay.fromDataFrame(
+            overlayRowsDf.filter(col("vec_id") % 10 === 0), idx))
+          catch { case e: Throwable =>
+            System.err.println(
+              s"[bench] distributed overlay build FAILED: ${e.getMessage}")
+            None
+          }
         big.unpersist(); assigned.unpersist()
         val nprobeServ = 8
         def floorNow(): Double = floorProbe(spark, cpus.toInt)
@@ -571,10 +581,10 @@ object Bench {
         // the drift, not the overlay (driver 36.7 ms vs clean 0.30).
         // Pairwise minima cancel both stalls and drift by construction.
         def overlaySection(tag: String, servIdx: graft.index.ServingIndex,
-            ov: graft.index.ServingOverlay): Unit = {
+            ovSearch: Array[Float] => Unit, ovRows: Long): Unit = {
           System.gc()
           servIdx.search(qRows.head, 10, nprobeServ) // warm both paths
-          servIdx.searchWithOverlay(qRows.head, 10, nprobeServ, ov)
+          ovSearch(qRows.head)
           extras(s"${tag}_floor_before_ms") = num(floorNow(), 1)
           val nq = qRows.length
           def roundAB(): (Seq[Double], Array[Double], Array[Double]) = {
@@ -589,7 +599,7 @@ object Bench {
                 servIdx.search(qv, 10, nprobeServ)
                 val tPlain = (System.nanoTime() - t0) / 1e6
                 val t1 = System.nanoTime()
-                servIdx.searchWithOverlay(qv, 10, nprobeServ, ov)
+                ovSearch(qv)
                 val tOv = (System.nanoTime() - t1) / 1e6
                 if (tPlain < plainMin(i)) plainMin(i) = tPlain
                 if (tOv < ovMin(i)) ovMin(i) = tOv
@@ -613,7 +623,7 @@ object Bench {
           val (rawOv, ovMin, plainMin) = r
           val deltas = ovMin.indices.map(i => ovMin(i) - plainMin(i))
             .sorted.toSeq
-          extras(s"${tag}_rows") = ov.size.toString
+          extras(s"${tag}_rows") = ovRows.toString
           extras(s"${tag}_p50_ms") = num(pctl(rawOv, 50), 1)
           extras(s"${tag}_p99_ms") = num(pctl(rawOv, 99), 1)
           extras(s"${tag}_p99_steady_ms") =
@@ -621,7 +631,9 @@ object Bench {
           extras(s"${tag}_overhead_ms") = num(pctl(deltas, 50), 2)
           extras(s"${tag}_floor_after_ms") = num(floorNow(), 1)
         }
-        overlaySection("ivf_1m_overlay", idx, overlay)
+        overlaySection("ivf_1m_overlay", idx,
+          qv => idx.searchWithOverlay(qv, 10, nprobeServ, overlay),
+          overlay.size)
         // legacy key, now sourced from the interleaved pairwise metric
         extras("overlay_rows") = overlay.size.toString
         extras("overlay_request_overhead_ms") =
@@ -631,12 +643,28 @@ object Bench {
         // buffer — overhead must stay flat (probed-fraction winner scan +
         // O(log n) shadow binary search, never O(overlay) per request)
         overlayFull.foreach { ovF =>
-          try overlaySection("ivf_1m_overlay_full", idx, ovF)
+          try overlaySection("ivf_1m_overlay_full", idx,
+            qv => idx.searchWithOverlay(qv, 10, nprobeServ, ovF), ovF.size)
           catch { case e: Throwable =>
             System.err.println(
               s"[bench] full-corpus overlay section FAILED: ${e.getMessage}")
           }
           ovF.destroy()
+        }
+        // DISTRIBUTED overlay (the 100x path: winners co-partitioned with
+        // the lists, scanned in the probe tasks, nothing per-request on
+        // the driver). Same interleaved A/B — its overhead should track
+        // the driver overlay's (the extra work per probe task is an
+        // O(overlay-rows-in-list) packed scan)
+        overlayDist.foreach { ovD =>
+          try overlaySection("ivf_1m_overlay_dist", idx,
+            qv => idx.searchWithOverlay(qv, 10, nprobeServ, ovD,
+              graft.index.ServingFilter.none), ovD.size)
+          catch { case e: Throwable =>
+            System.err.println(
+              s"[bench] distributed overlay section FAILED: ${e.getMessage}")
+          }
+          ovD.destroy()
         }
         // cosine serving on the same corpus/layout: with the query norm
         // hoisted out of the row loop, cosine should track ip instead of
@@ -726,7 +754,9 @@ object Bench {
               .select(col("vec_id"), lit(1L).as("epoch"),
                 lit(false).as("deleted"), col("centroid_id"),
                 col("embedding").cast("array<double>").as("vec")))
-          overlaySection("ivf_10m_overlay", idx10, overlay10)
+          overlaySection("ivf_10m_overlay", idx10,
+            qv => idx10.searchWithOverlay(qv, 10, nprobeServ, overlay10),
+            overlay10.size)
           overlay10.destroy()
         } catch { case ex: Throwable =>
           System.err.println(s"[bench] 10M overlay FAILED: ${ex.getMessage}")

@@ -459,6 +459,37 @@ object SparkEntry {
       idx.unpersist(); overlay.destroy()
       out
     }),
+    // the DISTRIBUTED overlay (Q10 at 100x): winners co-partitioned with
+    // the stored lists and scanned in the probe tasks — no winner array
+    // on the driver. Same live-view semantics, so the oracle is
+    // tiered_knn_served's SQL verbatim (probe-all)
+    "tiered_knn_served_dist" -> ((s, dir) => {
+      import graft.segments.Segments
+      val e = emb(s, dir)
+      val cents = Ivf.deterministicCentroids(e, 50)
+      val rows = Ivf.assign(
+          MutationLog.deterministicLog(e)
+            .withColumn("id_hash", hashId(col("id")))
+            .withColumn("deleted", col("op") === "DELETE"),
+          cents, vecCol = "vec")
+        .withColumn("centroid_id", coalesce(col("centroid_id"), lit(-1L)))
+        .select("vec_id", "id_hash", "epoch", "deleted", "centroid_id",
+          "vec")
+        .cache()
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-tiered-served-dist-").toString
+      Segments.writeSegment(rows.filter(col("epoch") < 2000), base,
+        "delta-000", isStable = false)
+      val idx = graft.index.ServingIndex.buildStored(s, base, cents, "ip")
+      val overlay = graft.index.DistributedServingOverlay.fromDataFrame(
+        rows.filter(col("epoch") >= 2000), idx)
+      val reqs = q(s, dir).collect().sortBy(_.getLong(0))
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      val out = idx.searchAllDF(s, reqs, 10, nprobe = Int.MaxValue,
+        distOverlay = Some(overlay))
+      idx.unpersist(); overlay.destroy()
+      out
+    }),
     // B1 periodic rebuild: re-cluster the stored latest-live rows under a
     // FINER centroid set (every=25 vs the ingest-time every=50) into a
     // new stable generation — the 24 h centroid-retrain job
@@ -1190,6 +1221,20 @@ object SparkEntry {
          |  CAST(sum(vec_id) AS BIGINT) AS sum_vec_id
          |FROM la GROUP BY centroid_id""".stripMargin,
     "tiered_knn_served" ->
+      s"""$MUTLOG,
+         |qq AS (SELECT vec_id AS query_id, e AS qv FROM emb
+         |  WHERE vec_id % 25 = 0),
+         |scored AS (SELECT qq.query_id, l.vec_id,
+         |    list_dot_product(qq.qv, l.vec) AS score
+         |  FROM qq CROSS JOIN live l)
+         |SELECT query_id, vec_id, score FROM (
+         |  SELECT scored.*, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rn
+         |  FROM scored) t
+         |WHERE rn <= 10""".stripMargin,
+    // identical semantics to tiered_knn_served — the distributed overlay
+    // must be value-invisible, so it shares the oracle verbatim
+    "tiered_knn_served_dist" ->
       s"""$MUTLOG,
          |qq AS (SELECT vec_id AS query_id, e AS qv FROM emb
          |  WHERE vec_id % 25 = 0),

@@ -219,6 +219,160 @@ private final class ExactPartitioner(n: Int) extends Partitioner {
   override def getPartition(key: Any): Int = key.asInstanceOf[Int]
 }
 
+/** One packed overlay list: the buffer's live LWW winners for one
+  * centroid, co-partitioned with the stored [[ListBlock]] of the same
+  * cid. Vectors are doubles (lossless for both float and double
+  * sources) so overlay scores match the driver-overlay and SQL paths
+  * bit-for-bit.
+  */
+final case class OverlayBlock(cid: Long, ids: Array[Long],
+    vecs: Array[Double], dim: Int, tenants: Array[String] = null,
+    tags: Array[Array[Long]] = null)
+
+/** Fully distributed read-your-writes overlay (Q10/T5 at 100×): the
+  * scale path past [[ServingOverlay]]'s driver-side winner cap. The
+  * driver overlay holds the buffer's LWW winners in driver memory —
+  * bounded by [[ServingOverlay.defaultMaxRows]] (the reference's 16 GiB
+  * buffer cap, types.h:130), which forces a flush when the buffer
+  * outgrows it. This variant removes the driver from the data path
+  * entirely: winners live as packed [[OverlayBlock]]s co-partitioned
+  * with the stored index's inverted lists (same [[ExactPartitioner]],
+  * same cid → partition map), so a request's probe tasks scan the
+  * stored list AND its overlay rows in the SAME task via a
+  * zip-partitions stitch over the two cached RDDs — no per-request
+  * driver scan, no winner array whose size is a driver liability.
+  *
+  * What stays on the driver: nothing per-request. What stays broadcast:
+  * the shadowed-id set (sorted primitive Array[Long], 8 B/entry) —
+  * necessarily global, because an upsert can MOVE a vector between
+  * centroids, so the stored row it shadows lives in a list the overlay
+  * row does not. The zipped `tiered` RDD is built ONCE per overlay
+  * generation (both parents cached; the stitch recomputes per request
+  * as two cache hits + iterator packing — no data copy, no extra cache).
+  *
+  * Result contract: identical to [[ServingIndex.searchWithOverlay]]
+  * with a [[ServingOverlay]] built from the same buffer — same LWW
+  * winner tie-break, same filter semantics, same score arithmetic, same
+  * (score, id) rank order. ServingSpec fuzzes the equivalence;
+  * `tiered_knn_served_dist` gates it against the DuckDB oracle.
+  */
+final class DistributedServingOverlay private (
+    private[index] val shadowBc: Broadcast[Array[Long]],
+    @transient private[index] val blocks: RDD[OverlayBlock],
+    @transient private[index] val tiered:
+      RDD[(Array[ListBlock], Array[OverlayBlock])],
+    @transient private[index] val owner: ServingIndex,
+    private[index] val hasTenant: Boolean,
+    private[index] val hasTags: Boolean,
+    val size: Long) {
+  /** Drop the overlay generation: broadcast off executors, blocks
+    * uncached. Call after a flush rebuilds the stored index.
+    */
+  def destroy(): Unit = {
+    shadowBc.destroy()
+    blocks.unpersist(blocking = false)
+  }
+}
+
+object DistributedServingOverlay {
+  /** Build from buffered mutation rows (same contract as
+    * [[ServingOverlay.fromDataFrame]]: cols idCol, epoch, deleted,
+    * centroid_id, vecCol [, tenantCol, tagsCol]), co-partitioned with
+    * `index`'s inverted lists. LWW winner per id is reduced
+    * DISTRIBUTED (reduceByKey — one shuffle of the buffer, never a
+    * driver collect) with the same deterministic tie-break as the
+    * driver overlay: (epoch, live-over-deleted, vector content hash).
+    * Only the shadowed-id ARRAY ever reaches the driver (8 B/id, the
+    * same array the driver overlay broadcasts).
+    */
+  def fromDataFrame(buffer: DataFrame, index: ServingIndex,
+      idCol: String = "vec_id", vecCol: String = "vec",
+      tenantCol: Option[String] = None,
+      tagsCol: Option[String] = None): DistributedServingOverlay = {
+    val hasTenant = tenantCol.isDefined
+    val hasTags = tagsCol.isDefined
+    val cols = Seq(col(idCol).cast("long"), col("epoch").cast("long"),
+        col("deleted").cast("boolean"), col("centroid_id").cast("long"),
+        col(vecCol).cast("array<double>")) ++
+      tenantCol.map(c => col(c).cast("string")) ++
+      tagsCol.map(c => col(c).cast("array<long>"))
+    val tenantIdx = 5
+    val tagsIdx = if (hasTenant) 6 else 5
+    // (epoch, deleted, cid, vec, tenant, tags) keyed by id
+    val versions: RDD[(Long, (Long, Boolean, Long, Array[Double],
+        String, Array[Long]))] =
+      buffer.select(cols: _*).rdd.map { r =>
+        (r.getLong(0), (r.getLong(1), r.getBoolean(2), r.getLong(3),
+          if (r.isNullAt(4)) null else r.getSeq[Double](4).toArray,
+          if (hasTenant && !r.isNullAt(tenantIdx)) r.getString(tenantIdx)
+          else null,
+          if (hasTags && !r.isNullAt(tagsIdx))
+            r.getSeq[Long](tagsIdx).toArray
+          else null))
+      }
+    // LWW winner per id — the distributed twin of the driver overlay's
+    // maxBy((epoch, !deleted, contentHash)): associative, commutative,
+    // deterministic for distinct keys
+    val winners = versions.reduceByKey { (a, b) =>
+      val c = java.lang.Long.compare(a._1, b._1)
+      if (c != 0) { if (c > 0) a else b }
+      else if (!a._2 != !b._2) { if (!a._2) a else b }
+      else {
+        val ha = if (a._4 == null) 0 else java.util.Arrays.hashCode(a._4)
+        val hb = if (b._4 == null) 0 else java.util.Arrays.hashCode(b._4)
+        if (ha >= hb) a else b
+      }
+    }.persist(StorageLevel.MEMORY_AND_DISK)
+    // global shadow set: every buffered id (live OR tombstoned) masks
+    // its stored versions store-wide
+    val shadow = winners.keys.collect()
+    java.util.Arrays.sort(shadow)
+    val cidToPart = index.cidToPart
+    val nParts = index.cids.length
+    val packed = winners
+      .flatMap { case (id, (_, deleted, cid, vec, ten, tg)) =>
+        if (deleted || vec == null) None
+        else cidToPart.get(cid).map(p => (p, (cid, id, vec, ten, tg)))
+      }
+      .partitionBy(new ExactPartitioner(nParts))
+      .mapPartitions({ it =>
+        val rows = it.toArray
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val cid = rows.head._2._1
+          val n = rows.length
+          val d = rows.head._2._3.length
+          val ids = new Array[Long](n)
+          val vecs = new Array[Double](n * d)
+          val tenants = if (hasTenant) new Array[String](n) else null
+          val tags = if (hasTags) new Array[Array[Long]](n) else null
+          var i = 0
+          while (i < n) {
+            ids(i) = rows(i)._2._2
+            System.arraycopy(rows(i)._2._3, 0, vecs, i * d, d)
+            if (hasTenant) tenants(i) = rows(i)._2._4
+            if (hasTags) tags(i) = rows(i)._2._5
+            i += 1
+          }
+          Iterator.single(OverlayBlock(cid, ids, vecs, d, tenants, tags))
+        }
+      }, preservesPartitioning = true)
+      .persist(StorageLevel.MEMORY_ONLY)
+    // materialize the cache and count live winners in one pass
+    val size = packed.map(_.ids.length.toLong).fold(0L)(_ + _)
+    winners.unpersist(blocking = false)
+    // stitch built once per generation: computing a zipped partition is
+    // two cache hits + two toArray ref-packs — no copy, nothing cached
+    val tiered = index.blocks.zipPartitions(packed,
+        preservesPartitioning = true) { (bIt, oIt) =>
+      Iterator.single((bIt.toArray, oIt.toArray))
+    }
+    val sc = buffer.sparkSession.sparkContext
+    new DistributedServingOverlay(sc.broadcast(shadow), packed, tiered,
+      index, hasTenant, hasTags, size)
+  }
+}
+
 /** Single-request IVF serving index (SURVEY Q6 serving path; BASELINE
   * 150 ms p99, reference types.h:141).
   *
@@ -259,10 +413,10 @@ private final class ExactPartitioner(n: Int) extends Partitioner {
   * reference's rebuild-on-flush serving design.
   */
 final class ServingIndex private (
-    @transient private val blocks: RDD[ListBlock],
+    @transient private[index] val blocks: RDD[ListBlock],
     val cids: Array[Long],
     val matrix: Array[Array[Double]],
-    private val cidToPart: Map[Long, Int],
+    private[index] val cidToPart: Map[Long, Int],
     val metric: String,
     val dim: Int,
     private val listSizes: Map[Long, Int],
@@ -387,6 +541,49 @@ final class ServingIndex private (
       .take(kk)
   }
 
+  /** Tiered request against a [[DistributedServingOverlay]]: the same
+    * semantics as the driver-overlay [[searchWithOverlay]] — store-wide
+    * shadow masking, probed-only candidacy, identical score arithmetic
+    * and rank order — but the overlay rows are scanned IN the probe
+    * tasks (zip-partitions stitch over the co-partitioned overlay
+    * blocks), so no winner ever transits the driver. Each task returns
+    * ≤ 2k rows (stored partial + overlay partial); the driver merge is
+    * unchanged.
+    */
+  def searchWithOverlay(q: Array[Float], k: Int, nprobe: Int,
+      overlay: DistributedServingOverlay,
+      filter: ServingFilter): Array[(Long, Double)] = {
+    require(overlay.owner eq this,
+      "distributed overlay was built against a different ServingIndex")
+    validateFilter(filter, hasTenant, hasTags)
+    validateFilter(filter, overlay.hasTenant, overlay.hasTags)
+    val kk = math.min(k, limits.maxK)
+    val probed = capProbes(probe(q, nprobe))
+    val probedSet = probed.toSet
+    val parts = probed.flatMap(cidToPart.get).distinct.toArray
+    if (parts.isEmpty) return Array.empty
+    val m = metric
+    val ascL = asc
+    val shadowBc = overlay.shadowBc // handle only — the set never ships
+    val partials: Array[Array[(Long, Double)]] =
+      ServingIndex.withDeadline(blocks.sparkContext, limits.deadlineMs) {
+        blocks.sparkContext.runJob(
+          overlay.tiered,
+          (it: Iterator[(Array[ListBlock], Array[OverlayBlock])]) => {
+            val (bs, os) = it.next()
+            val stored = ServingIndex.scanTopK(bs.iterator, q, kk, m,
+              ascL, probedSet, filter, shadowBc.value)
+            val over = ServingIndex.overlayTopK(os, q, kk, m, ascL,
+              probedSet, filter)
+            stored ++ over
+          },
+          parts.toIndexedSeq)
+      }
+    partials.flatten
+      .sortBy { case (id, s) => (if (ascL) s else -s, id) }
+      .take(kk)
+  }
+
   /** Battery/verify helper: a request loop over `queries`, results as a
     * DataFrame (query_id, vec_id, score) — k rows per request, built on
     * the driver (the serving pattern: each query IS an independent
@@ -396,13 +593,15 @@ final class ServingIndex private (
   def searchAllDF(spark: SparkSession, queries: Seq[(Long, Array[Float])],
       k: Int, nprobe: Int,
       filter: ServingFilter = ServingFilter.none,
-      overlay: Option[ServingOverlay] = None): DataFrame = {
+      overlay: Option[ServingOverlay] = None,
+      distOverlay: Option[DistributedServingOverlay] = None): DataFrame = {
     require(queries.size <= limits.maxBatch,
       s"query batch ${queries.size} exceeds max_query_batch ${limits.maxBatch}")
     val rows = queries.flatMap { case (qid, qv) =>
-      val hits = overlay match {
-        case Some(o) => searchWithOverlay(qv, k, nprobe, o, filter)
-        case None => search(qv, k, nprobe, filter)
+      val hits = (overlay, distOverlay) match {
+        case (_, Some(d)) => searchWithOverlay(qv, k, nprobe, d, filter)
+        case (Some(o), _) => searchWithOverlay(qv, k, nprobe, o, filter)
+        case _ => search(qv, k, nprobe, filter)
       }
       hits.map { case (id, s) => Row(qid, id, s) }
     }
@@ -657,6 +856,107 @@ object ServingIndex {
   }
 
   private[index] val noShadow: Array[Long] = Array.emptyLongArray
+
+  /** In-task overlay scan: bounded top-k over a partition's packed
+    * [[OverlayBlock]]s (cid ∈ probed), with [[passWinner]]'s predicate
+    * semantics (sample → tenant → tags, cheapest first) and
+    * [[scoreOne]]'s arithmetic (sequential double accumulation, cosine
+    * query norm hoisted). Overlay rows are never shadow-tested — the
+    * overlay IS the shadowing tier.
+    */
+  private[index] def overlayTopK(os: Array[OverlayBlock], q: Array[Float],
+      k: Int, metric: String, asc: Boolean, probed: Set[Long],
+      filter: ServingFilter): Array[(Long, Double)] = {
+    if (os.isEmpty) return Array.empty
+    val wantTenant = filter.tenant.orNull
+    val wantTags = filter.tagsAny.map(_.toArray).orNull
+    val sampleP = filter.sampleP.getOrElse(-1)
+    val nqPre = if (metric == "cosine") queryNormSq(q) else Double.NaN
+    val scores = new Array[Double](k)
+    val ids = new Array[Long](k)
+    var size = 0
+    def better(s: Double, id: Long, j: Int): Boolean = {
+      val sj = scores(j)
+      if (asc) s < sj || (s == sj && id < ids(j))
+      else s > sj || (s == sj && id < ids(j))
+    }
+    def insert(s: Double, id: Long): Unit = {
+      if (size < k || better(s, id, k - 1)) {
+        var p = if (size < k) size else k - 1
+        scores(p) = s; ids(p) = id
+        while (p > 0 && better(scores(p), ids(p), p - 1)) {
+          val ts = scores(p); val ti = ids(p)
+          scores(p) = scores(p - 1); ids(p) = ids(p - 1)
+          scores(p - 1) = ts; ids(p - 1) = ti
+          p -= 1
+        }
+        if (size < k) size += 1
+      }
+    }
+    var bi = 0
+    while (bi < os.length) {
+      val b = os(bi)
+      if (probed.contains(b.cid)) {
+        val d = b.dim
+        val n = b.ids.length
+        val v = b.vecs
+        var r = 0
+        while (r < n) {
+          var ok = true
+          if (sampleP >= 0) {
+            val m = (b.ids(r) * 2654435761L) % 100L
+            if ((if (m < 0) m + 100L else m) >= sampleP) ok = false
+          }
+          if (ok && wantTenant != null &&
+            (b.tenants == null || b.tenants(r) != wantTenant)) ok = false
+          if (ok && wantTags != null) {
+            val rowTags = if (b.tags == null) null else b.tags(r)
+            if (rowTags == null) ok = false
+            else {
+              var hit = false
+              var i = 0
+              while (!hit && i < wantTags.length) {
+                var j = 0
+                while (!hit && j < rowTags.length) {
+                  if (rowTags(j) == wantTags(i)) hit = true
+                  j += 1
+                }
+                i += 1
+              }
+              if (!hit) ok = false
+            }
+          }
+          if (ok) {
+            val off = r * d
+            var s = 0.0
+            var i = 0
+            if (metric == "l2") {
+              while (i < d) {
+                val diff = q(i).toDouble - v(off + i); s += diff * diff
+                i += 1
+              }
+            } else {
+              while (i < d) { s += q(i).toDouble * v(off + i); i += 1 }
+              if (metric == "cosine") {
+                var nv = 0.0; var j = 0
+                while (j < d) {
+                  val x = v(off + j); nv += x * x; j += 1
+                }
+                s = s / (math.sqrt(nqPre) * math.sqrt(nv))
+              }
+            }
+            insert(s, b.ids(r))
+          }
+          r += 1
+        }
+      }
+      bi += 1
+    }
+    val out = new Array[(Long, Double)](size)
+    var j = 0
+    while (j < size) { out(j) = (ids(j), scores(j)); j += 1 }
+    out
+  }
 
   /** Per-task probe scan: tight loop over a packed list, bounded top-k
     * with (score, id-asc) tie-break. Double accumulation over float reads

@@ -295,6 +295,102 @@ class ServingSpec extends SparkSpec {
     graft.segments.Segments.deleteDir(dir0)
   }
 
+  test("distributed overlay equals the driver overlay across fuzzed splits, probes and filters") {
+    // the scale path (winners co-partitioned with the lists, scanned
+    // in-task) must be value-identical to the driver-winner path on the
+    // same buffer — randomized over epoch cut, nprobe, k, and sample p
+    val dir0 = java.nio.file.Files
+      .createTempDirectory("graft-dist-overlay-fuzz-").toString
+    import graft.segments.Segments
+    val log = graft.ingest.MutationLog.deterministicLog(emb)
+    val entries = Ivf.assign(
+        log.withColumn("id_hash",
+            graft.functions.VectorFunctions.hashId(col("id")))
+          .withColumn("deleted", col("op") === "DELETE"),
+        cents, vecCol = "vec")
+      .withColumn("centroid_id", coalesce(col("centroid_id"), lit(-1L)))
+      .select("vec_id", "id_hash", "epoch", "deleted", "centroid_id", "vec")
+      .cache()
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 13 + 7)
+      val cut = 1500 + rnd.nextInt(2000)
+      val dir = s"$dir0/t$seed"
+      Segments.writeSegment(entries.filter(col("epoch") < cut), dir,
+        "delta-000", isStable = false)
+      val idx = ServingIndex.buildStored(spark, dir, cents, "ip")
+      val buffer = entries.filter(col("epoch") >= cut)
+      val driver = ServingOverlay.fromDataFrame(buffer)
+      val dist = DistributedServingOverlay.fromDataFrame(buffer, idx)
+      assert(dist.size === driver.size, s"seed=$seed winner counts differ")
+      (1 to 3).foreach { _ =>
+        val k = 3 + rnd.nextInt(12)
+        val nprobe = Seq(1 + rnd.nextInt(4), Int.MaxValue)(rnd.nextInt(2))
+        val f = ServingFilter(
+          sampleP = Seq(None, Some(30), Some(75))(rnd.nextInt(3)))
+        val (qid, qv) = queries(rnd.nextInt(queries.length))
+        val want = idx.searchWithOverlay(qv, k, nprobe, driver, f).toSeq
+        val got = idx.searchWithOverlay(qv, k, nprobe, dist, f).toSeq
+        assert(got === want, s"seed=$seed cut=$cut k=$k nprobe=$nprobe q=$qid")
+      }
+      driver.destroy(); dist.destroy(); idx.unpersist()
+    }
+    entries.unpersist()
+    graft.segments.Segments.deleteDir(dir0)
+  }
+
+  test("distributed overlay: composite filter, tenant-changing upsert, index ownership") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-dist-overlay-filter-").toString
+    try {
+      import graft.segments.Segments
+      // same trap fixture as the driver-overlay composite test: id 2's
+      // buffered version changes tenant (stored passes the filter, live
+      // must not), id 9 inserted under the wanted tenant
+      val stored = Seq(
+        (1L, 11L, 100L, false, 0L, Seq(1.0, 0.0), "t1", Seq(3L)),
+        (2L, 12L, 100L, false, 0L, Seq(0.9, 0.1), "t1", Seq(3L)),
+        (3L, 13L, 100L, false, 0L, Seq(0.8, 0.2), "t2", Seq(5L)))
+        .toDF("vec_id", "id_hash", "epoch", "deleted", "centroid_id",
+          "vec", "tenant", "tags")
+      Segments.writeSegment(stored, dir, "delta-000", isStable = false)
+      val c = Seq((0L, Seq(0.5, 0.5))).toDF("cid", "cv")
+      val all = Segments.readSegments(spark, dir)
+      val idx = ServingIndex.build(all.filter(!col("deleted")), c, "ip",
+        idCol = "vec_id", vecCol = "vec",
+        tenantCol = Some("tenant"), tagsCol = Some("tags"))
+      val buffer = Seq(
+        (2L, 12L, 200L, false, 0L, Seq(0.95, 0.0), "t2", Seq(5L)),
+        (9L, 19L, 200L, false, 0L, Seq(0.7, 0.0), "t1", Seq(3L)))
+        .toDF("vec_id", "id_hash", "epoch", "deleted", "centroid_id",
+          "vec", "tenant", "tags")
+      val dist = DistributedServingOverlay.fromDataFrame(buffer, idx,
+        tenantCol = Some("tenant"), tagsCol = Some("tags"))
+      val got = idx.searchWithOverlay(Array(1.0f, 0.0f), 10, 1, dist,
+        ServingFilter(tenant = Some("t1")))
+      assert(got.map(_._1).toSeq === Seq(1L, 9L))
+      // searchAllDF routes through the distributed path
+      val viaDf = idx.searchAllDF(spark, Seq((0L, Array(1.0f, 0.0f))), 10, 1,
+          filter = ServingFilter(tenant = Some("t1")),
+          distOverlay = Some(dist))
+        .select("vec_id").as[Long].collect().toSeq
+      assert(viaDf === Seq(1L, 9L))
+      // attribute-blind overlay rejects an attribute filter explicitly
+      val blind = DistributedServingOverlay.fromDataFrame(buffer, idx)
+      intercept[IllegalArgumentException] {
+        idx.searchWithOverlay(Array(1.0f, 0.0f), 10, 1, blind,
+          ServingFilter(tenant = Some("t1")))
+      }
+      // an overlay is bound to the index whose partitions it mirrors
+      val other = ServingIndex.build(all.filter(!col("deleted")), c, "ip",
+        idCol = "vec_id", vecCol = "vec")
+      intercept[IllegalArgumentException] {
+        other.searchWithOverlay(Array(1.0f, 0.0f), 10, 1, dist,
+          ServingFilter.none)
+      }
+      idx.unpersist(); other.unpersist(); dist.destroy(); blind.destroy()
+    } finally graft.segments.Segments.deleteDir(dir)
+  }
+
   test("overlay + filter: composite QueryRequest with read-your-writes applies the predicate to BOTH tiers") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-overlay-filter-").toString
