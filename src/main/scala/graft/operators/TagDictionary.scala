@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** S9: tag dictionary encode/decode (reference config.h:122 — ≤50k distinct
@@ -17,14 +16,30 @@ object TagDictionary {
 
   /** Build the dictionary from a document set's observed tags.
     * `tagsCol` must be array<string>. Output: (tag_name, tag_id).
+    *
+    * Rank assignment is a distributed range-partitioned sort followed by
+    * zipWithIndex — never a single-partition global window. (tag_name is
+    * unique post-aggregation, so the (n desc, tag_name asc) order is
+    * total and the ids are deterministic.) The dictionary is ≤50k rows
+    * by contract, but the build input — the exploded tag stream — is
+    * corpus-sized, and this path keeps every stage of it parallel.
     */
   def build(docs: DataFrame, tagsCol: Column): DataFrame = {
+    val spark = docs.sparkSession
     val counts = docs.select(explode(tagsCol).as("tag_name"))
       .groupBy(col("tag_name")).agg(count(lit(1)).as("n"))
-    counts.select(col("tag_name"),
-      row_number().over(
-        Window.orderBy(col("n").desc, col("tag_name").asc))
-        .cast("long").as("tag_id"))
+    val indexed = counts.orderBy(col("n").desc, col("tag_name").asc)
+      .select("tag_name").rdd
+      .zipWithIndex()
+      .map { case (r, i) =>
+        org.apache.spark.sql.Row(r.getString(0), i + 1L)
+      }
+    spark.createDataFrame(indexed,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("tag_name",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("tag_id",
+          org.apache.spark.sql.types.LongType, nullable = false))))
   }
 
   /** Encode string tags to sorted int ids (broadcast join, re-grouped by
