@@ -513,10 +513,15 @@ object Bench {
           extras("ivf_1m_query_p99_first_ms") = num(firstRawP99, 1)
         val (raw, steady, floor) = round
         // generic single-request latency section over a search thunk:
-        // 3-attempt raw + per-query-min steady distributions, stall-spike
-        // rerun (raw p99 > 5x steady p99, ≤2 extra rounds) with the first
-        // value DISCLOSED as <tag>_p99_first_ms. Every serving section
-        // below runs through this, so every section self-adjudicates.
+        // 3-attempt raw + per-query-min steady distributions, ALWAYS
+        // bracketed by dispatch-floor probes (emitted as
+        // <tag>_floor_before/after_ms), a sick-floor rerun (either
+        // bracket > 15 ms means the loop ran in a contended window — the
+        // same gate the main loop has, ≤2 extra rounds, first floor
+        // disclosed), and the stall-spike rerun (raw p99 > 5x steady
+        // p99, ≤2 extra rounds, first value disclosed as
+        // <tag>_p99_first_ms). Every serving section below runs through
+        // this, so every section self-adjudicates.
         def latencyOf(tag: String,
             run: Array[Float] => Unit): (Seq[Double], Seq[Double]) = {
           run(qRows.head) // warm, untimed
@@ -531,7 +536,21 @@ object Bench {
             (at.flatten.sorted.toSeq,
               qRows.indices.map(i => at.map(_(i)).min).sorted.toSeq)
           }
+          var floorB = floorNow()
           var r = one()
+          var floorA = floorNow()
+          val firstFloor = math.max(floorB, floorA)
+          var floorTries = 0
+          while ((floorB > 15.0 || floorA > 15.0) && floorTries < 2) {
+            System.err.println(
+              s"[bench] $tag timed under a sick dispatch floor " +
+                s"(${num(floorB, 1)}/${num(floorA, 1)} ms) — rerunning")
+            System.gc()
+            floorB = floorNow(); r = one(); floorA = floorNow()
+            floorTries += 1
+          }
+          if (floorTries > 0)
+            extras(s"${tag}_floor_first_ms") = num(firstFloor, 1)
           val first = pctl(r._1, 99)
           var spikes = 0
           while (pctl(r._1, 99) > 5.0 * math.max(1.0, pctl(r._2, 99)) &&
@@ -541,6 +560,8 @@ object Bench {
             r = one(); spikes += 1
           }
           if (spikes > 0) extras(s"${tag}_p99_first_ms") = num(first, 1)
+          extras(s"${tag}_floor_before_ms") = num(floorB, 1)
+          extras(s"${tag}_floor_after_ms") = num(floorA, 1)
           r
         }
         // filtered serving: the composite QueryRequest (tenant + tags_any
@@ -552,13 +573,11 @@ object Bench {
         val ff = graft.index.ServingFilter(tenant = Some("t1"),
           tagsAny = Some(Seq(3L, 11L)))
         System.gc()
-        extras("ivf_1m_filtered_floor_before_ms") = num(floorNow(), 1)
         val (filteredRaw, filteredSteady) =
           latencyOf("ivf_1m_filtered", qv => idx.search(qv, 10, nprobeServ, ff))
         extras("ivf_1m_filtered_p50_ms") = num(pctl(filteredRaw, 50), 1)
         extras("ivf_1m_filtered_p99_steady_ms") =
           num(pctl(filteredSteady, 99), 1)
-        extras("ivf_1m_filtered_floor_after_ms") = num(floorNow(), 1)
         // posting-prefiltered serving: ONE selective tag (vec_id % 7 == 3,
         // ~14% of rows — under the 0.2 dense threshold, so every list
         // serves it from the per-list posting union, the reference's
@@ -585,7 +604,6 @@ object Bench {
           System.gc()
           servIdx.search(qRows.head, 10, nprobeServ) // warm both paths
           ovSearch(qRows.head)
-          extras(s"${tag}_floor_before_ms") = num(floorNow(), 1)
           val nq = qRows.length
           def roundAB(): (Seq[Double], Array[Double], Array[Double]) = {
             val plainMin = Array.fill(nq)(Double.MaxValue)
@@ -609,7 +627,21 @@ object Bench {
             }
             (rawOv.result().sorted, ovMin, plainMin)
           }
+          var floorB = floorNow()
           var r = roundAB()
+          var floorA = floorNow()
+          val firstFloor = math.max(floorB, floorA)
+          var floorTries = 0
+          while ((floorB > 15.0 || floorA > 15.0) && floorTries < 2) {
+            System.err.println(
+              s"[bench] $tag timed under a sick dispatch floor " +
+                s"(${num(floorB, 1)}/${num(floorA, 1)} ms) — rerunning")
+            System.gc()
+            floorB = floorNow(); r = roundAB(); floorA = floorNow()
+            floorTries += 1
+          }
+          if (floorTries > 0)
+            extras(s"${tag}_floor_first_ms") = num(firstFloor, 1)
           val first = pctl(r._1, 99)
           var spikes = 0
           while (pctl(r._1, 99) >
@@ -629,7 +661,8 @@ object Bench {
           extras(s"${tag}_p99_steady_ms") =
             num(pctl(ovMin.toSeq.sorted, 99), 1)
           extras(s"${tag}_overhead_ms") = num(pctl(deltas, 50), 2)
-          extras(s"${tag}_floor_after_ms") = num(floorNow(), 1)
+          extras(s"${tag}_floor_before_ms") = num(floorB, 1)
+          extras(s"${tag}_floor_after_ms") = num(floorA, 1)
         }
         overlaySection("ivf_1m_overlay", idx,
           qv => idx.searchWithOverlay(qv, 10, nprobeServ, overlay),
@@ -733,7 +766,6 @@ object Bench {
         extras("ivf_10m_query_p50_ms") = num(pctl(raw10, 50), 1)
         extras("ivf_10m_query_p99_ms") = num(pctl(raw10, 99), 1)
         extras("ivf_10m_query_p99_steady_ms") = num(pctl(steady10, 99), 1)
-        extras("ivf_10m_floor_ms") = num(floorNow(), 1)
         // filtered at 10M: same composite QueryRequest as the 1M loop
         try {
           val (f10Raw, f10Steady) = latencyOf("ivf_10m_filtered",
@@ -742,7 +774,6 @@ object Bench {
           extras("ivf_10m_filtered_p99_ms") = num(pctl(f10Raw, 99), 1)
           extras("ivf_10m_filtered_p99_steady_ms") =
             num(pctl(f10Steady, 99), 1)
-          extras("ivf_10m_filtered_floor_after_ms") = num(floorNow(), 1)
         } catch { case ex: Throwable =>
           System.err.println(s"[bench] 10M filtered FAILED: ${ex.getMessage}")
         }
