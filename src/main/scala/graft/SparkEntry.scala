@@ -74,6 +74,41 @@ object SparkEntry {
       })
   }
 
+  /** Shared serving fixture for the tiered_knn_served* family: ONE
+    * assigned mutation log, ONE flushed segment tree (epoch < 2000) and
+    * ONE stored ServingIndex per sfDir — the deployment shape (an index
+    * is built once per flush generation and serves many requests), so
+    * the battery doesn't re-pay the same build per entry. Each entry
+    * still builds its OWN overlay generation from the buffered rows.
+    * The fixture is never unpersisted: it lives for the session, like
+    * [[SegTree]].
+    */
+  private object ServedFixture {
+    import graft.segments.Segments
+    private val cache = scala.collection.concurrent.TrieMap
+      .empty[String, (graft.index.ServingIndex, DataFrame)]
+    def get(s: SparkSession, dir: String):
+        (graft.index.ServingIndex, DataFrame) =
+      cache.getOrElseUpdate(dir, {
+        val e = emb(s, dir)
+        val cents = Ivf.deterministicCentroids(e, 50)
+        val rows = Ivf.assign(
+            MutationLog.deterministicLog(e)
+              .withColumn("id_hash", hashId(col("id")))
+              .withColumn("deleted", col("op") === "DELETE"),
+            cents, vecCol = "vec")
+          .withColumn("centroid_id", coalesce(col("centroid_id"), lit(-1L)))
+          .select("vec_id", "id_hash", "epoch", "deleted", "centroid_id",
+            "vec")
+          .cache()
+        val base = java.nio.file.Files
+          .createTempDirectory("graft-served-fixture-").toString
+        Segments.writeSegment(rows.filter(col("epoch") < 2000), base,
+          "delta-000", isStable = false)
+        (graft.index.ServingIndex.buildStored(s, base, cents, "ip"), rows)
+      })
+  }
+
   /** Shared verified MinHash near-dup pairs (a, b, jaccard ≥ 0.5) per
     * sfDir: five battery entries (dedup_minhash, dedup_clusters,
     * dup_source_matrix, curation_funnel, decontaminate_fuzzy) consume
@@ -399,30 +434,14 @@ object SparkEntry {
     // overlay winners join driver-side) — same live-view semantics as
     // tiered_knn, probe-all so the oracle is identical
     "tiered_knn_served" -> ((s, dir) => {
-      import graft.segments.Segments
-      val e = emb(s, dir)
-      val cents = Ivf.deterministicCentroids(e, 50)
-      val rows = Ivf.assign(
-          MutationLog.deterministicLog(e)
-            .withColumn("id_hash", hashId(col("id")))
-            .withColumn("deleted", col("op") === "DELETE"),
-          cents, vecCol = "vec")
-        .withColumn("centroid_id", coalesce(col("centroid_id"), lit(-1L)))
-        .select("vec_id", "id_hash", "epoch", "deleted", "centroid_id",
-          "vec")
-        .cache()
-      val base = java.nio.file.Files
-        .createTempDirectory("graft-tiered-served-").toString
-      Segments.writeSegment(rows.filter(col("epoch") < 2000), base,
-        "delta-000", isStable = false)
-      val idx = graft.index.ServingIndex.buildStored(s, base, cents, "ip")
+      val (idx, rows) = ServedFixture.get(s, dir)
       val overlay = graft.index.ServingOverlay.fromDataFrame(
         rows.filter(col("epoch") >= 2000))
       val reqs = q(s, dir).collect().sortBy(_.getLong(0))
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
       val out = idx.searchAllDF(s, reqs, 10, nprobe = Int.MaxValue,
         overlay = Some(overlay))
-      idx.unpersist(); overlay.destroy()
+      overlay.destroy()
       out
     }),
     // the overlay COMPOSED with probe pruning (nprobe=3): the interesting
@@ -433,30 +452,14 @@ object SparkEntry {
     // LWW + per-row centroid assignment, buffer = epoch >= 2000, probed
     // top-3 lists per query
     "tiered_knn_served_pruned" -> ((s, dir) => {
-      import graft.segments.Segments
-      val e = emb(s, dir)
-      val cents = Ivf.deterministicCentroids(e, 50)
-      val rows = Ivf.assign(
-          MutationLog.deterministicLog(e)
-            .withColumn("id_hash", hashId(col("id")))
-            .withColumn("deleted", col("op") === "DELETE"),
-          cents, vecCol = "vec")
-        .withColumn("centroid_id", coalesce(col("centroid_id"), lit(-1L)))
-        .select("vec_id", "id_hash", "epoch", "deleted", "centroid_id",
-          "vec")
-        .cache()
-      val base = java.nio.file.Files
-        .createTempDirectory("graft-tiered-served-pruned-").toString
-      Segments.writeSegment(rows.filter(col("epoch") < 2000), base,
-        "delta-000", isStable = false)
-      val idx = graft.index.ServingIndex.buildStored(s, base, cents, "ip")
+      val (idx, rows) = ServedFixture.get(s, dir)
       val overlay = graft.index.ServingOverlay.fromDataFrame(
         rows.filter(col("epoch") >= 2000))
       val reqs = q(s, dir).collect().sortBy(_.getLong(0))
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
       val out = idx.searchAllDF(s, reqs, 10, nprobe = 3,
         overlay = Some(overlay))
-      idx.unpersist(); overlay.destroy()
+      overlay.destroy()
       out
     }),
     // the DISTRIBUTED overlay (Q10 at 100x): winners co-partitioned with
@@ -464,30 +467,14 @@ object SparkEntry {
     // on the driver. Same live-view semantics, so the oracle is
     // tiered_knn_served's SQL verbatim (probe-all)
     "tiered_knn_served_dist" -> ((s, dir) => {
-      import graft.segments.Segments
-      val e = emb(s, dir)
-      val cents = Ivf.deterministicCentroids(e, 50)
-      val rows = Ivf.assign(
-          MutationLog.deterministicLog(e)
-            .withColumn("id_hash", hashId(col("id")))
-            .withColumn("deleted", col("op") === "DELETE"),
-          cents, vecCol = "vec")
-        .withColumn("centroid_id", coalesce(col("centroid_id"), lit(-1L)))
-        .select("vec_id", "id_hash", "epoch", "deleted", "centroid_id",
-          "vec")
-        .cache()
-      val base = java.nio.file.Files
-        .createTempDirectory("graft-tiered-served-dist-").toString
-      Segments.writeSegment(rows.filter(col("epoch") < 2000), base,
-        "delta-000", isStable = false)
-      val idx = graft.index.ServingIndex.buildStored(s, base, cents, "ip")
+      val (idx, rows) = ServedFixture.get(s, dir)
       val overlay = graft.index.DistributedServingOverlay.fromDataFrame(
         rows.filter(col("epoch") >= 2000), idx)
       val reqs = q(s, dir).collect().sortBy(_.getLong(0))
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
       val out = idx.searchAllDF(s, reqs, 10, nprobe = Int.MaxValue,
         distOverlay = Some(overlay))
-      idx.unpersist(); overlay.destroy()
+      overlay.destroy()
       out
     }),
     // B1 periodic rebuild: re-cluster the stored latest-live rows under a
