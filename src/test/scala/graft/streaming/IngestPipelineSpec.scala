@@ -130,4 +130,58 @@ class IngestPipelineSpec extends SparkSpec {
     assert(live.toSeq === Seq((101L, 10L), (102L, 2L), (103L, 3L)))
     Seq(src, base, ckpt).foreach(Segments.deleteDir)
   }
+
+  test("streamed ingest feeds the serving tier: stored index + in-flight overlay serve the live world (T5 x Q10)") {
+    // the full write->serve loop: wave 1 flushed BY THE STREAM, wave 2
+    // still in flight; the serving tier = stored index over the stream's
+    // segments + an overlay (driver AND distributed) over the buffer.
+    // Both must serve exactly the full-log live world; after the stream
+    // drains wave 2 and the index rebuilds, a PLAIN search serves the
+    // same world and the drained overlay generation is destroyed.
+    val src = tmp("graft-serve-src-")
+    val base = tmp("graft-serve-base-")
+    val ckpt = tmp("graft-serve-ckpt-")
+    val cents = graft.index.Ivf.deterministicCentroids(emb, 50)
+    val rows = mutationRows.cache()
+    rows.filter(col("epoch") < 2000).coalesce(1).write.mode("append")
+      .parquet(src)
+    IngestPipeline.runOnce(spark, src, base, ckpt)
+    val buffer = rows.filter(col("epoch") >= 2000)
+    val idx = graft.index.ServingIndex.buildStored(spark, base, cents, "ip")
+    val ovDriver = graft.index.ServingOverlay.fromDataFrame(buffer)
+    val ovDist =
+      graft.index.DistributedServingOverlay.fromDataFrame(buffer, idx)
+    // ground truth: LWW over the WHOLE log, live rows only, exact dot
+    val liveRows = graft.ingest.MutationLog
+      .live(graft.ingest.MutationLog.deterministicLog(emb))
+      .select("vec_id", "vec").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def expectTop(qv: Array[Float], k: Int): Seq[(Long, Double)] =
+      liveRows.map { case (id, v) =>
+        var s = 0.0; var i = 0
+        while (i < qv.length) { s += qv(i).toDouble * v(i); i += 1 }
+        (id, s)
+      }.sortBy { case (id, s) => (-s, id) }.take(k).toSeq
+    val queries = graft.operators.Knn.defaultQueries(emb)
+      .collect().take(4)
+      .map(r => r.getSeq[Float](1).toArray)
+    queries.foreach { qv =>
+      val want = expectTop(qv, 10)
+      assert(idx.searchWithOverlay(qv, 10, Int.MaxValue, ovDriver).toSeq
+        === want)
+      assert(idx.searchWithOverlay(qv, 10, Int.MaxValue, ovDist,
+        graft.index.ServingFilter.none).toSeq === want)
+    }
+    // flush: the stream drains wave 2; rebuild; plain search = same world
+    rows.filter(col("epoch") >= 2000).coalesce(1).write.mode("append")
+      .parquet(src)
+    IngestPipeline.runOnce(spark, src, base, ckpt)
+    ovDriver.destroy(); ovDist.destroy(); idx.unpersist()
+    val idx2 = graft.index.ServingIndex.buildStored(spark, base, cents, "ip")
+    queries.foreach { qv =>
+      assert(idx2.search(qv, 10, Int.MaxValue).toSeq === expectTop(qv, 10))
+    }
+    idx2.unpersist()
+    Seq(src, base, ckpt).foreach(Segments.deleteDir)
+  }
 }
