@@ -285,10 +285,21 @@ object DistributedServingOverlay {
     * Only the shadowed-id ARRAY ever reaches the driver (8 B/id, the
     * same array the driver overlay broadcasts).
     */
+  /** Shadow-set bound: the one driver-resident structure this overlay
+    * keeps is the sorted shadowed-id array (8 B/id broadcast once per
+    * generation) — 100M buffered ids ≈ 800 MB, the practical broadcast
+    * envelope. Past the bound the build throws
+    * [[OverlayCapacityExceeded]]: the ingest layer must force a flush,
+    * the same bounded-buffer contract the reference enforces
+    * (types.h:130) and the capped driver overlay signals at 2M rows.
+    */
+  val defaultMaxShadowRows: Long = 100000000L
+
   def fromDataFrame(buffer: DataFrame, index: ServingIndex,
       idCol: String = "vec_id", vecCol: String = "vec",
       tenantCol: Option[String] = None,
-      tagsCol: Option[String] = None): DistributedServingOverlay = {
+      tagsCol: Option[String] = None,
+      maxShadowRows: Long = defaultMaxShadowRows): DistributedServingOverlay = {
     val hasTenant = tenantCol.isDefined
     val hasTags = tagsCol.isDefined
     val cols = Seq(col(idCol).cast("long"), col("epoch").cast("long"),
@@ -324,7 +335,15 @@ object DistributedServingOverlay {
       }
     }.persist(StorageLevel.MEMORY_AND_DISK)
     // global shadow set: every buffered id (live OR tombstoned) masks
-    // its stored versions store-wide
+    // its stored versions store-wide. Bounded: past maxShadowRows the
+    // generation refuses to build (force-flush signal) instead of
+    // collecting an arbitrarily large driver array.
+    val nShadow = winners.count()
+    if (nShadow > maxShadowRows) {
+      winners.unpersist(blocking = false)
+      throw new OverlayCapacityExceeded(
+        math.min(maxShadowRows, Int.MaxValue.toLong).toInt)
+    }
     val shadow = winners.keys.collect()
     java.util.Arrays.sort(shadow)
     val cidToPart = index.cidToPart

@@ -108,6 +108,87 @@ object Wal {
   def replayRecords(path: String): Seq[WalRecord] =
     replayBinary(path).map { case (_, p) => WalRecordFb.decode(p) }
 
+  // ---- rotation (reference cadence: rotate at 3 GiB,
+  // configs/woved-default.yaml:50, config.h:50) ------------------------
+
+  /** Reference rotation threshold: 3 GiB. */
+  val defaultRotateBytes: Long = 3L * 1024 * 1024 * 1024
+
+  private def segName(n: Int): String = f"wal-$n%05d.log"
+
+  /** Sorted WAL segment files of a log directory. */
+  def segments(dir: String): Seq[File] = {
+    val d = new File(dir)
+    if (!d.exists()) Seq.empty
+    else d.listFiles((_, name) => name.matches("wal-\\d{5}\\.log"))
+      .sortBy(_.getName).toSeq
+  }
+
+  /** Append to a ROTATING log: frames go to the highest-numbered
+    * `wal-NNNNN.log`; when the current segment would exceed
+    * `rotateBytes` a new segment starts (the reference's 3 GiB rotate
+    * cadence). A group-commit batch is never split across segments —
+    * rotation happens between batches, so each segment is independently
+    * replayable and old segments can be reclaimed wholesale once their
+    * epochs are flushed (the reason the reference rotates at all).
+    */
+  def appendBinaryRotating(dir: String, records: Seq[(Long, Array[Byte])],
+      rotateBytes: Long = defaultRotateBytes): Unit = {
+    val d = new File(dir)
+    if (!d.exists()) d.mkdirs()
+    val segs = segments(dir)
+    val cur = segs.lastOption.getOrElse(new File(d, segName(0)))
+    val target =
+      if (cur.exists() && cur.length() >= rotateBytes) {
+        // next number = last + 1 (NOT the count: reclamation deletes
+        // old segments, so count and numbering diverge)
+        val n = cur.getName.substring(4, 9).toInt + 1
+        new File(d, segName(n))
+      } else cur
+    appendBinary(target.getPath, records)
+  }
+
+  /** Replay a rotated log directory in segment order. Torn/corrupt
+    * frames are tolerated ONLY in the final segment (the crash tail —
+    * same contract as single-file replay); a short or corrupt NON-final
+    * segment means real damage, not a crash, and raises instead of
+    * silently dropping the segments after it.
+    */
+  def replayBinaryRotated(dir: String): Seq[(Long, Array[Byte])] = {
+    val segs = segments(dir)
+    val out = Seq.newBuilder[(Long, Array[Byte])]
+    segs.zipWithIndex.foreach { case (f, i) =>
+      val frames = replayBinary(f.getPath)
+      if (i < segs.length - 1) {
+        // a non-final segment must replay to its exact byte length —
+        // every frame intact (4+4+8 header + payload per frame)
+        val framedBytes = frames.map(16L + _._2.length).sum
+        require(framedBytes == f.length(),
+          s"WAL segment ${f.getName} is damaged mid-log " +
+            s"(replayable $framedBytes of ${f.length()} bytes); " +
+            "refusing to silently drop later segments")
+      }
+      out ++= frames
+    }
+    out.result()
+  }
+
+  /** Drop rotated segments whose every epoch is ≤ `flushedEpoch` —
+    * reclamation after a flush makes them redundant. The active (last)
+    * segment is never reclaimed. Returns the deleted files' names.
+    */
+  def reclaim(dir: String, flushedEpoch: Long): Seq[String] = {
+    val segs = segments(dir)
+    if (segs.length <= 1) return Seq.empty
+    segs.dropRight(1).flatMap { f =>
+      val frames = replayBinary(f.getPath)
+      if (frames.nonEmpty && frames.forall(_._1 <= flushedEpoch)) {
+        f.delete()
+        Some(f.getName)
+      } else None
+    }
+  }
+
   /** Replayed WAL as a DataFrame of (epoch, payload). */
   def replayDf(spark: SparkSession, path: String): DataFrame = {
     val rows = replay(path).map { case (e, p) => Row(e, p) }

@@ -387,6 +387,11 @@ class ServingSpec extends SparkSpec {
         other.searchWithOverlay(Array(1.0f, 0.0f), 10, 1, dist,
           ServingFilter.none)
       }
+      // the shadow bound is a force-flush signal, not a silent truncation
+      intercept[OverlayCapacityExceeded] {
+        DistributedServingOverlay.fromDataFrame(buffer, idx,
+          maxShadowRows = 1L)
+      }
       idx.unpersist(); other.unpersist(); dist.destroy(); blind.destroy()
     } finally graft.segments.Segments.deleteDir(dir)
   }

@@ -56,6 +56,66 @@ class WalSpec extends AnyFunSuite {
     assert(Wal.replay("/tmp/does-not-exist-graft.wal") === Seq.empty)
   }
 
+  private val binRecords =
+    (1L to 100L).map(e => (e, s"""{"op":"INSERT","id":$e}""".getBytes("UTF-8")))
+  private def sameFrames(a: Seq[(Long, Array[Byte])],
+      b: Seq[(Long, Array[Byte])]): Boolean =
+    a.length == b.length && a.zip(b).forall { case ((e1, p1), (e2, p2)) =>
+      e1 == e2 && java.util.Arrays.equals(p1, p2)
+    }
+
+  test("rotation: segments roll at the size threshold, replay spans them in order (yaml rotate cadence)") {
+    val dir = Files.createTempDirectory("graft-wal-rot-").toString
+    // tiny threshold so every batch after the first rolls a new segment;
+    // a batch never splits across segments
+    binRecords.grouped(10).foreach(b =>
+      Wal.appendBinaryRotating(dir, b.toSeq, rotateBytes = 200L))
+    val segs = Wal.segments(dir)
+    assert(segs.length > 1, "threshold should have forced rotation")
+    assert(segs.map(_.getName) === segs.map(_.getName).sorted)
+    assert(sameFrames(Wal.replayBinaryRotated(dir), binRecords))
+  }
+
+  test("rotation: torn tail tolerated in the FINAL segment only; damaged middle segment raises") {
+    val dir = Files.createTempDirectory("graft-wal-rot-torn-").toString
+    binRecords.grouped(25).foreach(b =>
+      Wal.appendBinaryRotating(dir, b.toSeq, rotateBytes = 100L))
+    val segs = Wal.segments(dir)
+    assert(segs.length >= 3)
+    // crash tail: truncate the LAST segment mid-frame → clean recovery
+    val last = new RandomAccessFile(segs.last.getPath, "rw")
+    last.setLength(last.length() - 5)
+    last.close()
+    assert(sameFrames(Wal.replayBinaryRotated(dir),
+      binRecords.dropRight(1)))
+    // real damage: truncate a MIDDLE segment → refuse, don't silently
+    // drop the segments after it
+    val mid = new RandomAccessFile(segs.head.getPath, "rw")
+    mid.setLength(mid.length() - 5)
+    mid.close()
+    intercept[IllegalArgumentException] {
+      Wal.replayBinaryRotated(dir)
+    }
+  }
+
+  test("rotation: reclaim drops only fully-flushed non-final segments") {
+    val dir = Files.createTempDirectory("graft-wal-reclaim-").toString
+    binRecords.grouped(25).foreach(b =>
+      Wal.appendBinaryRotating(dir, b.toSeq, rotateBytes = 100L))
+    val before = Wal.segments(dir).length
+    assert(before === 4)
+    // epochs 1..25 in seg 0, 26..50 in seg 1, ... reclaim through 50
+    val dropped = Wal.reclaim(dir, flushedEpoch = 50L)
+    assert(dropped === Seq("wal-00000.log", "wal-00001.log"))
+    // the remaining log still replays the unflushed suffix intact
+    assert(sameFrames(Wal.replayBinaryRotated(dir), binRecords.drop(50)))
+    // nothing else is reclaimable below epoch 51; the active segment
+    // survives even when fully flushed
+    assert(Wal.reclaim(dir, flushedEpoch = 50L) === Seq.empty)
+    assert(Wal.reclaim(dir, flushedEpoch = 1000L) === Seq("wal-00002.log"))
+    assert(Wal.segments(dir).map(_.getName) === Seq("wal-00003.log"))
+  }
+
   private def sampleRecord(e: Long) = WalRecord(
     op = (e % 3).toByte,
     id = f"0190-$e%04d-uuid",
