@@ -745,10 +745,14 @@ object Bench {
         // 10M probe composes with filters and an overlay — the two
         // compositions that regressed at 1M in the r4 driver run must be
         // proven invariant at 10x, not just the plain probe
+        // cached: consumed twice (index build + the overlay's 1% sample)
+        // — uncached, the overlay build would replay the whole 10M-row
+        // explode+assign lineage for a 100k-row fetch
         val assigned10 = Ivf.assign(big10, servCents)
           .withColumn("tenant", concat(lit("t"), col("vec_id") % 3))
           .withColumn("tags", array((col("vec_id") % 7).cast("long"),
             lit(10L) + (col("vec_id") % 5).cast("long")))
+          .cache()
         val t10 = System.nanoTime()
         val idx10 = graft.index.ServingIndex.build(
           assigned10, servCents, "ip",
@@ -792,6 +796,7 @@ object Bench {
         } catch { case ex: Throwable =>
           System.err.println(s"[bench] 10M overlay FAILED: ${ex.getMessage}")
         }
+        assigned10.unpersist()
         idx10.unpersist()
         val r = (nQs / exactSec, nBig / assignSec, nQs / ivfSec,
           pctl(raw, 50), pctl(raw, 99), pctl(steady, 50), pctl(steady, 99),

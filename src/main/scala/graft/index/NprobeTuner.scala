@@ -124,12 +124,17 @@ final class AdaptiveServingIndex(idx: ServingIndex, lo: Int, hi: Int,
 
   def currentNprobe: Int = ctl.current
 
-  def search(q: Array[Float], k: Int,
-      filter: ServingFilter = ServingFilter.none): Array[(Long, Double)] = {
-    val res = idx.search(q, k, ctl.current, filter)
+  /** One controlled request: issue at the tuned nprobe, and every
+    * `sampleEvery`-th request re-issue THROUGH THE SAME `run` at the
+    * band ceiling to feed the controller — all request variants (plain,
+    * filtered, either overlay form) share this one feedback block.
+    */
+  private def serveAndSample(
+      run: Int => Array[(Long, Double)]): Array[(Long, Double)] = {
+    val res = run(ctl.current)
     reqs += 1
     if (reqs % sampleEvery == 0) {
-      val ref = idx.search(q, k, hi, filter)
+      val ref = run(hi)
       if (ref.nonEmpty) {
         val got = res.iterator.map(_._1).toSet
         ctl.observe(ref.count(r => got(r._1)).toDouble / ref.length)
@@ -137,6 +142,10 @@ final class AdaptiveServingIndex(idx: ServingIndex, lo: Int, hi: Int,
     }
     res
   }
+
+  def search(q: Array[Float], k: Int,
+      filter: ServingFilter = ServingFilter.none): Array[(Long, Double)] =
+    serveAndSample(np => idx.search(q, k, np, filter))
 
   /** Tiered request under the controller: the live serving loop composes
     * runtime nprobe tuning with the read-your-writes overlay (and any
@@ -146,32 +155,12 @@ final class AdaptiveServingIndex(idx: ServingIndex, lo: Int, hi: Int,
     * true neighbors.
     */
   def searchWithOverlay(q: Array[Float], k: Int, overlay: ServingOverlay,
-      filter: ServingFilter = ServingFilter.none): Array[(Long, Double)] = {
-    val res = idx.searchWithOverlay(q, k, ctl.current, overlay, filter)
-    reqs += 1
-    if (reqs % sampleEvery == 0) {
-      val ref = idx.searchWithOverlay(q, k, hi, overlay, filter)
-      if (ref.nonEmpty) {
-        val got = res.iterator.map(_._1).toSet
-        ctl.observe(ref.count(r => got(r._1)).toDouble / ref.length)
-      }
-    }
-    res
-  }
+      filter: ServingFilter = ServingFilter.none): Array[(Long, Double)] =
+    serveAndSample(np => idx.searchWithOverlay(q, k, np, overlay, filter))
 
   /** Same, over the distributed overlay. */
   def searchWithOverlay(q: Array[Float], k: Int,
       overlay: DistributedServingOverlay,
-      filter: ServingFilter): Array[(Long, Double)] = {
-    val res = idx.searchWithOverlay(q, k, ctl.current, overlay, filter)
-    reqs += 1
-    if (reqs % sampleEvery == 0) {
-      val ref = idx.searchWithOverlay(q, k, hi, overlay, filter)
-      if (ref.nonEmpty) {
-        val got = res.iterator.map(_._1).toSet
-        ctl.observe(ref.count(r => got(r._1)).toDouble / ref.length)
-      }
-    }
-    res
-  }
+      filter: ServingFilter): Array[(Long, Double)] =
+    serveAndSample(np => idx.searchWithOverlay(q, k, np, overlay, filter))
 }

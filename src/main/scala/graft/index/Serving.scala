@@ -147,11 +147,72 @@ final class ServingOverlay private (
 }
 
 object ServingOverlay {
-  /** Buffer cap in winner rows (≈ the reference's 16 GiB buffer cap,
-    * types.h:130, at 1024-dim double vectors: 2M × 8 KiB = 16 GiB).
-    * Yaml-tunable in the reference, a parameter here.
+  /** Buffer cap in BUFFERED VERSIONS (≈ the reference's 16 GiB
+    * in-memory buffer cap, types.h:130 — the buffer holds every
+    * un-flushed mutation, not just the winners; at 1024-dim double
+    * vectors: 2M × 8 KiB = 16 GiB). Yaml-tunable in the reference, a
+    * parameter here. (The distributed overlay bounds a different
+    * structure — its driver-resident shadow-id broadcast — with
+    * [[DistributedServingOverlay.defaultMaxShadowRows]].)
     */
   val defaultMaxRows: Int = 2000000
+
+  private def lexD(a: Array[Double], b: Array[Double]): Int = {
+    if (a == null || b == null)
+      return java.lang.Boolean.compare(a != null, b != null)
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val c = java.lang.Double.compare(a(i), b(i))
+      if (c != 0) return c
+      i += 1
+    }
+    Integer.compare(a.length, b.length)
+  }
+
+  private def lexL(a: Array[Long], b: Array[Long]): Int = {
+    if (a == null || b == null)
+      return java.lang.Boolean.compare(a != null, b != null)
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val c = java.lang.Long.compare(a(i), b(i))
+      if (c != 0) return c
+      i += 1
+    }
+    Integer.compare(a.length, b.length)
+  }
+
+  /** Total winner order shared by the driver and distributed overlays:
+    * epoch, then live-over-deleted, then vector content (lexicographic
+    * — a CONTENT compare, not a hash, so there is no collision case),
+    * then centroid, tenant, tags. Total up to full row equality, which
+    * makes the LWW reduction commutative and associative — both
+    * overlay forms pick the same winner under ANY merge order, and the
+    * pick is reproducible run-to-run. Epoch ties cannot occur under
+    * the ingest contract (group-commit epochs are unique per id); this
+    * order is the deterministic safety net when they do anyway.
+    */
+  private[index] def winnerCompare(
+      aEpoch: Long, aDel: Boolean, aCid: Long, aVec: Array[Double],
+      aTen: String, aTags: Array[Long],
+      bEpoch: Long, bDel: Boolean, bCid: Long, bVec: Array[Double],
+      bTen: String, bTags: Array[Long]): Int = {
+    val c0 = java.lang.Long.compare(aEpoch, bEpoch)
+    if (c0 != 0) return c0
+    val c1 = java.lang.Boolean.compare(!aDel, !bDel)
+    if (c1 != 0) return c1
+    val c2 = lexD(aVec, bVec)
+    if (c2 != 0) return c2
+    val c3 = java.lang.Long.compare(aCid, bCid)
+    if (c3 != 0) return c3
+    val c4 =
+      if (aTen == null || bTen == null)
+        java.lang.Boolean.compare(aTen != null, bTen != null)
+      else aTen.compareTo(bTen)
+    if (c4 != 0) return c4
+    lexL(aTags, bTags)
+  }
 
   /** Build from buffered mutation rows
     * (cols: idCol, epoch, deleted, centroid_id, vecCol [, tenantCol,
@@ -193,12 +254,15 @@ object ServingOverlay {
     val winners = byId.valuesIterator
       // LWW within the buffer. Epochs are unique per id by the ingest
       // contract (group-commit epochs); if a tie ever occurs anyway, the
-      // break is DETERMINISTIC (live over deleted, then vector content
-      // hash) so the overlay never diverges run-to-run — the batch path
+      // break is the TOTAL content order shared with the distributed
+      // overlay ([[winnerCompare]]) so the two forms pick the same
+      // winner and never diverge run-to-run — the batch path
       // (Lww.latestBy) keeps all max-epoch rows, which a single-winner
       // overlay cannot represent, so determinism is the contract here.
-      .map(_.maxBy(r => (r._2, !r._3,
-        if (r._5 == null) 0 else java.util.Arrays.hashCode(r._5))))
+      .map(_.reduce { (a, b) =>
+        if (winnerCompare(a._2, a._3, a._4, a._5, a._6, a._7,
+            b._2, b._3, b._4, b._5, b._6, b._7) >= 0) a else b
+      })
       .collect { case (id, _, deleted, cid, vec, ten, tg)
         if !deleted && vec != null => OverlayWinner(id, cid, vec, ten, tg)
       }
@@ -321,18 +385,13 @@ object DistributedServingOverlay {
             r.getSeq[Long](tagsIdx).toArray
           else null))
       }
-    // LWW winner per id — the distributed twin of the driver overlay's
-    // maxBy((epoch, !deleted, contentHash)): associative, commutative,
-    // deterministic for distinct keys
+    // LWW winner per id — the SAME total content order as the driver
+    // overlay ([[ServingOverlay.winnerCompare]]): total up to full row
+    // equality, hence commutative/associative under any reduceByKey
+    // merge order, and both overlay forms pick the same winner
     val winners = versions.reduceByKey { (a, b) =>
-      val c = java.lang.Long.compare(a._1, b._1)
-      if (c != 0) { if (c > 0) a else b }
-      else if (!a._2 != !b._2) { if (!a._2) a else b }
-      else {
-        val ha = if (a._4 == null) 0 else java.util.Arrays.hashCode(a._4)
-        val hb = if (b._4 == null) 0 else java.util.Arrays.hashCode(b._4)
-        if (ha >= hb) a else b
-      }
+      if (ServingOverlay.winnerCompare(a._1, a._2, a._3, a._4, a._5, a._6,
+          b._1, b._2, b._3, b._4, b._5, b._6) >= 0) a else b
     }.persist(StorageLevel.MEMORY_AND_DISK)
     // global shadow set: every buffered id (live OR tombstoned) masks
     // its stored versions store-wide. Bounded: past maxShadowRows the
@@ -725,8 +784,11 @@ object ServingIndex {
             if (isDouble) r.getSeq[Double](2).toArray
             else r.getSeq[Float](2).toArray
           (p, (cid, r.getLong(1), vec,
-            if (hasTenant) r.getString(tenantIdx) else null,
-            if (hasTags) r.getSeq[Long](tagsIdx).toArray else null))
+            if (hasTenant && !r.isNullAt(tenantIdx)) r.getString(tenantIdx)
+            else null,
+            if (hasTags && !r.isNullAt(tagsIdx))
+              r.getSeq[Long](tagsIdx).toArray
+            else null))
         }
       }
     val blocks = keyed
@@ -876,25 +938,19 @@ object ServingIndex {
 
   private[index] val noShadow: Array[Long] = Array.emptyLongArray
 
-  /** In-task overlay scan: bounded top-k over a partition's packed
-    * [[OverlayBlock]]s (cid ∈ probed), with [[passWinner]]'s predicate
-    * semantics (sample → tenant → tags, cheapest first) and
-    * [[scoreOne]]'s arithmetic (sequential double accumulation, cosine
-    * query norm hoisted). Overlay rows are never shadow-tested — the
-    * overlay IS the shadowing tier.
+  /** Bounded best-first top-k with (score, id-asc) tie-break — the ONE
+    * insertion kernel behind both the stored-list scan ([[scanTopK]])
+    * and the overlay scan ([[overlayTopK]]), so the rank/tie contract
+    * the oracle equivalence depends on has a single definition. Arrays
+    * stay sorted best-first; k is small (reference max_k 100,
+    * config.h:180), so insertion beats a heap and allocates nothing
+    * per candidate.
     */
-  private[index] def overlayTopK(os: Array[OverlayBlock], q: Array[Float],
-      k: Int, metric: String, asc: Boolean, probed: Set[Long],
-      filter: ServingFilter): Array[(Long, Double)] = {
-    if (os.isEmpty) return Array.empty
-    val wantTenant = filter.tenant.orNull
-    val wantTags = filter.tagsAny.map(_.toArray).orNull
-    val sampleP = filter.sampleP.getOrElse(-1)
-    val nqPre = if (metric == "cosine") queryNormSq(q) else Double.NaN
-    val scores = new Array[Double](k)
-    val ids = new Array[Long](k)
-    var size = 0
-    def better(s: Double, id: Long, j: Int): Boolean = {
+  private[index] final class BoundedTopK(k: Int, asc: Boolean) {
+    private val scores = new Array[Double](k)
+    private val ids = new Array[Long](k)
+    private var size = 0
+    private def better(s: Double, id: Long, j: Int): Boolean = {
       val sj = scores(j)
       if (asc) s < sj || (s == sj && id < ids(j))
       else s > sj || (s == sj && id < ids(j))
@@ -912,6 +968,30 @@ object ServingIndex {
         if (size < k) size += 1
       }
     }
+    def result(): Array[(Long, Double)] = {
+      val out = new Array[(Long, Double)](size)
+      var j = 0
+      while (j < size) { out(j) = (ids(j), scores(j)); j += 1 }
+      out
+    }
+  }
+
+  /** In-task overlay scan: bounded top-k over a partition's packed
+    * [[OverlayBlock]]s (cid ∈ probed), with [[passWinner]]'s predicate
+    * semantics (sample → tenant → tags, cheapest first) and
+    * [[scoreOne]]'s arithmetic (sequential double accumulation, cosine
+    * query norm hoisted). Overlay rows are never shadow-tested — the
+    * overlay IS the shadowing tier.
+    */
+  private[index] def overlayTopK(os: Array[OverlayBlock], q: Array[Float],
+      k: Int, metric: String, asc: Boolean, probed: Set[Long],
+      filter: ServingFilter): Array[(Long, Double)] = {
+    if (os.isEmpty) return Array.empty
+    val wantTenant = filter.tenant.orNull
+    val wantTags = filter.tagsAny.map(_.toArray).orNull
+    val sampleP = filter.sampleP.getOrElse(-1)
+    val nqPre = if (metric == "cosine") queryNormSq(q) else Double.NaN
+    val topk = new BoundedTopK(k, asc)
     var bi = 0
     while (bi < os.length) {
       val b = os(bi)
@@ -964,17 +1044,14 @@ object ServingIndex {
                 s = s / (math.sqrt(nqPre) * math.sqrt(nv))
               }
             }
-            insert(s, b.ids(r))
+            topk.insert(s, b.ids(r))
           }
           r += 1
         }
       }
       bi += 1
     }
-    val out = new Array[(Long, Double)](size)
-    var j = 0
-    while (j < size) { out(j) = (ids(j), scores(j)); j += 1 }
-    out
+    topk.result()
   }
 
   /** Per-task probe scan: tight loop over a packed list, bounded top-k
@@ -1002,39 +1079,7 @@ object ServingIndex {
     val wantTags = filter.tagsAny.map(_.toArray).orNull
     val sampleP = filter.sampleP.getOrElse(-1)
     val nqPre = if (metric == "cosine") queryNormSq(q) else Double.NaN
-    // insertion top-k: k is small (reference max_k 100, config.h:180);
-    // arrays, no allocation per candidate
-    val scores = new Array[Double](k)
-    val ids = new Array[Long](k)
-    var size = 0
-    def better(s: Double, id: Long, j: Int): Boolean = {
-      val sj = scores(j)
-      if (asc) s < sj || (s == sj && id < ids(j))
-      else s > sj || (s == sj && id < ids(j))
-    }
-    def insert(s: Double, id: Long): Unit = {
-      if (size < k) {
-        // append then sift up (arrays stay sorted best-first)
-        var p = size
-        scores(p) = s; ids(p) = id
-        while (p > 0 && better(scores(p), ids(p), p - 1)) {
-          val ts = scores(p); val ti = ids(p)
-          scores(p) = scores(p - 1); ids(p) = ids(p - 1)
-          scores(p - 1) = ts; ids(p - 1) = ti
-          p -= 1
-        }
-        size += 1
-      } else if (better(s, id, k - 1)) {
-        var p = k - 1
-        scores(p) = s; ids(p) = id
-        while (p > 0 && better(scores(p), ids(p), p - 1)) {
-          val ts = scores(p); val ti = ids(p)
-          scores(p) = scores(p - 1); ids(p) = ids(p - 1)
-          scores(p - 1) = ts; ids(p - 1) = ti
-          p -= 1
-        }
-      }
-    }
+    val topk = new BoundedTopK(k, asc)
     // per-row predicate, cheapest test first — a rejected row never pays
     // a dot product. Sample arithmetic = Knn.sampleFilter's
     // pmod(vec_id · 2654435761, 100) < p, wrap-and-positive-mod exactly.
@@ -1113,7 +1158,7 @@ object ServingIndex {
               s = s / (math.sqrt(nqPre) * math.sqrt(nv))
             }
           }
-          insert(s, b.ids(r))
+          topk.insert(s, b.ids(r))
         }
         // sparse posting path: every wanted tag was posted at build time
         // (below the dense threshold) — walk the sorted posting union;
@@ -1163,9 +1208,6 @@ object ServingIndex {
         }
       }
     }
-    val out = new Array[(Long, Double)](size)
-    var j = 0
-    while (j < size) { out(j) = (ids(j), scores(j)); j += 1 }
-    out
+    topk.result()
   }
 }

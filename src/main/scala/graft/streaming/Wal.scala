@@ -114,14 +114,20 @@ object Wal {
   /** Reference rotation threshold: 3 GiB. */
   val defaultRotateBytes: Long = 3L * 1024 * 1024 * 1024
 
-  private def segName(n: Int): String = f"wal-$n%05d.log"
+  private def segName(n: Long): String = f"wal-$n%05d.log"
 
-  /** Sorted WAL segment files of a log directory. */
+  private def segNumber(name: String): Long =
+    name.stripPrefix("wal-").stripSuffix(".log").toLong
+
+  /** WAL segment files of a log directory in NUMERIC order (names are
+    * zero-padded to 5 digits but may grow wider — past wal-99999 an
+    * alphabetical sort would order 100000 before 99999).
+    */
   def segments(dir: String): Seq[File] = {
     val d = new File(dir)
     if (!d.exists()) Seq.empty
-    else d.listFiles((_, name) => name.matches("wal-\\d{5}\\.log"))
-      .sortBy(_.getName).toSeq
+    else d.listFiles((_, name) => name.matches("wal-\\d{5,}\\.log"))
+      .sortBy(f => segNumber(f.getName)).toSeq
   }
 
   /** Append to a ROTATING log: frames go to the highest-numbered
@@ -142,8 +148,7 @@ object Wal {
       if (cur.exists() && cur.length() >= rotateBytes) {
         // next number = last + 1 (NOT the count: reclamation deletes
         // old segments, so count and numbering diverge)
-        val n = cur.getName.substring(4, 9).toInt + 1
-        new File(d, segName(n))
+        new File(d, segName(segNumber(cur.getName) + 1))
       } else cur
     appendBinary(target.getPath, records)
   }
@@ -173,16 +178,58 @@ object Wal {
     out.result()
   }
 
+  /** Header-only segment scan: walks `[len][crc][epoch]` headers and
+    * SKIPS payloads, so inspecting a 3 GiB segment costs O(frames)
+    * 16-byte reads, not a 3 GiB materialization. Returns
+    * (frameCount, maxEpoch, cleanToEnd) — CRCs are not verified here
+    * (replay still verifies them); `cleanToEnd` means every frame's
+    * bytes are present through the file's full length.
+    */
+  private def epochScan(f: File): (Long, Long, Boolean) = {
+    val in = new DataInputStream(
+      new java.io.BufferedInputStream(new FileInputStream(f)))
+    var n = 0L
+    var maxEpoch = Long.MinValue
+    var read = 0L
+    val total = f.length()
+    var ok = true
+    try {
+      while (ok && read < total) {
+        try {
+          val len = in.readInt()
+          if (len < 0 || len > (1 << 26)) ok = false
+          else {
+            in.readInt() // crc — not verified on this path
+            val epoch = in.readLong()
+            var toSkip = len
+            while (toSkip > 0) {
+              val s = in.skipBytes(toSkip)
+              if (s <= 0) throw new EOFException()
+              toSkip -= s
+            }
+            n += 1
+            if (epoch > maxEpoch) maxEpoch = epoch
+            read += 16L + len
+          }
+        } catch { case _: EOFException => ok = false }
+      }
+    } finally in.close()
+    (n, maxEpoch, ok && read == total)
+  }
+
   /** Drop rotated segments whose every epoch is ≤ `flushedEpoch` —
     * reclamation after a flush makes them redundant. The active (last)
-    * segment is never reclaimed. Returns the deleted files' names.
+    * segment is never reclaimed, and neither is a segment that does not
+    * parse cleanly to its end (damage is for recovery to surface, not
+    * reclamation to bury). O(frames) per segment — payloads are
+    * skipped, never loaded.
     */
   def reclaim(dir: String, flushedEpoch: Long): Seq[String] = {
     val segs = segments(dir)
     if (segs.length <= 1) return Seq.empty
     segs.dropRight(1).flatMap { f =>
-      val frames = replayBinary(f.getPath)
-      if (frames.nonEmpty && frames.forall(_._1 <= flushedEpoch)) {
+      val (n, maxEpoch, clean) = epochScan(f)
+      if (clean && n > 0 && maxEpoch <= flushedEpoch) {
         f.delete()
         Some(f.getName)
       } else None
