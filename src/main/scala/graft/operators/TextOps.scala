@@ -300,9 +300,12 @@ object TextOps {
   def balancedMix(docs: DataFrame): DataFrame = {
     val counts = docs.groupBy(col("source"))
       .agg(count(lit(1)).as("__n"))
-    val minN = min(col("__n")).over(
-      org.apache.spark.sql.expressions.Window.partitionBy())
-    val withMin = counts.withColumn("__min", minN)
+    // global min via a 1-row aggregate cross-joined back — counts is
+    // n_sources rows, so this stays a broadcast; an empty-partition
+    // window would compute the same value through a single-partition
+    // WindowExec (and warn about it on every run)
+    val withMin = counts.crossJoin(
+      broadcast(counts.agg(min(col("__n")).as("__min"))))
     val h = graft.functions.expr.SketchExpressions.md5Hash28(col("text"))
     docs.join(broadcast(withMin), Seq("source"))
       .filter(h * col("__n") < col("__min") * lit(1L << 28))
@@ -327,9 +330,9 @@ object TextOps {
   def temperatureMix(docs: DataFrame): DataFrame = {
     val counts = docs.groupBy(col("source"))
       .agg(count(lit(1)).as("__n"))
-    val minN = min(col("__n")).over(
-      org.apache.spark.sql.expressions.Window.partitionBy())
-    val withMin = counts.withColumn("__min", minN)
+    // same broadcast global-min shape as [[balancedMix]] — no window
+    val withMin = counts.crossJoin(
+      broadcast(counts.agg(min(col("__n")).as("__min"))))
     val h = graft.functions.expr.SketchExpressions.md5Hash28(col("text"))
     val keepRate = sqrt(col("__min").cast("double") / col("__n"))
     docs.join(broadcast(withMin), Seq("source"))
