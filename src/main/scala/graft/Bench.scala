@@ -592,6 +592,24 @@ object Bench {
         extras("ivf_1m_posting_p99_ms") = num(pctl(postingRaw, 99), 1)
         extras("ivf_1m_posting_p99_steady_ms") =
           num(pctl(postingSteady, 99), 1)
+        // Q12 batch serving: the whole battery as ONE probe job —
+        // dispatch paid once for the batch, each probed list read once
+        // for every query probing it. The qps delta vs the per-request
+        // loop (ivf_1m_query_p50 × batch) is the dispatch share.
+        try {
+          val batchReqs = qRows.zipWithIndex
+            .map { case (qv, i) => (i.toLong, qv) }.toSeq
+          idx.searchBatch(batchReqs.take(8), 10, nprobeServ) // warm
+          val bt = (0 until 3).map { _ =>
+            val t0 = System.nanoTime()
+            idx.searchBatch(batchReqs, 10, nprobeServ)
+            (System.nanoTime() - t0) / 1e9
+          }.min
+          extras("ivf_1m_batch_sec") = num(bt, 3)
+          extras("ivf_1m_batch_qps") = num(qRows.length / bt, 1)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] batch serving FAILED: ${e.getMessage}")
+        }
         // read-your-writes overlay, INTERLEAVED A/B: each attempt times
         // plain-then-overlay back to back for the same query; the
         // overhead is the p50 of per-query (overlay min − plain min)

@@ -299,6 +299,30 @@ object SparkEntry {
       idx.unpersist()
       out
     }),
+    // Q12 on the serving path: the SAME 10 requests as ONE batch job —
+    // queries inverted onto the lists they probe, each list read once
+    // for every query probing it, one scheduler dispatch for the whole
+    // batch. Values identical to the per-request path → same oracle.
+    "knn_point_batched" -> ((s, dir) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val e = emb(s, dir)
+      val cents = Ivf.deterministicCentroids(e, 50)
+      val idx = graft.index.ServingIndex.build(
+        Ivf.assign(e, cents), cents, "ip")
+      val reqs = q(s, dir).collect().sortBy(_.getLong(0)).take(10)
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      val hits = idx.searchBatch(reqs, 10, nprobe = 3)
+      val rows = reqs.flatMap { case (qid, _) =>
+        hits(qid).map { case (id, sc) => Row(qid, id, sc) }
+      }
+      idx.unpersist()
+      s.createDataFrame(
+        s.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("query_id", LongType, nullable = false),
+          StructField("vec_id", LongType, nullable = false),
+          StructField("score", DoubleType, nullable = false))))
+    }),
     // serving INDEX path: the same 10 requests through ServingIndex —
     // packed per-list blocks, scheduler-level partition pruning
     // (runJob on the nprobe probed partitions only), driver merge.
@@ -960,6 +984,13 @@ object SparkEntry {
          |WHERE query_id IN (
          |  SELECT query_id FROM q ORDER BY query_id LIMIT 10)""".stripMargin,
     "knn_point_served" ->
+      s"""$IVF
+         |SELECT query_id, vec_id, score FROM ivftop
+         |WHERE query_id IN (
+         |  SELECT query_id FROM q ORDER BY query_id LIMIT 10)""".stripMargin,
+    // identical semantics to knn_point — the one-job batch path must be
+    // value-invisible, so it shares the oracle verbatim
+    "knn_point_batched" ->
       s"""$IVF
          |SELECT query_id, vec_id, score FROM ivftop
          |WHERE query_id IN (

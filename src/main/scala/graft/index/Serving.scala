@@ -662,6 +662,85 @@ final class ServingIndex private (
       .take(kk)
   }
 
+  /** One BATCH request (Q12 on the serving path, config.h:131
+    * max_query_batch): the whole batch runs as ONE probe job instead of
+    * a job per query. Queries are inverted onto the lists they probe
+    * (each partition's task scores every query that probed its list,
+    * through the same [[ServingIndex.scanTopK]] kernel), so the batch
+    * pays one scheduler dispatch and each list is READ ONCE for all the
+    * queries probing it — at a measured ~8 ms dispatch-dominated
+    * per-request latency, the difference between batch throughput
+    * scaling with work and scaling with dispatch count. Per-query
+    * results are identical to [[search]] (same probe pick, same caps,
+    * same kernel, same (score, id) rank) — `knn_point_batched` shares
+    * `knn_point`'s oracle verbatim.
+    *
+    * Returns qid → ranked hits. Batches above max_query_batch are
+    * rejected; the k clamp, per-query candidate cap and deadline apply
+    * as in [[search]].
+    */
+  def searchBatch(queries: Seq[(Long, Array[Float])], k: Int, nprobe: Int,
+      filter: ServingFilter = ServingFilter.none):
+      Map[Long, Array[(Long, Double)]] = {
+    require(queries.size <= limits.maxBatch,
+      s"query batch ${queries.size} exceeds max_query_batch ${limits.maxBatch}")
+    validateFilter(filter, hasTenant, hasTags)
+    val kk = math.min(k, limits.maxK)
+    val qArr = queries.toArray
+    // invert: partition -> indices of the queries probing its list
+    val byPart = scala.collection.mutable.HashMap
+      .empty[Int, scala.collection.mutable.ArrayBuffer[Int]]
+    var qi = 0
+    while (qi < qArr.length) {
+      capProbes(probe(qArr(qi)._2, nprobe)).foreach { cid =>
+        cidToPart.get(cid).foreach { p =>
+          byPart.getOrElseUpdate(p,
+            scala.collection.mutable.ArrayBuffer.empty[Int]) += qi
+        }
+      }
+      qi += 1
+    }
+    if (byPart.isEmpty) return qArr.map(q => q._1 -> Array
+      .empty[(Long, Double)]).toMap
+    val parts = byPart.keys.toArray.sorted
+    val partQueries: Map[Int, Array[Int]] =
+      byPart.map { case (p, is) => (p, is.toArray) }.toMap
+    val qVecs = qArr.map(_._2) // small: batch ≤ 100 × dim floats
+    val m = metric
+    val ascL = asc
+    val partials: Array[Array[(Int, Array[(Long, Double)])]] =
+      ServingIndex.withDeadline(blocks.sparkContext, limits.deadlineMs) {
+        blocks.sparkContext.runJob(
+          blocks,
+          (ctx: org.apache.spark.TaskContext, it: Iterator[ListBlock]) => {
+            val bs = it.toArray
+            val mine = partQueries.getOrElse(ctx.partitionId(),
+              Array.emptyIntArray)
+            mine.map { i =>
+              // a query is assigned here because it probed THIS list;
+              // the probed set is exactly the block's own cids
+              val probedHere = bs.iterator.map(_.cid).toSet
+              (i, ServingIndex.scanTopK(bs.iterator, qVecs(i), kk, m,
+                ascL, probedHere, filter))
+            }
+          },
+          parts.toIndexedSeq)
+      }
+    val acc = scala.collection.mutable.HashMap
+      .empty[Int, scala.collection.mutable.ArrayBuffer[(Long, Double)]]
+    partials.foreach(_.foreach { case (i, hits) =>
+      acc.getOrElseUpdate(i,
+        scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]) ++= hits
+    })
+    qArr.indices.map { i =>
+      val merged = acc.get(i)
+        .map(_.sortBy { case (id, s) => (if (ascL) s else -s, id) }
+          .take(kk).toArray)
+        .getOrElse(Array.empty[(Long, Double)])
+      qArr(i)._1 -> merged
+    }.toMap
+  }
+
   /** Battery/verify helper: a request loop over `queries`, results as a
     * DataFrame (query_id, vec_id, score) — k rows per request, built on
     * the driver (the serving pattern: each query IS an independent

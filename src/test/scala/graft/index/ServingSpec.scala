@@ -70,6 +70,32 @@ class ServingSpec extends SparkSpec {
     idx.unpersist()
   }
 
+  test("searchBatch: one batch job returns exactly the per-request results, plain and filtered") {
+    import graft.ingest.VectorEntries
+    val entries = Ivf.assign(VectorEntries.fromEmbeddings(emb), cents).cache()
+    val idx = ServingIndex.build(entries, cents, "ip",
+      tenantCol = Some("tenant"), tagsCol = Some("tags"))
+    val reqs = queries.sortBy(_._1).take(20).toSeq
+    for (f <- Seq(ServingFilter.none,
+        ServingFilter(tenant = Some("t1"), tagsAny = Some(Seq(3L, 11L))),
+        ServingFilter(sampleP = Some(30)))) {
+      for (nprobe <- Seq(1, 3, Int.MaxValue)) {
+        val batch = idx.searchBatch(reqs, 10, nprobe, f)
+        reqs.foreach { case (qid, qv) =>
+          assert(batch(qid).toSeq === idx.search(qv, 10, nprobe, f).toSeq,
+            s"qid=$qid nprobe=$nprobe filter=$f")
+        }
+      }
+    }
+    // batch cap applies (config.h:131)
+    val small = ServingIndex.build(entries, cents, "ip",
+      limits = ServingLimits(maxBatch = 5))
+    intercept[IllegalArgumentException] {
+      small.searchBatch(reqs.take(6), 10, 3)
+    }
+    small.unpersist(); idx.unpersist(); entries.unpersist()
+  }
+
   test("filtered serving matches searchPoint under tenant/tags/sample predicates") {
     import graft.ingest.VectorEntries
     val entries = Ivf.assign(VectorEntries.fromEmbeddings(emb), cents).cache()
