@@ -879,6 +879,16 @@ object Bench {
         val assignSec = gated768("stress768_assign")(
           Ivf.assign(big, centsDf).select(count(col("centroid_id"))).head()
             .getLong(0))
+        // bulk-build twin: the row-chunked assignment (Ivf.assignBulk)
+        // streams the 25 MB centroid matrix once per 256-row chunk
+        // instead of once per row — the path an index REBUILD at the
+        // reference geometry would take (bit-identical assignments,
+        // IvfPqSpec-gated)
+        val assignBulkSec = gated768("stress768_assign_bulk")(
+          Ivf.assignBulk(big, centsDf).select(count(col("centroid_id")))
+            .head().getLong(0))
+        extras("stress768_assign_bulk_rows_per_sec") =
+          num(n / assignBulkSec, 0)
         val cbRnd = new scala.util.Random(7)
         val cb = graft.index.Pq.Codebook(m, dsub,
           Array.tabulate(k)(_.toLong),

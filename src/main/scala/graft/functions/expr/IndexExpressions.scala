@@ -42,20 +42,56 @@ case class NearestIndex(child: Expression, matrix: Array[Array[Double]])
 
   @transient private lazy val read = NumericArrays.reader(child.dataType)
 
+  // scratch row buffer, reused across rows of one task (grown on demand):
+  // the input vector is read out of ArrayData ONCE per row instead of once
+  // per (row, centroid) — at nlist=1024 that is 1024x fewer virtual reads.
+  // The float->double element conversion is exact, so buffering does not
+  // change any computed value.
+  @transient private var evalBuf: Array[Double] = _
+
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val n = v.numElements()
+    if (evalBuf == null || evalBuf.length < n) evalBuf = new Array[Double](n)
+    val buf = evalBuf
     var vv = 0.0
     var i = 0
-    while (i < n) { val x = read(v, i); vv += x * x; i += 1 }
+    while (i < n) { val x = read(v, i); buf(i) = x; vv += x * x; i += 1 }
     var best = -1
     var bestD = Double.PositiveInfinity
+    // four interleaved accumulator chains: each (row, centroid) dot is
+    // still the SAME sequential sum over i (bit-identical d values); the
+    // interleave only hides FP-add latency across independent centroids.
+    // Candidates are compared in ascending-c order (d0..d3 in sequence),
+    // so the strict-< lowest-index tie-break is unchanged.
     var c = 0
+    val lim4 = matrix.length - 3
+    while (c < lim4) {
+      val r0 = matrix(c); val r1 = matrix(c + 1)
+      val r2 = matrix(c + 2); val r3 = matrix(c + 3)
+      var vc0 = 0.0; var vc1 = 0.0; var vc2 = 0.0; var vc3 = 0.0
+      i = 0
+      while (i < n) {
+        val x = buf(i)
+        vc0 += x * r0(i); vc1 += x * r1(i)
+        vc2 += x * r2(i); vc3 += x * r3(i)
+        i += 1
+      }
+      val d0 = vv - 2 * vc0 + norms(c)
+      if (d0 < bestD) { bestD = d0; best = c }
+      val d1 = vv - 2 * vc1 + norms(c + 1)
+      if (d1 < bestD) { bestD = d1; best = c + 1 }
+      val d2 = vv - 2 * vc2 + norms(c + 2)
+      if (d2 < bestD) { bestD = d2; best = c + 2 }
+      val d3 = vv - 2 * vc3 + norms(c + 3)
+      if (d3 < bestD) { bestD = d3; best = c + 3 }
+      c += 4
+    }
     while (c < matrix.length) {
       val row = matrix(c)
       var vc = 0.0
       i = 0
-      while (i < n) { vc += read(v, i) * row(i); i += 1 }
+      while (i < n) { vc += buf(i) * row(i); i += 1 }
       val d = vv - 2 * vc + norms(c)
       if (d < bestD) { bestD = d; best = c }
       c += 1
@@ -66,6 +102,12 @@ case class NearestIndex(child: Expression, matrix: Array[Array[Double]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val mat = ctx.addReferenceObj("mat", matrix, "double[][]")
     val nrm = ctx.addReferenceObj("nrm", norms, "double[]")
+    // scratch row buffer as codegen mutable state, reused across rows (and
+    // grown on demand): one ArrayData read per element per ROW, not per
+    // (row, centroid) — the exact float->double reads are unchanged, only
+    // deduplicated
+    val buf = ctx.addMutableState("double[]", "nearestBuf",
+      v => s"$v = new double[0];")
     val n = ctx.freshName("n")
     val vv = ctx.freshName("vv")
     val i = ctx.freshName("i")
@@ -74,22 +116,53 @@ case class NearestIndex(child: Expression, matrix: Array[Array[Double]])
     val bestD = ctx.freshName("bestD")
     val c = ctx.freshName("c")
     val row = ctx.freshName("row")
+    val r0 = ctx.freshName("r0"); val r1 = ctx.freshName("r1")
+    val r2 = ctx.freshName("r2"); val r3 = ctx.freshName("r3")
     val vc = ctx.freshName("vc")
+    val vc0 = ctx.freshName("vc0"); val vc1 = ctx.freshName("vc1")
+    val vc2 = ctx.freshName("vc2"); val vc3 = ctx.freshName("vc3")
     val d = ctx.freshName("d")
+    val d0 = ctx.freshName("d0"); val d1 = ctx.freshName("d1")
+    val d2 = ctx.freshName("d2"); val d3 = ctx.freshName("d3")
     nullSafeCodeGen(ctx, ev, v => {
       val get = (idx: String) => NumericArrays.getter(child.dataType, v, idx)
+      // four interleaved accumulator chains hide FP-add latency across
+      // independent centroids; each per-centroid dot stays the same
+      // sequential sum over i (bit-identical d), and candidates compare in
+      // ascending-c order so the strict-< lowest-index tie-break holds
       s"""
          |int $n = $v.numElements();
+         |if ($buf.length < $n) $buf = new double[$n];
          |double $vv = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = ${get(i)}; $vv += $x * $x;
+         |  double $x = ${get(i)}; $buf[$i] = $x; $vv += $x * $x;
          |}
          |int $best = -1;
          |double $bestD = Double.POSITIVE_INFINITY;
-         |for (int $c = 0; $c < $mat.length; $c++) {
+         |int $c = 0;
+         |for (; $c + 3 < $mat.length; $c += 4) {
+         |  double[] $r0 = $mat[$c];     double[] $r1 = $mat[$c + 1];
+         |  double[] $r2 = $mat[$c + 2]; double[] $r3 = $mat[$c + 3];
+         |  double $vc0 = 0.0; double $vc1 = 0.0;
+         |  double $vc2 = 0.0; double $vc3 = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $x = $buf[$i];
+         |    $vc0 += $x * $r0[$i]; $vc1 += $x * $r1[$i];
+         |    $vc2 += $x * $r2[$i]; $vc3 += $x * $r3[$i];
+         |  }
+         |  double $d0 = $vv - 2 * $vc0 + $nrm[$c];
+         |  if ($d0 < $bestD) { $bestD = $d0; $best = $c; }
+         |  double $d1 = $vv - 2 * $vc1 + $nrm[$c + 1];
+         |  if ($d1 < $bestD) { $bestD = $d1; $best = $c + 1; }
+         |  double $d2 = $vv - 2 * $vc2 + $nrm[$c + 2];
+         |  if ($d2 < $bestD) { $bestD = $d2; $best = $c + 2; }
+         |  double $d3 = $vv - 2 * $vc3 + $nrm[$c + 3];
+         |  if ($d3 < $bestD) { $bestD = $d3; $best = $c + 3; }
+         |}
+         |for (; $c < $mat.length; $c++) {
          |  double[] $row = $mat[$c];
          |  double $vc = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) { $vc += ${get(i)} * $row[$i]; }
+         |  for (int $i = 0; $i < $n; $i++) { $vc += $buf[$i] * $row[$i]; }
          |  double $d = $vv - 2 * $vc + $nrm[$c];
          |  if ($d < $bestD) { $bestD = $d; $best = $c; }
          |}

@@ -60,6 +60,149 @@ object Ivf {
       element_at(typedlit(cids.toSeq), idx + 1))
   }
 
+  /** W14/B2 at bulk-build scale: row-chunked, centroid-blocked assignment.
+    *
+    * [[assign]]'s codegen expression is the right shape when the centroid
+    * matrix is cache-resident (nlist·dim·8 B within L2 — e.g. 64-dim
+    * corpora), but at the reference's stable-tier geometry (dim 768 ×
+    * nlist 4096, config.h:19,84 — a 25 MB matrix) a row-at-a-time kernel
+    * must stream the whole matrix from RAM once PER ROW, and assignment
+    * throughput collapses to memory bandwidth (measured 1.7k rows/s at
+    * 50k×768×4096 on 32 cores). This operator processes rows in chunks
+    * (default 256): for each block of 4 centroids, all chunk rows are
+    * scored before the next block loads — the matrix streams from RAM
+    * once per CHUNK (25 MB / 256 rows ≈ 100 KB/row) while the chunk's
+    * vectors stay L2-resident, turning the build compute-bound.
+    *
+    * Results are BIT-IDENTICAL to [[assign]]: each (row, centroid)
+    * distance is the same expanded form with the same sequential-order
+    * dot products, and centroids are compared in ascending index order
+    * under strict `<`, so ties keep the lowest cid exactly as
+    * [[IndexExpressions.nearestIndex]] does (IvfPqSpec pins the
+    * equivalence). Null vectors yield a null centroid_id, as with
+    * [[assign]].
+    *
+    * This is a mapPartitions operator by design — the chunk buffer is the
+    * point — so it sits OUTSIDE whole-stage codegen; use it for bulk
+    * index builds (B1/B2 rebuilds, backfills: one pass, no shuffle, no
+    * collect) and keep [[assign]] for composable per-row plans.
+    */
+  def assignBulk(data: DataFrame, centroids: DataFrame,
+      vecCol: String = "embedding", chunkRows: Int = 256): DataFrame = {
+    val (cids, matrix) = collectCentroids(centroids)
+    require(matrix.nonEmpty, "assignBulk requires a non-empty centroid set")
+    val norms: Array[Double] = matrix.map { row =>
+      var s = 0.0; var i = 0
+      while (i < row.length) { s += row(i) * row(i); i += 1 }
+      s
+    }
+    val outSchema = org.apache.spark.sql.types.StructType(
+      data.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "centroid_id", org.apache.spark.sql.types.LongType, nullable = true))
+    val vecIdx = data.schema.fieldIndex(vecCol)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    data.mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
+      // external-row array columns arrive as ArraySeq over a primitive
+      // array — unwrap without boxing when possible (exact conversions)
+      def toDoubles(v: Any): Array[Double] = v match {
+        case null => null
+        case a: scala.collection.mutable.ArraySeq.ofDouble =>
+          a.array // read-only below
+        case a: scala.collection.mutable.ArraySeq.ofFloat =>
+          val f = a.array
+          val d = new Array[Double](f.length)
+          var i = 0
+          while (i < f.length) { d(i) = f(i).toDouble; i += 1 }
+          d
+        case s: scala.collection.Seq[_] =>
+          s.iterator.map {
+            case f: java.lang.Float => f.toDouble
+            case d: java.lang.Double => d.doubleValue()
+            case i: java.lang.Integer => i.toDouble
+            case l: java.lang.Long => l.toDouble
+            case x => throw new IllegalArgumentException(
+              s"non-numeric vector element: $x")
+          }.toArray
+        case x => throw new IllegalArgumentException(
+          s"unsupported vector column value: ${x.getClass}")
+      }
+      it.grouped(chunkRows).flatMap { chunk =>
+        val m = chunk.length
+        val vecs = new Array[Array[Double]](m)
+        val vv = new Array[Double](m)
+        var r = 0
+        while (r < m) {
+          val v = toDoubles(chunk(r).get(vecIdx))
+          vecs(r) = v
+          if (v != null) {
+            var s = 0.0; var i = 0
+            while (i < v.length) { s += v(i) * v(i); i += 1 }
+            vv(r) = s
+          }
+          r += 1
+        }
+        val best = Array.fill(m)(-1)
+        val bestD = Array.fill(m)(Double.PositiveInfinity)
+        // centroid blocks ascending; per (row, centroid) the dot is the
+        // same sequential sum over i and candidates compare in ascending
+        // index order — identical values and tie-breaks to the codegen
+        // kernel, only the (row, centroid) iteration order differs
+        var c = 0
+        val lim4 = matrix.length - 3
+        while (c < lim4) {
+          val r0 = matrix(c); val r1 = matrix(c + 1)
+          val r2 = matrix(c + 2); val r3 = matrix(c + 3)
+          r = 0
+          while (r < m) {
+            val v = vecs(r)
+            if (v != null) {
+              val n = v.length
+              var vc0 = 0.0; var vc1 = 0.0; var vc2 = 0.0; var vc3 = 0.0
+              var i = 0
+              while (i < n) {
+                val x = v(i)
+                vc0 += x * r0(i); vc1 += x * r1(i)
+                vc2 += x * r2(i); vc3 += x * r3(i)
+                i += 1
+              }
+              val s = vv(r)
+              val d0 = s - 2 * vc0 + norms(c)
+              if (d0 < bestD(r)) { bestD(r) = d0; best(r) = c }
+              val d1 = s - 2 * vc1 + norms(c + 1)
+              if (d1 < bestD(r)) { bestD(r) = d1; best(r) = c + 1 }
+              val d2 = s - 2 * vc2 + norms(c + 2)
+              if (d2 < bestD(r)) { bestD(r) = d2; best(r) = c + 2 }
+              val d3 = s - 2 * vc3 + norms(c + 3)
+              if (d3 < bestD(r)) { bestD(r) = d3; best(r) = c + 3 }
+            }
+            r += 1
+          }
+          c += 4
+        }
+        while (c < matrix.length) {
+          val row = matrix(c)
+          r = 0
+          while (r < m) {
+            val v = vecs(r)
+            if (v != null) {
+              val n = v.length
+              var vc = 0.0; var i = 0
+              while (i < n) { vc += v(i) * row(i); i += 1 }
+              val d = vv(r) - 2 * vc + norms(c)
+              if (d < bestD(r)) { bestD(r) = d; best(r) = c }
+            }
+            r += 1
+          }
+          c += 1
+        }
+        chunk.iterator.zipWithIndex.map { case (row, j) =>
+          val cid: Any = if (best(j) < 0) null else cids(best(j))
+          org.apache.spark.sql.Row.fromSeq(row.toSeq :+ cid)
+        }
+      }
+    }(enc)
+  }
+
   /** Q6: probe set — the nprobe nearest centroids per query. Queries are
     * ≤100 rows (reference config.h:180); the window here sorts
     * queries×nlist rows, which is trivially small.

@@ -76,6 +76,44 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(nm(f) === nm(d))
   }
 
+  test("nearestIndex interleaved kernel matches a naive argmin, incl. ties") {
+    import graft.functions.expr.IndexExpressions
+    val rnd = new scala.util.Random(1234)
+    // centroid counts straddling the 4-way interleave boundary (remainder
+    // 0..3) plus a tiny set below one full interleave block
+    for (nlist <- Seq(1, 3, 4, 5, 6, 7, 8, 9, 31); dim <- Seq(1, 7, 16)) {
+      val mat = Array.fill(nlist)(Array.fill(dim)(rnd.nextGaussian()))
+      // force exact ties: duplicate some centroids verbatim — the argmin
+      // must keep the LOWEST index (strict-< contract)
+      if (nlist >= 4) { mat(nlist - 1) = mat(1).clone(); mat(2) = mat(0).clone() }
+      val rows = (0 until 64).map(i =>
+        (i.toLong,
+          if (i < nlist) mat(i).toSeq // exact centroid hits (d = 0 ties)
+          else Seq.fill(dim)(rnd.nextGaussian())))
+      val df = rows.toDF("vec_id", "v")
+      def naive(v: Seq[Double]): Int = {
+        var best = -1; var bestD = Double.PositiveInfinity
+        for (c <- 0 until nlist) {
+          var vv = 0.0; var vc = 0.0; var cc = 0.0
+          for (i <- 0 until dim) {
+            vv += v(i) * v(i); vc += v(i) * mat(c)(i)
+            cc += mat(c)(i) * mat(c)(i)
+          }
+          val d = vv - 2 * vc + cc
+          if (d < bestD) { bestD = d; best = c }
+        }
+        best
+      }
+      val got = df.select(col("vec_id"),
+          IndexExpressions.nearestIndex(col("v"), mat).as("ni"))
+        .orderBy("vec_id").as[(Long, Int)].collect()
+      rows.zip(got).foreach { case ((id, v), (gid, ni)) =>
+        assert(id === gid)
+        assert(ni === naive(v), s"nlist=$nlist dim=$dim vec_id=$id")
+      }
+    }
+  }
+
   test("hashId is seed-0 xxhash64: differs from builtin seed-42, stable") {
     val r = Seq("vec-1", "vec-1").toDF("s")
       .select(VectorFunctions.hashId(col("s")).as("h0"),

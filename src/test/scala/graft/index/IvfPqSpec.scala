@@ -31,6 +31,27 @@ class IvfPqSpec extends SparkSpec {
     }
   }
 
+  test("assignBulk is bit-identical to the codegen assign (float and double, nulls)") {
+    val cents = Ivf.deterministicCentroids(emb, 50)
+    // float source with injected nulls, odd row counts vs the 256 chunk
+    val src = emb.withColumn("embedding",
+      when(col("vec_id") % 97 === 0, lit(null)).otherwise(col("embedding")))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("centroid_id"))
+        .as[(Long, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(pairs(Ivf.assignBulk(src, cents)) === pairs(Ivf.assign(src, cents)))
+    // double source (segment-style vec columns take this path)
+    val srcD = src.withColumn("embedding",
+      col("embedding").cast("array<double>"))
+    assert(pairs(Ivf.assignBulk(srcD, cents)) === pairs(Ivf.assign(srcD, cents)))
+    // non-vec columns pass through untouched and the schema gains only
+    // centroid_id
+    val out = Ivf.assignBulk(emb, cents)
+    assert(out.columns.toSeq === emb.columns.toSeq :+ "centroid_id")
+    assert(out.select("vec_id").as[Long].collect().sorted ===
+      emb.select("vec_id").as[Long].collect().sorted)
+  }
+
   test("reference-scale dims: assignment and PQ encode correct at dim 768 / m=96") {
     // synthesized corpus at the reference's dimensionality (config.h:19) —
     // the bench measures throughput here; this gates correctness
