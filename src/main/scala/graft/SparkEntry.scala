@@ -468,6 +468,32 @@ object SparkEntry {
       overlay.destroy()
       out
     }),
+    // the batch serving path COMPOSED with the overlay (Q12 × Q10/T5 —
+    // batched queries against the live tiered world, the resident
+    // server's actual request shape): one probe job for the whole batch,
+    // shadow masking in-task, per-query overlay winners driver-side.
+    // Probe-all, so the oracle is tiered_knn_served's SQL verbatim — the
+    // batching must be value-invisible
+    "tiered_knn_served_batch" -> ((s, dir) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val (idx, rows) = ServedFixture.get(s, dir)
+      val overlay = graft.index.ServingOverlay.fromDataFrame(
+        rows.filter(col("epoch") >= 2000))
+      val reqs = q(s, dir).collect().sortBy(_.getLong(0))
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      val hits = idx.searchBatch(reqs, 10, nprobe = Int.MaxValue, overlay,
+        graft.index.ServingFilter.none)
+      overlay.destroy()
+      val out = reqs.flatMap { case (qid, _) =>
+        hits(qid).map { case (id, sc) => Row(qid, id, sc) }
+      }
+      s.createDataFrame(
+        s.sparkContext.parallelize(out, 1),
+        StructType(Seq(StructField("query_id", LongType, nullable = false),
+          StructField("vec_id", LongType, nullable = false),
+          StructField("score", DoubleType, nullable = false))))
+    }),
     // the overlay COMPOSED with probe pruning (nprobe=3): the interesting
     // case probe-all cannot exercise — a stale stored version in a probed
     // list masked by a buffered winner whose own list is NOT probed must
@@ -1239,6 +1265,21 @@ object SparkEntry {
          |  CAST(sum(vec_id) AS BIGINT) AS sum_vec_id
          |FROM la GROUP BY centroid_id""".stripMargin,
     "tiered_knn_served" ->
+      s"""$MUTLOG,
+         |qq AS (SELECT vec_id AS query_id, e AS qv FROM emb
+         |  WHERE vec_id % 25 = 0),
+         |scored AS (SELECT qq.query_id, l.vec_id,
+         |    list_dot_product(qq.qv, l.vec) AS score
+         |  FROM qq CROSS JOIN live l)
+         |SELECT query_id, vec_id, score FROM (
+         |  SELECT scored.*, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rn
+         |  FROM scored) t
+         |WHERE rn <= 10""".stripMargin,
+    // identical semantics to tiered_knn_served — the one-job batch path
+    // over the tiered world must be value-invisible, so it shares the
+    // oracle verbatim
+    "tiered_knn_served_batch" ->
       s"""$MUTLOG,
          |qq AS (SELECT vec_id AS query_id, e AS qv FROM emb
          |  WHERE vec_id % 25 = 0),

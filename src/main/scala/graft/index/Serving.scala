@@ -682,34 +682,16 @@ final class ServingIndex private (
   def searchBatch(queries: Seq[(Long, Array[Float])], k: Int, nprobe: Int,
       filter: ServingFilter = ServingFilter.none):
       Map[Long, Array[(Long, Double)]] = {
-    require(queries.size <= limits.maxBatch,
-      s"query batch ${queries.size} exceeds max_query_batch ${limits.maxBatch}")
     validateFilter(filter, hasTenant, hasTags)
     val kk = math.min(k, limits.maxK)
-    val qArr = queries.toArray
-    // invert: partition -> indices of the queries probing its list
-    val byPart = scala.collection.mutable.HashMap
-      .empty[Int, scala.collection.mutable.ArrayBuffer[Int]]
-    var qi = 0
-    while (qi < qArr.length) {
-      capProbes(probe(qArr(qi)._2, nprobe)).foreach { cid =>
-        cidToPart.get(cid).foreach { p =>
-          byPart.getOrElseUpdate(p,
-            scala.collection.mutable.ArrayBuffer.empty[Int]) += qi
-        }
-      }
-      qi += 1
-    }
-    if (byPart.isEmpty) return qArr.map(q => q._1 -> Array
-      .empty[(Long, Double)]).toMap
-    val parts = byPart.keys.toArray.sorted
-    val partQueries: Map[Int, Array[Int]] =
-      byPart.map { case (p, is) => (p, is.toArray) }.toMap
-    val qVecs = qArr.map(_._2) // small: batch ≤ 100 × dim floats
+    val plan = planBatch(queries, nprobe)
+    val qVecs = plan.qVecs
+    val partQueries = plan.partQueries
     val m = metric
     val ascL = asc
     val partials: Array[Array[(Int, Array[(Long, Double)])]] =
-      ServingIndex.withDeadline(blocks.sparkContext, limits.deadlineMs) {
+      if (plan.parts.isEmpty) Array.empty
+      else ServingIndex.withDeadline(blocks.sparkContext, limits.deadlineMs) {
         blocks.sparkContext.runJob(
           blocks,
           (ctx: org.apache.spark.TaskContext, it: Iterator[ListBlock]) => {
@@ -724,21 +706,162 @@ final class ServingIndex private (
                 ascL, probedHere, filter))
             }
           },
-          parts.toIndexedSeq)
+          plan.parts.toIndexedSeq)
       }
+    mergeBatch(plan, kk, partials, _ => Array.empty)
+  }
+
+  /** Batch inversion shared by the three [[searchBatch]] forms: per-query
+    * capped probe sets, and partition → query indices for the one probe
+    * job. Enforces the max_query_batch cap.
+    */
+  private final case class BatchPlan(qArr: Array[(Long, Array[Float])],
+      probedByQuery: Array[Seq[Long]], parts: Array[Int],
+      partQueries: Map[Int, Array[Int]], qVecs: Array[Array[Float]])
+
+  private def planBatch(queries: Seq[(Long, Array[Float])],
+      nprobe: Int): BatchPlan = {
+    require(queries.size <= limits.maxBatch,
+      s"query batch ${queries.size} exceeds max_query_batch ${limits.maxBatch}")
+    val qArr = queries.toArray
+    val probedByQuery: Array[Seq[Long]] =
+      qArr.map(qv => capProbes(probe(qv._2, nprobe)))
+    val byPart = scala.collection.mutable.HashMap
+      .empty[Int, scala.collection.mutable.ArrayBuffer[Int]]
+    var qi = 0
+    while (qi < qArr.length) {
+      probedByQuery(qi).foreach { cid =>
+        cidToPart.get(cid).foreach { p =>
+          byPart.getOrElseUpdate(p,
+            scala.collection.mutable.ArrayBuffer.empty[Int]) += qi
+        }
+      }
+      qi += 1
+    }
+    BatchPlan(qArr, probedByQuery, byPart.keys.toArray.sorted,
+      byPart.map { case (p, is) => (p, is.toArray) }.toMap,
+      qArr.map(_._2)) // small: batch ≤ 100 × dim floats
+  }
+
+  /** Shared batch merge: accumulate the probe job's per-query partials,
+    * append each query's driver-side extras (overlay winners on the
+    * driver-overlay path), rank by the (score best, id asc) contract.
+    */
+  private def mergeBatch(plan: BatchPlan, kk: Int,
+      partials: Array[Array[(Int, Array[(Long, Double)])]],
+      extra: Int => Array[(Long, Double)]):
+      Map[Long, Array[(Long, Double)]] = {
+    val ascL = asc
     val acc = scala.collection.mutable.HashMap
       .empty[Int, scala.collection.mutable.ArrayBuffer[(Long, Double)]]
     partials.foreach(_.foreach { case (i, hits) =>
       acc.getOrElseUpdate(i,
         scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]) ++= hits
     })
-    qArr.indices.map { i =>
-      val merged = acc.get(i)
-        .map(_.sortBy { case (id, s) => (if (ascL) s else -s, id) }
-          .take(kk).toArray)
-        .getOrElse(Array.empty[(Long, Double)])
-      qArr(i)._1 -> merged
+    plan.qArr.indices.map { i =>
+      val stored = acc.get(i)
+        .map(_.toArray).getOrElse(Array.empty[(Long, Double)])
+      plan.qArr(i)._1 -> (stored ++ extra(i))
+        .sortBy { case (id, s) => (if (ascL) s else -s, id) }
+        .take(kk)
     }.toMap
+  }
+
+  /** One BATCH request against the live tiered world (Q12 × Q10/T5 — the
+    * composition a resident server actually runs: batched queries over
+    * stored + in-flight): the whole batch is ONE probe job exactly as
+    * [[searchBatch]], with the overlay's shadow masking in-task (the
+    * broadcast handle rides the closure) and each query's overlay
+    * winners joined driver-side from ITS probed lists — per-query
+    * results identical to [[searchWithOverlay]] (ServingSpec fuzzes the
+    * equivalence; `tiered_knn_served_batch` shares `tiered_knn_served`'s
+    * oracle verbatim).
+    */
+  def searchBatch(queries: Seq[(Long, Array[Float])], k: Int, nprobe: Int,
+      overlay: ServingOverlay,
+      filter: ServingFilter): Map[Long, Array[(Long, Double)]] = {
+    validateFilter(filter, hasTenant, hasTags)
+    validateFilter(filter, overlay.hasTenant, overlay.hasTags)
+    val kk = math.min(k, limits.maxK)
+    val plan = planBatch(queries, nprobe)
+    val qVecs = plan.qVecs
+    val partQueries = plan.partQueries
+    val m = metric
+    val ascL = asc
+    val shadowBc = overlay.shadowBc // handle only — the set never ships
+    val partials: Array[Array[(Int, Array[(Long, Double)])]] =
+      if (plan.parts.isEmpty) Array.empty
+      else ServingIndex.withDeadline(blocks.sparkContext, limits.deadlineMs) {
+        blocks.sparkContext.runJob(
+          blocks,
+          (ctx: org.apache.spark.TaskContext, it: Iterator[ListBlock]) => {
+            val bs = it.toArray
+            val mine = partQueries.getOrElse(ctx.partitionId(),
+              Array.emptyIntArray)
+            val probedHere = bs.iterator.map(_.cid).toSet
+            mine.map { i =>
+              (i, ServingIndex.scanTopK(bs.iterator, qVecs(i), kk, m,
+                ascL, probedHere, filter, shadowBc.value))
+            }
+          },
+          plan.parts.toIndexedSeq)
+      }
+    // each query's overlay winners from ITS probed lists — the same
+    // driver-side join as searchWithOverlay, query norm hoisted
+    mergeBatch(plan, kk, partials, i => {
+      val nqPre =
+        if (m == "cosine") ServingIndex.queryNormSq(qVecs(i)) else Double.NaN
+      plan.probedByQuery(i).iterator
+        .flatMap(cid => overlay.winnersByCid.getOrElse(cid,
+          Array.empty[OverlayWinner]))
+        .filter(w => ServingIndex.passWinner(w, filter))
+        .map(w => (w.id, ServingIndex.scoreOne(qVecs(i), w.vec, m, nqPre)))
+        .toArray
+    })
+  }
+
+  /** Batch × DISTRIBUTED overlay: the batch probe job runs over the
+    * zip-partitions stitch, so each task scans the stored list AND its
+    * co-partitioned overlay rows for every query that probed it — no
+    * per-request or per-query driver scan at all. Per-query results
+    * identical to the [[DistributedServingOverlay]] [[searchWithOverlay]].
+    */
+  def searchBatch(queries: Seq[(Long, Array[Float])], k: Int, nprobe: Int,
+      overlay: DistributedServingOverlay,
+      filter: ServingFilter): Map[Long, Array[(Long, Double)]] = {
+    require(overlay.owner eq this,
+      "distributed overlay was built against a different ServingIndex")
+    validateFilter(filter, hasTenant, hasTags)
+    validateFilter(filter, overlay.hasTenant, overlay.hasTags)
+    val kk = math.min(k, limits.maxK)
+    val plan = planBatch(queries, nprobe)
+    val qVecs = plan.qVecs
+    val partQueries = plan.partQueries
+    val m = metric
+    val ascL = asc
+    val shadowBc = overlay.shadowBc
+    val partials: Array[Array[(Int, Array[(Long, Double)])]] =
+      if (plan.parts.isEmpty) Array.empty
+      else ServingIndex.withDeadline(blocks.sparkContext, limits.deadlineMs) {
+        blocks.sparkContext.runJob(
+          overlay.tiered,
+          (ctx: org.apache.spark.TaskContext,
+              it: Iterator[(Array[ListBlock], Array[OverlayBlock])]) => {
+            val (bs, os) = it.next()
+            val mine = partQueries.getOrElse(ctx.partitionId(),
+              Array.emptyIntArray)
+            val probedHere = bs.iterator.map(_.cid).toSet
+            mine.map { i =>
+              val stored = ServingIndex.scanTopK(bs.iterator, qVecs(i), kk,
+                m, ascL, probedHere, filter, shadowBc.value)
+              val over = ServingIndex.overlayTopK(os, qVecs(i), kk, m,
+                ascL, probedHere, filter)
+              (i, stored ++ over)
+            }
+          },
+          plan.parts.toIndexedSeq)
+      }
+    mergeBatch(plan, kk, partials, _ => Array.empty)
   }
 
   /** Battery/verify helper: a request loop over `queries`, results as a

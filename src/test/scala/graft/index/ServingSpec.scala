@@ -364,6 +364,48 @@ class ServingSpec extends SparkSpec {
     graft.segments.Segments.deleteDir(dir0)
   }
 
+  test("searchBatch x overlay: one batch job equals the per-request tiered results, driver and distributed") {
+    val dir0 = java.nio.file.Files
+      .createTempDirectory("graft-batch-overlay-").toString
+    import graft.segments.Segments
+    val log = graft.ingest.MutationLog.deterministicLog(emb)
+    val entries = Ivf.assign(
+        log.withColumn("id_hash",
+            graft.functions.VectorFunctions.hashId(col("id")))
+          .withColumn("deleted", col("op") === "DELETE"),
+        cents, vecCol = "vec")
+      .withColumn("centroid_id", coalesce(col("centroid_id"), lit(-1L)))
+      .select("vec_id", "id_hash", "epoch", "deleted", "centroid_id", "vec")
+      .cache()
+    val dir = s"$dir0/t"
+    Segments.writeSegment(entries.filter(col("epoch") < 2000), dir,
+      "delta-000", isStable = false)
+    val idx = ServingIndex.buildStored(spark, dir, cents, "ip")
+    val buffer = entries.filter(col("epoch") >= 2000)
+    val driver = ServingOverlay.fromDataFrame(buffer)
+    val dist = DistributedServingOverlay.fromDataFrame(buffer, idx)
+    val batch = queries.toSeq
+    for {
+      nprobe <- Seq(2, Int.MaxValue)
+      f <- Seq(ServingFilter.none, ServingFilter(sampleP = Some(60)))
+    } {
+      val wantByQ = batch.map { case (qid, qv) =>
+        qid -> idx.searchWithOverlay(qv, 7, nprobe, driver, f).toSeq
+      }.toMap
+      val gotDriver = idx.searchBatch(batch, 7, nprobe, driver, f)
+      val gotDist = idx.searchBatch(batch, 7, nprobe, dist, f)
+      batch.foreach { case (qid, _) =>
+        assert(gotDriver(qid).toSeq === wantByQ(qid),
+          s"driver batch nprobe=$nprobe f=$f q=$qid")
+        assert(gotDist(qid).toSeq === wantByQ(qid),
+          s"dist batch nprobe=$nprobe f=$f q=$qid")
+      }
+    }
+    driver.destroy(); dist.destroy(); idx.unpersist()
+    entries.unpersist()
+    Segments.deleteDir(dir0)
+  }
+
   test("distributed overlay: composite filter, tenant-changing upsert, index ownership") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-dist-overlay-filter-").toString
