@@ -168,4 +168,29 @@ class QueryFuzzSpec extends SparkSpec {
     }
     assigned.unpersist()
   }
+
+  test("exactBatchBulk is bit-identical to the declarative exactBatch") {
+    val qs = Knn.defaultQueries(emb)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id"), col("vec_id"), col("score"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    for (metric <- Seq("ip", "l2", "l2x", "cosine")) {
+      // float source (the embeddings table), with a filter composed
+      val a = rows(Knn.exactBatch(qs, emb, metric, 10,
+        filter = Knn.sampleFilter(60)))
+      val b = rows(Knn.exactBatchBulk(qs, emb, metric, 10,
+        filter = Knn.sampleFilter(60)))
+      assert(a === b, s"metric=$metric float")
+      // double source (segment-style vec columns take this path); also
+      // covers a query count not divisible by the 4-way interleave
+      val embD = emb.withColumn("embedding",
+        col("embedding").cast("array<double>"))
+      val qs5 = qs.limit(5)
+      val aD = rows(Knn.exactBatch(qs5, embD, metric, 7))
+      val bD = rows(Knn.exactBatchBulk(qs5, embD, metric, 7))
+      assert(aD === bD, s"metric=$metric double")
+    }
+  }
 }
