@@ -319,6 +319,130 @@ object Bench {
           .groupBy(_.segment_id).valuesIterator
           .map(_.head.num_vectors).sum
         val wAmp = rowsWritten.toDouble / math.max(1L, nOps)
+        // Crash-recovery drill (W3/T8 at volume; BASELINE recovery budget
+        // 30 s, configs/woved-default.yaml:171-175, checkpoint cadence
+        // 60 s). Crashed state: the flushed tree + a rotated
+        // reference-format WAL (FlatBuffers WALRecord payloads in
+        // [len][crc32c][epoch] frames) whose epochs past the checkpoint
+        // frontier (last ~2%) were never flushed, ending in a torn frame.
+        // Recovery, timed to first queryable result: segment listing →
+        // CRC-verified tail replay (torn tail dropped) → FlatBuffers
+        // decode → buffer reconstruction → live view over tree+buffer.
+        // Reclamation (epoch-bounded segment drop) runs before the crash,
+        // as the reference's checkpointing does — it is what keeps the
+        // replayed tail proportional to the checkpoint cadence rather
+        // than the corpus.
+        try {
+          import graft.streaming.{Wal, WalRecord, WalRecordFb}
+          val walDir = s"$tmp/wal"
+          // setup, untimed: stream the op log epoch-ordered into a
+          // rotating WAL in group-commit-sized appends (never the whole
+          // log on the driver at once)
+          val epochsSorted = spark.read.parquet(src)
+            .select(col("epoch")).orderBy("epoch").collect().map(_.getLong(0))
+          val cutIdx = ((epochsSorted.length.toLong * 98L) / 100L).toInt
+            .min(epochsSorted.length - 1)
+          val flushedEpoch = epochsSorted(cutIdx)
+          val rotateBytes = 16L * 1024 * 1024
+          val it = spark.read.parquet(src)
+            .select("op", "id", "id_hash", "epoch", "deleted",
+              "centroid_id", "vec")
+            .orderBy("epoch").toLocalIterator()
+          val group = new scala.collection.mutable.ArrayBuffer[
+            (Long, Array[Byte])](10000)
+          var walOps = 0L
+          val tEnc0 = System.nanoTime()
+          while (it.hasNext) {
+            val r = it.next()
+            val deleted = r.getBoolean(4)
+            val vecF: Array[Float] =
+              if (r.isNullAt(6)) Array.emptyFloatArray
+              else r.getSeq[Double](6).iterator.map(_.toFloat).toArray
+            val rec = WalRecord(
+              op = if (deleted) 1.toByte else 0.toByte,
+              id = r.getString(1), idHash = r.getLong(2),
+              tenantNsHash = 0L, timestampNanos = r.getLong(3),
+              dim = vecF.length, vector = vecF, tags = Array.emptyIntArray,
+              flags = 0,
+              epoch = r.getLong(3),
+              // centroid_id is uint16 in the fbs schema; tombstones carry
+              // no centroid (-1 in the log) — encode as 0, restored on
+              // decode via the deleted flag
+              centroidId = if (deleted || r.isNullAt(5)) 0
+                else r.getLong(5).toInt,
+              tenant = "t0", namespace = "default")
+            group += ((rec.epoch, WalRecordFb.encode(rec)))
+            walOps += 1
+            if (group.length >= 10000) {
+              Wal.appendBinaryRotating(walDir, group.toSeq, rotateBytes)
+              group.clear()
+            }
+          }
+          if (group.nonEmpty) {
+            Wal.appendBinaryRotating(walDir, group.toSeq, rotateBytes)
+            group.clear()
+          }
+          extras("wal_ops") = walOps.toString
+          extras("wal_encode_ops_per_sec") =
+            num(walOps / ((System.nanoTime() - tEnc0) / 1e9), 0)
+          extras("wal_bytes") =
+            Wal.segments(walDir).map(_.length()).sum.toString
+          // full-log replay+decode throughput (the no-checkpoint worst
+          // case a recovery budget has to divide by)
+          val tFull0 = System.nanoTime()
+          // .toArray first: the replay returns a List, and indexed access
+          // over a 1M-element List is quadratic
+          val fullFrames = Wal.replayBinaryRotated(walDir).toArray
+          val fullDecoded = fullFrames.length.toLong
+          var fi = 0
+          while (fi < fullFrames.length) {
+            WalRecordFb.decode(fullFrames(fi)._2); fi += 1
+          }
+          val fullSec = (System.nanoTime() - tFull0) / 1e9
+          extras("wal_replay_full_sec") = num(fullSec, 3)
+          extras("wal_replay_ops_per_sec") = num(fullDecoded / fullSec, 0)
+          // checkpoint: everything ≤ flushedEpoch is in the tree; reclaim
+          // the covered segments, then crash mid-append (torn frame)
+          val reclaimed = Wal.reclaim(walDir, flushedEpoch)
+          extras("wal_reclaimed_segments") = reclaimed.length.toString
+          val last = Wal.segments(walDir).last
+          val torn = new java.io.FileOutputStream(last, true)
+          try {
+            torn.write(Array[Byte](0, 0, 1, 37, 11, 22, 33)) // half a frame
+          } finally torn.close()
+          // ---- timed: crash-restart to queryable ----------------------
+          val tRec0 = System.nanoTime()
+          val tailRecs = Wal.replayBinaryRotated(walDir)
+            .map { case (_, p) => WalRecordFb.decode(p) }
+            .filter(_.epoch > flushedEpoch)
+          val bufRows = tailRecs.map { rec =>
+            val deleted = rec.op == 1.toByte
+            // id layout "vec-<orig>-<rep>" (the replicated log's key):
+            // vec_id = orig + rep * 1e6, the replication formula above
+            val parts = rec.id.split("-")
+            val vecId = parts(1).toLong + parts(2).toLong * 1000000L
+            org.apache.spark.sql.Row(
+              if (deleted) "DELETE" else "UPSERT", vecId, rec.id,
+              rec.idHash, rec.epoch, deleted,
+              if (deleted) -1L else rec.centroidId.toLong,
+              if (deleted) null else rec.vector.map(_.toDouble).toSeq)
+          }
+          val buffer = spark.createDataFrame(
+            spark.sparkContext.parallelize(bufRows.toIndexedSeq, 4),
+            IngestPipeline.mutationSchema)
+          val liveIds = IngestPipeline
+            .liveView(spark, tree, Some(buffer))
+            .agg(countDistinct(col("id_hash"))).head().getLong(0)
+          val recSec = (System.nanoTime() - tRec0) / 1e9
+          extras("recovery_tail_ops") = tailRecs.length.toString
+          extras("recovery_live_ids") = liveIds.toString
+          extras("recovery_sec") = num(recSec, 3)
+          extras("recovery_budget_sec") = "30"
+          extras("recovery_budget_ok") = (recSec <= 30.0).toString
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] recovery drill FAILED: ${e.getMessage}")
+          extras("recovery_sec") = "-1"
+        }
         Segments.deleteDir(tmp)
         (nOps, nOps / ingSec, cSec, wAmp, dFrac, flushLagMs)
       } catch { case e: Throwable =>
@@ -386,6 +510,12 @@ object Bench {
         System.gc()
         val exactSec = gatedBest2("knn_1m_exact")(
           graft.operators.Knn.exactBatch(qs, big, "ip", 10).count())
+        // bulk-kernel twin (Knn.exactBatchBulk): one scan, row buffered
+        // once, 4 queries per pass — the ground-truth/batch-scoring shape;
+        // bit-identical results (QueryFuzzSpec)
+        val exactBulkSec = gatedBest2("knn_1m_exact_bulk")(
+          graft.operators.Knn.exactBatchBulk(qs, big, "ip", 10).count())
+        extras("knn_1m_exact_bulk_qps") = num(nQs / exactBulkSec, 1)
         val nlist = 64
         val cents = Ivf.deterministicCentroids(e, (n0 / nlist).toInt.max(1))
         val assignSec = gatedBest2("ivf_assign_1m")(
@@ -716,6 +846,29 @@ object Bench {
               s"[bench] distributed overlay section FAILED: ${e.getMessage}")
           }
           ovD.destroy()
+        }
+        // Q12 batch serving: the whole query set as ONE probe job
+        // (searchBatch) — scheduler dispatch paid once for the batch and
+        // each probed list read once for every query probing it, vs one
+        // dispatch per request on the sequential path. At a measured
+        // ~10 ms dispatch-dominated per-request latency the batch path is
+        // what makes throughput scale with work instead of dispatch
+        // count; per-query results are identical (ServingSpec).
+        try {
+          val batchReqs = qRows.zipWithIndex
+            .map { case (qv, i) => (i.toLong, qv) }.toSeq
+          System.gc()
+          (0 until 3).foreach(_ => idx.searchBatch(batchReqs, 10, nprobeServ))
+          val bSec = (0 until 5).map { _ =>
+            val t0 = System.nanoTime()
+            idx.searchBatch(batchReqs, 10, nprobeServ)
+            (System.nanoTime() - t0) / 1e9
+          }.min
+          extras("serving_batch_queries") = batchReqs.length.toString
+          extras("serving_batch_sec") = num(bSec, 4)
+          extras("serving_batch_qps") = num(batchReqs.length / bSec, 1)
+        } catch { case ex: Throwable =>
+          System.err.println(s"[bench] batch serving FAILED: ${ex.getMessage}")
         }
         // cosine serving on the same corpus/layout: with the query norm
         // hoisted out of the row loop, cosine should track ip instead of
