@@ -236,6 +236,70 @@ object Wal {
     }
   }
 
+  /** Schema of a replayed reference-format WAL: the FlatBuffers
+    * `WALRecord` fields (wal-record.fbs:21-58) as columns.
+    */
+  val walRecordSchema: StructType = StructType(Seq(
+    StructField("op", ByteType, nullable = false),
+    StructField("id", StringType, nullable = true),
+    StructField("id_hash", LongType, nullable = false),
+    StructField("tenant_ns_hash", LongType, nullable = false),
+    StructField("timestamp_nanos", LongType, nullable = false),
+    StructField("dim", IntegerType, nullable = false),
+    StructField("vector", ArrayType(FloatType, containsNull = false),
+      nullable = true),
+    StructField("tags", ArrayType(IntegerType, containsNull = false),
+      nullable = true),
+    StructField("flags", IntegerType, nullable = false),
+    StructField("epoch", LongType, nullable = false),
+    StructField("centroid_id", IntegerType, nullable = false),
+    StructField("tenant", StringType, nullable = true),
+    StructField("namespace", StringType, nullable = true)))
+
+  /** DISTRIBUTED replay of a rotated reference-format WAL: one task per
+    * segment, each replaying (CRC-verified) and FlatBuffers-decoding its
+    * own file — recovery parallelism scales with the rotate cadence
+    * instead of a single driver thread walking the whole log. At the
+    * reference envelope (50k ops/s ingest × 60 s checkpoint cadence =
+    * a 3M-op tail) a serial replay+decode (~40k ops/s measured) blows
+    * the 30 s recovery budget on its own; per-segment tasks bound it by
+    * the largest segment. Same torn-tail contract as
+    * [[replayBinaryRotated]]: the FINAL segment tolerates a torn/corrupt
+    * tail (crash), a damaged NON-final segment raises from its task
+    * rather than silently dropping frames. Requires the log directory to
+    * be visible to executors (shared storage on a cluster; trivially
+    * true in local mode and for the reference's single-node layout).
+    */
+  def replayRecordsDfRotated(spark: SparkSession, dir: String): DataFrame = {
+    val segs = segments(dir)
+    if (segs.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], walRecordSchema)
+    val paths = segs.map(_.getPath)
+    val lastPath = paths.last
+    val rows = spark.sparkContext
+      .parallelize(paths, paths.length)
+      .flatMap { p =>
+        val frames = replayBinary(p)
+        if (p != lastPath) {
+          val framedBytes = frames.map(16L + _._2.length).sum
+          val total = new File(p).length()
+          require(framedBytes == total,
+            s"WAL segment $p is damaged mid-log (replayable " +
+              s"$framedBytes of $total bytes); refusing to silently " +
+              "drop frames in a non-final segment")
+        }
+        frames.iterator.map { case (_, payload) =>
+          val r = WalRecordFb.decode(payload)
+          Row(r.op, r.id, r.idHash, r.tenantNsHash, r.timestampNanos,
+            r.dim, if (r.vector == null) null else r.vector.toSeq,
+            if (r.tags == null) null else r.tags.toSeq, r.flags, r.epoch,
+            r.centroidId, r.tenant, r.namespace)
+        }
+      }
+    spark.createDataFrame(rows, walRecordSchema)
+  }
+
   /** Replayed WAL as a DataFrame of (epoch, payload). */
   def replayDf(spark: SparkSession, path: String): DataFrame = {
     val rows = replay(path).map { case (e, p) => Row(e, p) }
