@@ -333,7 +333,7 @@ object Bench {
         // replayed tail proportional to the checkpoint cadence rather
         // than the corpus.
         try {
-          import graft.streaming.{Wal, WalRecord, WalRecordFb}
+          import graft.streaming.{Wal, WalCodec, WalRecord, WalRecordFb}
           val walDir = s"$tmp/wal"
           // setup, untimed: stream the op log epoch-ordered into a
           // rotating WAL in group-commit-sized appends (never the whole
@@ -401,6 +401,39 @@ object Bench {
           val fullSec = (System.nanoTime() - tFull0) / 1e9
           extras("wal_replay_full_sec") = num(fullSec, 3)
           extras("wal_replay_ops_per_sec") = num(fullDecoded / fullSec, 0)
+          // WAL compression probe (config.h:51 zstd): re-frame a 100k-op
+          // slice with the zstd codec — bytes ratio vs the uncompressed
+          // frames, and replay+decode throughput including decompression
+          try {
+            val slice = fullFrames.take(100000).toSeq
+            val zDir = walDir + "-zstd"
+            val tZEnc0 = System.nanoTime()
+            slice.grouped(10000).foreach { g =>
+              Wal.appendBinaryRotating(zDir, g, rotateBytes,
+                codec = WalCodec.Zstd)
+            }
+            val zEncSec = (System.nanoTime() - tZEnc0) / 1e9
+            val zBytes = Wal.segments(zDir).map(_.length()).sum
+            val rawBytes = slice.map(16L + _._2.length).sum
+            extras("wal_zstd_ops") = slice.length.toString
+            extras("wal_zstd_encode_ops_per_sec") =
+              num(slice.length / zEncSec, 0)
+            extras("wal_zstd_bytes_ratio") =
+              num(zBytes.toDouble / rawBytes, 3)
+            val tZRep0 = System.nanoTime()
+            val zFrames = Wal.replayBinaryRotated(zDir).toArray
+            var zi = 0
+            while (zi < zFrames.length) {
+              WalRecordFb.decode(zFrames(zi)._2); zi += 1
+            }
+            val zRepSec = (System.nanoTime() - tZRep0) / 1e9
+            extras("wal_zstd_replay_ops_per_sec") =
+              num(zFrames.length / zRepSec, 0)
+            Wal.segments(zDir).foreach(_.delete())
+          } catch { case ex: Throwable =>
+            System.err.println(
+              s"[bench] WAL zstd probe FAILED: ${ex.getMessage}")
+          }
           // DISTRIBUTED replay: one task per segment (Wal
           // .replayRecordsDfRotated) — the recovery shape that holds the
           // 30 s budget at the reference envelope (50k ops/s × 60 s

@@ -44,6 +44,43 @@ object NprobeTuner {
       .map(r => (r.getInt(0), r.getDouble(1)))
     rows.find(_._2 >= target).map(_._1).getOrElse(rows.last._1)
   }
+
+  /** Reference decision-window retention: 1 h (config.h:146). */
+  val defaultDecisionWindowMs: Long = 3600L * 1000
+
+  /** Persist a controller's window-boundary decisions
+    * (config.h:145 `persist_decisions = true`) as an APPEND to a
+    * parquet decision log — restarts and other replicas resume from it
+    * via [[resumeNprobe]]. `tsMillis` stamps this flush (wall clock of
+    * the caller — the engine never reads clocks implicitly).
+    */
+  def persistDecisions(spark: SparkSession, path: String,
+      decisions: Seq[NprobeDecision], tsMillis: Long): Unit = {
+    if (decisions.isEmpty) return
+    import spark.implicits._
+    decisions.toDF()
+      .withColumn("ts_millis", lit(tsMillis))
+      .select("ts_millis", "window", "nprobe", "avgRecall", "met")
+      .coalesce(1)
+      .write.mode("append").parquet(path)
+  }
+
+  /** Resume seed after a restart: the nprobe of the LATEST persisted
+    * decision no older than `windowMs` (config.h:146
+    * `decision_window_hours` — staler decisions describe a corpus that
+    * has since drifted, so the controller cold-starts instead). Feed
+    * the result to `AdaptiveNprobe(start = ...)`.
+    */
+  def resumeNprobe(spark: SparkSession, path: String, nowMillis: Long,
+      windowMs: Long = defaultDecisionWindowMs): Option[Int] = {
+    val df =
+      try spark.read.parquet(path)
+      catch { case _: Throwable => return None } // no log yet
+    df.filter(col("ts_millis") >= lit(nowMillis - windowMs))
+      .orderBy(col("ts_millis").desc, col("window").desc)
+      .select("nprobe").limit(1).collect()
+      .headOption.map(_.getInt(0))
+  }
 }
 
 /** RUNTIME nprobe adaptation — the reference's TuningConfig feedback loop
@@ -77,8 +114,20 @@ final class AdaptiveNprobe(val lo: Int, val hi: Int,
   private var floorNp = 0 // highest nprobe known insufficient (0 = none)
   private var lastGood = 0 // most recent nprobe that met target (0 = none)
   private var windowsSinceFail = 0
+  private var windowIdx = 0L
+  private val log =
+    scala.collection.mutable.ArrayBuffer.empty[NprobeDecision]
 
   def current: Int = np
+
+  /** Window-boundary decisions made so far (config.h:145
+    * `persist_decisions` — the record a restart resumes from; see
+    * [[NprobeTuner.persistDecisions]]/[[NprobeTuner.resumeNprobe]]).
+    * Each entry carries the window's observed average recall and the
+    * nprobe chosen AT that boundary (i.e. the setting the next window
+    * runs at).
+    */
+  def decisions: Seq[NprobeDecision] = log.toSeq
 
   /** Feed one sampled recall observation (|approx ∩ reference| / k). */
   def observe(recall: Double): Unit = {
@@ -86,7 +135,8 @@ final class AdaptiveNprobe(val lo: Int, val hi: Int,
     if (n >= window) {
       val avg = sum / n
       sum = 0.0; n = 0
-      if (avg < target) {
+      val met = avg >= target
+      if (!met) {
         floorNp = math.max(floorNp, np)
         windowsSinceFail = 0
         np =
@@ -102,9 +152,18 @@ final class AdaptiveNprobe(val lo: Int, val hi: Int,
         if (avg >= target + margin && np - 1 > math.max(floorNp, lo - 1))
           np -= 1
       }
+      log += NprobeDecision(windowIdx, np, avg, met)
+      windowIdx += 1
     }
   }
 }
+
+/** One controller decision at a window boundary: the average sampled
+  * recall the closing window observed, whether it met target, and the
+  * nprobe chosen for the NEXT window.
+  */
+final case class NprobeDecision(window: Long, nprobe: Int,
+    avgRecall: Double, met: Boolean)
 
 /** [[ServingIndex]] wrapped in the runtime controller: every
   * `sampleEvery`-th request is re-answered at the band ceiling `hi` and
@@ -123,6 +182,11 @@ final class AdaptiveServingIndex(idx: ServingIndex, lo: Int, hi: Int,
   private var reqs = 0L
 
   def currentNprobe: Int = ctl.current
+
+  /** The wrapped controller's decision log, for persistence
+    * ([[NprobeTuner.persistDecisions]]).
+    */
+  def decisions: Seq[NprobeDecision] = ctl.decisions
 
   /** One controlled request: issue at the tuned nprobe, and every
     * `sampleEvery`-th request re-issue THROUGH THE SAME `run` at the

@@ -711,13 +711,11 @@ final class ServingIndex private (
     mergeBatch(plan, kk, partials, _ => Array.empty)
   }
 
-  /** Batch inversion shared by the three [[searchBatch]] forms: per-query
-    * capped probe sets, and partition → query indices for the one probe
-    * job. Enforces the max_query_batch cap.
-    */
-  private final case class BatchPlan(qArr: Array[(Long, Array[Float])],
-      probedByQuery: Array[Seq[Long]], parts: Array[Int],
-      partQueries: Map[Int, Array[Int]], qVecs: Array[Array[Float]])
+  // BatchPlan lives in the companion object: an inner case class's
+  // synthesized extractor emits an outer-reference type test scalac
+  // cannot check (compiler warning), and the plan carries no instance
+  // state anyway
+  import ServingIndex.BatchPlan
 
   private def planBatch(queries: Seq[(Long, Array[Float])],
       nprobe: Int): BatchPlan = {
@@ -896,6 +894,15 @@ final class ServingIndex private (
 }
 
 object ServingIndex {
+
+  /** Batch inversion shared by the three `searchBatch` forms: per-query
+    * capped probe sets, and partition → query indices for the one probe
+    * job. (Companion-scoped: see the note at the use site.)
+    */
+  private[index] final case class BatchPlan(
+      qArr: Array[(Long, Array[Float])],
+      probedByQuery: Array[Seq[Long]], parts: Array[Int],
+      partQueries: Map[Int, Array[Int]], qVecs: Array[Array[Float]])
 
   // ---- per-request deadline (config.h:130 query timeout) --------------
   // The probe job runs on the CALLING thread (no hop on the hot path); a

@@ -27,7 +27,94 @@ import org.apache.spark.sql.types._
   * In the Spark engine the streaming checkpoint plays the WAL role for
   * ingest; this codec exists for interchange with reference-format logs
   * and for the crash-recovery property itself.
+  *
+  * Payload compression: every append path takes a [[WalCodec]]
+  * (`none`/`lz4`/`zstd`, config.h:51); replay auto-detects the codec
+  * per payload from the standard frame magics, so mixed-codec logs and
+  * mid-life config changes replay correctly with zero read-side
+  * configuration.
   */
+/** WAL payload compression (config.h:51 `compression = "none" // none,
+  * lz4, zstd`; configs/woved-default.yaml:52). Codecs are the STANDARD
+  * self-describing frame formats (zstd magic 28 B5 2F FD, LZ4 frame
+  * magic 04 22 4D 18), so replay auto-detects per payload and a log may
+  * mix codecs across its lifetime (a config change never invalidates
+  * old segments). The WAL frame contract is unchanged — `[len u32]
+  * [crc32c u32][epoch u64][payload]` with the CRC over [epoch‖payload]
+  * as STORED — so torn-tail recovery, reclamation's header-only scans,
+  * and `none`-codec bit-compat with reference logs are untouched;
+  * decompression happens strictly after a frame passes its CRC.
+  *
+  * Magic-collision safety: an uncompressed payload would be
+  * misdetected only if its first four bytes equal a codec magic. Our
+  * payloads are FlatBuffers `WALRecord`s (leading u32 = root offset, in
+  * practice ≪ 2^24 — the magics are ≥ 0x18000000) or JSON (leading
+  * byte `{`/`[`); neither can collide.
+  */
+sealed abstract class WalCodec(val name: String) extends Serializable {
+  def compress(payload: Array[Byte]): Array[Byte]
+}
+
+object WalCodec {
+
+  /** Identity: reference-bit-compat frames. */
+  case object None extends WalCodec("none") {
+    def compress(payload: Array[Byte]): Array[Byte] = payload
+  }
+
+  /** LZ4 frame format via lz4-java (on Spark's classpath). */
+  case object Lz4 extends WalCodec("lz4") {
+    def compress(payload: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream(payload.length / 2 + 64)
+      val out = new net.jpountz.lz4.LZ4FrameOutputStream(bos)
+      try out.write(payload) finally out.close()
+      bos.toByteArray
+    }
+  }
+
+  /** Zstandard frame via zstd-jni (on Spark's classpath); level 3 — the
+    * usual streaming-durability tradeoff (zstd's own default).
+    */
+  case object Zstd extends WalCodec("zstd") {
+    def compress(payload: Array[Byte]): Array[Byte] =
+      com.github.luben.zstd.Zstd.compress(payload, 3)
+  }
+
+  def of(name: String): WalCodec = name match {
+    case "none" => None
+    case "lz4"  => Lz4
+    case "zstd" => Zstd
+    case other  => throw new IllegalArgumentException(
+      s"unknown WAL codec '$other' (none, lz4, zstd — config.h:51)")
+  }
+
+  private def magic4(p: Array[Byte], a: Int, b: Int, c: Int, d: Int) =
+    p.length >= 4 && (p(0) & 0xFF) == a && (p(1) & 0xFF) == b &&
+      (p(2) & 0xFF) == c && (p(3) & 0xFF) == d
+
+  /** Decompress a stored payload if it carries a codec magic; identity
+    * otherwise. Replay-side — codec choice never needs to be configured
+    * for reads.
+    */
+  def decode(payload: Array[Byte]): Array[Byte] =
+    if (magic4(payload, 0x28, 0xB5, 0x2F, 0xFD)) { // zstd frame
+      val size = com.github.luben.zstd.Zstd.getFrameContentSize(payload)
+      require(size >= 0 && size <= (1L << 26),
+        s"zstd WAL payload declares insane content size $size")
+      com.github.luben.zstd.Zstd.decompress(payload, size.toInt)
+    } else if (magic4(payload, 0x04, 0x22, 0x4D, 0x18)) { // lz4 frame
+      val in = new net.jpountz.lz4.LZ4FrameInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val bos = new java.io.ByteArrayOutputStream(payload.length * 2 + 64)
+      try {
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      } finally in.close()
+      bos.toByteArray
+    } else payload
+}
+
 object Wal {
 
   def crc(epoch: Long, payload: Array[Byte]): Long = {
@@ -40,13 +127,17 @@ object Wal {
 
   /** Append binary-payload frames to a local WAL file (driver-side; one
     * log per writer — the reference is single-node, group-commit batches
-    * arrive in order).
+    * arrive in order). `codec` compresses each payload before framing
+    * (config.h:51); the CRC covers the stored bytes, so durability
+    * verification never depends on a successful decompression.
     */
-  def appendBinary(path: String, records: Seq[(Long, Array[Byte])]): Unit = {
+  def appendBinary(path: String, records: Seq[(Long, Array[Byte])],
+      codec: WalCodec = WalCodec.None): Unit = {
     val fos = new FileOutputStream(path, true)
     val out = new DataOutputStream(fos)
     try {
-      records.foreach { case (epoch, payload) =>
+      records.foreach { case (epoch, raw) =>
+        val payload = codec.compress(raw)
         out.writeInt(payload.length)
         out.writeInt(crc(epoch, payload).toInt)
         out.writeLong(epoch)
@@ -67,13 +158,19 @@ object Wal {
     * payload (wal-record.fbs:21-58, [[WalRecordFb]]) inside the same
     * `[len][crc32c][epoch]` frame. Frame epoch = record epoch.
     */
-  def appendRecords(path: String, records: Seq[WalRecord]): Unit =
-    appendBinary(path, records.map(r => (r.epoch, WalRecordFb.encode(r))))
+  def appendRecords(path: String, records: Seq[WalRecord],
+      codec: WalCodec = WalCodec.None): Unit =
+    appendBinary(path, records.map(r => (r.epoch, WalRecordFb.encode(r))),
+      codec)
 
-  /** Replay a WAL file: every frame up to (not including) the first torn
-    * or checksum-failing frame. Returns (epoch, payload) pairs.
+  /** Replay a WAL file's frames WITHOUT decoding payloads: every frame
+    * up to (not including) the first torn or checksum-failing frame, as
+    * (epoch, storedPayload). The rotated-replay damage checks need the
+    * stored (possibly compressed) lengths to reconcile against the
+    * file's byte length.
     */
-  def replayBinary(path: String): Seq[(Long, Array[Byte])] = {
+  private[streaming] def replayStored(
+      path: String): Seq[(Long, Array[Byte])] = {
     val f = new File(path)
     if (!f.exists()) return Seq.empty
     val in = new DataInputStream(new FileInputStream(f))
@@ -98,6 +195,13 @@ object Wal {
     } finally in.close()
     out.result()
   }
+
+  /** Replay a WAL file: every frame up to (not including) the first torn
+    * or checksum-failing frame, payloads decompressed when they carry a
+    * codec magic ([[WalCodec.decode]]). Returns (epoch, payload) pairs.
+    */
+  def replayBinary(path: String): Seq[(Long, Array[Byte])] =
+    replayStored(path).map { case (e, p) => (e, WalCodec.decode(p)) }
 
   def replay(path: String): Seq[(Long, String)] =
     replayBinary(path).map { case (e, p) =>
@@ -139,7 +243,8 @@ object Wal {
     * epochs are flushed (the reason the reference rotates at all).
     */
   def appendBinaryRotating(dir: String, records: Seq[(Long, Array[Byte])],
-      rotateBytes: Long = defaultRotateBytes): Unit = {
+      rotateBytes: Long = defaultRotateBytes,
+      codec: WalCodec = WalCodec.None): Unit = {
     val d = new File(dir)
     if (!d.exists()) d.mkdirs()
     val segs = segments(dir)
@@ -150,7 +255,7 @@ object Wal {
         // old segments, so count and numbering diverge)
         new File(d, segName(segNumber(cur.getName) + 1))
       } else cur
-    appendBinary(target.getPath, records)
+    appendBinary(target.getPath, records, codec)
   }
 
   /** Replay a rotated log directory in segment order. Torn/corrupt
@@ -163,17 +268,18 @@ object Wal {
     val segs = segments(dir)
     val out = Seq.newBuilder[(Long, Array[Byte])]
     segs.zipWithIndex.foreach { case (f, i) =>
-      val frames = replayBinary(f.getPath)
+      val frames = replayStored(f.getPath)
       if (i < segs.length - 1) {
         // a non-final segment must replay to its exact byte length —
-        // every frame intact (4+4+8 header + payload per frame)
+        // every frame intact (4+4+8 header + payload per frame); the
+        // check reconciles STORED (possibly compressed) lengths
         val framedBytes = frames.map(16L + _._2.length).sum
         require(framedBytes == f.length(),
           s"WAL segment ${f.getName} is damaged mid-log " +
             s"(replayable $framedBytes of ${f.length()} bytes); " +
             "refusing to silently drop later segments")
       }
-      out ++= frames
+      out ++= frames.map { case (e, p) => (e, WalCodec.decode(p)) }
     }
     out.result()
   }
@@ -280,8 +386,9 @@ object Wal {
     val rows = spark.sparkContext
       .parallelize(paths, paths.length)
       .flatMap { p =>
-        val frames = replayBinary(p)
+        val frames = replayStored(p)
         if (p != lastPath) {
+          // stored (possibly compressed) lengths reconcile the file size
           val framedBytes = frames.map(16L + _._2.length).sum
           val total = new File(p).length()
           require(framedBytes == total,
@@ -289,8 +396,8 @@ object Wal {
               s"$framedBytes of $total bytes); refusing to silently " +
               "drop frames in a non-final segment")
         }
-        frames.iterator.map { case (_, payload) =>
-          val r = WalRecordFb.decode(payload)
+        frames.iterator.map { case (_, stored) =>
+          val r = WalRecordFb.decode(WalCodec.decode(stored))
           Row(r.op, r.id, r.idHash, r.tenantNsHash, r.timestampNanos,
             r.dim, if (r.vector == null) null else r.vector.toSeq,
             if (r.tags == null) null else r.tags.toSeq, r.flags, r.epoch,

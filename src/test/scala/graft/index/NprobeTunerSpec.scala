@@ -159,4 +159,38 @@ class NprobeTunerSpec extends SparkSpec {
       graft.segments.Segments.deleteDir(dir)
     }
   }
+
+  test("decision persistence: restart resumes the persisted nprobe within the decision window, cold-starts past it (config.h:145-146)") {
+    // drive to a known settled point: smallest ok = 4 (same curve as the
+    // convergence test)
+    val recall = Map(1 -> 0.80, 2 -> 0.90).withDefault(np =>
+      if (np >= 4) 0.96 else 0.0)
+    val ctl = new AdaptiveNprobe(1, 16, target = 0.95, window = 10,
+      margin = 0.02, probeEvery = 4)
+    drive(ctl, recall, windows = 6)
+    assert(ctl.current === 4)
+    // every window boundary recorded a decision with its observed recall
+    val ds = ctl.decisions
+    assert(ds.length === 6)
+    assert(ds.map(_.window) === (0L until 6L))
+    assert(!ds.head.met && ds.last.met && ds.last.nprobe === 4)
+    // persist (two flushes — the log is append-mode), then resume
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-nprobe-log-").toString + "/decisions"
+    val t1 = 1000000L
+    NprobeTuner.persistDecisions(spark, path, ds.take(3), t1 - 500)
+    NprobeTuner.persistDecisions(spark, path, ds.drop(3), t1)
+    // restart within the window: seed = latest decision's nprobe
+    val resumed = NprobeTuner.resumeNprobe(spark, path, t1 + 60000,
+      windowMs = 3600000)
+    assert(resumed === Some(4))
+    val warm = new AdaptiveNprobe(1, 16, target = 0.95, window = 10,
+      margin = 0.02, probeEvery = 4, start = resumed)
+    assert(warm.current === 4) // no re-climb from lo
+    // restart past decision_window_hours: stale decisions are ignored
+    assert(NprobeTuner.resumeNprobe(spark, path,
+      t1 + 2 * 3600000L, windowMs = 3600000).isEmpty)
+    // no log at all → cold start, not an error
+    assert(NprobeTuner.resumeNprobe(spark, path + "-nope", t1).isEmpty)
+  }
 }

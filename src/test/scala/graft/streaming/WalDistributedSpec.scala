@@ -56,6 +56,23 @@ class WalDistributedSpec extends SparkSpec {
     }
   }
 
+  test("distributed rotated replay decodes a zstd-compressed log (stored-length damage check holds)") {
+    val dir = Files.createTempDirectory("graft-wal-dist-zstd-").toString
+    (1L to 120L).grouped(12).foreach { g =>
+      Wal.appendBinaryRotating(dir,
+        g.map(e => (e, WalRecordFb.encode(rec(e)))), rotateBytes = 1200L,
+        codec = WalCodec.Zstd)
+    }
+    assert(Wal.segments(dir).length > 2, "fixture must rotate")
+    // every non-final segment is fully compressed frames; the damage
+    // check must reconcile STORED lengths (decoded lengths would raise)
+    val df = Wal.replayRecordsDfRotated(spark, dir)
+    val got = df.select("epoch", "id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(got.length === 120)
+    assert(got === (1L to 120L).map(e => (e, s"vec-$e")).toArray)
+  }
+
   test("distributed rotated replay raises on a damaged NON-final segment") {
     val dir = Files.createTempDirectory("graft-wal-dist-dmg-").toString
     (1L to 100L).grouped(10).foreach { g =>

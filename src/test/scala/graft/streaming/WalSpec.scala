@@ -185,6 +185,77 @@ class WalSpec extends AnyFunSuite {
       r.centroidId === 0 && r.tenant === "" && r.namespace === "")
   }
 
+  test("compression: lz4/zstd roundtrip JSON and FlatBuffers payloads; compressible logs shrink on disk") {
+    // payloads must clear the codec frame overhead (~15 B for an LZ4
+    // frame) for the shrink assertion to be meaningful — per-frame
+    // compression only pays above a payload size, exactly why the
+    // reference defaults `compression: none` (yaml:52)
+    val padded = records.map { case (e, j) =>
+      (e, j.dropRight(1) + s""","pad":"${"abc123" * 30}"}""")
+    }
+    for (codec <- Seq(WalCodec.Lz4, WalCodec.Zstd)) {
+      val p = tmpWal()
+      Wal.append(s"$p-ref", padded) // uncompressed twin for the size bar
+      Wal.appendBinary(p, padded.map { case (e, j) =>
+        (e, j.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }, codec)
+      assert(Wal.replay(p) === padded, codec.name)
+      // JSON is compressible; the framed log must actually shrink
+      assert(new java.io.File(p).length() <
+        new java.io.File(s"$p-ref").length(), codec.name)
+      val pFb = tmpWal()
+      val recs = (1L to 30L).map(sampleRecord)
+      Wal.appendRecords(pFb, recs, codec)
+      assert(Wal.replayRecords(pFb) === recs, codec.name)
+    }
+  }
+
+  test("compression: mixed-codec rotated log replays in order; damage check reconciles stored lengths") {
+    val dir = Files.createTempDirectory("graft-wal-codec-").toString
+    val codecs = Array[WalCodec](WalCodec.None, WalCodec.Lz4, WalCodec.Zstd)
+    val all = (1L to 90L).map(e => (e,
+      s"""{"op":"INSERT","id":$e,"pad":"${"x" * 50}"}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    // tiny rotate threshold → many segments, codec varies per batch (a
+    // mid-life config change must never invalidate old segments)
+    all.grouped(10).zipWithIndex.foreach { case (g, i) =>
+      Wal.appendBinaryRotating(dir, g.toSeq, rotateBytes = 400L,
+        codec = codecs(i % 3))
+    }
+    assert(Wal.segments(dir).length > 2, "fixture must rotate")
+    val replayed = Wal.replayBinaryRotated(dir)
+    assert(replayed.map(_._1) === all.map(_._1))
+    replayed.zip(all).foreach { case ((_, got), (_, want)) =>
+      assert(java.util.Arrays.equals(got, want))
+    }
+  }
+
+  test("compression: torn tail on a compressed log keeps the intact prefix; bit flip stops at CRC") {
+    val p = tmpWal()
+    Wal.appendBinary(p, records.map { case (e, j) =>
+      (e, j.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }, WalCodec.Zstd)
+    val raf = new RandomAccessFile(p, "rw")
+    raf.setLength(raf.length() - 4)
+    raf.close()
+    assert(Wal.replay(p) === records.dropRight(1))
+    // bit-flip INSIDE a compressed payload: CRC fails before any
+    // decompression is attempted — corruption can never surface as a
+    // codec exception
+    val p2 = tmpWal()
+    Wal.appendBinary(p2, records.map { case (e, j) =>
+      (e, j.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }, WalCodec.Lz4)
+    val raf2 = new RandomAccessFile(p2, "rw")
+    val mid = raf2.length() / 2
+    raf2.seek(mid); val b = raf2.read(); raf2.seek(mid)
+    raf2.write(b ^ 0x40)
+    raf2.close()
+    val kept = Wal.replay(p2)
+    assert(kept.length < records.length)
+    assert(kept === records.take(kept.length))
+  }
+
   test("FlatBuffers payloads ride the crc32c frame with the same recovery semantics") {
     val p = tmpWal()
     val recs = (1L to 30L).map(sampleRecord)
