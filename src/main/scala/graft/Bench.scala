@@ -792,6 +792,14 @@ object Bench {
         extras("ivf_1m_posting_p99_ms") = num(pctl(postingRaw, 99), 1)
         extras("ivf_1m_posting_p99_steady_ms") =
           num(pctl(postingSteady, 99), 1)
+        // reference woved_bitmap_cache_hits/misses (yaml:157-158): probed
+        // lists served from the posting union vs per-row fallback, across
+        // every tags-filtered request so far (accumulator-backed, so the
+        // counts are cluster-correct, not local-mode artifacts). The
+        // filtered loop above wants tag 11 (dense in every list) → all
+        // misses; the posting loop wants tag 3 (sparse) → all hits.
+        extras("bitmap_cache_hits") = idx.postingHits.toString
+        extras("bitmap_cache_misses") = idx.postingMisses.toString
         // Q12 batch serving: the whole battery as ONE probe job —
         // dispatch paid once for the batch, each probed list read once
         // for every query probing it. The qps delta vs the per-request
@@ -939,6 +947,60 @@ object Bench {
           extras("serving_batch_qps") = num(batchReqs.length / bSec, 1)
         } catch { case ex: Throwable =>
           System.err.println(s"[bench] batch serving FAILED: ${ex.getMessage}")
+        }
+        // CONCURRENT serving throughput: 8 closed-loop client threads
+        // against the same index — the reference is a server
+        // (worker_threads/max_connections, yaml:8-14); here the Spark
+        // scheduler multiplexes per-request probe jobs submitted from
+        // independent threads (job groups are thread-local, so the
+        // per-request deadline machinery stays per-client). The qps
+        // delta vs the sequential loop (1000/p50) is the scheduler's
+        // concurrency headroom; the concurrent p99 shows what queueing
+        // does to a single client's tail.
+        try {
+          System.gc()
+          val nThreads = 8
+          val repsC = 3
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(
+            nThreads, (r: Runnable) => {
+              val th = new Thread(r, "graft-bench-client")
+              th.setDaemon(true); th
+            })
+          val lat = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+          (0 until 3).foreach(_ => idx.search(qRows.head, 10, nprobeServ))
+          val t0 = System.nanoTime()
+          val futs = (0 until nThreads).map { _ =>
+            pool.submit(new java.util.concurrent.Callable[Long] {
+              override def call(): Long = {
+                var n = 0L
+                var r = 0
+                while (r < repsC) {
+                  var i = 0
+                  while (i < qRows.length) {
+                    val tq = System.nanoTime()
+                    idx.search(qRows(i), 10, nprobeServ)
+                    lat.add((System.nanoTime() - tq) / 1e6)
+                    n += 1; i += 1
+                  }
+                  r += 1
+                }
+                n
+              }
+            })
+          }
+          val total = futs.map(_.get()).sum
+          val sec = (System.nanoTime() - t0) / 1e9
+          pool.shutdown()
+          val ls = lat.toArray(Array.empty[java.lang.Double])
+            .map(_.doubleValue()).sorted.toSeq
+          extras("serving_concurrent_threads") = nThreads.toString
+          extras("serving_concurrent_reqs") = total.toString
+          extras("serving_concurrent_qps") = num(total / sec, 1)
+          extras("serving_concurrent_p50_ms") = num(pctl(ls, 50), 1)
+          extras("serving_concurrent_p99_ms") = num(pctl(ls, 99), 1)
+        } catch { case ex: Throwable =>
+          System.err.println(
+            s"[bench] concurrent serving FAILED: ${ex.getMessage}")
         }
         // cosine serving on the same corpus/layout: with the query norm
         // hoisted out of the row loop, cosine should track ip instead of

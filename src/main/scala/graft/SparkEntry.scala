@@ -259,6 +259,47 @@ object SparkEntry {
           StructField("vec_id", LongType, nullable = false),
           StructField("score", DoubleType, nullable = false))))
     }),
+    // Q14 cache LIFECYCLE against the same exact oracle: the first half
+    // of the battery queries is served COLD (empty graph → fall-through
+    // to the probe-ALL serving path = exact), then every corpus vector
+    // is offered, the graph refreshed, and the second half served HOT
+    // (exhaustive-ef graph = exact). Admission, refresh, and the
+    // serve/fall-through switch are all value-visible in one gate —
+    // the reference's cache-miss flow (config.h:102-108) end to end.
+    "knn_hnsw_cache" -> ((s, dir) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val e = emb(s, dir)
+      val cents = Ivf.deterministicCentroids(e, 50)
+      val idx = graft.index.ServingIndex.build(
+        Ivf.assign(e, cents), cents, "ip")
+      val nlist = cents.count().toInt
+      val rows = e.select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+      val cache = new graft.index.HnswHotCache(idx,
+        maxElements = rows.length, ef = rows.length)
+      val reqs = q(s, dir).collect().sortBy(_.getLong(0))
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val (cold, hot) = reqs.splitAt(reqs.length / 2)
+      val coldOut = cold.toIndexedSeq.flatMap { case (qid, qv) =>
+        cache.search(qv, 10, nprobe = nlist)
+          .map { case (id, sc) => Row(qid, id, sc) }
+      }
+      rows.foreach { case (id, v) => cache.offer(id, v) }
+      cache.refresh()
+      require(cache.cacheSize == rows.length,
+        s"cache admitted ${cache.cacheSize} of ${rows.length}")
+      val hotOut = hot.toIndexedSeq.flatMap { case (qid, qv) =>
+        cache.search(qv, 10, nprobe = nlist)
+          .map { case (id, sc) => Row(qid, id, sc) }
+      }
+      idx.unpersist()
+      s.createDataFrame(
+        s.sparkContext.parallelize(coldOut ++ hotOut, 1),
+        StructType(Seq(StructField("query_id", LongType, nullable = false),
+          StructField("vec_id", LongType, nullable = false),
+          StructField("score", DoubleType, nullable = false))))
+    }),
     // serving INDEX path with the full QueryRequest predicate surface
     // (tenant + tags_any composed with nprobe, types.h:67-75): rows are
     // filtered in-task before scoring. Same result set as the batch
@@ -957,6 +998,13 @@ object SparkEntry {
     // Q14 at exhaustive beam width == the exact scan (HnswSpec proves
     // the equivalence; the oracle pins it per-value on real data)
     "knn_hnsw" -> topkSql(
+      """SELECT q.query_id, emb.vec_id,
+        |    list_dot_product(q.qv, emb.e) AS score
+        |  FROM q CROSS JOIN emb""".stripMargin, 10, desc = true),
+    // Q14 cache lifecycle: cold fall-through (probe-all) and hot
+    // exhaustive-ef serve are BOTH exact, so the whole admission/
+    // refresh/serve cycle shares the exact oracle verbatim
+    "knn_hnsw_cache" -> topkSql(
       """SELECT q.query_id, emb.vec_id,
         |    list_dot_product(q.qv, emb.e) AS score
         |  FROM q CROSS JOIN emb""".stripMargin, 10, desc = true),

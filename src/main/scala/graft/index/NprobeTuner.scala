@@ -100,9 +100,13 @@ object NprobeTuner {
   *    round-trips to the band ceiling after each re-fall;
   *  - the floor memory expires after `probeEvery` windows so a drifting
   *    corpus that got EASIER is eventually re-probed (the reference's
-  *    persist_decisions + fresh windows achieve the same).
+  *    fresh decision windows achieve the same).
   *
-  * Deterministic given the observation stream; O(1) state.
+  * Decisions are recorded per window ([[decisions]]) and persist/resume
+  * across restarts via [[NprobeTuner.persistDecisions]] /
+  * [[NprobeTuner.resumeNprobe]] (config.h:145-146).
+  *
+  * Deterministic given the observation stream; O(1) control state.
   */
 final class AdaptiveNprobe(val lo: Int, val hi: Int,
     target: Double = 0.95, window: Int = 50, margin: Double = 0.02,

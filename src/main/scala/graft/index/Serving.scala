@@ -504,6 +504,25 @@ final class ServingIndex private (
 
   private val asc = graft.operators.Knn.isAscending(metric)
 
+  // observability counters (reference woved_bitmap_cache_hits/misses,
+  // configs/woved-default.yaml:157-158): per probed list under a tags
+  // filter, a "hit" = served from the posting union, a "miss" = per-row
+  // fallback (a wanted tag was dense or unposted). Spark accumulators:
+  // incremented in-task, merged into the driver on task completion —
+  // the cluster-correct counter shape (a plain field would count only
+  // in local mode).
+  @transient private lazy val postingHitAcc =
+    blocks.sparkContext.longAccumulator("graft.serving.posting.hits")
+  @transient private lazy val postingMissAcc =
+    blocks.sparkContext.longAccumulator("graft.serving.posting.misses")
+
+  /** Posting-prefilter hits so far (tags-filtered probed lists served
+    * from the posting union).
+    */
+  def postingHits: Long = postingHitAcc.value
+  /** Tags-filtered probed lists that fell back to the per-row test. */
+  def postingMisses: Long = postingMissAcc.value
+
   /** nprobe nearest centroids for q — identical arithmetic and (d, cid)
     * tie-break to [[Ivf.searchPoint]]/[[Ivf.probes]].
     */
@@ -556,12 +575,15 @@ final class ServingIndex private (
     val probedSet = probed.toSet
     val m = metric
     val ascL = asc
+    val hA = postingHitAcc
+    val mA = postingMissAcc
     val partials: Array[Array[(Long, Double)]] =
       ServingIndex.withDeadline(blocks.sparkContext, limits.deadlineMs) {
         blocks.sparkContext.runJob(
           blocks,
           (it: Iterator[ListBlock]) =>
-            ServingIndex.scanTopK(it, q, kk, m, ascL, probedSet, filter),
+            ServingIndex.scanTopK(it, q, kk, m, ascL, probedSet, filter,
+              ServingIndex.noShadow, hA, mA),
           parts.toIndexedSeq)
       }
     val merged = partials.flatten.sortBy {
@@ -592,6 +614,8 @@ final class ServingIndex private (
     val parts = probed.flatMap(cidToPart.get).distinct.toArray
     val m = metric
     val ascL = asc
+    val hA = postingHitAcc
+    val mA = postingMissAcc
     val shadowBc = overlay.shadowBc // handle only — the set never ships
     val partials: Array[Array[(Long, Double)]] =
       if (parts.isEmpty) Array.empty
@@ -600,7 +624,7 @@ final class ServingIndex private (
           blocks,
           (it: Iterator[ListBlock]) =>
             ServingIndex.scanTopK(it, q, kk, m, ascL, probedSet,
-              filter, shadowBc.value),
+              filter, shadowBc.value, hA, mA),
           parts.toIndexedSeq)
       }
     // query self-norm is loop-invariant across overlay winners — computed
@@ -642,6 +666,8 @@ final class ServingIndex private (
     if (parts.isEmpty) return Array.empty
     val m = metric
     val ascL = asc
+    val hA = postingHitAcc
+    val mA = postingMissAcc
     val shadowBc = overlay.shadowBc // handle only — the set never ships
     val partials: Array[Array[(Long, Double)]] =
       ServingIndex.withDeadline(blocks.sparkContext, limits.deadlineMs) {
@@ -650,7 +676,7 @@ final class ServingIndex private (
           (it: Iterator[(Array[ListBlock], Array[OverlayBlock])]) => {
             val (bs, os) = it.next()
             val stored = ServingIndex.scanTopK(bs.iterator, q, kk, m,
-              ascL, probedSet, filter, shadowBc.value)
+              ascL, probedSet, filter, shadowBc.value, hA, mA)
             val over = ServingIndex.overlayTopK(os, q, kk, m, ascL,
               probedSet, filter)
             stored ++ over
@@ -689,6 +715,8 @@ final class ServingIndex private (
     val partQueries = plan.partQueries
     val m = metric
     val ascL = asc
+    val hA = postingHitAcc
+    val mA = postingMissAcc
     val partials: Array[Array[(Int, Array[(Long, Double)])]] =
       if (plan.parts.isEmpty) Array.empty
       else ServingIndex.withDeadline(blocks.sparkContext, limits.deadlineMs) {
@@ -703,7 +731,7 @@ final class ServingIndex private (
               // the probed set is exactly the block's own cids
               val probedHere = bs.iterator.map(_.cid).toSet
               (i, ServingIndex.scanTopK(bs.iterator, qVecs(i), kk, m,
-                ascL, probedHere, filter))
+                ascL, probedHere, filter, ServingIndex.noShadow, hA, mA))
             }
           },
           plan.parts.toIndexedSeq)
@@ -750,6 +778,8 @@ final class ServingIndex private (
       extra: Int => Array[(Long, Double)]):
       Map[Long, Array[(Long, Double)]] = {
     val ascL = asc
+    val hA = postingHitAcc
+    val mA = postingMissAcc
     val acc = scala.collection.mutable.HashMap
       .empty[Int, scala.collection.mutable.ArrayBuffer[(Long, Double)]]
     partials.foreach(_.foreach { case (i, hits) =>
@@ -786,6 +816,8 @@ final class ServingIndex private (
     val partQueries = plan.partQueries
     val m = metric
     val ascL = asc
+    val hA = postingHitAcc
+    val mA = postingMissAcc
     val shadowBc = overlay.shadowBc // handle only — the set never ships
     val partials: Array[Array[(Int, Array[(Long, Double)])]] =
       if (plan.parts.isEmpty) Array.empty
@@ -799,7 +831,7 @@ final class ServingIndex private (
             val probedHere = bs.iterator.map(_.cid).toSet
             mine.map { i =>
               (i, ServingIndex.scanTopK(bs.iterator, qVecs(i), kk, m,
-                ascL, probedHere, filter, shadowBc.value))
+                ascL, probedHere, filter, shadowBc.value, hA, mA))
             }
           },
           plan.parts.toIndexedSeq)
@@ -837,6 +869,8 @@ final class ServingIndex private (
     val partQueries = plan.partQueries
     val m = metric
     val ascL = asc
+    val hA = postingHitAcc
+    val mA = postingMissAcc
     val shadowBc = overlay.shadowBc
     val partials: Array[Array[(Int, Array[(Long, Double)])]] =
       if (plan.parts.isEmpty) Array.empty
@@ -851,7 +885,7 @@ final class ServingIndex private (
             val probedHere = bs.iterator.map(_.cid).toSet
             mine.map { i =>
               val stored = ServingIndex.scanTopK(bs.iterator, qVecs(i), kk,
-                m, ascL, probedHere, filter, shadowBc.value)
+                m, ascL, probedHere, filter, shadowBc.value, hA, mA)
               val over = ServingIndex.overlayTopK(os, qVecs(i), kk, m,
                 ascL, probedHere, filter)
               (i, stored ++ over)
@@ -1283,7 +1317,10 @@ object ServingIndex {
   private[index] def scanTopK(it: Iterator[ListBlock], q: Array[Float],
       k: Int, metric: String, asc: Boolean, probed: Set[Long],
       filter: ServingFilter = ServingFilter.none,
-      shadow: Array[Long] = noShadow): Array[(Long, Double)] = {
+      shadow: Array[Long] = noShadow,
+      postingHitAcc: org.apache.spark.util.LongAccumulator = null,
+      postingMissAcc: org.apache.spark.util.LongAccumulator = null)
+      : Array[(Long, Double)] = {
     val wantTenant = filter.tenant.orNull
     val wantTags = filter.tagsAny.map(_.toArray).orNull
     val sampleP = filter.sampleP.getOrElse(-1)
@@ -1396,6 +1433,15 @@ object ServingIndex {
             java.util.Arrays.sort(u)
             u
           } else null
+        // observability (reference woved_bitmap_cache_hits/misses,
+        // yaml:157-158): one hit per probed list served from its posting
+        // union, one miss per probed list that fell back to the per-row
+        // tag test — counted in-task, surfaced through Spark accumulators
+        if (wantTags != null) {
+          if (postingRows != null) {
+            if (postingHitAcc != null) postingHitAcc.add(1L)
+          } else if (postingMissAcc != null) postingMissAcc.add(1L)
+        }
         if (postingRows != null) {
           var j = 0
           var prev = -1

@@ -27,6 +27,13 @@ import graft.segments.Segments
   * the streaming state store holds nothing (dedupe is within-batch; cross-
   * batch versions resolve at read time via epochs — the reference's
   * latest-by-id is a *derived* view here, never mutable state).
+  *
+  * Request validation sits UPSTREAM of this pipeline, at the client API
+  * boundary ([[graft.ingest.IngestGuard]] — the reference validates the
+  * upsert RPC, config.h:177-182, then group-commits many accepted
+  * batches into one epoch): a micro-batch here is an aggregate of many
+  * already-validated client batches, so the per-RPC caps do not apply
+  * to it.
   */
 object IngestPipeline {
 

@@ -8,32 +8,6 @@ import java.util.zip.CRC32C
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
-/** Framed write-ahead log, bit-compatible with the reference's frame
-  * contract: `[len u32][crc32c u32][epoch u64][payload]`
-  * (include/woved/types.h:85-91; configs/woved-default.yaml:42-44
-  * `frame_header: [len_u32, crc32c_u32, epoch_u64]`, checksum crc32c).
-  *
-  * Payloads: UTF-8 JSON for the engine's own logs, or the reference's
-  * FlatBuffers `WALRecord` (wal-record.fbs:21-58) via
-  * [[appendRecords]]/[[replayRecords]] + [[WalRecordFb]] for bit-compat
-  * interchange with reference-written logs.
-  *
-  * Recovery (W3): [[read]] verifies each frame's CRC over
-  * [epoch‖payload] and stops cleanly at the first torn/corrupt frame —
-  * the tail written during a crash is discarded, everything fsync'd
-  * before it survives. That is exactly the `wal_append` kill-point
-  * contract (scripts/fault-inject.sh:9).
-  *
-  * In the Spark engine the streaming checkpoint plays the WAL role for
-  * ingest; this codec exists for interchange with reference-format logs
-  * and for the crash-recovery property itself.
-  *
-  * Payload compression: every append path takes a [[WalCodec]]
-  * (`none`/`lz4`/`zstd`, config.h:51); replay auto-detects the codec
-  * per payload from the standard frame magics, so mixed-codec logs and
-  * mid-life config changes replay correctly with zero read-side
-  * configuration.
-  */
 /** WAL payload compression (config.h:51 `compression = "none" // none,
   * lz4, zstd`; configs/woved-default.yaml:52). Codecs are the STANDARD
   * self-describing frame formats (zstd magic 28 B5 2F FD, LZ4 frame
@@ -115,6 +89,32 @@ object WalCodec {
     } else payload
 }
 
+/** Framed write-ahead log, bit-compatible with the reference's frame
+  * contract: `[len u32][crc32c u32][epoch u64][payload]`
+  * (include/woved/types.h:85-91; configs/woved-default.yaml:42-44
+  * `frame_header: [len_u32, crc32c_u32, epoch_u64]`, checksum crc32c).
+  *
+  * Payloads: UTF-8 JSON for the engine's own logs, or the reference's
+  * FlatBuffers `WALRecord` (wal-record.fbs:21-58) via
+  * [[appendRecords]]/[[replayRecords]] + [[WalRecordFb]] for bit-compat
+  * interchange with reference-written logs.
+  *
+  * Recovery (W3): [[read]] verifies each frame's CRC over
+  * [epoch‖payload] and stops cleanly at the first torn/corrupt frame —
+  * the tail written during a crash is discarded, everything fsync'd
+  * before it survives. That is exactly the `wal_append` kill-point
+  * contract (scripts/fault-inject.sh:9).
+  *
+  * In the Spark engine the streaming checkpoint plays the WAL role for
+  * ingest; this codec exists for interchange with reference-format logs
+  * and for the crash-recovery property itself.
+  *
+  * Payload compression: every append path takes a [[WalCodec]]
+  * (`none`/`lz4`/`zstd`, config.h:51); replay auto-detects the codec
+  * per payload from the standard frame magics, so mixed-codec logs and
+  * mid-life config changes replay correctly with zero read-side
+  * configuration.
+  */
 object Wal {
 
   def crc(epoch: Long, payload: Array[Byte]): Long = {
