@@ -319,6 +319,18 @@ object Bench {
           .groupBy(_.segment_id).valuesIterator
           .map(_.head.num_vectors).sum
         val wAmp = rowsWritten.toDouble / math.max(1L, nOps)
+        // remaining reference metric analogues (yaml:152,161,156):
+        // woved_delta_segments = LIVE delta segments after the wave;
+        // woved_compaction_debt = live segments past a compaction trigger
+        // (tombstone_ratio ≥ 0.2 or > 8 delta segments total,
+        // config.h:56-58); woved_wal_group_commits is emitted by the WAL
+        // drill below (one commit per rotating append batch)
+        val live = Segments.catalogDescriptors(spark, tree)
+        val deltaSegs = live.count(!_.is_stable)
+        extras("delta_segments") = deltaSegs.toString
+        extras("compaction_debt") =
+          (live.count(d => !d.is_stable && d.tombstone_ratio >= 0.2) +
+            (if (deltaSegs > 8) deltaSegs - 8 else 0)).toString
         // Crash-recovery drill (W3/T8 at volume; BASELINE recovery budget
         // 30 s, configs/woved-default.yaml:171-175, checkpoint cadence
         // 60 s). Crashed state: the flushed tree + a rotated
@@ -383,6 +395,9 @@ object Bench {
             group.clear()
           }
           extras("wal_ops") = walOps.toString
+          // one rotating append batch = one group commit (T2/yaml:156)
+          extras("wal_group_commits") =
+            ((walOps + 9999) / 10000).toString
           extras("wal_encode_ops_per_sec") =
             num(walOps / ((System.nanoTime() - tEnc0) / 1e9), 0)
           extras("wal_bytes") =

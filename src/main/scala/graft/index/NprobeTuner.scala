@@ -180,9 +180,10 @@ final case class NprobeDecision(window: Long, nprobe: Int,
   */
 final class AdaptiveServingIndex(idx: ServingIndex, lo: Int, hi: Int,
     target: Double = 0.95, window: Int = 50, margin: Double = 0.02,
-    probeEvery: Int = 24, sampleEvery: Int = 10) {
+    probeEvery: Int = 24, sampleEvery: Int = 10,
+    start: Option[Int] = None) {
   private val ctl = new AdaptiveNprobe(lo, hi, target, window, margin,
-    probeEvery)
+    probeEvery, start)
   private var reqs = 0L
 
   def currentNprobe: Int = ctl.current

@@ -256,6 +256,29 @@ class WalSpec extends AnyFunSuite {
     assert(kept === records.take(kept.length))
   }
 
+  test("compression: no uncompressed payload shape can collide with a codec magic") {
+    // the auto-detect contract rests on this: FlatBuffers payloads lead
+    // with a root uoffset32 far below any codec magic, JSON with '{'/'['.
+    // Prove it on the encoder's real output across varied shapes.
+    val zstdMagic = Array(0x28, 0xB5, 0x2F, 0xFD).map(_.toByte)
+    val lz4Magic = Array(0x04, 0x22, 0x4D, 0x18).map(_.toByte)
+    def collides(p: Array[Byte]) =
+      p.take(4).sameElements(zstdMagic) || p.take(4).sameElements(lz4Magic)
+    val shapes = (1L to 50L).map(sampleRecord) ++ Seq(
+      WalRecord(2, "", 0L, 0L, 0L, 0, Array.empty, Array.empty, 0, 7L, 0,
+        "", ""),
+      WalRecord(0, "x" * 10000, -1L, -1L, -1L, 4,
+        Array.fill(4)(Float.MaxValue), Array.fill(16)(Int.MaxValue),
+        Int.MaxValue, Long.MaxValue, 65535, "t" * 1000, "n" * 1000))
+    shapes.foreach { r =>
+      val p = WalRecordFb.encode(r)
+      assert(!collides(p), s"FlatBuffers payload for ${r.id} collides")
+      // and decode() is the identity on it
+      assert(WalCodec.decode(p) eq p)
+    }
+    assert(!collides("""{"op":"INSERT"}""".getBytes("UTF-8")))
+  }
+
   test("FlatBuffers payloads ride the crc32c frame with the same recovery semantics") {
     val p = tmpWal()
     val recs = (1L to 30L).map(sampleRecord)
