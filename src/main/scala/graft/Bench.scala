@@ -1017,6 +1017,74 @@ object Bench {
           System.err.println(
             s"[bench] concurrent serving FAILED: ${ex.getMessage}")
         }
+        // DRIVER-RESIDENT cache tier (reference global-index memory
+        // cache, yaml:85-89 memory_cache_mb 512): the same 1M index
+        // served with zero scheduler dispatch — the number that shows
+        // the ~10 ms job-path p50 is dispatch, not scan. Budget 1 GiB
+        // here: the admission estimate prices lists at 8 B/dim (doubles,
+        // the safe upper bound) while this corpus packs floats, so the
+        // estimate of the ~272 MB resident corpus is ~536 MB — past the
+        // 512 MB default by the estimate's safety factor, not by bytes.
+        // Results are bit-identical to idx.search (LocalServingSpec).
+        try {
+          val tL0 = System.nanoTime()
+          val localIdx = idx.toLocal(maxBytes = 1024L * 1024 * 1024)
+          extras("local_build_sec") = num((System.nanoTime() - tL0) / 1e9, 2)
+          extras("local_cached_lists") = localIdx.cachedLists.toString
+          extras("local_cached_mb_est") =
+            (localIdx.cachedBytes / (1024 * 1024)).toString
+          System.gc()
+          (0 until 5).foreach(_ => localIdx.search(qRows.head, 10, nprobeServ))
+          val lat = (0 until 5).flatMap { _ =>
+            qRows.map { qv =>
+              val t0 = System.nanoTime()
+              localIdx.search(qv, 10, nprobeServ)
+              (System.nanoTime() - t0) / 1e6
+            }
+          }.sorted
+          extras("local_1m_query_p50_ms") = num(pctl(lat, 50), 3)
+          extras("local_1m_query_p99_ms") = num(pctl(lat, 99), 3)
+          val latF = (0 until 3).flatMap { _ =>
+            qRows.map { qv =>
+              val t0 = System.nanoTime()
+              localIdx.search(qv, 10, nprobeServ, ff)
+              (System.nanoTime() - t0) / 1e6
+            }
+          }.sorted
+          extras("local_1m_filtered_p50_ms") = num(pctl(latF, 50), 3)
+          extras("local_1m_filtered_p99_ms") = num(pctl(latF, 99), 3)
+          // concurrent: 8 client threads, shared-nothing scan state — the
+          // tier has no scheduler bottleneck, so qps should scale with
+          // threads (vs the job path's DAGScheduler-bound concurrent qps)
+          val nT = 8
+          val poolL = java.util.concurrent.Executors.newFixedThreadPool(
+            nT, (r: Runnable) => {
+              val th = new Thread(r, "graft-bench-local-client")
+              th.setDaemon(true); th
+            })
+          val tC0 = System.nanoTime()
+          val futsL = (0 until nT).map { _ =>
+            poolL.submit(new java.util.concurrent.Callable[Long] {
+              override def call(): Long = {
+                var n = 0L
+                (0 until 20).foreach { _ =>
+                  qRows.foreach { qv =>
+                    localIdx.search(qv, 10, nprobeServ); n += 1
+                  }
+                }
+                n
+              }
+            })
+          }
+          val totalL = futsL.map(_.get()).sum
+          val secL = (System.nanoTime() - tC0) / 1e9
+          poolL.shutdown()
+          extras("local_concurrent_qps") = num(totalL / secL, 0)
+          extras("local_fall_throughs") = localIdx.fallThroughServes.toString
+        } catch { case ex: Throwable =>
+          System.err.println(
+            s"[bench] local serving tier FAILED: ${ex.getMessage}")
+        }
         // cosine serving on the same corpus/layout: with the query norm
         // hoisted out of the row loop, cosine should track ip instead of
         // paying ~1.5x its flops

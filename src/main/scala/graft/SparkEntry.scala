@@ -379,6 +379,31 @@ object SparkEntry {
       idx.unpersist()
       out
     }),
+    // DRIVER-RESIDENT serving tier (reference global-index memory cache,
+    // yaml:85-89): same requests through LocalServingIndex — zero probe
+    // jobs on the hot path, results bit-identical to the job path, so
+    // the oracle is knn_point_served's SQL verbatim
+    "knn_point_local" -> ((s, dir) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val e = emb(s, dir)
+      val cents = Ivf.deterministicCentroids(e, 50)
+      val idx = graft.index.ServingIndex.build(
+        Ivf.assign(e, cents), cents, "ip")
+      val local = idx.toLocal()
+      val reqs = q(s, dir).collect().sortBy(_.getLong(0)).take(10)
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val rows = reqs.toIndexedSeq.flatMap { case (qid, qv) =>
+        local.search(qv, 10, nprobe = 3)
+          .map { case (id, sc) => Row(qid, id, sc) }
+      }
+      idx.unpersist()
+      s.createDataFrame(
+        s.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("query_id", LongType, nullable = false),
+          StructField("vec_id", LongType, nullable = false),
+          StructField("score", DoubleType, nullable = false))))
+    }),
     // ---- Q7/Q8: PQ ADC + two-phase rerank ------------------------------
     "knn_pq2phase" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -1058,6 +1083,13 @@ object SparkEntry {
          |WHERE query_id IN (
          |  SELECT query_id FROM q ORDER BY query_id LIMIT 10)""".stripMargin,
     "knn_point_served" ->
+      s"""$IVF
+         |SELECT query_id, vec_id, score FROM ivftop
+         |WHERE query_id IN (
+         |  SELECT query_id FROM q ORDER BY query_id LIMIT 10)""".stripMargin,
+    // the driver-resident cache tier must be value-invisible — same
+    // oracle as the job path verbatim
+    "knn_point_local" ->
       s"""$IVF
          |SELECT query_id, vec_id, score FROM ivftop
          |WHERE query_id IN (

@@ -497,12 +497,12 @@ final class ServingIndex private (
     private[index] val cidToPart: Map[Long, Int],
     val metric: String,
     val dim: Int,
-    private val listSizes: Map[Long, Int],
+    private[index] val listSizes: Map[Long, Int],
     val hasTenant: Boolean,
     val hasTags: Boolean,
     val limits: ServingLimits) extends Serializable {
 
-  private val asc = graft.operators.Knn.isAscending(metric)
+  private[index] val asc = graft.operators.Knn.isAscending(metric)
 
   // observability counters (reference woved_bitmap_cache_hits/misses,
   // configs/woved-default.yaml:157-158): per probed list under a tags
@@ -511,9 +511,9 @@ final class ServingIndex private (
   // incremented in-task, merged into the driver on task completion —
   // the cluster-correct counter shape (a plain field would count only
   // in local mode).
-  @transient private lazy val postingHitAcc =
+  @transient private[index] lazy val postingHitAcc =
     blocks.sparkContext.longAccumulator("graft.serving.posting.hits")
-  @transient private lazy val postingMissAcc =
+  @transient private[index] lazy val postingMissAcc =
     blocks.sparkContext.longAccumulator("graft.serving.posting.misses")
 
   /** Posting-prefilter hits so far (tags-filtered probed lists served
@@ -533,7 +533,7 @@ final class ServingIndex private (
     * silently reject every row (the SQL twin fails analysis instead) —
     * reject the request explicitly.
     */
-  private def validateFilter(filter: ServingFilter,
+  private[index] def validateFilter(filter: ServingFilter,
       tenantOk: Boolean, tagsOk: Boolean): Unit = {
     require(filter.tenant.isEmpty || tenantOk,
       "tenant filter on an index/overlay built without a tenant column")
@@ -546,7 +546,7 @@ final class ServingIndex private (
     * stays within budget — always at least one probe. Deterministic: the
     * truncation depends only on the ranking and the built list sizes.
     */
-  private def capProbes(probed: Seq[Long]): Seq[Long] = {
+  private[index] def capProbes(probed: Seq[Long]): Seq[Long] = {
     if (limits.maxCandidates == Int.MaxValue) return probed
     var cum = 0L
     val keep = Seq.newBuilder[Long]
@@ -924,7 +924,136 @@ final class ServingIndex private (
         StructField("score", DoubleType, nullable = false))))
   }
 
+  /** Materialize a driver-resident cache tier over this index — the
+    * reference's GLOBAL-INDEX MEMORY CACHE
+    * (configs/woved-default.yaml:85-89 `global.memory_cache_mb: 512`):
+    * whole lists admitted in cid order until the byte budget, fetched
+    * with ONE bounded job over only the admitted partitions. See
+    * [[LocalServingIndex]] for the serving semantics.
+    */
+  def toLocal(
+      maxBytes: Long = LocalServingIndex.defaultMaxBytes): LocalServingIndex = {
+    // admission estimate per list: id 8 B + dim doubles (upper bound —
+    // float-packed lists cost half, tenants/tags add slack the double
+    // assumption absorbs at reference dims)
+    val perRow = 8L + 8L * dim + 16L
+    val admitted = scala.collection.mutable.LongMap.empty[Boolean]
+    var bytes = 0L
+    cids.sorted.foreach { cid =>
+      val b = listSizes.getOrElse(cid, 0).toLong * perRow
+      if (bytes + b <= maxBytes) { admitted(cid) = true; bytes += b }
+    }
+    val parts = admitted.keys.flatMap(cidToPart.get).toArray.distinct.sorted
+    val adm = admitted.keySet.toSet
+    val fetched: Array[Array[ListBlock]] =
+      if (parts.isEmpty) Array.empty
+      else blocks.sparkContext.runJob(
+        blocks,
+        (it: Iterator[ListBlock]) => it.filter(b => adm(b.cid)).toArray,
+        parts.toIndexedSeq)
+    val byCid = scala.collection.mutable.LongMap.empty[ListBlock]
+    fetched.foreach(_.foreach(b => byCid(b.cid) = b))
+    new LocalServingIndex(this, byCid, bytes)
+  }
+
   def unpersist(): Unit = blocks.unpersist()
+}
+
+/** Driver-resident serving tier — the reference's global-index memory
+  * cache (configs/woved-default.yaml:85-89 `memory_cache_mb: 512`;
+  * GlobalIndexConfig, config.h:96-100): packed list blocks held in
+  * driver memory up to a byte budget and served on the CALLING thread
+  * with the SAME [[ServingIndex.scanTopK]] kernel, probe ranking,
+  * max_candidates cap, and (score, id-asc) merge contract as the probe
+  * tasks — so results are bit-identical to [[ServingIndex.search]] by
+  * construction, and a cached request pays ZERO scheduler dispatch.
+  * The measured dispatch floor (~10 ms for ANY job on the bench box)
+  * is the dominant per-request cost at reference list sizes, so this
+  * tier is what takes single-request latency from ~p50 10 ms to
+  * sub-ms, and per-thread throughput past the single DAGScheduler
+  * event loop that caps the job path's concurrent qps.
+  *
+  * It is a CACHE, not the corpus path: a request probing ANY uncached
+  * list falls through to the distributed index (the 100 TB shape —
+  * the full corpus never fits a driver; the hot probed set does).
+  * Admission is whole-list, deterministic (ascending cid until the
+  * budget); the hit-count-driven hot-set variant is
+  * [[HnswHotCache]]'s role.
+  *
+  * Thread-safe: serving state is immutable after build; concurrent
+  * callers share nothing mutable (the posting-observability counters
+  * ride the owner's accumulators, which are thread-safe).
+  */
+final class LocalServingIndex private[index] (
+    val owner: ServingIndex,
+    cached: scala.collection.mutable.LongMap[ListBlock],
+    val cachedBytes: Long) {
+
+  def cachedLists: Int = cached.size
+
+  /** Requests served locally vs fallen through (observability). */
+  private val localHits = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val fallThroughs = new java.util.concurrent.atomic.AtomicLong(0L)
+  def localServes: Long = localHits.get()
+  def fallThroughServes: Long = fallThroughs.get()
+
+  /** One QueryRequest — [[ServingIndex.search]] semantics exactly. */
+  def search(q: Array[Float], k: Int, nprobe: Int,
+      filter: ServingFilter = ServingFilter.none): Array[(Long, Double)] = {
+    owner.validateFilter(filter, owner.hasTenant, owner.hasTags)
+    val kk = math.min(k, owner.limits.maxK)
+    val probed = owner.capProbes(owner.probe(q, nprobe))
+    if (!probed.forall(cached.contains)) {
+      fallThroughs.incrementAndGet()
+      return owner.search(q, k, nprobe, filter)
+    }
+    localHits.incrementAndGet()
+    val probedSet = probed.toSet
+    ServingIndex.scanTopK(probed.iterator.map(cached(_)), q, kk,
+      owner.metric, owner.asc, probedSet, filter,
+      ServingIndex.noShadow, owner.postingHitAcc, owner.postingMissAcc)
+  }
+
+  /** Tiered request with the driver overlay — same semantics as
+    * [[ServingIndex.searchWithOverlay]]; the shadow set is read locally
+    * (no broadcast fetch) and overlay winners merge exactly as on the
+    * job path.
+    */
+  def searchWithOverlay(q: Array[Float], k: Int, nprobe: Int,
+      overlay: ServingOverlay,
+      filter: ServingFilter = ServingFilter.none): Array[(Long, Double)] = {
+    owner.validateFilter(filter, owner.hasTenant, owner.hasTags)
+    owner.validateFilter(filter, overlay.hasTenant, overlay.hasTags)
+    val kk = math.min(k, owner.limits.maxK)
+    val probed = owner.capProbes(owner.probe(q, nprobe))
+    if (!probed.forall(cached.contains)) {
+      fallThroughs.incrementAndGet()
+      return owner.searchWithOverlay(q, k, nprobe, overlay, filter)
+    }
+    localHits.incrementAndGet()
+    val probedSet = probed.toSet
+    val m = owner.metric
+    val ascL = owner.asc
+    val stored = ServingIndex.scanTopK(probed.iterator.map(cached(_)), q,
+      kk, m, ascL, probedSet, filter, overlay.shadowed,
+      owner.postingHitAcc, owner.postingMissAcc)
+    val nqPre =
+      if (m == "cosine") ServingIndex.queryNormSq(q) else Double.NaN
+    val overlayCands = probed.iterator
+      .flatMap(cid => overlay.winnersByCid.getOrElse(cid,
+        Array.empty[OverlayWinner]))
+      .filter(w => ServingIndex.passWinner(w, filter))
+      .map(w => (w.id, ServingIndex.scoreOne(q, w.vec, m, nqPre)))
+      .toArray
+    (stored ++ overlayCands)
+      .sortBy { case (id, s) => (if (ascL) s else -s, id) }
+      .take(kk)
+  }
+}
+
+object LocalServingIndex {
+  /** Reference default: 512 MiB (yaml:89 memory_cache_mb). */
+  val defaultMaxBytes: Long = 512L * 1024 * 1024
 }
 
 object ServingIndex {
