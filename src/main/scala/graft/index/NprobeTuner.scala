@@ -178,12 +178,12 @@ final case class NprobeDecision(window: Long, nprobe: Int,
   * sample stays cap-safe at any corpus size. Sampling cost: one extra
   * hi-probe request per `sampleEvery` requests.
   */
-final class AdaptiveServingIndex(idx: ServingIndex, lo: Int, hi: Int,
-    target: Double = 0.95, window: Int = 50, margin: Double = 0.02,
-    probeEvery: Int = 24, sampleEvery: Int = 10,
-    start: Option[Int] = None) {
-  private val ctl = new AdaptiveNprobe(lo, hi, target, window, margin,
+sealed abstract class AdaptiveServingBase(lo: Int, hi: Int,
+    target: Double, window: Int, margin: Double, probeEvery: Int,
+    sampleEvery: Int, start: Option[Int]) {
+  protected val ctl = new AdaptiveNprobe(lo, hi, target, window, margin,
     probeEvery, start)
+  protected val ceiling: Int = hi
   private var reqs = 0L
 
   def currentNprobe: Int = ctl.current
@@ -196,14 +196,15 @@ final class AdaptiveServingIndex(idx: ServingIndex, lo: Int, hi: Int,
   /** One controlled request: issue at the tuned nprobe, and every
     * `sampleEvery`-th request re-issue THROUGH THE SAME `run` at the
     * band ceiling to feed the controller — all request variants (plain,
-    * filtered, either overlay form) share this one feedback block.
+    * filtered, either overlay form, local tier) share this one
+    * feedback block.
     */
-  private def serveAndSample(
+  protected def serveAndSample(
       run: Int => Array[(Long, Double)]): Array[(Long, Double)] = {
     val res = run(ctl.current)
     reqs += 1
     if (reqs % sampleEvery == 0) {
-      val ref = run(hi)
+      val ref = run(ceiling)
       if (ref.nonEmpty) {
         val got = res.iterator.map(_._1).toSet
         ctl.observe(ref.count(r => got(r._1)).toDouble / ref.length)
@@ -211,6 +212,14 @@ final class AdaptiveServingIndex(idx: ServingIndex, lo: Int, hi: Int,
     }
     res
   }
+}
+
+final class AdaptiveServingIndex(idx: ServingIndex, lo: Int, hi: Int,
+    target: Double = 0.95, window: Int = 50, margin: Double = 0.02,
+    probeEvery: Int = 24, sampleEvery: Int = 10,
+    start: Option[Int] = None)
+  extends AdaptiveServingBase(lo, hi, target, window, margin, probeEvery,
+    sampleEvery, start) {
 
   def search(q: Array[Float], k: Int,
       filter: ServingFilter = ServingFilter.none): Array[(Long, Double)] =
@@ -232,4 +241,31 @@ final class AdaptiveServingIndex(idx: ServingIndex, lo: Int, hi: Int,
       overlay: DistributedServingOverlay,
       filter: ServingFilter): Array[(Long, Double)] =
     serveAndSample(np => idx.searchWithOverlay(q, k, np, overlay, filter))
+}
+
+/** The runtime controller over the DRIVER-RESIDENT tier
+  * ([[LocalServingIndex]]): tuned requests serve locally (with the
+  * tier's own fall-through to the distributed index for uncached
+  * lists), and the recall sample rides the same local path at the band
+  * ceiling — so the controller steers the latency the client actually
+  * sees. Composes the reference's tuning loop (config.h:138-147) with
+  * its global-index memory cache (yaml:85-89) exactly as the server
+  * does: the cache serves, the controller tunes, the store backs both.
+  */
+final class AdaptiveLocalServingIndex(local: LocalServingIndex,
+    lo: Int, hi: Int,
+    target: Double = 0.95, window: Int = 50, margin: Double = 0.02,
+    probeEvery: Int = 24, sampleEvery: Int = 10,
+    start: Option[Int] = None)
+  extends AdaptiveServingBase(lo, hi, target, window, margin, probeEvery,
+    sampleEvery, start) {
+
+  def search(q: Array[Float], k: Int,
+      filter: ServingFilter = ServingFilter.none): Array[(Long, Double)] =
+    serveAndSample(np => local.search(q, k, np, filter))
+
+  /** Tiered (read-your-writes) request through the local tier. */
+  def searchWithOverlay(q: Array[Float], k: Int, overlay: ServingOverlay,
+      filter: ServingFilter = ServingFilter.none): Array[(Long, Double)] =
+    serveAndSample(np => local.searchWithOverlay(q, k, np, overlay, filter))
 }

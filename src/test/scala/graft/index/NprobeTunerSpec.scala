@@ -160,6 +160,42 @@ class NprobeTunerSpec extends SparkSpec {
     }
   }
 
+  test("adaptive controller over the local tier serves identically and tunes from the local path") {
+    import graft.ingest.VectorEntries
+    val cents = Ivf.deterministicCentroids(emb, 50)
+    val entries = Ivf.assign(VectorEntries.fromEmbeddings(emb), cents)
+      .cache()
+    val idx = ServingIndex.build(entries, cents, "ip",
+      tenantCol = Some("tenant"), tagsCol = Some("tags"))
+    val local = idx.toLocal()
+    val hi = 8
+    val adaptive = new AdaptiveLocalServingIndex(local, 2, hi,
+      window = 5, sampleEvery = 2)
+    val qs = graft.operators.Knn.defaultQueries(emb)
+      .collect().map(_.getSeq[Float](1).toArray)
+    // every controlled request equals the local tier's answer at the
+    // controller's own nprobe (read before the call: sampling advances
+    // the window, but the decision applies from the NEXT request)
+    qs.take(12).foreach { q =>
+      val np = adaptive.currentNprobe
+      val want = local.search(q, 10, np).toSeq
+      assert(adaptive.search(q, 10).toSeq === want)
+    }
+    // the sample fed the controller: decisions accumulate
+    assert(adaptive.decisions.nonEmpty || adaptive.currentNprobe >= 2)
+    // resume composes: persist from the local controller, seed a new one
+    val p = java.nio.file.Files
+      .createTempDirectory("graft-nprobe-local-").toString + "/d"
+    if (adaptive.decisions.nonEmpty) {
+      NprobeTuner.persistDecisions(spark, p, adaptive.decisions, 5000L)
+      val seed = NprobeTuner.resumeNprobe(spark, p, 6000L)
+      val resumed = new AdaptiveLocalServingIndex(local, 2, hi,
+        start = seed)
+      assert(resumed.currentNprobe === seed.getOrElse(2))
+    }
+    idx.unpersist(); entries.unpersist()
+  }
+
   test("decision persistence: restart resumes the persisted nprobe within the decision window, cold-starts past it (config.h:145-146)") {
     // drive to a known settled point: smallest ok = 4 (same curve as the
     // convergence test)

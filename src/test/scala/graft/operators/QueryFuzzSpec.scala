@@ -133,6 +133,7 @@ class QueryFuzzSpec extends SparkSpec {
     for (metric <- Seq("ip", "l2", "cosine")) {
       val idx = ServingIndex.build(assigned, cents, metric,
         tenantCol = Some("tenant"), tagsCol = Some("tags"))
+      val local = idx.toLocal() // fuzz the driver-resident tier too
       val asc = Knn.isAscending(metric)
       (1 to 10).foreach { seed =>
         val rnd = new Random(100 * seed)
@@ -163,6 +164,11 @@ class QueryFuzzSpec extends SparkSpec {
         assert(got === expect,
           s"seed=$seed metric=$metric k=$k tenant=$tenantF tags=$tagsF " +
             s"sample=$sampleF q=${q._1}")
+        // the driver-resident tier must agree bit-for-bit on the same
+        // random request
+        assert(local.search(q._2, k, Int.MaxValue,
+            ServingFilter(tenantF, tagsF, sampleF)).toSeq === expect,
+          s"LOCAL seed=$seed metric=$metric k=$k q=${q._1}")
       }
       idx.unpersist()
     }
