@@ -1182,6 +1182,55 @@ object Bench {
         } catch { case ex: Throwable =>
           System.err.println(s"[bench] 10M overlay FAILED: ${ex.getMessage}")
         }
+        // DRIVER-RESIDENT IVF-PQ tier at 10M (reference stable-tier shape
+        // in the memory cache): the RAW 10M corpus is ~2.6 GB — past any
+        // driver cache budget — but its PQ codes (m=8) are ~400 MB, so
+        // the CODED corpus fits the reference's 512 MB envelope whole.
+        // Measures the compressed tier's ADC latency and its recall
+        // against the raw probe path on the same probed lists.
+        try {
+          val cbBench = graft.index.Pq.deterministicCodebook(e, 8, 8,
+            every = 600) // ~100 codewords/subspace at sf0.1
+          val tPq0 = System.nanoTime()
+          val codes10 = assigned10.select(col("vec_id"), col("centroid_id"),
+            graft.index.Pq.codesColumn(cbBench).as("codes"))
+          val pqLocal = graft.index.LocalPqIndex.build(codes10, servCents,
+            cbBench)
+          extras("local_pq_10m_build_sec") =
+            num((System.nanoTime() - tPq0) / 1e9, 1)
+          extras("local_pq_10m_lists") = pqLocal.cachedLists.toString
+          extras("local_pq_10m_mb") =
+            (pqLocal.cachedBytes / (1024 * 1024)).toString
+          if (pqLocal.cachedLists == nlistServ) {
+            System.gc()
+            (0 until 5).foreach(_ =>
+              pqLocal.searchAdc(qRows.head, 10, nprobeServ))
+            val latPq = (0 until 3).flatMap { _ =>
+              qRows.map { qv =>
+                val t0 = System.nanoTime()
+                pqLocal.searchAdc(qv, 10, nprobeServ)
+                (System.nanoTime() - t0) / 1e6
+              }
+            }.sorted
+            extras("local_pq_10m_adc_p50_ms") = num(pctl(latPq, 50), 3)
+            extras("local_pq_10m_adc_p99_ms") = num(pctl(latPq, 99), 3)
+            // recall vs the raw probe path over the same probed lists —
+            // the quantization cost in isolation
+            val rec = qRows.take(40).map { qv =>
+              val ref = idx10.search(qv, 10, nprobeServ).map(_._1).toSet
+              val got = pqLocal.searchAdc(qv, 10, nprobeServ).map(_._1)
+              if (ref.isEmpty) 1.0 else got.count(ref).toDouble / ref.size
+            }
+            extras("local_pq_10m_recall_vs_ivf") =
+              num(rec.sum / rec.length, 4)
+          } else {
+            System.err.println(
+              s"[bench] local PQ tier admitted ${pqLocal.cachedLists}/" +
+                s"$nlistServ lists — skipping latency loop")
+          }
+        } catch { case ex: Throwable =>
+          System.err.println(s"[bench] 10M local PQ FAILED: ${ex.getMessage}")
+        }
         assigned10.unpersist()
         idx10.unpersist()
         val r = (nQs / exactSec, nBig / assignSec, nQs / ivfSec,

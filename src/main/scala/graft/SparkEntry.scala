@@ -404,6 +404,37 @@ object SparkEntry {
           StructField("vec_id", LongType, nullable = false),
           StructField("score", DoubleType, nullable = false))))
     }),
+    // DRIVER-RESIDENT IVF-PQ tier (the reference stable-tier shape in
+    // the memory cache): ADC phase 1 over cached codes + exact rerank
+    // against the raw local tier, probe-all so the pipeline equals the
+    // declarative two-phase exactly — oracle is knn_pq2phase's SQL
+    // verbatim (the compressed tier must be value-invisible)
+    "knn_pq_local" -> ((s, dir) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val e = emb(s, dir)
+      val cents = Ivf.deterministicCentroids(e, 50)
+      val cb = Pq.deterministicCodebook(e, 8, 8, 50)
+      val assigned = Ivf.assign(e, cents)
+      val codes = assigned.select(col("vec_id"), col("centroid_id"),
+        Pq.codesColumn(cb).as("codes"))
+      val pq = graft.index.LocalPqIndex.build(codes, cents, cb)
+      val idx = graft.index.ServingIndex.build(assigned, cents, "ip")
+      val raw = idx.toLocal()
+      val nlist = cents.count().toInt
+      val reqs = q(s, dir).collect().sortBy(_.getLong(0))
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val rows = reqs.toIndexedSeq.flatMap { case (qid, qv) =>
+        pq.search(qv, 10, nprobe = nlist, rerank = 4, raw)
+          .map { case (id, sc) => Row(qid, id, sc) }
+      }
+      idx.unpersist()
+      s.createDataFrame(
+        s.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("query_id", LongType, nullable = false),
+          StructField("vec_id", LongType, nullable = false),
+          StructField("score", DoubleType, nullable = false))))
+    }),
     // ---- Q7/Q8: PQ ADC + two-phase rerank ------------------------------
     "knn_pq2phase" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -1014,7 +1045,12 @@ object SparkEntry {
     shared + "\n" + blocks.mkString("\nUNION ALL\n")
   }
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlBase ++ Map(
+    // tiers that must be VALUE-INVISIBLE share their twin's oracle
+    // verbatim (resolved here so the long SQL exists once)
+    "knn_pq_local" -> oracleSqlBase("knn_pq2phase"))
+
+  private lazy val oracleSqlBase: Map[String, String] = Map(
     "nprobe_tune" -> nprobeTuneSql(Seq(1, 2, 4)),
     "knn_exact_ip" -> topkSql(
       """SELECT q.query_id, emb.vec_id,

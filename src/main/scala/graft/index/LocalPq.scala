@@ -1,0 +1,181 @@
+package graft.index
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Driver-resident IVF-PQ tier — the reference's STABLE-tier index
+  * shape (config.h:84-94: IVF-PQ, nlist 4096, nprobe 12, PQ m×8 bits,
+  * rerank_factor 4) held in the global-index memory cache
+  * (yaml:85-89). PQ codes cost `4·m` bytes a row here versus `4·dim`
+  * for raw floats — at the reference geometry (dim 768, m 96) the same
+  * cache byte budget holds 8× the corpus, and at this engine's fixture
+  * geometry (dim 64, m 8) it holds 8× too; that is the whole point of
+  * the compressed tier: the RAW hot set that fits a driver is small,
+  * the CODED hot set is nearly an order of magnitude larger.
+  *
+  * Serving semantics mirror the declarative stored path bit-for-bit:
+  * phase 1 is the ADC sum Σ_j lut(j)(codes(j)) with the same
+  * sequential-in-j double accumulation as the codegen kernel
+  * (`IndexExpressions.pqAdcSum`) and the same per-query LUT arithmetic
+  * as `IndexExpressions.pqLut` (sequential dot per codeword); ranking
+  * uses the shared (score desc, id asc) contract; optional phase 2
+  * re-scores `rerank·k` candidates with the exact sequential dot
+  * (`dotD` order) against a raw [[LocalServingIndex]]. Results
+  * therefore equal `Pq.adcScores`/`Pq.twoPhaseSearch` exactly
+  * (LocalPqSpec), and the `knn_pq_local` gate shares the two-phase
+  * oracle SQL verbatim.
+  *
+  * This tier is a CACHE: lists are admitted whole, in cid order, under
+  * a byte budget. A request probing an uncached list throws — the
+  * uncovered path is the declarative stored IVF-PQ query
+  * (`Pq.twoPhaseSearch` over the segment layout), exactly as a
+  * reference cache miss falls to the store.
+  */
+final class LocalPqIndex private (
+    cids: Array[Long],
+    matrix: Array[Array[Double]],
+    cb: Pq.Codebook,
+    lists: scala.collection.mutable.LongMap[(Array[Long], Array[Int])],
+    val cachedBytes: Long) {
+
+  def cachedLists: Int = lists.size
+
+  /** Same centroid ranking as every other probe path. */
+  def probe(q: Array[Float], nprobe: Int): Seq[Long] =
+    Ivf.probePick(q, cids, matrix, nprobe)
+
+  def coversProbes(probed: Seq[Long]): Boolean =
+    probed.forall(lists.contains)
+
+  /** Per-query LUT: lut(j)(c) = dot(q_j, codeword(j)(c)), sequential
+    * double accumulation per codeword — `IndexExpressions.pqLut`'s
+    * arithmetic exactly.
+    */
+  private def lut(q: Array[Float]): Array[Array[Double]] = {
+    val m = cb.m
+    val dsub = cb.dsub
+    Array.tabulate(m) { j =>
+      val book = cb.codebooks(j)
+      val base = j * dsub
+      Array.tabulate(book.length) { c =>
+        val cw = book(c)
+        var s = 0.0
+        var d = 0
+        while (d < dsub) { s += q(base + d).toDouble * cw(d); d += 1 }
+        s
+      }
+    }
+  }
+
+  /** Phase 1: ADC top-k over the probed lists (approx score, higher =
+    * better — the PQ path is inner-product, config.h:84-94). Equals
+    * `Pq.adcScores` + the top-k aggregate on the same rows.
+    */
+  def searchAdc(q: Array[Float], k: Int,
+      nprobe: Int): Array[(Long, Double)] = {
+    val probed = probe(q, nprobe)
+    require(coversProbes(probed),
+      "probed list not cached — serve via the declarative stored " +
+        "IVF-PQ path (cache miss falls to the store)")
+    val l = lut(q)
+    val m = cb.m
+    val topk = new ServingIndex.BoundedTopK(k, asc = false)
+    probed.foreach { cid =>
+      val (ids, codes) = lists(cid)
+      var r = 0
+      while (r < ids.length) {
+        val off = r * m
+        var s = 0.0
+        var j = 0
+        while (j < m) { s += l(j)(codes(off + j)); j += 1 }
+        topk.insert(s, ids(r))
+        r += 1
+      }
+    }
+    topk.result()
+  }
+
+  /** Two-phase: phase-1 top-(rerank·k) → exact dot re-score against the
+    * raw tier → final top-k. Equals `Pq.twoPhaseSearch` on the same
+    * rows (same candidate rule, same `dotD` re-score, same final rank).
+    */
+  def search(q: Array[Float], k: Int, nprobe: Int, rerank: Int,
+      raw: LocalServingIndex): Array[(Long, Double)] = {
+    val candidates = searchAdc(q, k * rerank, nprobe).map(_._1)
+    val exact = raw.scoreIds(q, candidates)
+    val topk = new ServingIndex.BoundedTopK(k, asc = false)
+    var i = 0
+    while (i < candidates.length) {
+      val id = candidates(i)
+      exact.get(id).foreach(s => topk.insert(s, id))
+      i += 1
+    }
+    topk.result()
+  }
+}
+
+object LocalPqIndex {
+
+  /** Build from coded assignments (cols: vec_id, centroid_id, codes
+    * array<int>): whole lists admitted in cid order under `maxBytes`
+    * (8 B id + 4 B per code a row), fetched in ONE aggregation over the
+    * codes relation — the codes are the small side by construction
+    * (that is why this tier exists), so the collect is budget-bounded.
+    */
+  def build(assignedCodes: DataFrame, centroids: DataFrame,
+      cb: Pq.Codebook,
+      maxBytes: Long = LocalServingIndex.defaultMaxBytes): LocalPqIndex = {
+    val (cids, matrix) = Ivf.collectCentroids(centroids)
+    // list sizes first (driver-sized: nlist longs), then admission
+    val sizes = assignedCodes.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val perRow = 8L + 4L * cb.m
+    var bytes = 0L
+    val admitted = scala.collection.mutable.LongMap.empty[Boolean]
+    cids.sorted.foreach { cid =>
+      val b = sizes.getOrElse(cid, 0L) * perRow
+      if (bytes + b <= maxBytes) { admitted(cid) = true; bytes += b }
+    }
+    val adm = admitted.keySet.toSet
+    if (adm.isEmpty)
+      return new LocalPqIndex(cids, matrix, cb,
+        scala.collection.mutable.LongMap.empty, 0L)
+    val rows = assignedCodes
+      .filter(col("centroid_id").isin(adm.toSeq: _*))
+      .select(col("centroid_id").cast("long"), col("vec_id").cast("long"),
+        col("codes"))
+      .collect()
+    val byCid = scala.collection.mutable.LongMap
+      .empty[(scala.collection.mutable.ArrayBuffer[Long],
+        scala.collection.mutable.ArrayBuffer[Int])]
+    rows.foreach { r =>
+      val (ids, codes) = byCid.getOrElseUpdate(r.getLong(0),
+        (scala.collection.mutable.ArrayBuffer.empty[Long],
+          scala.collection.mutable.ArrayBuffer.empty[Int]))
+      ids += r.getLong(1)
+      codes ++= r.getSeq[Int](2)
+    }
+    val lists = scala.collection.mutable.LongMap
+      .empty[(Array[Long], Array[Int])]
+    byCid.foreach { case (cid, (ids, codes)) =>
+      // deterministic row order inside a list: id ascending (the scan
+      // visits rows in this order; ranking is order-insensitive but
+      // reproducibility should not depend on collect order)
+      val idArr = ids.toArray
+      val codeArr = codes.toArray
+      val m = cb.m
+      val perm = idArr.indices.sortBy(idArr(_))
+      val ids2 = new Array[Long](idArr.length)
+      val codes2 = new Array[Int](codeArr.length)
+      var i = 0
+      while (i < perm.length) {
+        ids2(i) = idArr(perm(i))
+        System.arraycopy(codeArr, perm(i) * m, codes2, i * m, m)
+        i += 1
+      }
+      lists(cid) = (ids2, codes2)
+    }
+    new LocalPqIndex(cids, matrix, cb, lists, bytes)
+  }
+}

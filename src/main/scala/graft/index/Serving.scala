@@ -997,6 +997,51 @@ final class LocalServingIndex private[index] (
   def localServes: Long = localHits.get()
   def fallThroughServes: Long = fallThroughs.get()
 
+  // id → (cid, row) over the cached lists, built once on first rerank
+  // use (8 B/entry; only pays when a compressed tier composes with
+  // this raw tier for phase-2 re-scoring)
+  @transient private lazy val rowIndex: scala.collection.mutable
+      .LongMap[(Long, Int)] = {
+    val m = scala.collection.mutable.LongMap
+      .empty[(Long, Int)]
+    cached.foreach { case (cid, b) =>
+      var r = 0
+      while (r < b.ids.length) { m(b.ids(r)) = (cid, r); r += 1 }
+    }
+    m
+  }
+
+  /** Exact inner-product scores for specific CACHED ids (the phase-2
+    * rerank hook for [[LocalPqIndex]]): sequential double accumulation
+    * in element order — `VectorFunctions.dotD`'s arithmetic, which is
+    * what `Pq.twoPhaseSearch`'s re-score uses regardless of the probe
+    * metric (the PQ path is inner-product, config.h:84-94). Ids not
+    * resident in a cached list are absent from the result.
+    */
+  def scoreIds(q: Array[Float],
+      ids: Array[Long]): scala.collection.mutable.LongMap[Double] = {
+    val out = scala.collection.mutable.LongMap.empty[Double]
+    var i = 0
+    while (i < ids.length) {
+      rowIndex.get(ids(i)).foreach { case (cid, r) =>
+        val b = cached(cid)
+        val d = b.dim
+        val off = r * d
+        var s = 0.0
+        var j = 0
+        if (b.vecsD != null)
+          while (j < d) { s += q(j).toDouble * b.vecsD(off + j); j += 1 }
+        else
+          while (j < d) {
+            s += q(j).toDouble * b.vecs(off + j).toDouble; j += 1
+          }
+        out(ids(i)) = s
+      }
+      i += 1
+    }
+    out
+  }
+
   /** One QueryRequest — [[ServingIndex.search]] semantics exactly. */
   def search(q: Array[Float], k: Int, nprobe: Int,
       filter: ServingFilter = ServingFilter.none): Array[(Long, Double)] = {

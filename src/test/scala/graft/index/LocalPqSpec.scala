@@ -1,0 +1,95 @@
+package graft.index
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.TopK
+
+/** Driver-resident IVF-PQ tier: bit-identity with the declarative ADC
+  * and two-phase paths, probed-subset semantics, budgeted admission.
+  */
+class LocalPqSpec extends SparkSpec {
+
+  private lazy val cents = Ivf.deterministicCentroids(emb, 50)
+  private lazy val cb = Pq.deterministicCodebook(emb, 8, 8, 50)
+  private lazy val assigned = Ivf.assign(emb, cents).cache()
+  private lazy val codes = assigned.select(col("vec_id"),
+    col("centroid_id"), Pq.codesColumn(cb).as("codes")).cache()
+  private lazy val queries = graft.operators.Knn.defaultQueries(emb).cache()
+  private lazy val qRows = queries.collect()
+    .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+  private lazy val nlist = cents.count().toInt
+
+  test("probe-all ADC equals the declarative adcScores + top-k aggregate") {
+    val pq = LocalPqIndex.build(codes, cents, cb)
+    assert(pq.cachedLists === nlist)
+    val want = TopK.viaAggregator(
+        Pq.adcScores(codes.select("vec_id", "codes"), cb, queries),
+        "query_id", "vec_id", "approx_score", 20)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+      .view.mapValues(_.map(t => (t._2, t._3))
+        .sortBy { case (id, s) => (-s, id) }.toSeq).toMap
+    qRows.take(5).foreach { case (qid, qv) =>
+      val got = pq.searchAdc(qv, 20, nprobe = nlist).toSeq
+      assert(got === want(qid), s"q=$qid")
+    }
+  }
+
+  test("probed-subset ADC equals the declarative path restricted to the probed lists") {
+    val pq = LocalPqIndex.build(codes, cents, cb)
+    qRows.take(3).foreach { case (qid, qv) =>
+      val probed = pq.probe(qv, 4)
+      val restricted = codes
+        .filter(col("centroid_id").isin(probed: _*))
+        .select("vec_id", "codes")
+      val oneQ = queries.filter(col("query_id") === qid)
+      val want = TopK.viaAggregator(
+          Pq.adcScores(restricted, cb, oneQ),
+          "query_id", "vec_id", "approx_score", 10)
+        .collect().map(r => (r.getLong(1), r.getDouble(2)))
+        .sortBy { case (id, s) => (-s, id) }.toSeq
+      assert(pq.searchAdc(qv, 10, 4).toSeq === want, s"q=$qid")
+    }
+  }
+
+  test("two-phase with the raw local tier equals Pq.twoPhaseSearch exactly") {
+    val pq = LocalPqIndex.build(codes, cents, cb)
+    val idx = ServingIndex.build(assigned, cents, "ip")
+    val raw = idx.toLocal()
+    val want = Pq.twoPhaseSearch(emb, codes.select("vec_id", "codes"), cb,
+        queries, 10, 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+      .view.mapValues(_.map(t => (t._2, t._3))
+        .sortBy { case (id, s) => (-s, id) }.toSeq).toMap
+    qRows.take(5).foreach { case (qid, qv) =>
+      val got = pq.search(qv, 10, nlist, rerank = 4, raw).toSeq
+      assert(got === want(qid), s"q=$qid")
+    }
+    idx.unpersist()
+  }
+
+  test("budgeted admission: a tight budget caches a strict subset; uncovered probes are refused") {
+    val full = LocalPqIndex.build(codes, cents, cb)
+    val half = LocalPqIndex.build(codes, cents, cb,
+      maxBytes = full.cachedBytes / 2)
+    assert(half.cachedLists > 0 && half.cachedLists < nlist)
+    assert(!half.coversProbes(half.probe(qRows.head._2, nlist)))
+    intercept[IllegalArgumentException] {
+      half.searchAdc(qRows.head._2, 10, nlist)
+    }
+    // the code tier really is ~8x denser than raw (dim 64 vs m 8, both
+    // pricing ids at 8 B): the whole-corpus codes fit well under the
+    // raw tier's resident estimate
+    val idx = ServingIndex.build(assigned, cents, "ip")
+    val raw = idx.toLocal()
+    assert(full.cachedBytes.toDouble < raw.cachedBytes / 4.0)
+    idx.unpersist()
+    // zero budget: empty cache, nothing covered
+    val none = LocalPqIndex.build(codes, cents, cb, maxBytes = 0L)
+    assert(none.cachedLists === 0)
+  }
+}
