@@ -1214,14 +1214,22 @@ object Bench {
             }.sorted
             extras("local_pq_10m_adc_p50_ms") = num(pctl(latPq, 50), 3)
             extras("local_pq_10m_adc_p99_ms") = num(pctl(latPq, 99), 3)
-            // recall vs the raw probe path over the same probed lists —
-            // the quantization cost in isolation
+            // recall vs the raw probe path over the same probed lists.
+            // BY BASE VECTOR: this corpus is jitter-replicated (replica
+            // r of base b differs by r·1e-6 on one dim), so replicas are
+            // identical at code resolution and exact-id recall only
+            // measures which replica a tie-break picked — base-identity
+            // recall measures what quantization actually costs here
+            // (the exact-id PQ gates live on the unreplicated corpus:
+            // recall_pq_trained / recall_pq_at_tuned_rerank)
             val rec = qRows.take(40).map { qv =>
-              val ref = idx10.search(qv, 10, nprobeServ).map(_._1).toSet
-              val got = pqLocal.searchAdc(qv, 10, nprobeServ).map(_._1)
+              val ref = idx10.search(qv, 10, nprobeServ)
+                .map(_._1 / reps10).toSet
+              val got = pqLocal.searchAdc(qv, 10, nprobeServ)
+                .map(_._1 / reps10).distinct
               if (ref.isEmpty) 1.0 else got.count(ref).toDouble / ref.size
             }
-            extras("local_pq_10m_recall_vs_ivf") =
+            extras("local_pq_10m_base_recall_vs_ivf") =
               num(rec.sum / rec.length, 4)
           } else {
             System.err.println(

@@ -36,6 +36,8 @@ final class LocalPqIndex private (
     matrix: Array[Array[Double]],
     cb: Pq.Codebook,
     lists: scala.collection.mutable.LongMap[(Array[Long], Array[Int])],
+    listSizes: Map[Long, Long],
+    val limits: ServingLimits,
     val cachedBytes: Long) {
 
   def cachedLists: Int = lists.size
@@ -43,6 +45,24 @@ final class LocalPqIndex private (
   /** Same centroid ranking as every other probe path. */
   def probe(q: Array[Float], nprobe: Int): Seq[Long] =
     Ivf.probePick(q, cids, matrix, nprobe)
+
+  /** max_candidates probe cap (config.h:129) — the same walk as
+    * [[ServingIndex.capProbes]]: keep probes while the cumulative
+    * candidate pool stays within budget, always at least one.
+    */
+  private def capProbes(probed: Seq[Long]): Seq[Long] = {
+    if (limits.maxCandidates == Int.MaxValue) return probed
+    var cum = 0L
+    val keep = Seq.newBuilder[Long]
+    var n = 0
+    probed.foreach { cid =>
+      val sz = listSizes.getOrElse(cid, 0L)
+      if (n == 0 || cum + sz <= limits.maxCandidates) {
+        keep += cid; cum += sz; n += 1
+      }
+    }
+    keep.result()
+  }
 
   def coversProbes(probed: Seq[Long]): Boolean =
     probed.forall(lists.contains)
@@ -72,14 +92,21 @@ final class LocalPqIndex private (
     * `Pq.adcScores` + the top-k aggregate on the same rows.
     */
   def searchAdc(q: Array[Float], k: Int,
+      nprobe: Int): Array[(Long, Double)] =
+    adcTopN(q, math.min(k, limits.maxK), nprobe) // clamp (config.h:128)
+
+  /** Internal phase-1 ranking: `n` may exceed max_top_k — the rerank
+    * candidate pool is rerank·k, an internal budget, not a client k.
+    */
+  private def adcTopN(q: Array[Float], n: Int,
       nprobe: Int): Array[(Long, Double)] = {
-    val probed = probe(q, nprobe)
+    val probed = capProbes(probe(q, nprobe))
     require(coversProbes(probed),
       "probed list not cached — serve via the declarative stored " +
         "IVF-PQ path (cache miss falls to the store)")
     val l = lut(q)
     val m = cb.m
-    val topk = new ServingIndex.BoundedTopK(k, asc = false)
+    val topk = new ServingIndex.BoundedTopK(n, asc = false)
     probed.foreach { cid =>
       val (ids, codes) = lists(cid)
       var r = 0
@@ -101,9 +128,10 @@ final class LocalPqIndex private (
     */
   def search(q: Array[Float], k: Int, nprobe: Int, rerank: Int,
       raw: LocalServingIndex): Array[(Long, Double)] = {
-    val candidates = searchAdc(q, k * rerank, nprobe).map(_._1)
+    val kk = math.min(k, limits.maxK)
+    val candidates = adcTopN(q, kk * rerank, nprobe).map(_._1)
     val exact = raw.scoreIds(q, candidates)
-    val topk = new ServingIndex.BoundedTopK(k, asc = false)
+    val topk = new ServingIndex.BoundedTopK(kk, asc = false)
     var i = 0
     while (i < candidates.length) {
       val id = candidates(i)
@@ -124,7 +152,8 @@ object LocalPqIndex {
     */
   def build(assignedCodes: DataFrame, centroids: DataFrame,
       cb: Pq.Codebook,
-      maxBytes: Long = LocalServingIndex.defaultMaxBytes): LocalPqIndex = {
+      maxBytes: Long = LocalServingIndex.defaultMaxBytes,
+      limits: ServingLimits = ServingLimits.reference): LocalPqIndex = {
     val (cids, matrix) = Ivf.collectCentroids(centroids)
     // list sizes first (driver-sized: nlist longs), then admission
     val sizes = assignedCodes.groupBy(col("centroid_id"))
@@ -140,7 +169,7 @@ object LocalPqIndex {
     val adm = admitted.keySet.toSet
     if (adm.isEmpty)
       return new LocalPqIndex(cids, matrix, cb,
-        scala.collection.mutable.LongMap.empty, 0L)
+        scala.collection.mutable.LongMap.empty, sizes, limits, 0L)
     val rows = assignedCodes
       .filter(col("centroid_id").isin(adm.toSeq: _*))
       .select(col("centroid_id").cast("long"), col("vec_id").cast("long"),
@@ -176,6 +205,6 @@ object LocalPqIndex {
       }
       lists(cid) = (ids2, codes2)
     }
-    new LocalPqIndex(cids, matrix, cb, lists, bytes)
+    new LocalPqIndex(cids, matrix, cb, lists, sizes, limits, bytes)
   }
 }
