@@ -46,23 +46,12 @@ final class LocalPqIndex private (
   def probe(q: Array[Float], nprobe: Int): Seq[Long] =
     Ivf.probePick(q, cids, matrix, nprobe)
 
-  /** max_candidates probe cap (config.h:129) — the same walk as
-    * [[ServingIndex.capProbes]]: keep probes while the cumulative
-    * candidate pool stays within budget, always at least one.
+  /** max_candidates probe cap (config.h:129) — THE shared walk
+    * ([[ServingIndex.capProbesWalk]]).
     */
-  private def capProbes(probed: Seq[Long]): Seq[Long] = {
-    if (limits.maxCandidates == Int.MaxValue) return probed
-    var cum = 0L
-    val keep = Seq.newBuilder[Long]
-    var n = 0
-    probed.foreach { cid =>
-      val sz = listSizes.getOrElse(cid, 0L)
-      if (n == 0 || cum + sz <= limits.maxCandidates) {
-        keep += cid; cum += sz; n += 1
-      }
-    }
-    keep.result()
-  }
+  private def capProbes(probed: Seq[Long]): Seq[Long] =
+    ServingIndex.capProbesWalk(probed, cid => listSizes.getOrElse(cid, 0L),
+      limits.maxCandidates)
 
   def coversProbes(probed: Seq[Long]): Boolean =
     probed.forall(lists.contains)
@@ -131,11 +120,21 @@ final class LocalPqIndex private (
     val kk = math.min(k, limits.maxK)
     val candidates = adcTopN(q, kk * rerank, nprobe).map(_._1)
     val exact = raw.scoreIds(q, candidates)
+    // the expected configuration is a PQ tier WIDER than the raw tier
+    // (that is the compression's point), so a candidate may well live in
+    // a list the raw tier did not admit — that is a phase-2 cache miss
+    // and must REFUSE like phase 1 does, never silently vanish from the
+    // top-k (the true nearest neighbor could be the dropped one; the
+    // miss path is the declarative two-phase over the store)
+    require(exact.size == candidates.length,
+      s"phase-2 rerank: ${candidates.length - exact.size} of " +
+        s"${candidates.length} candidates are outside the raw tier — " +
+        "serve via the declarative stored two-phase path")
     val topk = new ServingIndex.BoundedTopK(kk, asc = false)
     var i = 0
     while (i < candidates.length) {
       val id = candidates(i)
-      exact.get(id).foreach(s => topk.insert(s, id))
+      topk.insert(exact(id), id)
       i += 1
     }
     topk.result()

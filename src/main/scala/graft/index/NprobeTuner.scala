@@ -73,9 +73,16 @@ object NprobeTuner {
     */
   def resumeNprobe(spark: SparkSession, path: String, nowMillis: Long,
       windowMs: Long = defaultDecisionWindowMs): Option[Int] = {
+    // ONLY a missing log means cold-start; a corrupt/unreadable log is
+    // real damage and must surface, not silently discard the persisted
+    // decision the restart contract depends on
     val df =
       try spark.read.parquet(path)
-      catch { case _: Throwable => return None } // no log yet
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage != null && e.getMessage.contains("PATH_NOT_FOUND") =>
+          return None // no log yet
+      }
     df.filter(col("ts_millis") >= lit(nowMillis - windowMs))
       .orderBy(col("ts_millis").desc, col("window").desc)
       .select("nprobe").limit(1).collect()
@@ -132,6 +139,20 @@ final class AdaptiveNprobe(val lo: Int, val hi: Int,
     * runs at).
     */
   def decisions: Seq[NprobeDecision] = log.toSeq
+
+  /** Return the decisions recorded since the last drain and CLEAR them —
+    * the incremental-persistence form: a periodic flusher calls
+    * `persistDecisions(spark, path, ctl.drainDecisions(), now)` and the
+    * append-mode log carries each decision exactly once (re-persisting
+    * `decisions` every flush would duplicate the whole history), while
+    * the controller's memory stays bounded across an arbitrarily long
+    * serving life.
+    */
+  def drainDecisions(): Seq[NprobeDecision] = {
+    val out = log.toSeq
+    log.clear()
+    out
+  }
 
   /** Feed one sampled recall observation (|approx ∩ reference| / k). */
   def observe(recall: Double): Unit = {
@@ -192,6 +213,11 @@ sealed abstract class AdaptiveServingBase(lo: Int, hi: Int,
     * ([[NprobeTuner.persistDecisions]]).
     */
   def decisions: Seq[NprobeDecision] = ctl.decisions
+
+  /** Drain-and-clear for incremental persistence
+    * ([[AdaptiveNprobe.drainDecisions]]).
+    */
+  def drainDecisions(): Seq[NprobeDecision] = ctl.drainDecisions()
 
   /** One controlled request: issue at the tuned nprobe, and every
     * `sampleEvery`-th request re-issue THROUGH THE SAME `run` at the

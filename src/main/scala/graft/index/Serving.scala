@@ -545,20 +545,12 @@ final class ServingIndex private (
     * keep probes while the cumulative candidate pool (probed list sizes)
     * stays within budget — always at least one probe. Deterministic: the
     * truncation depends only on the ranking and the built list sizes.
+    * (One walk definition, shared with the local PQ tier:
+    * [[ServingIndex.capProbesWalk]].)
     */
-  private[index] def capProbes(probed: Seq[Long]): Seq[Long] = {
-    if (limits.maxCandidates == Int.MaxValue) return probed
-    var cum = 0L
-    val keep = Seq.newBuilder[Long]
-    var n = 0
-    probed.foreach { cid =>
-      val sz = listSizes.getOrElse(cid, 0)
-      if (n == 0 || cum + sz <= limits.maxCandidates) {
-        keep += cid; cum += sz; n += 1
-      }
-    }
-    keep.result()
-  }
+  private[index] def capProbes(probed: Seq[Long]): Seq[Long] =
+    ServingIndex.capProbesWalk(probed, cid => listSizes.getOrElse(cid, 0).toLong,
+      limits.maxCandidates)
 
   /** One QueryRequest: top-k over the probed lists, optionally through
     * the request's tenant/tags/sample predicate (evaluated in-task before
@@ -717,6 +709,7 @@ final class ServingIndex private (
     val ascL = asc
     val hA = postingHitAcc
     val mA = postingMissAcc
+    val probedSets = plan.probedByQuery.map(_.toSet)
     val partials: Array[Array[(Int, Array[(Long, Double)])]] =
       if (plan.parts.isEmpty) Array.empty
       else ServingIndex.withDeadline(blocks.sparkContext, limits.deadlineMs) {
@@ -727,11 +720,11 @@ final class ServingIndex private (
             val mine = partQueries.getOrElse(ctx.partitionId(),
               Array.emptyIntArray)
             mine.map { i =>
-              // a query is assigned here because it probed THIS list;
-              // the probed set is exactly the block's own cids
-              val probedHere = bs.iterator.map(_.cid).toSet
+              // the query's own probed set (computed once on the driver;
+              // every batch variant sources it identically)
               (i, ServingIndex.scanTopK(bs.iterator, qVecs(i), kk, m,
-                ascL, probedHere, filter, ServingIndex.noShadow, hA, mA))
+                ascL, probedSets(i), filter, ServingIndex.noShadow,
+                hA, mA))
             }
           },
           plan.parts.toIndexedSeq)
@@ -778,8 +771,6 @@ final class ServingIndex private (
       extra: Int => Array[(Long, Double)]):
       Map[Long, Array[(Long, Double)]] = {
     val ascL = asc
-    val hA = postingHitAcc
-    val mA = postingMissAcc
     val acc = scala.collection.mutable.HashMap
       .empty[Int, scala.collection.mutable.ArrayBuffer[(Long, Double)]]
     partials.foreach(_.foreach { case (i, hits) =>
@@ -819,6 +810,7 @@ final class ServingIndex private (
     val hA = postingHitAcc
     val mA = postingMissAcc
     val shadowBc = overlay.shadowBc // handle only — the set never ships
+    val probedSets = plan.probedByQuery.map(_.toSet)
     val partials: Array[Array[(Int, Array[(Long, Double)])]] =
       if (plan.parts.isEmpty) Array.empty
       else ServingIndex.withDeadline(blocks.sparkContext, limits.deadlineMs) {
@@ -828,10 +820,9 @@ final class ServingIndex private (
             val bs = it.toArray
             val mine = partQueries.getOrElse(ctx.partitionId(),
               Array.emptyIntArray)
-            val probedHere = bs.iterator.map(_.cid).toSet
             mine.map { i =>
               (i, ServingIndex.scanTopK(bs.iterator, qVecs(i), kk, m,
-                ascL, probedHere, filter, shadowBc.value, hA, mA))
+                ascL, probedSets(i), filter, shadowBc.value, hA, mA))
             }
           },
           plan.parts.toIndexedSeq)
@@ -872,6 +863,7 @@ final class ServingIndex private (
     val hA = postingHitAcc
     val mA = postingMissAcc
     val shadowBc = overlay.shadowBc
+    val probedSets = plan.probedByQuery.map(_.toSet)
     val partials: Array[Array[(Int, Array[(Long, Double)])]] =
       if (plan.parts.isEmpty) Array.empty
       else ServingIndex.withDeadline(blocks.sparkContext, limits.deadlineMs) {
@@ -882,12 +874,18 @@ final class ServingIndex private (
             val (bs, os) = it.next()
             val mine = partQueries.getOrElse(ctx.partitionId(),
               Array.emptyIntArray)
-            val probedHere = bs.iterator.map(_.cid).toSet
             mine.map { i =>
+              // the query's OWN probed set — NEVER derived from the
+              // stored blocks: an overlay winner may live in a probed
+              // centroid whose stored list is empty (fresh insert into
+              // an empty list), and the stored-derived set would
+              // silently drop it (read-your-writes violation vs the
+              // single-request path)
+              val probedQ = probedSets(i)
               val stored = ServingIndex.scanTopK(bs.iterator, qVecs(i), kk,
-                m, ascL, probedHere, filter, shadowBc.value, hA, mA)
+                m, ascL, probedQ, filter, shadowBc.value, hA, mA)
               val over = ServingIndex.overlayTopK(os, qVecs(i), kk, m,
-                ascL, probedHere, filter)
+                ascL, probedQ, filter)
               (i, stored ++ over)
             }
           },
@@ -1355,43 +1353,34 @@ object ServingIndex {
 
   private[index] val noShadow: Array[Long] = Array.emptyLongArray
 
-  /** Bounded best-first top-k with (score, id-asc) tie-break — the ONE
-    * insertion kernel behind both the stored-list scan ([[scanTopK]])
-    * and the overlay scan ([[overlayTopK]]), so the rank/tie contract
-    * the oracle equivalence depends on has a single definition. Arrays
-    * stay sorted best-first; k is small (reference max_k 100,
-    * config.h:180), so insertion beats a heap and allocates nothing
-    * per candidate.
+  /** The ONE max_candidates probe-cap walk (config.h:129), shared by
+    * the job-path index and the local tiers: keep probes in ranking
+    * order while the cumulative candidate pool stays within budget,
+    * always at least one probe.
     */
-  private[index] final class BoundedTopK(k: Int, asc: Boolean) {
-    private val scores = new Array[Double](k)
-    private val ids = new Array[Long](k)
-    private var size = 0
-    private def better(s: Double, id: Long, j: Int): Boolean = {
-      val sj = scores(j)
-      if (asc) s < sj || (s == sj && id < ids(j))
-      else s > sj || (s == sj && id < ids(j))
-    }
-    def insert(s: Double, id: Long): Unit = {
-      if (size < k || better(s, id, k - 1)) {
-        var p = if (size < k) size else k - 1
-        scores(p) = s; ids(p) = id
-        while (p > 0 && better(scores(p), ids(p), p - 1)) {
-          val ts = scores(p); val ti = ids(p)
-          scores(p) = scores(p - 1); ids(p) = ids(p - 1)
-          scores(p - 1) = ts; ids(p - 1) = ti
-          p -= 1
-        }
-        if (size < k) size += 1
+  private[index] def capProbesWalk(probed: Seq[Long], sizeOf: Long => Long,
+      maxCandidates: Int): Seq[Long] = {
+    if (maxCandidates == Int.MaxValue) return probed
+    var cum = 0L
+    val keep = Seq.newBuilder[Long]
+    var n = 0
+    probed.foreach { cid =>
+      val sz = sizeOf(cid)
+      if (n == 0 || cum + sz <= maxCandidates) {
+        keep += cid; cum += sz; n += 1
       }
     }
-    def result(): Array[(Long, Double)] = {
-      val out = new Array[(Long, Double)](size)
-      var j = 0
-      while (j < size) { out(j) = (ids(j), scores(j)); j += 1 }
-      out
-    }
+    keep.result()
   }
+
+  /** The bounded top-k kernel behind the stored-list scan
+    * ([[scanTopK]]), the overlay scan ([[overlayTopK]]), and the local
+    * tiers — THE shared rank/tie definition
+    * ([[graft.operators.TopK.Bounded]]): one implementation of the
+    * (score best, id asc) contract across every path the oracle
+    * equivalences compare.
+    */
+  private[index] type BoundedTopK = graft.operators.TopK.Bounded
 
   /** In-task overlay scan: bounded top-k over a partition's packed
     * [[OverlayBlock]]s (cid ∈ probed), with [[passWinner]]'s predicate

@@ -60,21 +60,33 @@ object IngestGuard {
     * over-limit batch would break exactly-once replay).
     *
     * Expected columns: a vector column `vecCol` (array of float/double;
-    * tombstones may be null) and optionally `tagsCol` (array). The byte
-    * estimate is the framed-wire shape: 8 B per vector element slot +
-    * 8 B per tag + 64 B fixed per row (id/epoch/hashes/header) — an
-    * upper bound of the reference's FlatBuffers frame, so a batch this
+    * tombstones may be null), optionally `tagsCol` (array), and
+    * optionally `idCol` (a string id whose octet length counts toward
+    * the wire estimate — ids are client-controlled and can dominate a
+    * request, so omitting them would under-admit). The byte estimate is
+    * the framed-wire shape: 8 B per vector element slot + 8 B per tag +
+    * id octets + 64 B fixed per row (epoch/hashes/header) — an upper
+    * bound of the reference's FlatBuffers frame, so a batch this
     * estimate admits can never exceed the true wire cap.
+    *
+    * NOTE on null arrays: the engine runs with ANSI off, where
+    * `size(null)` is -1, not null — every size is clamped through
+    * `greatest(0)` so a tombstone can never SUBTRACT from the estimate.
     */
   def validateBatch(batch: DataFrame, limits: IngestLimits = IngestLimits.reference,
-      vecCol: String = "vec", tagsCol: Option[String] = None): BatchStats = {
+      vecCol: String = "vec", tagsCol: Option[String] = None,
+      idCol: Option[String] = None): BatchStats = {
     val tagsSize = tagsCol
-      .map(c => coalesce(size(col(c)), lit(0)))
+      .map(c => greatest(coalesce(size(col(c)), lit(0)), lit(0)))
       .getOrElse(lit(0))
-    val vecSize = coalesce(size(col(vecCol)), lit(0))
+    val vecSize = greatest(coalesce(size(col(vecCol)), lit(0)), lit(0))
+    val idBytes = idCol
+      .map(c => coalesce(octet_length(col(c).cast("string")), lit(0)))
+      .getOrElse(lit(0))
     val row = batch.agg(
       count(lit(1)).as("rows"),
-      coalesce(sum(vecSize.cast("long") * 8L + tagsSize.cast("long") * 8L + 64L),
+      coalesce(sum(vecSize.cast("long") * 8L + tagsSize.cast("long") * 8L +
+          idBytes.cast("long") + 64L),
         lit(0L)).as("bytes"),
       coalesce(max(tagsSize), lit(0)).as("max_tags"),
       // tombstones carry no vector: dim 0 rows are not a dim violation

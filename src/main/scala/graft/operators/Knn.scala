@@ -199,41 +199,10 @@ object Knn {
     case other => throw new IllegalArgumentException(s"unknown metric $other")
   }
 
-  /** Bounded best-first top-k with (score best, id ascending) ties — the
-    * in-task twin of [[TopK.viaAggregator]]'s rank contract, used by the
-    * bulk kernel's per-query heaps. Insertion-sorted arrays: k is small
-    * (reference max_k 100), no per-candidate allocation.
-    */
-  private[operators] final class BoundedTopKHeap(k: Int, asc: Boolean)
-      extends Serializable {
-    private val scores = new Array[Double](k)
-    private val ids = new Array[Long](k)
-    private var size = 0
-    private def better(s: Double, id: Long, j: Int): Boolean = {
-      val sj = scores(j)
-      if (asc) s < sj || (s == sj && id < ids(j))
-      else s > sj || (s == sj && id < ids(j))
-    }
-    def insert(s: Double, id: Long): Unit = {
-      if (size < k || better(s, id, k - 1)) {
-        var p = if (size < k) size else k - 1
-        scores(p) = s; ids(p) = id
-        while (p > 0 && better(scores(p), ids(p), p - 1)) {
-          val ts = scores(p); val ti = ids(p)
-          scores(p) = scores(p - 1); ids(p) = ids(p - 1)
-          scores(p - 1) = ts; ids(p - 1) = ti
-          p -= 1
-        }
-        if (size < k) size += 1
-      }
-    }
-    def result(): Array[(Long, Double)] = {
-      val out = new Array[(Long, Double)](size)
-      var j = 0
-      while (j < size) { out(j) = (ids(j), scores(j)); j += 1 }
-      out
-    }
-  }
+  // the bulk kernel's per-query heaps use THE shared rank kernel
+  // ([[TopK.Bounded]]) — one definition of the (score best, id asc) tie
+  // contract across the serving scans, local tiers, and this path
+  private[operators] type BoundedTopKHeap = TopK.Bounded
 
   /** Shared per-query top-k dispatch: bounded-heap aggregator for both
     * directions (ascending metrics ride through negation — exact in IEEE).

@@ -156,4 +156,43 @@ object TopK {
       .select(col(groupCol), explode(col("topk")).as("s"))
       .select(col(groupCol), col("s.id").as(idCol), col("s.score").as(scoreCol))
   }
+
+  /** THE bounded best-first top-k kernel with the engine-wide
+    * (score best, id ascending) tie contract — single definition shared
+    * by the serving scans (`ServingIndex.scanTopK`/`overlayTopK`), the
+    * local cache tiers, and the bulk exact-KNN kernel, so the rank
+    * order every oracle equivalence depends on cannot silently diverge
+    * between paths. Insertion-sorted arrays: k is small (reference
+    * max_top_k 100, config.h:180), insertion beats a heap and allocates
+    * nothing per candidate.
+    */
+  final class Bounded(k: Int, asc: Boolean) extends Serializable {
+    private val scores = new Array[Double](k)
+    private val ids = new Array[Long](k)
+    private var size = 0
+    private def better(s: Double, id: Long, j: Int): Boolean = {
+      val sj = scores(j)
+      if (asc) s < sj || (s == sj && id < ids(j))
+      else s > sj || (s == sj && id < ids(j))
+    }
+    def insert(s: Double, id: Long): Unit = {
+      if (size < k || better(s, id, k - 1)) {
+        var p = if (size < k) size else k - 1
+        scores(p) = s; ids(p) = id
+        while (p > 0 && better(scores(p), ids(p), p - 1)) {
+          val ts = scores(p); val ti = ids(p)
+          scores(p) = scores(p - 1); ids(p) = ids(p - 1)
+          scores(p - 1) = ts; ids(p - 1) = ti
+          p -= 1
+        }
+        if (size < k) size += 1
+      }
+    }
+    def result(): Array[(Long, Double)] = {
+      val out = new Array[(Long, Double)](size)
+      var j = 0
+      while (j < size) { out(j) = (ids(j), scores(j)); j += 1 }
+      out
+    }
+  }
 }

@@ -66,6 +66,15 @@ object WalCodec {
     p.length >= 4 && (p(0) & 0xFF) == a && (p(1) & 0xFF) == b &&
       (p(2) & 0xFF) == c && (p(3) & 0xFF) == d
 
+  /** True iff the payload begins with a codec frame magic — the one
+    * byte shape a `none`-codec append must refuse (it would be
+    * misdetected as compressed on replay; wrap such a blob in an
+    * explicit codec instead, which round-trips any bytes).
+    */
+  def looksCompressed(payload: Array[Byte]): Boolean =
+    magic4(payload, 0x28, 0xB5, 0x2F, 0xFD) ||
+      magic4(payload, 0x04, 0x22, 0x4D, 0x18)
+
   /** Decompress a stored payload if it carries a codec magic; identity
     * otherwise. Replay-side — codec choice never needs to be configured
     * for reads.
@@ -137,6 +146,13 @@ object Wal {
     val out = new DataOutputStream(fos)
     try {
       records.foreach { case (epoch, raw) =>
+        // a raw payload that happens to start with a codec frame magic
+        // would be misdetected on replay — refuse it HERE, at write
+        // time, where the caller can still choose an explicit codec
+        // (compressing an already-compressed blob round-trips any bytes)
+        require(codec != WalCodec.None || !WalCodec.looksCompressed(raw),
+          "none-codec payload begins with a compression frame magic; " +
+            "append it under an explicit WalCodec instead")
         val payload = codec.compress(raw)
         out.writeInt(payload.length)
         out.writeInt(crc(epoch, payload).toInt)
@@ -229,8 +245,13 @@ object Wal {
     */
   def segments(dir: String): Seq[File] = {
     val d = new File(dir)
-    if (!d.exists()) Seq.empty
-    else d.listFiles((_, name) => name.matches("wal-\\d{5,}\\.log"))
+    if (!d.exists()) return Seq.empty
+    require(d.isDirectory,
+      s"$dir is not a WAL log directory (single-file logs replay via " +
+        "replayBinary)")
+    // listFiles is null on I/O failure even for a directory
+    Option(d.listFiles((_, name) => name.matches("wal-\\d{5,}\\.log")))
+      .getOrElse(Array.empty[File])
       .sortBy(f => segNumber(f.getName)).toSeq
   }
 

@@ -92,4 +92,28 @@ class LocalPqSpec extends SparkSpec {
     val none = LocalPqIndex.build(codes, cents, cb, maxBytes = 0L)
     assert(none.cachedLists === 0)
   }
+
+  test("phase-2 REFUSES when a candidate's list is outside the raw tier (never a silent drop)") {
+    // the expected configuration: PQ tier covers everything, raw tier
+    // covers a strict subset — a phase-1 candidate from an un-admitted
+    // raw list is a phase-2 cache miss and must throw, because the
+    // dropped candidate could be the true nearest neighbor
+    val pq = LocalPqIndex.build(codes, cents, cb)
+    val idx = ServingIndex.build(assigned, cents, "ip")
+    val rawFull = idx.toLocal()
+    val rawHalf = idx.toLocal(maxBytes = rawFull.cachedBytes / 2)
+    assert(rawHalf.cachedLists < nlist)
+    // at probe-all some candidate lands outside the half raw tier for
+    // at least one battery query
+    val misses = qRows.count { case (_, qv) =>
+      try { pq.search(qv, 10, nlist, rerank = 4, rawHalf); false }
+      catch { case _: IllegalArgumentException => true }
+    }
+    assert(misses > 0, "fixture must produce at least one phase-2 miss")
+    // and the full raw tier still serves everything
+    qRows.take(3).foreach { case (_, qv) =>
+      assert(pq.search(qv, 10, nlist, rerank = 4, rawFull).nonEmpty)
+    }
+    idx.unpersist()
+  }
 }

@@ -406,6 +406,32 @@ class ServingSpec extends SparkSpec {
     Segments.deleteDir(dir0)
   }
 
+  test("batch x distributed overlay: a fresh insert into a centroid with an EMPTY stored list is returned (probed set never derived from stored blocks)") {
+    // stored world: one vector, all in centroid 0; centroid 1 exists in
+    // the layout but holds NO stored rows
+    val stored = Seq((1L, Seq(1.0, 0.0)))
+      .toDF("vec_id", "vec")
+      .withColumn("centroid_id", lit(0L))
+    val c = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("cid", "cv")
+    val idx = ServingIndex.build(stored, c, "ip",
+      idCol = "vec_id", vecCol = "vec")
+    // buffer: a fresh insert assigned to the EMPTY centroid 1
+    val buffer = Seq((5L, 1L, false, 1L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "epoch", "deleted", "centroid_id", "vec")
+    val dist = DistributedServingOverlay.fromDataFrame(buffer, idx)
+    val q = Array(0.0f, 1.0f)
+    // single-request path finds it
+    val single = idx.searchWithOverlay(q, 2, 2, dist, ServingFilter.none)
+    assert(single.map(_._1).toSeq === Seq(5L, 1L))
+    // the batch path must agree — the task for centroid 1 has an empty
+    // stored block array, so a stored-derived probed set would silently
+    // drop the overlay winner (read-your-writes violation)
+    val batch = idx.searchBatch(Seq((0L, q)), 2, 2, dist, ServingFilter.none)
+    assert(batch(0L).toSeq === single.toSeq)
+    dist.destroy()
+    idx.unpersist()
+  }
+
   test("distributed overlay: composite filter, tenant-changing upsert, index ownership") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-dist-overlay-filter-").toString

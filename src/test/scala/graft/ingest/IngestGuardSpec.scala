@@ -57,8 +57,27 @@ class IngestGuardSpec extends SparkSpec {
       Seq((99L, null: Seq[Double], Seq(1L))).toDF("vec_id", "vec", "tags"))
     val s = IngestGuard.validateBatch(withTombstones, IngestLimits(dim = 4))
     assert(s.rows === 6 && s.dims === Seq(4))
+    // ANSI is off → size(null) = -1; the estimate must clamp, never
+    // subtract: 5 live rows at 64+4*8 plus the tombstone at exactly 64
+    assert(s.bytesEstimate === 5L * 96 + 64)
     // dim = 0 disables the check entirely
     IngestGuard.validateBatch(mixed, IngestLimits(dim = 0))
+  }
+
+  test("id octets count toward the wire estimate (ids are client-controlled)") {
+    import spark.implicits._
+    val df = Seq((1L, "abcd", Seq(1.0, 2.0)), (2L, "e", Seq(3.0, 4.0)))
+      .toDF("vec_id", "id", "vec")
+    val s = IngestGuard.validateBatch(df, IngestLimits(dim = 2),
+      idCol = Some("id"))
+    // 2 rows x (64 + 2*8) + id octets (4 + 1)
+    assert(s.bytesEstimate === 2L * 80 + 5)
+    // a giant-id batch must trip the request cap even with tiny vectors
+    val big = Seq((1L, "x" * 2000, Seq(1.0))).toDF("vec_id", "id", "vec")
+    intercept[RequestTooLarge] {
+      IngestGuard.validateBatch(big, IngestLimits(maxRequestBytes = 1000),
+        idCol = Some("id"))
+    }
   }
 
   test("an empty batch is valid (a group commit may flush zero rows)") {

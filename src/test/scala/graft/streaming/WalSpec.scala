@@ -256,6 +256,48 @@ class WalSpec extends AnyFunSuite {
     assert(kept === records.take(kept.length))
   }
 
+  test("randomized crash-replay: any truncation point recovers exactly the fsynced prefix (fault-inject loop, 10 iterations)") {
+    // the reference drives each kill point 10 times at random moments
+    // (scripts/fault-inject.sh ITERATIONS=10); the WAL analogue: crash =
+    // truncate the log at ANY byte offset — replay must return exactly
+    // the frames wholly before the cut, never raise, never resequence.
+    // Seeded; codec varies per iteration (none/lz4/zstd).
+    val codecs = Array[WalCodec](WalCodec.None, WalCodec.Lz4, WalCodec.Zstd)
+    (1 to 10).foreach { seed =>
+      val rnd = new scala.util.Random(7000 + seed)
+      val codec = codecs(seed % 3)
+      val p = tmpWal()
+      val recs = (1L to 60L).map { e =>
+        (e, s"""{"op":"INSERT","id":$e,"pad":"${"x" * rnd.nextInt(40)}"}"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      // frame boundaries BEFORE compression are unknowable from here;
+      // reconstruct stored frame sizes by appending one batch and
+      // measuring, so the expected-prefix oracle is exact
+      var bound = Seq.newBuilder[Long]
+      var acc = 0L
+      recs.foreach { r =>
+        Wal.appendBinary(p, Seq(r), codec)
+        acc = new java.io.File(p).length()
+        bound += acc
+      }
+      val boundaries = bound.result()
+      val total = boundaries.last
+      val cut = 1L + math.abs(rnd.nextLong()) % total // 1..total
+      val raf = new RandomAccessFile(p, "rw")
+      raf.setLength(cut)
+      raf.close()
+      val survivors = boundaries.count(_ <= cut)
+      val replayed = Wal.replayBinary(p)
+      assert(replayed.length === survivors,
+        s"seed=$seed codec=${codec.name} cut=$cut/$total")
+      replayed.zip(recs.take(survivors)).foreach { case ((e, got), (we, want)) =>
+        assert(e === we)
+        assert(java.util.Arrays.equals(got, want), s"seed=$seed epoch=$e")
+      }
+    }
+  }
+
   test("compression: no uncompressed payload shape can collide with a codec magic") {
     // the auto-detect contract rests on this: FlatBuffers payloads lead
     // with a root uoffset32 far below any codec magic, JSON with '{'/'['.
