@@ -52,8 +52,13 @@ import graft.index.Ivf
 object Bench {
 
   private def num(v: Double, digits: Int): String =
-    String.format(java.util.Locale.ROOT, s"%.${digits}f",
-      java.lang.Double.valueOf(v))
+    // a NaN/Infinity (0/0 on an empty fixture, say) must never reach the
+    // contract line — "NaN" is not JSON and would make the WHOLE record
+    // unparseable; -1 is the file-wide failure marker
+    if (java.lang.Double.isFinite(v))
+      String.format(java.util.Locale.ROOT, s"%.${digits}f",
+        java.lang.Double.valueOf(v))
+    else "-1"
 
   private def dirBytes(path: String): Long = {
     val p = java.nio.file.Paths.get(path)
@@ -78,8 +83,44 @@ object Bench {
       (System.nanoTime() - t0) / 1e6
     }.min
 
+  /** Nearest-rank percentile over a SORTED sequence; -1 on empty (the
+    * file-wide failure marker — indexing an empty latency set must not
+    * abort the whole bench).
+    */
+  /** Best-of-2 wall time of a thunk (seconds) — the throughput
+    * sections' timing primitive, defined once.
+    */
+  private def best2(f: => Long): Double =
+    (0 until 2).map { _ =>
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }.min
+
+  /** Floor-gated best-of-2: if the dispatch floor is sick right after a
+    * timing, the timing ran under external contention — remeasure (<=2
+    * extra rounds) and DISCLOSE the first value via `extras`. ONE gate
+    * definition for every throughput section (the 15 ms threshold and
+    * retry policy cannot drift between copies).
+    */
+  private def gatedBest2(spark: SparkSession, nTasks: Int,
+      extras: scala.collection.mutable.LinkedHashMap[String, String],
+      label: String)(f: => Long): Double = {
+    val first = best2(f)
+    var t = first
+    var tries = 0
+    while (floorProbe(spark, nTasks) > 15.0 && tries < 2) {
+      System.err.println(
+        s"[bench] $label timed under a sick dispatch floor — remeasuring")
+      System.gc()
+      t = best2(f); tries += 1
+    }
+    if (tries > 0) extras(s"${label}_first_sec") = num(first, 3)
+    t
+  }
+
   private def pctl(xs: Seq[Double], p: Int): Double =
-    xs(math.min(xs.length - 1, xs.length * p / 100))
+    if (xs.isEmpty) -1.0
+    else xs(math.max(0, math.min(xs.length - 1,
+      math.ceil(xs.length * p / 100.0).toInt - 1)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -234,9 +275,13 @@ object Bench {
       try graft.operators.Knn.defaultQueries(
         Tables.load(spark, sfDir, "embeddings")).count()
       catch { case _: Throwable => -1L }
-    val perQueryMs = results.toMap.get("knn_exact_ip")
-      .filter(_ > 0).map(w => w * 1000.0 / math.max(1L, nQueries))
-      .getOrElse(-1.0)
+    // a failed query-count probe must yield -1, never the whole-batch
+    // wall time masquerading as a per-query latency
+    val perQueryMs =
+      if (nQueries <= 0) -1.0
+      else results.toMap.get("knn_exact_ip")
+        .filter(_ > 0).map(w => w * 1000.0 / nQueries)
+        .getOrElse(-1.0)
 
     calib("after_recall")
 
@@ -244,6 +289,10 @@ object Bench {
     // Drop the query battery's cached data first: the throughput numbers
     // must not pay another workload's GC bill.
     spark.catalog.clearCache()
+    // hoisted so the multi-GB temp dir (op-log parquet, two ingest
+    // trees, rotated WAL) is reclaimed on the FAILURE path too —
+    // repeated failing rounds must not fill the disk
+    var ingestTmp: String = null
     val (ingestOps, ingestQps, compactSec, writeAmp, deltaFrac,
         flushLagMsOut) =
       try {
@@ -278,6 +327,7 @@ object Bench {
             "centroid_id", "vec")
         val tmp = java.nio.file.Files
           .createTempDirectory("graft-bench-ingest-").toString
+        ingestTmp = tmp
         val src = s"$tmp/src"
         log.repartition(8).write.parquet(src) // setup, untimed
         val nOps = spark.read.parquet(src).count()
@@ -363,9 +413,15 @@ object Bench {
           val group = new scala.collection.mutable.ArrayBuffer[
             (Long, Array[Byte])](10000)
           var walOps = 0L
-          val tEnc0 = System.nanoTime()
+          // encode throughput times ONLY row->record build + FlatBuffers
+          // encode + framed append: the sorted parquet stream feeding the
+          // loop is setup (a source-reader regression must not be
+          // misdiagnosed as a WAL-encoder regression)
+          var encNanos = 0L
+          var groupCommits = 0L
           while (it.hasNext) {
             val r = it.next()
+            val tEnc0 = System.nanoTime()
             val deleted = r.getBoolean(4)
             val vecF: Array[Float] =
               if (r.isNullAt(6)) Array.emptyFloatArray
@@ -388,18 +444,23 @@ object Bench {
             if (group.length >= 10000) {
               Wal.appendBinaryRotating(walDir, group.toSeq, rotateBytes)
               group.clear()
+              groupCommits += 1
             }
+            encNanos += System.nanoTime() - tEnc0
           }
           if (group.nonEmpty) {
+            val tF0 = System.nanoTime()
             Wal.appendBinaryRotating(walDir, group.toSeq, rotateBytes)
             group.clear()
+            groupCommits += 1
+            encNanos += System.nanoTime() - tF0
           }
           extras("wal_ops") = walOps.toString
-          // one rotating append batch = one group commit (T2/yaml:156)
-          extras("wal_group_commits") =
-            ((walOps + 9999) / 10000).toString
+          // counted at the append sites (T2/yaml:156) — a derived
+          // formula would silently drift if the group size ever changed
+          extras("wal_group_commits") = groupCommits.toString
           extras("wal_encode_ops_per_sec") =
-            num(walOps / ((System.nanoTime() - tEnc0) / 1e9), 0)
+            num(walOps / (encNanos / 1e9), 0)
           extras("wal_bytes") =
             Wal.segments(walDir).map(_.length()).sum.toString
           // full-log replay+decode throughput (the no-checkpoint worst
@@ -528,11 +589,14 @@ object Bench {
           System.err.println(s"[bench] recovery drill FAILED: ${e.getMessage}")
           extras("recovery_sec") = "-1"
         }
-        Segments.deleteDir(tmp)
         (nOps, nOps / ingSec, cSec, wAmp, dFrac, flushLagMs)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] ingest bench FAILED: ${e.getMessage}")
         (-1L, -1.0, -1.0, -1.0, -1.0, -1.0)
+      } finally {
+        if (ingestTmp != null)
+          try graft.segments.Segments.deleteDir(ingestTmp)
+          catch { case _: Throwable => () }
       }
 
     // Corpus-scale KNN (the sf tables are 2k vectors — fixed-overhead-
@@ -563,29 +627,11 @@ object Bench {
         val nBig = big.count() // materialize, untimed
         val qs = graft.operators.Knn.defaultQueries(e).cache()
         val nQs = qs.count()
-        def best2(f: => Long): Double =
-          (0 until 2).map { _ =>
-            val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-          }.min
-        def floorQuick(): Double = floorProbe(spark, cpus.toInt)
-        // throughput twin of the latency loop's floor gate: if the
-        // dispatch floor is sick right after a timing, the timing ran
-        // under external contention (observed as a 7x knn_1m_exact swing
-        // between back-to-back identical runs) — remeasure, ≤2 extra
-        // rounds, keeping the LAST value either way
-        def gatedBest2(label: String)(f: => Long): Double = {
-          val first = best2(f)
-          var t = first
-          var tries = 0
-          while (floorQuick() > 15.0 && tries < 2) {
-            System.err.println(
-              s"[bench] $label timed under a sick dispatch floor — remeasuring")
-            System.gc()
-            t = best2(f); tries += 1
-          }
-          if (tries > 0) extras(s"${label}_first_sec") = num(first, 3)
-          t
-        }
+        // shared floor-gated timing primitive (object scope) — observed
+        // 7x knn_1m_exact swings between identical runs motivated the
+        // gate; one definition, no policy drift
+        def gatedBest2(label: String)(f: => Long): Double =
+          Bench.gatedBest2(spark, cpus.toInt, extras, label)(f)
         // own-GC discipline (same as the latency loop): the battery +
         // recall sections leave heap garbage whose collection otherwise
         // lands inside these throughput timings — measured as the r3
@@ -815,24 +861,10 @@ object Bench {
         // misses; the posting loop wants tag 3 (sparse) → all hits.
         extras("bitmap_cache_hits") = idx.postingHits.toString
         extras("bitmap_cache_misses") = idx.postingMisses.toString
-        // Q12 batch serving: the whole battery as ONE probe job —
-        // dispatch paid once for the batch, each probed list read once
-        // for every query probing it. The qps delta vs the per-request
-        // loop (ivf_1m_query_p50 × batch) is the dispatch share.
-        try {
-          val batchReqs = qRows.zipWithIndex
-            .map { case (qv, i) => (i.toLong, qv) }.toSeq
-          idx.searchBatch(batchReqs.take(8), 10, nprobeServ) // warm
-          val bt = (0 until 3).map { _ =>
-            val t0 = System.nanoTime()
-            idx.searchBatch(batchReqs, 10, nprobeServ)
-            (System.nanoTime() - t0) / 1e9
-          }.min
-          extras("ivf_1m_batch_sec") = num(bt, 3)
-          extras("ivf_1m_batch_qps") = num(qRows.length / bt, 1)
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] batch serving FAILED: ${e.getMessage}")
-        }
+        // (Q12 batch serving is measured ONCE, below the overlay
+        // sections, as serving_batch_* — an earlier near-duplicate block
+        // emitted the same measurement under ivf_1m_batch_* keys and two
+        // diverging numbers for one metric only invite misreading)
         // read-your-writes overlay, INTERLEAVED A/B: each attempt times
         // plain-then-overlay back to back for the same query; the
         // overhead is the p50 of per-query (overlay min − plain min)
@@ -1087,30 +1119,37 @@ object Bench {
         }
         // cosine serving on the same corpus/layout: with the query norm
         // hoisted out of the row loop, cosine should track ip instead of
-        // paying ~1.5x its flops
-        val idxCos = graft.index.ServingIndex.build(
-          Ivf.assign(
-            e.withColumn("rep", explode(sequence(lit(0), lit(reps - 1))))
-              .select((col("vec_id") * lit(reps.toLong) + col("rep"))
-                  .as("vec_id"),
-                transform(col("embedding"),
-                  (x, i) => when(i === 0,
-                    x + col("rep").cast("float") * 1e-6f).otherwise(x))
-                  .as("embedding")),
-            servCents),
-          servCents, "cosine")
-        System.gc()
-        (0 until 5).foreach(_ => idxCos.search(qRows.head, 10, nprobeServ))
-        val cosRaw = (0 until 3).flatMap { _ =>
-          qRows.map { qv =>
-            val t0 = System.nanoTime()
-            idxCos.search(qv, 10, nprobeServ)
-            (System.nanoTime() - t0) / 1e6
-          }
-        }.sorted
-        extras("ivf_1m_cosine_p50_ms") = num(pctl(cosRaw, 50), 1)
-        extras("ivf_1m_cosine_p99_ms") = num(pctl(cosRaw, 99), 1)
-        idxCos.unpersist()
+        // paying ~1.5x its flops. Guarded: a failure here must not void
+        // the 1M contract metrics already measured above.
+        try {
+          val idxCos = graft.index.ServingIndex.build(
+            Ivf.assign(
+              e.withColumn("rep", explode(sequence(lit(0), lit(reps - 1))))
+                .select((col("vec_id") * lit(reps.toLong) + col("rep"))
+                    .as("vec_id"),
+                  transform(col("embedding"),
+                    (x, i) => when(i === 0,
+                      x + col("rep").cast("float") * 1e-6f).otherwise(x))
+                    .as("embedding")),
+              servCents),
+            servCents, "cosine")
+          try {
+            System.gc()
+            (0 until 5).foreach(_ =>
+              idxCos.search(qRows.head, 10, nprobeServ))
+            val cosRaw = (0 until 3).flatMap { _ =>
+              qRows.map { qv =>
+                val t0 = System.nanoTime()
+                idxCos.search(qv, 10, nprobeServ)
+                (System.nanoTime() - t0) / 1e6
+              }
+            }.sorted
+            extras("ivf_1m_cosine_p50_ms") = num(pctl(cosRaw, 50), 1)
+            extras("ivf_1m_cosine_p99_ms") = num(pctl(cosRaw, 99), 1)
+          } finally idxCos.unpersist()
+        } catch { case ex: Throwable =>
+          System.err.println(s"[bench] cosine serving FAILED: ${ex.getMessage}")
+        }
         // 10M scale probe (the 100x question in miniature): same layout
         // family (nlist held at ~2000 -> ~5000-row lists), same nprobe, so
         // a request touches the same 0.4% probed FRACTION of a 10x corpus.
@@ -1118,6 +1157,10 @@ object Bench {
         // with the probed fraction, not the corpus. max_candidates lifted
         // to 50k for this index (the reference cap is yaml-tunable; the
         // 10k default would silently clamp nprobe to 2 at 5000-row lists).
+        // Guarded as a whole: a 10M-scale failure (OOM, say) must
+        // not void the 1M contract metrics measured above, and the
+        // multi-GB caches must release either way.
+        try {
         val reps10 = math.max(1L, 10000000L / math.max(1L, n0)).toInt
         val big10 = e
           .withColumn("rep", explode(sequence(lit(0), lit(reps10 - 1))))
@@ -1139,11 +1182,13 @@ object Bench {
           .withColumn("tags", array((col("vec_id") % 7).cast("long"),
             lit(10L) + (col("vec_id") % 5).cast("long")))
           .cache()
+        try {
         val t10 = System.nanoTime()
         val idx10 = graft.index.ServingIndex.build(
           assigned10, servCents, "ip",
           tenantCol = Some("tenant"), tagsCol = Some("tags"),
           limits = graft.index.ServingLimits(maxCandidates = 50000))
+        try {
         extras("ivf_10m_build_sec") = num((System.nanoTime() - t10) / 1e9, 1)
         extras("ivf_10m_rows") = (reps10.toLong * n0).toString
         System.gc()
@@ -1239,8 +1284,11 @@ object Bench {
         } catch { case ex: Throwable =>
           System.err.println(s"[bench] 10M local PQ FAILED: ${ex.getMessage}")
         }
-        assigned10.unpersist()
-        idx10.unpersist()
+        } finally idx10.unpersist()
+        } finally assigned10.unpersist()
+        } catch { case ex: Throwable =>
+          System.err.println(s"[bench] 10M section FAILED: ${ex.getMessage}")
+        }
         val r = (nQs / exactSec, nBig / assignSec, nQs / ivfSec,
           pctl(raw, 50), pctl(raw, 99), pctl(steady, 50), pctl(steady, 99),
           pctl(filteredRaw, 99), floor, floor <= 15.0, nlistServ,
@@ -1277,29 +1325,10 @@ object Bench {
           cents.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
             .toSeq.toDF("cid", "cv")
         }
-        def best2(f: => Long): Double =
-          (0 until 2).map { _ =>
-            val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-          }.min
-        // floor-gated, same discipline as the 1M throughput section: if
-        // the dispatch floor is sick right after a timing, the timing ran
-        // under external contention — remeasure (≤2 extra rounds) and
-        // DISCLOSE the first value. Closes the r4 gap where the 4.2x
-        // encode swing (790k → 186k rows/s) was unexplainable from the
-        // record.
-        def gated768(label: String)(f: => Long): Double = {
-          val first = best2(f)
-          var t = first
-          var tries = 0
-          while (floorProbe(spark, cpus.toInt) > 15.0 && tries < 2) {
-            System.err.println(
-              s"[bench] $label timed under a sick dispatch floor — remeasuring")
-            System.gc()
-            t = best2(f); tries += 1
-          }
-          if (tries > 0) extras(s"${label}_first_sec") = num(first, 3)
-          t
-        }
+        // shared floor-gated timing (object scope) — closes the r4 gap
+        // where a 4.2x encode swing was unexplainable from the record
+        def gated768(label: String)(f: => Long): Double =
+          Bench.gatedBest2(spark, cpus.toInt, extras, label)(f)
         System.gc() // own-GC discipline, as in every timed section
         val assignSec = gated768("stress768_assign")(
           Ivf.assign(big, centsDf).select(count(col("centroid_id"))).head()
@@ -1359,10 +1388,7 @@ object Bench {
         .repartition(cpus.toInt)
         .cache()
       val nDocs = bigDocs.count() // materialize, untimed
-      def best2d(f: => Long): Double =
-        (0 until 2).map { _ =>
-          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-        }.min
+      def best2d(f: => Long): Double = Bench.best2(f)
       System.gc()
       val sigSec = best2d {
         val sigs = graft.operators.DedupOps.minhashSignatures(bigDocs)
@@ -1391,7 +1417,11 @@ object Bench {
     val extrasJson = extras.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString(",")
     val extrasField = if (extrasJson.isEmpty) "" else extrasJson + ","
-    val jsonLine = s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"failed":$failed,"flaky":$flakyJson,"recall_at_tuned_nprobe":${num(tunedRecall, 4)},"recall_pq2phase":${num(recallPq, 4)},"recall_int8":${num(recallInt8, 4)},"recall_pq_trained":${num(recallPqTrained, 4)},"recall_pq_at_tuned_rerank":${num(recallPqTuned, 4)},"pq_tuned_rerank":$pqRerank,"recall_pq_opq":${num(recallOpq, 4)},"tuned_nprobe":$tunedNprobe,"ivf_nlist":$nlist,"n_queries_per_batch":$nQueries,"knn_exact_per_query_ms":${num(perQueryMs, 2)},"knn_1m_exact_qps":${num(knn1mExactQps, 1)},"ivf_assign_1m_rows_per_sec":${num(assign1mRowsPerSec, 0)},"knn_1m_ivf_qps":${num(knn1mIvfQps, 1)},"serving_nlist":$servNlist,"serving_nprobe":$servNprobe,"ivf_1m_query_p50_ms":${num(ivf1mP50Ms, 1)},"ivf_1m_query_p99_ms":${num(ivf1mP99Ms, 1)},"ivf_1m_query_p50_steady_ms":${num(ivf1mP50SteadyMs, 1)},"ivf_1m_query_p99_steady_ms":${num(ivf1mP99SteadyMs, 1)},"ivf_1m_query_filtered_p99_ms":${num(ivf1mFilteredP99Ms, 1)},${extrasField}"job_dispatch_floor_ms":${num(dispatchFloorMs, 1)},"floor_gate_ms":15,"floor_gate_ok":$floorGateOk,"stress768_rows":$s768Rows,"stress768_assign_rows_per_sec":${num(s768AssignRps, 0)},"stress768_pq96_encode_rows_per_sec":${num(s768EncodeRps, 0)},"stress768_pq96_2phase_sec":${num(s768TwoPhaseSec, 3)},"ingest_ops":$ingestOps,"ingest_ops_per_sec":${num(ingestQps, 1)},"flush_lag_ms":${num(flushLagMsOut, 1)},"compact_sec":${num(compactSec, 3)},"write_amplification":${num(writeAmp, 3)},"delta_resident_fraction":${num(deltaFrac, 4)},"sf":"$sfDir"}"""
+    // env-provided path, interpolated into a JSON string field — escape
+    // it (a quote or backslash in the path must not break the one
+    // contract line every consumer parses)
+    val sfDirJson = sfDir.replace("\\", "\\\\").replace("\"", "\\\"")
+    val jsonLine = s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"failed":$failed,"flaky":$flakyJson,"recall_at_tuned_nprobe":${num(tunedRecall, 4)},"recall_pq2phase":${num(recallPq, 4)},"recall_int8":${num(recallInt8, 4)},"recall_pq_trained":${num(recallPqTrained, 4)},"recall_pq_at_tuned_rerank":${num(recallPqTuned, 4)},"pq_tuned_rerank":$pqRerank,"recall_pq_opq":${num(recallOpq, 4)},"tuned_nprobe":$tunedNprobe,"ivf_nlist":$nlist,"n_queries_per_batch":$nQueries,"knn_exact_per_query_ms":${num(perQueryMs, 2)},"knn_1m_exact_qps":${num(knn1mExactQps, 1)},"ivf_assign_1m_rows_per_sec":${num(assign1mRowsPerSec, 0)},"knn_1m_ivf_qps":${num(knn1mIvfQps, 1)},"serving_nlist":$servNlist,"serving_nprobe":$servNprobe,"ivf_1m_query_p50_ms":${num(ivf1mP50Ms, 1)},"ivf_1m_query_p99_ms":${num(ivf1mP99Ms, 1)},"ivf_1m_query_p50_steady_ms":${num(ivf1mP50SteadyMs, 1)},"ivf_1m_query_p99_steady_ms":${num(ivf1mP99SteadyMs, 1)},"ivf_1m_query_filtered_p99_ms":${num(ivf1mFilteredP99Ms, 1)},${extrasField}"job_dispatch_floor_ms":${num(dispatchFloorMs, 1)},"floor_gate_ms":15,"floor_gate_ok":$floorGateOk,"stress768_rows":$s768Rows,"stress768_assign_rows_per_sec":${num(s768AssignRps, 0)},"stress768_pq96_encode_rows_per_sec":${num(s768EncodeRps, 0)},"stress768_pq96_2phase_sec":${num(s768TwoPhaseSec, 3)},"ingest_ops":$ingestOps,"ingest_ops_per_sec":${num(ingestQps, 1)},"flush_lag_ms":${num(flushLagMsOut, 1)},"compact_sec":${num(compactSec, 3)},"write_amplification":${num(writeAmp, 3)},"delta_resident_fraction":${num(deltaFrac, 4)},"sf":"$sfDirJson"}"""
     println(jsonLine)
     // defensive duplicate: the driver's log capture truncates the head of
     // long lines (BENCH_r04.json starts mid-key, losing the first ~20
