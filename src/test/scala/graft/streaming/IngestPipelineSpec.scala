@@ -165,12 +165,18 @@ class IngestPipelineSpec extends SparkSpec {
     val queries = graft.operators.Knn.defaultQueries(emb)
       .collect().take(4)
       .map(r => r.getSeq[Float](1).toArray)
+    // the LOCAL cache tier rides the same lifecycle: built per stored
+    // generation, tiered with the in-flight overlay, rebuilt after the
+    // drain — a stale local tier would serve the pre-flush world
+    val local = idx.toLocal()
     queries.foreach { qv =>
       val want = expectTop(qv, 10)
       assert(idx.searchWithOverlay(qv, 10, Int.MaxValue, ovDriver).toSeq
         === want)
       assert(idx.searchWithOverlay(qv, 10, Int.MaxValue, ovDist,
         graft.index.ServingFilter.none).toSeq === want)
+      assert(local.searchWithOverlay(qv, 10, Int.MaxValue, ovDriver).toSeq
+        === want)
     }
     // flush: the stream drains wave 2; rebuild; plain search = same world
     rows.filter(col("epoch") >= 2000).coalesce(1).write.mode("append")
@@ -178,8 +184,11 @@ class IngestPipelineSpec extends SparkSpec {
     IngestPipeline.runOnce(spark, src, base, ckpt)
     ovDriver.destroy(); ovDist.destroy(); idx.unpersist()
     val idx2 = graft.index.ServingIndex.buildStored(spark, base, cents, "ip")
+    val local2 = idx2.toLocal()
     queries.foreach { qv =>
-      assert(idx2.search(qv, 10, Int.MaxValue).toSeq === expectTop(qv, 10))
+      val want = expectTop(qv, 10)
+      assert(idx2.search(qv, 10, Int.MaxValue).toSeq === want)
+      assert(local2.search(qv, 10, Int.MaxValue).toSeq === want)
     }
     idx2.unpersist()
     Seq(src, base, ckpt).foreach(Segments.deleteDir)
