@@ -169,33 +169,50 @@ object LocalPqIndex {
     if (adm.isEmpty)
       return new LocalPqIndex(cids, matrix, cb,
         scala.collection.mutable.LongMap.empty, sizes, limits, 0L)
-    val rows = assignedCodes
+    // pack IN-TASK, collect packed primitives: a Row-level collect of
+    // the whole coded corpus would transiently cost several times the
+    // cache budget in driver heap (boxed Rows); per-partition (cid,
+    // ids[], codes[]) fragments arrive already at ~1x the packed size
+    val m = cb.m
+    val fragments: Array[(Long, Array[Long], Array[Int])] = assignedCodes
       .filter(col("centroid_id").isin(adm.toSeq: _*))
       .select(col("centroid_id").cast("long"), col("vec_id").cast("long"),
         col("codes"))
-      .collect()
-    val byCid = scala.collection.mutable.LongMap
-      .empty[(scala.collection.mutable.ArrayBuffer[Long],
-        scala.collection.mutable.ArrayBuffer[Int])]
-    rows.foreach { r =>
-      val (ids, codes) = byCid.getOrElseUpdate(r.getLong(0),
-        (scala.collection.mutable.ArrayBuffer.empty[Long],
-          scala.collection.mutable.ArrayBuffer.empty[Int]))
-      ids += r.getLong(1)
-      codes ++= r.getSeq[Int](2)
-    }
+      .rdd.mapPartitions { it =>
+        val by = scala.collection.mutable.LongMap
+          .empty[(scala.collection.mutable.ArrayBuffer[Long],
+            scala.collection.mutable.ArrayBuffer[Int])]
+        it.foreach { r =>
+          val (ids, codes) = by.getOrElseUpdate(r.getLong(0),
+            (scala.collection.mutable.ArrayBuffer.empty[Long],
+              scala.collection.mutable.ArrayBuffer.empty[Int]))
+          ids += r.getLong(1)
+          val cs = r.getSeq[Int](2)
+          var j = 0
+          while (j < m) { codes += cs(j); j += 1 }
+        }
+        by.iterator.map { case (cid, (ids, codes)) =>
+          (cid, ids.toArray, codes.toArray)
+        }
+      }.collect()
     val lists = scala.collection.mutable.LongMap
       .empty[(Array[Long], Array[Int])]
-    byCid.foreach { case (cid, (ids, codes)) =>
+    fragments.groupBy(_._1).foreach { case (cid, frags) =>
+      val n = frags.map(_._2.length).sum
+      val idArr = new Array[Long](n)
+      val codeArr = new Array[Int](n * m)
+      var o = 0
+      frags.foreach { case (_, ids, codes) =>
+        System.arraycopy(ids, 0, idArr, o, ids.length)
+        System.arraycopy(codes, 0, codeArr, o * m, codes.length)
+        o += ids.length
+      }
       // deterministic row order inside a list: id ascending (the scan
       // visits rows in this order; ranking is order-insensitive but
-      // reproducibility should not depend on collect order)
-      val idArr = ids.toArray
-      val codeArr = codes.toArray
-      val m = cb.m
+      // reproducibility should not depend on fragment arrival order)
       val perm = idArr.indices.sortBy(idArr(_))
-      val ids2 = new Array[Long](idArr.length)
-      val codes2 = new Array[Int](codeArr.length)
+      val ids2 = new Array[Long](n)
+      val codes2 = new Array[Int](n * m)
       var i = 0
       while (i < perm.length) {
         ids2(i) = idArr(perm(i))
