@@ -53,8 +53,16 @@ final class LocalPqIndex private (
     ServingIndex.capProbesWalk(probed, cid => listSizes.getOrElse(cid, 0L),
       limits.maxCandidates)
 
+  /** A probed list is covered when its rows are cached OR it is empty
+    * (zero stored rows, e.g. an empty k-means cluster): the admission
+    * walk admits empty lists at zero bytes but no fragment ever arrives
+    * for them, so requiring `lists.contains` alone would turn a fully
+    * cached corpus into a permanent false cache miss on any query that
+    * probes an empty centroid.
+    */
   def coversProbes(probed: Seq[Long]): Boolean =
-    probed.forall(lists.contains)
+    probed.forall(cid =>
+      lists.contains(cid) || listSizes.getOrElse(cid, 0L) == 0L)
 
   /** Per-query LUT: lut(j)(c) = dot(q_j, codeword(j)(c)), sequential
     * double accumulation per codeword — `IndexExpressions.pqLut`'s
@@ -97,7 +105,9 @@ final class LocalPqIndex private (
     val m = cb.m
     val topk = new ServingIndex.BoundedTopK(n, asc = false)
     probed.foreach { cid =>
-      val (ids, codes) = lists(cid)
+      // empty lists pass coverage but have no cached rows to scan
+      val (ids, codes) = lists.getOrElse(cid,
+        (Array.emptyLongArray, Array.emptyIntArray))
       var r = 0
       while (r < ids.length) {
         val off = r * m

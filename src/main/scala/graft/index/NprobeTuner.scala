@@ -75,14 +75,14 @@ object NprobeTuner {
       windowMs: Long = defaultDecisionWindowMs): Option[Int] = {
     // ONLY a missing log means cold-start; a corrupt/unreadable log is
     // real damage and must surface, not silently discard the persisted
-    // decision the restart contract depends on
-    val df =
-      try spark.read.parquet(path)
-      catch {
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getMessage != null && e.getMessage.contains("PATH_NOT_FOUND") =>
-          return None // no log yet
-      }
+    // decision the restart contract depends on. Existence is probed
+    // explicitly through the Hadoop FS (matching an AnalysisException
+    // message substring would tie cold-start detection to one Spark
+    // version's error-class wording).
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(hp)) return None // no log yet
+    val df = spark.read.parquet(path)
     df.filter(col("ts_millis") >= lit(nowMillis - windowMs))
       .orderBy(col("ts_millis").desc, col("window").desc)
       .select("nprobe").limit(1).collect()

@@ -510,7 +510,12 @@ final class ServingIndex private (
   // fallback (a wanted tag was dense or unposted). Spark accumulators:
   // incremented in-task, merged into the driver on task completion —
   // the cluster-correct counter shape (a plain field would count only
-  // in local mode).
+  // in local mode). AT-LEAST-ONCE: user-level accumulators also merge
+  // updates from speculative/resubmitted successful attempts, so under
+  // retries these can overcount — read them as monitoring counters (the
+  // reference's Prometheus role), not exact truths; consumers that need
+  // a per-section figure should difference before/after snapshots of a
+  // retry-free run rather than trust absolute values.
   @transient private[index] lazy val postingHitAcc =
     blocks.sparkContext.longAccumulator("graft.serving.posting.hits")
   @transient private[index] lazy val postingMissAcc =

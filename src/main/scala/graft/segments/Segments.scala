@@ -29,6 +29,10 @@ import org.apache.spark.sql.functions._
 object Segments {
 
   val CatalogDir = "_catalog"
+  /** All segment data lives under `baseDir/store/segment_id=S/…` — one
+    * hive-partitioned tree (see [[writeSegment]]/[[readPaths]]).
+    */
+  val StoreDir = "store"
 
   /** Mirrors reference SegmentDescriptor (types.h:94-105). */
   final case class SegmentDescriptor(
@@ -43,6 +47,48 @@ object Segments {
       created_at: java.sql.Timestamp,
       is_stable: Boolean,
       replaced_by: Option[String])
+
+  /** ONE scan over N segment roots (the planning-cost analogue of the
+    * reference's `max_segments_per_leaf=8` bound, config.h:56): a
+    * `paths.map(read.parquet).reduce(unionByName)` plan grows
+    * linearly-to-quadratically in analysis cost and plan size with the
+    * segment count — at 100× the reference envelope (~16k segments of
+    * 2M rows) that is a driver-side planning bottleneck before a single
+    * byte is read. A single multi-path `spark.read.parquet(paths: _*)`
+    * produces ONE scan node whatever the catalog size (segments share
+    * one schema by construction — every one is written by
+    * [[writeSegment]] and hive-partitioned by `centroid_id`). Grouped
+    * fallback: if the multi-path read refuses (a foreign segment with a
+    * conflicting directory layout), fall back to the union of per-root
+    * scans — correctness over plan shape for the exotic case.
+    */
+  private[segments] def readPaths(spark: SparkSession,
+      paths: Seq[String]): DataFrame =
+    if (paths.isEmpty) spark.emptyDataFrame
+    else {
+      // Spark refuses multiple partitioned roots unless they sit under
+      // ONE basePath with only key=value components in between — which
+      // the store layout guarantees (`store/segment_id=S/centroid_id=K`).
+      // Group by parent: key=value-named roots under one parent load as
+      // one multi-path scan (basePath=parent, so segment_id/centroid_id
+      // materialize as partition columns and prune); any foreign layout
+      // falls back to per-path scans unioned.
+      val groups = paths.groupBy { p =>
+        val hp = new HPath(p)
+        val parent = Option(hp.getParent).map(_.toString).getOrElse("")
+        (parent, hp.getName.contains("=") && parent.nonEmpty)
+      }
+      groups.toSeq.sortBy(_._1._1).map { case ((parent, kv), ps) =>
+        if (kv) {
+          val df = spark.read.option("basePath", parent).parquet(ps: _*)
+          // pin the provenance column's type: partition-value inference
+          // would turn an all-digits segment_id into an int
+          if (df.columns.contains("segment_id"))
+            df.withColumn("segment_id", col("segment_id").cast("string"))
+          else df
+        } else ps.map(p => spark.read.parquet(p)).reduce(_ unionByName _)
+      }.reduce(_ unionByName _)
+    }
 
   /** W4: write one immutable segment from rows carrying
     * (id_hash, epoch, deleted, centroid_id, ...) and append its descriptor.
@@ -60,11 +106,16 @@ object Segments {
   def writeSegment(rowsIn: DataFrame, baseDir: String, segmentId: String,
       isStable: Boolean, expectedNdvPerFile: Long = 100000L,
       appendDesc: Boolean = true): SegmentDescriptor = {
-    // provenance column (QueryResult.segment_id, types.h:81)
+    // provenance (QueryResult.segment_id, types.h:81) is carried by the
+    // directory itself: segments live at `store/segment_id=S/` so the
+    // whole store is ONE hive tree — N live segments load as ONE
+    // multi-path scan (basePath=store) with partition pruning on both
+    // segment_id and centroid_id, instead of an N-way union whose
+    // planning cost grows with the catalog (the plan-size analogue of
+    // the reference's max_segments_per_leaf bound, config.h:56)
     val rows = rowsIn.drop("segment_id")
-      .withColumn("segment_id", lit(segmentId))
     val spark = rows.sparkSession
-    val path = s"$baseDir/$segmentId"
+    val path = s"$baseDir/$StoreDir/segment_id=$segmentId"
     // descriptor stats ride along with the write action itself (one pass)
     val obs = new org.apache.spark.sql.Observation(s"seg-$segmentId")
     // one writer per inverted list — avoids the tasks×centroids small-file
@@ -168,7 +219,7 @@ object Segments {
       }
   }
 
-  private def appendCatalog(spark: SparkSession, baseDir: String,
+  private[segments] def appendCatalog(spark: SparkSession, baseDir: String,
       descs: Seq[SegmentDescriptor]): Unit =
     appendLines(spark, s"$baseDir/$CatalogDir", "desc", descs.map(encode))
 
@@ -305,7 +356,7 @@ object Segments {
         case Some(tc) if !tc.keys.exists(want) =>
           None // provably tag-free segment — pruned, never opened
         case other =>
-          val seg = spark.read.parquet(d.file_path)
+          val seg = readPaths(spark, Seq(d.file_path))
           val bound = other.map(_.filter(kv => want(kv._1)).values.sum)
             .getOrElse(-1L)
           val sel =
@@ -331,7 +382,7 @@ object Segments {
     val paths = catalogDescriptors(spark, baseDir)
       .filter(d => segs(d.segment_id)).map(_.file_path)
     if (paths.isEmpty) spark.emptyDataFrame
-    else paths.map(p => spark.read.parquet(p)).reduce(_ unionByName _)
+    else readPaths(spark, paths)
       .filter(arrays_overlap(col("tags"), lit(tagsAny.toArray)))
   }
 
@@ -344,11 +395,8 @@ object Segments {
     val paths = catalogDescriptors(spark, baseDir)
       .filter(d => d.min_id_hash <= idHash && d.max_id_hash >= idHash)
       .map(_.file_path)
-    if (paths.isEmpty)
-      spark.emptyDataFrame
-    else
-      paths.map(p => spark.read.parquet(p)).reduce(_ unionByName _)
-        .filter(col("id_hash") === idHash)
+    if (paths.isEmpty) spark.emptyDataFrame
+    else readPaths(spark, paths).filter(col("id_hash") === idHash)
   }
 
   /** Batched point lookup (W8 over the stored tree): zone-map prune at the
@@ -362,21 +410,21 @@ object Segments {
       .filter(d => idHashes.exists(h => d.min_id_hash <= h && h <= d.max_id_hash))
       .map(_.file_path)
     if (paths.isEmpty) None
-    else Some(paths.map(p => spark.read.parquet(p)).reduce(_ unionByName _)
+    else Some(readPaths(spark, paths)
       .filter(col("id_hash").isin(idHashes: _*)))
   }
 
   /** Read the union of live segments (optionally only one tier). Each
-    * segment is its own partitioned table root, so they are loaded
-    * separately and unioned (a union of scans — no shuffle).
+    * segment is its own partitioned table root; all roots load through
+    * ONE multi-path scan (see [[readPaths]] — one scan node however
+    * many segments the catalog holds, no shuffle).
     */
   def readSegments(spark: SparkSession, baseDir: String,
       stableOnly: Option[Boolean] = None): DataFrame = {
     val descs = catalogDescriptors(spark, baseDir)
     val paths = stableOnly.fold(descs)(s => descs.filter(_.is_stable == s))
       .map(_.file_path)
-    if (paths.isEmpty) spark.emptyDataFrame
-    else paths.map(p => spark.read.parquet(p)).reduce(_ unionByName _)
+    readPaths(spark, paths)
   }
 
   /** W11/W12: compaction — merge all delta segments, resolve
@@ -389,8 +437,7 @@ object Segments {
       stableSegmentId: String): Option[SegmentDescriptor] = {
     val deltaDescs = catalogDescriptors(spark, baseDir).filter(!_.is_stable)
     if (deltaDescs.isEmpty) return None // nothing to compact (idempotent)
-    val deltas = deltaDescs.map(d => spark.read.parquet(d.file_path))
-      .reduce(_ unionByName _)
+    val deltas = readPaths(spark, deltaDescs.map(_.file_path))
     val resolved = graft.operators.Lww.latestBy(deltas, "id_hash", "epoch")
       .filter(!col("deleted"))
     val desc = writeSegment(resolved, baseDir, stableSegmentId,

@@ -79,12 +79,42 @@ object WalCodec {
     * otherwise. Replay-side — codec choice never needs to be configured
     * for reads.
     */
+  /** Decoded-payload byte ceiling: the same bound the ingest guard
+    * admits (`max_request_size_bytes` 100 MiB, config.h:179) — a frame
+    * the write path could legally have carried must replay, and nothing
+    * larger can be a legitimate record.
+    */
+  val MaxDecodedBytes: Long =
+    graft.ingest.IngestLimits.reference.maxRequestBytes
+
   def decode(payload: Array[Byte]): Array[Byte] =
     if (magic4(payload, 0x28, 0xB5, 0x2F, 0xFD)) { // zstd frame
       val size = com.github.luben.zstd.Zstd.getFrameContentSize(payload)
-      require(size >= 0 && size <= (1L << 26),
-        s"zstd WAL payload declares insane content size $size")
-      com.github.luben.zstd.Zstd.decompress(payload, size.toInt)
+      if (size >= 0) {
+        require(size <= MaxDecodedBytes,
+          s"zstd WAL payload declares content size $size > " +
+            s"max_request_size_bytes $MaxDecodedBytes")
+        com.github.luben.zstd.Zstd.decompress(payload, size.toInt)
+      } else {
+        // streamed frames (reference-interchange logs written by a
+        // streaming encoder) legally omit the content size — fall back
+        // to streaming decompression, cap-enforced as bytes arrive
+        val in = new com.github.luben.zstd.ZstdInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val bos = new java.io.ByteArrayOutputStream(payload.length * 4 + 64)
+        try {
+          val buf = new Array[Byte](8192)
+          var n = in.read(buf)
+          while (n >= 0) {
+            bos.write(buf, 0, n)
+            require(bos.size() <= MaxDecodedBytes,
+              s"zstd WAL payload exceeds max_request_size_bytes " +
+                s"$MaxDecodedBytes while streaming")
+            n = in.read(buf)
+          }
+        } finally in.close()
+        bos.toByteArray
+      }
     } else if (magic4(payload, 0x04, 0x22, 0x4D, 0x18)) { // lz4 frame
       val in = new net.jpountz.lz4.LZ4FrameInputStream(
         new java.io.ByteArrayInputStream(payload))

@@ -82,7 +82,7 @@ class SegmentsSpec extends SparkSpec {
   test("segment layout is partitioned by centroid_id (IVF pruning layout)") {
     val base = tmpBase()
     Segments.writeSegment(segmentRows.filter(!col("deleted")), base, "d0", false)
-    val dirs = new java.io.File(s"$base/d0").listFiles()
+    val dirs = new java.io.File(s"$base/store/segment_id=d0").listFiles()
       .filter(_.isDirectory).map(_.getName).toSeq
     assert(dirs.nonEmpty && dirs.forall(_.startsWith("centroid_id=")), dirs)
     Segments.deleteDir(base)
@@ -296,6 +296,48 @@ class SegmentsSpec extends SparkSpec {
     val fresh = graft.index.Pq.encode(live, cb, vecCol = "vec")
       .as[(Long, Seq[Int])].collect().toMap
     assert(stored === fresh)
+    Segments.deleteDir(base)
+  }
+
+  test("500-segment catalog plans as ONE multi-path scan, in seconds") {
+    // The read path must not pay per-segment planning cost: at 100× the
+    // reference envelope (~16k segments) a union-of-scans plan is a
+    // driver bottleneck before a byte is read. One real segment is
+    // written, its directory is replicated driver-side (a writeSegment
+    // per segment would time 500 Spark WRITE jobs, not planning), and
+    // 499 descriptors appended — then readSegments must produce ONE
+    // scan leaf and plan in O(seconds).
+    val base = tmpBase()
+    val rows = (0 until 100).map(i =>
+        (i.toLong, i.toLong * 7, 1000L + i, false, (i % 4).toLong,
+          Seq(i.toDouble, 1.0)))
+      .toDF("vec_id", "id_hash", "epoch", "deleted", "centroid_id", "vec")
+    val d0 = Segments.writeSegment(rows, base, "seg000", isStable = true)
+    val src = java.nio.file.Paths.get(base, "store", "segment_id=seg000")
+    val descs = (1 until 500).map { i =>
+      val id = f"seg$i%03d"
+      val dstRoot = java.nio.file.Paths.get(base, "store", s"segment_id=$id")
+      val walk = java.nio.file.Files.walk(src)
+      try walk.forEach { p =>
+        val dst = dstRoot.resolve(src.relativize(p))
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(dst)
+        else java.nio.file.Files.copy(p, dst)
+      } finally walk.close()
+      d0.copy(segment_id = id, file_path = s"$base/store/segment_id=$id")
+    }
+    Segments.appendCatalog(spark, base, descs)
+    val t0 = System.nanoTime()
+    val df = Segments.readSegments(spark, base)
+    val plan = df.queryExecution.executedPlan // forces analysis + planning
+    val planSec = (System.nanoTime() - t0) / 1e9
+    assert(planSec < 30.0, s"500-segment planning took $planSec s")
+    assert(plan.collectLeaves().size === 1,
+      s"expected one multi-path scan leaf:\n$plan")
+    assert(df.count() === 500L * 100)
+    // provenance and partition columns survive the multi-path read
+    assert(df.filter(col("segment_id") === "seg123").count() === 100)
+    assert(df.filter(col("centroid_id") === 2L).count() === 500L * 25)
     Segments.deleteDir(base)
   }
 
