@@ -227,19 +227,39 @@ final class Hnsw(val metric: String, val m: Int = 16,
 
 /** The hot-vector cache in front of [[ServingIndex]] (reference
   * HNSWCacheConfig role): tracks per-id hit counts, admits the hottest
-  * ids up to `maxElements`, and serves requests from the HNSW graph
-  * when it holds enough of the corpus to answer well — otherwise falls
-  * through to the distributed probe path. `refresh` rebuilds the graph
-  * from the current hot set (the cache analogue of the serving index's
-  * rebuild-on-flush).
+  * ids up to `maxElements` AND `maxBytes`, and serves requests from the
+  * HNSW graph when it holds enough of the corpus to answer well —
+  * otherwise falls through to the distributed probe path. `refresh`
+  * rebuilds the graph from the current hot set (the cache analogue of
+  * the serving index's rebuild-on-flush).
+  *
+  * BYTE budget: all three driver-resident tiers ([[LocalServingIndex]],
+  * [[LocalPqIndex]], this cache) admit under the reference's ONE
+  * GlobalIndexConfig byte budget (`memory_cache_mb`, yaml:89) — an
+  * element-count-only cap would let one tier's budget depend on `dim`
+  * while its siblings are priced in bytes. An element is priced as its
+  * vector (4·dim) + id (8) + graph links (≈3·m ints: 2·m level-0
+  * neighbors plus ~m across the geometrically-thinning upper levels).
+  * `maxElements` remains as the reference's own hnsw_cache knob
+  * (yaml:92) — the binding constraint is whichever trips first.
   */
 final class HnswHotCache(idx: ServingIndex, maxElements: Int = 1000000,
-    m: Int = 16, efConstruction: Int = 200, ef: Int = 50) {
+    m: Int = 16, efConstruction: Int = 200, ef: Int = 50,
+    maxBytes: Long = LocalServingIndex.defaultMaxBytes) {
   private val hits = mutable.LongMap.empty[Long].withDefaultValue(0L)
   private var graph = new Hnsw(idx.metric, m, efConstruction)
   private var vecsById = mutable.LongMap.empty[Array[Float]]
+  private var bytes = 0L
 
   def cacheSize: Int = graph.size
+
+  /** Priced bytes of the admitted graph (same budget type as the other
+    * driver-resident tiers' `cachedBytes`).
+    */
+  def cachedBytes: Long = bytes
+
+  private def elementBytes(vec: Array[Float]): Long =
+    4L * vec.length + 8L + 4L * (3L * m)
 
   /** Record result ids of a served request (admission signal). */
   def observe(resultIds: Iterable[Long]): Unit =
@@ -251,16 +271,23 @@ final class HnswHotCache(idx: ServingIndex, maxElements: Int = 1000000,
   def offer(id: Long, vec: Array[Float]): Unit =
     if (!vecsById.contains(id)) vecsById(id) = vec
 
-  /** Rebuild the graph over the hottest ≤ maxElements offered ids
-    * (deterministic: hit count desc, id asc).
+  /** Rebuild the graph over the hottest offered ids, admitted
+    * hottest-first (hit count desc, id asc — deterministic) while BOTH
+    * budgets hold: ≤ maxElements elements and ≤ maxBytes priced bytes.
     */
   def refresh(): Unit = {
-    val hot = vecsById.keys.toArray
-      .sortBy(id => (-hits(id), id))
-      .take(maxElements)
+    val ranked = vecsById.keys.toArray.sortBy(id => (-hits(id), id))
     val g = new Hnsw(idx.metric, m, efConstruction)
-    hot.foreach(id => g.insert(id, vecsById(id)))
+    var b = 0L
+    var i = 0
+    while (i < ranked.length && g.size < maxElements) {
+      val vec = vecsById(ranked(i))
+      val eb = elementBytes(vec)
+      if (b + eb <= maxBytes) { g.insert(ranked(i), vec); b += eb }
+      i += 1
+    }
     graph = g
+    bytes = b
   }
 
   /** Serve: cache first when it can plausibly answer (holds ≥ 4·k

@@ -264,6 +264,24 @@ object Wal {
   /** Reference rotation threshold: 3 GiB. */
   val defaultRotateBytes: Long = 3L * 1024 * 1024 * 1024
 
+  /** Reference absolute rotated-file bound (`max_files = 10`,
+    * config.h:50) — the disk-full backstop when checkpoints stall:
+    * rotation past the cap first reclaims fully-flushed segments, and
+    * refuses the append outright when every segment is still unflushed
+    * (losing an unflushed segment would lose acknowledged writes; the
+    * reference would rather reject new ingest).
+    */
+  val defaultMaxFiles: Int = 10
+
+  /** Rotation refused: `maxFiles` segments exist and none is
+    * reclaimable at the caller's flushed frontier.
+    */
+  final class WalAtCapacity(files: Int, cap: Int)
+    extends RuntimeException(
+      s"WAL at max_files capacity ($files of $cap segments, none " +
+        "flushed past the reclaim frontier) — flush before appending " +
+        "(config.h:50 disk-full backstop)")
+
   private def segName(n: Long): String = f"wal-$n%05d.log"
 
   private def segNumber(name: String): Long =
@@ -295,13 +313,24 @@ object Wal {
     */
   def appendBinaryRotating(dir: String, records: Seq[(Long, Array[Byte])],
       rotateBytes: Long = defaultRotateBytes,
-      codec: WalCodec = WalCodec.None): Unit = {
+      codec: WalCodec = WalCodec.None,
+      maxFiles: Int = defaultMaxFiles,
+      flushedEpoch: Long = Long.MinValue): Unit = {
     val d = new File(dir)
     if (!d.exists()) d.mkdirs()
     val segs = segments(dir)
     val cur = segs.lastOption.getOrElse(new File(d, segName(0)))
     val target =
       if (cur.exists() && cur.length() >= rotateBytes) {
+        // max_files backstop (config.h:50): a NEW segment may only be
+        // cut when the file count stays within the cap — reclaim
+        // oldest-first at the caller's flushed frontier, and reject the
+        // append when nothing is reclaimable (all segments unflushed)
+        if (segs.length >= maxFiles) {
+          reclaim(dir, flushedEpoch)
+          val after = segments(dir).length
+          if (after >= maxFiles) throw new WalAtCapacity(after, maxFiles)
+        }
         // next number = last + 1 (NOT the count: reclamation deletes
         // old segments, so count and numbering diverge)
         new File(d, segName(segNumber(cur.getName) + 1))

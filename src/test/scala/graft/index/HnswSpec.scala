@@ -84,4 +84,34 @@ class HnswSpec extends SparkSpec {
     assert(warm.toSeq === brute(qv, 10, "ip"))
     idx.unpersist()
   }
+
+  test("hot cache admits by the shared byte budget (one memory_cache_mb over all driver tiers)") {
+    val cents = Ivf.deterministicCentroids(emb, 50)
+    val idx = ServingIndex.build(Ivf.assign(emb, cents), cents, "ip")
+    val dim = rows.head._2.length
+    val mParam = 16
+    val perElem = 4L * dim + 8L + 4L * (3L * mParam) // the priced formula
+    // budget for exactly 7 elements: count cap is loose, bytes bind
+    val cache = new HnswHotCache(idx, maxElements = 1000000, m = mParam,
+      ef = 64, maxBytes = perElem * 7 + perElem / 2)
+    rows.foreach { case (id, v) => cache.offer(id, v) }
+    // make ids 3,1,4 hottest so admission order is observable
+    (0 until 5).foreach(_ => cache.observe(Seq(3L)))
+    (0 until 4).foreach(_ => cache.observe(Seq(1L)))
+    (0 until 3).foreach(_ => cache.observe(Seq(4L)))
+    cache.refresh()
+    assert(cache.cacheSize === 7)
+    assert(cache.cachedBytes === perElem * 7)
+    assert(cache.cachedBytes <= perElem * 7 + perElem / 2)
+    // a zero budget admits nothing; requests fall through, never throw
+    val none = new HnswHotCache(idx, maxElements = 1000000, m = mParam,
+      ef = 64, maxBytes = 0L)
+    rows.foreach { case (id, v) => none.offer(id, v) }
+    none.refresh()
+    assert(none.cacheSize === 0 && none.cachedBytes === 0L)
+    val qv = rows.head._2
+    assert(none.search(qv, 10, nprobe = 1000).toSeq ===
+      idx.search(qv, 10, 1000).toSeq)
+    idx.unpersist()
+  }
 }

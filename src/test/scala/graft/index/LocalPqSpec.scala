@@ -9,6 +9,7 @@ import graft.operators.TopK
   * and two-phase paths, probed-subset semantics, budgeted admission.
   */
 class LocalPqSpec extends SparkSpec {
+  import spark.implicits._
 
   private lazy val cents = Ivf.deterministicCentroids(emb, 50)
   private lazy val cb = Pq.deterministicCodebook(emb, 8, 8, 50)
@@ -115,5 +116,28 @@ class LocalPqSpec extends SparkSpec {
       assert(pq.search(qv, 10, nlist, rerank = 4, rawFull).nonEmpty)
     }
     idx.unpersist()
+  }
+
+  test("empty IVF lists count as covered — a fully cached corpus never false-misses") {
+    // a centroid no row assigns to (e.g. an empty k-means cluster): it
+    // is admitted at zero bytes but no fragment ever arrives, so
+    // coverage must treat it as cached — previously a query probing it
+    // threw 'probed list not cached' even with the whole corpus cached
+    val far = Seq((999999L,
+        Seq.fill(qRows.head._2.length)(1e9))) // nothing assigns here
+      .toDF("cid", "cv")
+    val centsPlus = cents.unionByName(far)
+    val assignedPlus = Ivf.assign(emb, centsPlus)
+    val codesPlus = assignedPlus.select(col("vec_id"), col("centroid_id"),
+      Pq.codesColumn(cb).as("codes"))
+    assert(assignedPlus.filter(col("centroid_id") === 999999L).count() === 0)
+    val pq = LocalPqIndex.build(codesPlus, centsPlus, cb)
+    assert(pq.cachedLists === nlist) // the empty list holds no fragments
+    // probe-all necessarily includes the empty centroid
+    assert(pq.coversProbes(pq.probe(qRows.head._2, nlist + 1)))
+    val got = pq.searchAdc(qRows.head._2, 10, nprobe = nlist + 1)
+    // identical answers to the index without the empty list
+    val base = LocalPqIndex.build(codes, cents, cb)
+    assert(got.toSeq === base.searchAdc(qRows.head._2, 10, nlist).toSeq)
   }
 }

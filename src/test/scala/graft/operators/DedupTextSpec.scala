@@ -96,6 +96,24 @@ class DedupTextSpec extends SparkSpec {
       s"prod=${prod.size} oracle=${oracle.size} inter=$inter")
   }
 
+  test("dedup_minhash_prod pinned: verified xxhash64 pairs equal the oracle-gated md5 twin's") {
+    // the ONE registered query DuckDB cannot gate (xxhash64 has no
+    // DuckDB analogue): pin it to the hash-gated md5 twin instead. Both
+    // paths verify candidates with the SAME exact shingle Jaccard, so
+    // wherever banding recalls the same true pairs the verified outputs
+    // must be identical — (a, b, jaccard) triples, not just pair ids.
+    // At the registered configuration (threshold 0.5, both defaults)
+    // on the shared fixture the two verified sets coincide exactly.
+    val prod = DedupOps.minhashNearDups(docs, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val oracle = DedupOps.minhashPairsOracle(docs, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(prod === oracle,
+      s"prod-only=${(prod -- oracle).take(5)} " +
+        s"oracle-only=${(oracle -- prod).take(5)}")
+    assert(prod.nonEmpty, "fixture must contain verified near-dups")
+  }
+
   test("repetitionStats matches hand-computed fractions") {
     val d = Seq((1L, "a a a b", "en", "s1"), (2L, "w x y z", "en", "s1"))
       .toDF("doc_id", "text", "lang", "source")

@@ -98,6 +98,46 @@ class WalSpec extends AnyFunSuite {
     }
   }
 
+  test("rotation: max_files cap reclaims-or-rejects the 11th segment (config.h:50)") {
+    val dir = Files.createTempDirectory("graft-wal-maxfiles-").toString
+    // rotateBytes=1 → every batch cuts a new segment; 10 batches fill
+    // the reference cap exactly (no flush frontier → nothing reclaimable)
+    val recs = (1L to 110L).map(e =>
+      (e, s"""{"op":"INSERT","id":$e}""".getBytes("UTF-8")))
+    val batches = recs.grouped(10).toSeq // epochs 1-10, 11-20, …
+    batches.take(10).foreach(b =>
+      Wal.appendBinaryRotating(dir, b.toSeq, rotateBytes = 1L))
+    assert(Wal.segments(dir).length === 10)
+    // 11th segment with nothing flushed → disk-full backstop: reject,
+    // and the log is untouched (no segment lost, no partial append)
+    intercept[Wal.WalAtCapacity] {
+      Wal.appendBinaryRotating(dir, batches(10).toSeq, rotateBytes = 1L)
+    }
+    assert(Wal.segments(dir).length === 10)
+    assert(sameFrames(Wal.replayBinaryRotated(dir), recs.take(100)))
+    // same append with epochs 1-30 flushed → the three oldest segments
+    // reclaim and the append lands; replay is exactly the unflushed
+    // suffix plus the new frames
+    Wal.appendBinaryRotating(dir, batches(10).toSeq, rotateBytes = 1L,
+      flushedEpoch = 30L)
+    assert(Wal.segments(dir).length === 8) // 10 - 3 reclaimed + 1 new
+    assert(sameFrames(Wal.replayBinaryRotated(dir),
+      recs.slice(30, 100) ++ batches(10)))
+  }
+
+  test("zstd: streamed frames (no declared content size) replay via the streaming fallback") {
+    // a streaming zstd encoder legally omits the frame content size —
+    // reference-interchange logs written that way must still decode
+    val raw = ("streamed-frame " * 500).getBytes("UTF-8")
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new com.github.luben.zstd.ZstdOutputStream(bos)
+    z.write(raw); z.close()
+    val framed = bos.toByteArray
+    assert(com.github.luben.zstd.Zstd.getFrameContentSize(framed) <= 0,
+      "fixture must exercise the undeclared-content-size path")
+    assert(java.util.Arrays.equals(WalCodec.decode(framed), raw))
+  }
+
   test("rotation: reclaim drops only fully-flushed non-final segments") {
     val dir = Files.createTempDirectory("graft-wal-reclaim-").toString
     binRecords.grouped(25).foreach(b =>
