@@ -366,6 +366,123 @@ case class PqLut(child: Expression, codebooks: Array[Array[Array[Double]]],
     copy(child = c)
 }
 
+/** Whole-vector PQ encode: code index per subspace j = argmin over
+  * codewords c of expanded-form L2(v[j·dsub..], cw) — ONE expression for
+  * all m subspaces. Semantically identical to
+  * `array(nearestIndex(slice(v, j·dsub+1, dsub), codebooks(j)) for j)`
+  * (PqTrainSpec pins bit-identity): per-codeword dots are the same
+  * sequential sums, candidates compare in ascending-c order (strict-<
+  * lowest-index tie-break), vv is the same sequential subvector norm.
+  * It exists for CODE SIZE: at the reference geometry (m=96,
+  * config.h:84-94) the array-of-96-NearestIndex projection emits ~5000
+  * generated lines in one method and trips janino's 64 KB method limit
+  * (observed: whole-stage codegen falls back to interpreted execution
+  * mid-bench — a 5-30× throughput cliff that looks like machine
+  * weather). This loops over j instead: the generated body is ~60
+  * lines at any m.
+  */
+case class PqEncode(child: Expression,
+    codebooks: Array[Array[Array[Double]]], dsub: Int)
+  extends UnaryExpression {
+
+  // ||cw||^2 per (subspace, codeword), sequential order (as NearestIndex)
+  private lazy val norms: Array[Array[Double]] = codebooks.map(_.map { row =>
+    var s = 0.0; var i = 0
+    while (i < row.length) { s += row(i) * row(i); i += 1 }
+    s
+  })
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (NumericArrays.ok(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"pq_encode requires a numeric array, got ${child.dataType}")
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val read = NumericArrays.reader(child.dataType)
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val m = codebooks.length
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val book = codebooks(j)
+      val nrm = norms(j)
+      val base = j * dsub
+      var vv = 0.0
+      var t = 0
+      while (t < dsub) { val x = read(v, base + t); vv += x * x; t += 1 }
+      var best = -1
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < book.length) {
+        val cw = book(c)
+        var vc = 0.0
+        t = 0
+        while (t < dsub) { vc += read(v, base + t) * cw(t); t += 1 }
+        val d = vv - 2 * vc + nrm(c)
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(j) = best
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val books = ctx.addReferenceObj("books", codebooks, "double[][][]")
+    val nrms = ctx.addReferenceObj("nrms", norms, "double[][]")
+    val out = ctx.freshName("out")
+    val book = ctx.freshName("book")
+    val nrm = ctx.freshName("nrm")
+    val base = ctx.freshName("base")
+    val vv = ctx.freshName("vv")
+    val x = ctx.freshName("x")
+    val best = ctx.freshName("best")
+    val bestD = ctx.freshName("bestD")
+    val cw = ctx.freshName("cw")
+    val vc = ctx.freshName("vc")
+    val d = ctx.freshName("d")
+    val j = ctx.freshName("j")
+    val c = ctx.freshName("c")
+    val t = ctx.freshName("t")
+    val gad = "org.apache.spark.sql.catalyst.util.GenericArrayData"
+    nullSafeCodeGen(ctx, ev, v => {
+      val get = NumericArrays.getter(child.dataType, v, s"($base + $t)")
+      s"""
+         |int[] $out = new int[$books.length];
+         |for (int $j = 0; $j < $books.length; $j++) {
+         |  double[][] $book = $books[$j];
+         |  double[] $nrm = $nrms[$j];
+         |  int $base = $j * $dsub;
+         |  double $vv = 0.0;
+         |  for (int $t = 0; $t < $dsub; $t++) {
+         |    double $x = $get; $vv += $x * $x;
+         |  }
+         |  int $best = -1;
+         |  double $bestD = Double.POSITIVE_INFINITY;
+         |  for (int $c = 0; $c < $book.length; $c++) {
+         |    double[] $cw = $book[$c];
+         |    double $vc = 0.0;
+         |    for (int $t = 0; $t < $dsub; $t++) {
+         |      $vc += $get * $cw[$t];
+         |    }
+         |    double $d = $vv - 2 * $vc + $nrm[$c];
+         |    if ($d < $bestD) { $bestD = $d; $best = $c; }
+         |  }
+         |  $out[$j] = $best;
+         |}
+         |${ev.value} = new $gad($out);
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object IndexExpressions {
   /** Map-side argmin over a small matrix (centroids / PQ sub-codebook):
     * index of the row minimizing expanded-form L2 to `vec`, ties → lowest
@@ -387,4 +504,12 @@ object IndexExpressions {
   def pqLut(qv: Column, codebooks: Array[Array[Array[Double]]],
       dsub: Int): Column =
     GraftBridge.column(PqLut(GraftBridge.expression(qv), codebooks, dsub))
+
+  /** Whole-vector PQ encode (B3): all m code indices in one loop —
+    * bit-identical to per-subspace [[nearestIndex]] over slices, emitted
+    * small enough to stay inside whole-stage codegen at m=96.
+    */
+  def pqEncode(vec: Column, codebooks: Array[Array[Array[Double]]],
+      dsub: Int): Column =
+    GraftBridge.column(PqEncode(GraftBridge.expression(vec), codebooks, dsub))
 }

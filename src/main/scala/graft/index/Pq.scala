@@ -69,10 +69,12 @@ object Pq {
     * any numeric element type in place, no full-vector cast copy per row.
     */
   def codesColumn(cb: Codebook, vecCol: String = "embedding"): Column =
-    array((0 until cb.m).map { j =>
-      IndexExpressions.nearestIndex(
-        slice(col(vecCol), j * cb.dsub + 1, cb.dsub), cb.codebooks(j))
-    }: _*)
+    // one PqEncode expression, not array(m × NearestIndex(slice)): at
+    // m=96 the per-subspace form emits ~5000 generated lines in one
+    // method and trips janino's 64 KB limit — whole-stage codegen then
+    // silently falls back to interpreted execution (a 5-30× cliff).
+    // Bit-identity with the per-subspace form is pinned in PqTrainSpec.
+    IndexExpressions.pqEncode(col(vecCol), cb.codebooks, cb.dsub)
 
   /** Per-query ADC look-up table column: lut(j)(c) = dot(q_j, cw(j)(c)).
     * Materialized once per query row (m×k doubles), broadcast with the

@@ -351,12 +351,19 @@ object Segments {
     val stats = tagStatsCounts(spark, baseDir)
     val fs = hfs(spark, baseDir)
     val pred = arrays_overlap(col("tags"), lit(tagsAny.toArray))
-    val parts = catalogDescriptors(spark, baseDir).flatMap { d =>
+    // split the surviving segments by branch FIRST: every dense segment
+    // shares the one in-scan predicate, so they load as a single
+    // multi-path scan ([[readPaths]]) instead of one scan node per
+    // segment — only sparse segments (per-segment posting join) need
+    // their own branch, and those are bounded by the selectivity
+    // decision itself
+    val densePaths = Seq.newBuilder[String]
+    val sparseParts = Seq.newBuilder[DataFrame]
+    catalogDescriptors(spark, baseDir).foreach { d =>
       stats.get(d.segment_id) match {
         case Some(tc) if !tc.keys.exists(want) =>
-          None // provably tag-free segment — pruned, never opened
+          () // provably tag-free segment — pruned, never opened
         case other =>
-          val seg = readPaths(spark, Seq(d.file_path))
           val bound = other.map(_.filter(kv => want(kv._1)).values.sum)
             .getOrElse(-1L)
           val sel =
@@ -367,10 +374,15 @@ object Segments {
             val ids = spark.read.parquet(idxPath.toString)
               .filter(col("tag").isin(tagsAny: _*)) // partition pruning
               .select(idCols.map(col): _*).distinct()
-            Some(seg.join(broadcast(ids), idCols, "left_semi"))
-          } else Some(seg.filter(pred))
+            sparseParts += readPaths(spark, Seq(d.file_path))
+              .join(broadcast(ids), idCols, "left_semi")
+          } else densePaths += d.file_path
       }
     }
+    val parts = (densePaths.result() match {
+      case Seq() => Seq.empty[DataFrame]
+      case ps    => Seq(readPaths(spark, ps).filter(pred))
+    }) ++ sparseParts.result()
     if (parts.isEmpty) spark.emptyDataFrame
     else parts.reduce(_ unionByName _)
   }
