@@ -83,6 +83,17 @@ class GraftConfigSpec extends SparkSpec {
     assert(c.walCodec === graft.streaming.WalCodec.Zstd)
   }
 
+  test("an empty yaml (the reference's 0-byte dev/prod/bench stubs) loads as pure defaults") {
+    assert(GraftConfig.loadYaml("") === GraftConfig.default)
+    // and the reference's own stub files, when present, load the same way
+    val stubs = Seq("woved-dev.yaml", "woved-prod.yaml", "woved-bench.yaml")
+      .map(f => new java.io.File(s"/root/reference/configs/$f"))
+      .filter(_.exists())
+    stubs.foreach { f =>
+      assert(GraftConfig.load(f.getPath) === GraftConfig.default, f.getName)
+    }
+  }
+
   test("validate rejects inconsistent configs with the offending key") {
     def bad(yaml: String, frag: String): Unit = {
       val e = intercept[IllegalArgumentException](GraftConfig.loadYaml(yaml))
