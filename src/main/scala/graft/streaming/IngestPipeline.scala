@@ -100,6 +100,33 @@ object IngestPipeline {
     }
   }
 
+  /** [[start]] with every knob taken from a loaded [[graft.GraftConfig]]
+    * (the reference's loadConfig path, config.cpp:14-74): each
+    * micro-batch is first admitted by the ingest guard under the
+    * config's limits (whole-batch reject, exactly as the reference
+    * rejects the RPC — config.h:177-182), then flushed with the
+    * config's segment size (`segment.target_size_vectors`). The
+    * config's `collection.dim` is enforced per batch, so a
+    * mis-deployed collection surfaces at ingest, not at query time.
+    */
+  def startWithConfig(spark: SparkSession, sourceDir: String,
+      baseDir: String, checkpointDir: String, cfg: graft.GraftConfig,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val src = spark.readStream
+      .schema(mutationSchema)
+      .parquet(sourceDir)
+    src.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ingest.IngestGuard.validateBatch(batch, cfg.ingestLimits,
+          vecCol = "vec", idCol = Some("id"))
+        flushBatch(batch, baseDir, batchId,
+          maxRowsPerSegment = cfg.segment.targetSizeVectors)
+      }
+      .start()
+  }
+
   /** Typed mutation record for the stateful ingest variant. */
   case class Mutation(op: String, vec_id: Long, id: String, id_hash: Long,
       epoch: Long, deleted: Boolean, centroid_id: Long, vec: Seq[Double])

@@ -34,6 +34,16 @@ class TagStatsFlushSpec extends SparkSpec {
     // a tag in both halves reads both
     assert(Segments.segmentsForTags(spark, base, Seq(12)).toSet
       === Set("segA", "segB"))
+    // …and BOTH dense-branch segments load as ONE multi-path scan: the
+    // dense branches share the in-scan predicate, so the plan must not
+    // grow one scan node per segment (threshold 0 forces dense)
+    val dense2 = Segments.scanForTagsRowLevel(spark, base, Seq(12),
+      denseThreshold = 0.0)
+    assert(dense2.queryExecution.executedPlan.collectLeaves().size === 1,
+      dense2.queryExecution.executedPlan.toString)
+    assert(dense2.filter(!array_contains(col("tags"), 12)).count() === 0)
+    assert(dense2.count() ===
+      vecs.filter(array_contains(col("tags"), 12)).count())
     Segments.deleteDir(base)
   }
 

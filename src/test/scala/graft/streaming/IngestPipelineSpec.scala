@@ -60,6 +60,57 @@ class IngestPipelineSpec extends SparkSpec {
     Seq(src, base, ckpt).foreach(Segments.deleteDir)
   }
 
+  test("config-driven ingest: guard limits, dim check, and segment size come from the loaded config") {
+    val rows = mutationRows.cache()
+    val dim = rows.filter(!col("deleted"))
+      .select(size(col("vec"))).head().getInt(0)
+    val nRows = rows.count()
+    // a config matching the collection: tiny segments so the flush
+    // policy observably obeys segment.target_size_vectors, pq.m set to
+    // a divisor of the fixture dim (validate enforces m | dim)
+    val cfg = graft.GraftConfig.loadYaml(
+      s"""
+         |collection:
+         |  dim: $dim
+         |storage:
+         |  segment:
+         |    target_size_vectors: 400
+         |index:
+         |  stable:
+         |    pq:
+         |      m: 8
+         |""".stripMargin)
+    val src = tmp("graft-cfg-src-"); val base = tmp("graft-cfg-base-")
+    val ckpt = tmp("graft-cfg-ckpt-")
+    rows.coalesce(1).write.mode("append").parquet(src)
+    IngestPipeline.startWithConfig(spark, src, base, ckpt, cfg)
+      .awaitTermination()
+    // the one batch split into ceil(n / 400) range segments
+    val wantSegs = ((nRows + 399) / 400).toInt
+    assert(Segments.catalog(spark, base).count() === wantSegs)
+    val live = IngestPipeline.liveView(spark, base)
+      .select("vec_id", "epoch").as[(Long, Long)].collect().sortBy(_._1)
+    val oracle = MutationLog.live(MutationLog.deterministicLog(emb))
+      .select("vec_id", "epoch").as[(Long, Long)].collect().sortBy(_._1)
+    assert(live.toSeq === oracle.toSeq)
+    // a config declaring a DIFFERENT collection dim rejects the whole
+    // batch at ingest (mis-deployment surfaces at write time)
+    val bad = cfg.copy(collection = cfg.collection.copy(dim = dim + 8))
+    val src2 = tmp("graft-cfg-src2-"); val base2 = tmp("graft-cfg-base2-")
+    val ckpt2 = tmp("graft-cfg-ckpt2-")
+    rows.coalesce(1).write.mode("append").parquet(src2)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      IngestPipeline.startWithConfig(spark, src2, base2, ckpt2, bad)
+        .awaitTermination()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(ex).exists(_.isInstanceOf[graft.ingest.DimMismatch]),
+      ex.toString)
+    assert(Segments.catalog(spark, base2).count() === 0) // nothing landed
+    Seq(src, base, ckpt, src2, base2, ckpt2).foreach(Segments.deleteDir)
+  }
+
   test("crash replay of the same batch is idempotent (T8 fault-inject analogue)") {
     val base = tmp("graft-replay-base-")
     val batch = mutationRows.filter(col("epoch") < 2000)
