@@ -583,12 +583,10 @@ object Bench {
             group += ((rec.epoch, WalRecordFb.encode(rec)))
             walOps += 1
             if (group.length >= 10000) {
-              // full-log retention: this section measures the
-              // no-checkpoint worst-case replay, which requires every
-              // segment kept — the max_files backstop (exercised in
-              // WalSpec/GraftConfigSpec) would reject the 11th rotation
-              Wal.appendBinaryRotating(walDir, group.toSeq, rotateBytes,
-                maxFiles = Int.MaxValue)
+              // default rotation is unbounded — the max_files backstop
+              // is opt-in (wired from GraftConfig together with a real
+              // flushed frontier; exercised in WalSpec/GraftConfigSpec)
+              Wal.appendBinaryRotating(walDir, group.toSeq, rotateBytes)
               group.clear()
               groupCommits += 1
             }
@@ -596,8 +594,7 @@ object Bench {
           }
           if (group.nonEmpty) {
             val tF0 = System.nanoTime()
-            Wal.appendBinaryRotating(walDir, group.toSeq, rotateBytes,
-              maxFiles = Int.MaxValue)
+            Wal.appendBinaryRotating(walDir, group.toSeq, rotateBytes)
             group.clear()
             groupCommits += 1
             encNanos += System.nanoTime() - tF0
@@ -633,7 +630,7 @@ object Bench {
             val tZEnc0 = System.nanoTime()
             slice.grouped(10000).foreach { g =>
               Wal.appendBinaryRotating(zDir, g, rotateBytes,
-                codec = WalCodec.Zstd, maxFiles = Int.MaxValue)
+                codec = WalCodec.Zstd)
             }
             val zEncSec = (System.nanoTime() - tZEnc0) / 1e9
             val zBytes = Wal.segments(zDir).map(_.length()).sum

@@ -234,14 +234,21 @@ final class Hnsw(val metric: String, val m: Int = 16,
   * the serving index's rebuild-on-flush).
   *
   * BYTE budget: all three driver-resident tiers ([[LocalServingIndex]],
-  * [[LocalPqIndex]], this cache) admit under the reference's ONE
-  * GlobalIndexConfig byte budget (`memory_cache_mb`, yaml:89) — an
-  * element-count-only cap would let one tier's budget depend on `dim`
-  * while its siblings are priced in bytes. An element is priced as its
-  * vector (4·dim) + id (8) + graph links (≈3·m ints: 2·m level-0
-  * neighbors plus ~m across the geometrically-thinning upper levels).
-  * `maxElements` remains as the reference's own hnsw_cache knob
-  * (yaml:92) — the binding constraint is whichever trips first.
+  * [[LocalPqIndex]], this cache) admit in the SAME byte-priced currency
+  * as the reference's GlobalIndexConfig budget (`memory_cache_mb`,
+  * yaml:89) — an element-count-only cap would let one tier's budget
+  * depend on `dim` while its siblings are priced in bytes. An element
+  * is priced as its vector (4·dim) + id (8) + graph links (≈3·m ints:
+  * 2·m level-0 neighbors plus ~m across the geometrically-thinning
+  * upper levels). Each tier takes its own `maxBytes` (default 512 MiB,
+  * the reference's memory_cache_mb default) — the config's single
+  * budget is wired by [[graft.Graft]], which SPLITS
+  * `cfg.global.memoryCacheBytes` across whichever tiers it stands up,
+  * so their sum never exceeds the configured budget. A tier
+  * constructed directly gets the default slice, not a share of a
+  * global ledger. `maxElements` remains as the reference's own
+  * hnsw_cache knob (yaml:92) — the binding constraint is whichever
+  * trips first.
   */
 final class HnswHotCache(idx: ServingIndex, maxElements: Int = 1000000,
     m: Int = 16, efConstruction: Int = 200, ef: Int = 50,

@@ -34,6 +34,12 @@ object Segments {
     */
   val StoreDir = "store"
 
+  /** Row-level tag-index tree: `_tagindex/segment_id=S/tag=T/` — keyed
+    * like the store so any number of segments' postings read as one
+    * multi-path scan.
+    */
+  val TagIndexDir = "_tagindex"
+
   /** Mirrors reference SegmentDescriptor (types.h:94-105). */
   final case class SegmentDescriptor(
       segment_id: String,
@@ -62,6 +68,34 @@ object Segments {
     * conflicting directory layout), fall back to the union of per-root
     * scans — correctness over plan shape for the exotic case.
     */
+  /** Read one or more partitioned roots with partition-value TYPE
+    * INFERENCE OFF: inference would read an all-digits zero-padded
+    * segment_id ("00042") as the int 42, so a cast back to string
+    * yields "42" — silently corrupting provenance filters and
+    * replaced_by joins. With inference off every partition value
+    * arrives as its literal string; `centroid_id` (written from a
+    * BIGINT data column) is cast back to long explicitly — lossless,
+    * since partitionBy rendered it from an integer value.
+    */
+  private def readInferenceOff(spark: SparkSession, basePath: String,
+      ps: Seq[String]): DataFrame = {
+    val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    // the FileIndex (and with it partition-value parsing) materializes
+    // eagerly inside the read call, so scoping the conf around it is
+    // sound even though the returned plan is lazy
+    val df =
+      try spark.read.option("basePath", basePath).parquet(ps: _*)
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    if (df.columns.contains("centroid_id"))
+      df.withColumn("centroid_id", col("centroid_id").cast("long"))
+    else df
+  }
+
   private[segments] def readPaths(spark: SparkSession,
       paths: Seq[String]): DataFrame =
     if (paths.isEmpty) spark.emptyDataFrame
@@ -71,22 +105,30 @@ object Segments {
       // the store layout guarantees (`store/segment_id=S/centroid_id=K`).
       // Group by parent: key=value-named roots under one parent load as
       // one multi-path scan (basePath=parent, so segment_id/centroid_id
-      // materialize as partition columns and prune); any foreign layout
-      // falls back to per-path scans unioned.
+      // materialize as partition columns and prune); a foreign layout —
+      // whether detected by name or by the multi-path read itself
+      // refusing (e.g. conflicting sub-partitioning under one parent) —
+      // falls back to the union of per-path scans: correctness over
+      // plan shape for the exotic case.
       val groups = paths.groupBy { p =>
         val hp = new HPath(p)
         val parent = Option(hp.getParent).map(_.toString).getOrElse("")
         (parent, hp.getName.contains("=") && parent.nonEmpty)
       }
+      def perPath(ps: Seq[String]): DataFrame =
+        ps.map(p => spark.read.parquet(p)).reduce(_ unionByName _)
       groups.toSeq.sortBy(_._1._1).map { case ((parent, kv), ps) =>
         if (kv) {
-          val df = spark.read.option("basePath", parent).parquet(ps: _*)
-          // pin the provenance column's type: partition-value inference
-          // would turn an all-digits segment_id into an int
-          if (df.columns.contains("segment_id"))
-            df.withColumn("segment_id", col("segment_id").cast("string"))
-          else df
-        } else ps.map(p => spark.read.parquet(p)).reduce(_ unionByName _)
+          try readInferenceOff(spark, parent, ps)
+          catch {
+            case e: org.apache.spark.sql.AnalysisException =>
+              System.err.println(s"[graft] multi-path read of " +
+                s"${ps.length} roots under $parent refused " +
+                s"(${e.getMessage.takeWhile(_ != '\n')}) — falling back " +
+                "to per-path scans")
+              perPath(ps)
+          }
+        } else perPath(ps)
       }.reduce(_ unionByName _)
     }
 
@@ -184,11 +226,16 @@ object Segments {
 
   private def appendLines(spark: SparkSession, dir: String,
       prefix: String, lines: Seq[String]): Unit = {
-    val fs = hfs(spark, dir)
-    fs.mkdirs(new HPath(dir))
     // nanoTime + process-wide counter: unique and monotonic within the
     // driver, so file order IS append order (concurrent flushes included)
     val name = f"$prefix-${System.nanoTime()}%020d-${appendSeq.incrementAndGet()}%06d.tsv"
+    writeLinesNamed(spark, dir, name, lines)
+  }
+
+  private def writeLinesNamed(spark: SparkSession, dir: String,
+      name: String, lines: Seq[String]): Unit = {
+    val fs = hfs(spark, dir)
+    fs.mkdirs(new HPath(dir))
     // write-then-rename: readers filter on the `prefix-` name, so the
     // in-flight `.tmp.` file is invisible and the append becomes visible
     // atomically (single-file rename on HDFS/local) — a crash mid-write
@@ -318,11 +365,17 @@ object Segments {
     */
   def writeTagIndex(rows: DataFrame, baseDir: String, segmentId: String,
       idCols: Seq[String] = Seq("vec_id")): Unit = {
+    // keyed layout (`_tagindex/segment_id=S/tag=T/`): like the store
+    // tree, ALL sparse segments' postings load as ONE multi-path scan
+    // (basePath=_tagindex) pruned on both keys — so a tags-ANY read
+    // does one posting read + one semi-join regardless of how many
+    // segments take the sparse branch, instead of one join subtree per
+    // segment (the r6 plan-growth residue)
     rows.select(idCols.map(col) :+ explode(col("tags")).as("tag"): _*)
       .repartition(col("tag"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("tag")
-      .parquet(s"$baseDir/_tagindex/$segmentId")
+      .parquet(s"$baseDir/$TagIndexDir/segment_id=$segmentId")
   }
 
   /** Q3/B4 row-level tag read: segment-level prune via the tag stats,
@@ -358,7 +411,11 @@ object Segments {
     // their own branch, and those are bounded by the selectivity
     // decision itself
     val densePaths = Seq.newBuilder[String]
-    val sparseParts = Seq.newBuilder[DataFrame]
+    // keyed sparse segments: (data path, posting root, posting bound)
+    val sparseKeyed = Seq.newBuilder[(String, String, Long)]
+    // legacy un-keyed `_tagindex/S` layout — per-segment branch kept
+    // only for trees written before the keyed layout existed
+    val sparseLegacy = Seq.newBuilder[DataFrame]
     catalogDescriptors(spark, baseDir).foreach { d =>
       stats.get(d.segment_id) match {
         case Some(tc) if !tc.keys.exists(want) =>
@@ -369,20 +426,49 @@ object Segments {
           val sel =
             if (bound < 0) 1.0 // unknown stats → dense fallback
             else bound.toDouble / math.max(1L, d.num_vectors)
-          val idxPath = new HPath(s"$baseDir/_tagindex/${d.segment_id}")
-          if (sel < denseThreshold && fs.exists(idxPath)) {
-            val ids = spark.read.parquet(idxPath.toString)
+          val keyed = s"$baseDir/$TagIndexDir/segment_id=${d.segment_id}"
+          val legacy = s"$baseDir/$TagIndexDir/${d.segment_id}"
+          if (sel < denseThreshold && fs.exists(new HPath(keyed)))
+            sparseKeyed += ((d.file_path, keyed, math.max(0L, bound)))
+          else if (sel < denseThreshold && fs.exists(new HPath(legacy))) {
+            val ids = spark.read.parquet(legacy)
               .filter(col("tag").isin(tagsAny: _*)) // partition pruning
               .select(idCols.map(col): _*).distinct()
-            sparseParts += readPaths(spark, Seq(d.file_path))
+            sparseLegacy += readPaths(spark, Seq(d.file_path))
               .join(broadcast(ids), idCols, "left_semi")
           } else densePaths += d.file_path
       }
     }
+    // ONE sparse branch for every keyed segment: the consolidated
+    // multi-path store scan (segment_id is a partition column) semi-
+    // joined against the consolidated multi-path posting scan, pruned
+    // on BOTH keys (segment_id roots + tag directories). Plan size is
+    // O(1) in the number of sparse segments — at 16k segments with a
+    // rare tag this is one join node, not 16k subtrees.
+    val keyedSegs = sparseKeyed.result()
+    val sparseParts =
+      if (keyedSegs.isEmpty) Seq.empty[DataFrame]
+      else {
+        val postings = readInferenceOff(spark, s"$baseDir/$TagIndexDir",
+            keyedSegs.map(_._2))
+          // inference is off, so `tag` partition values are strings —
+          // match them as strings to keep directory-level pruning
+          .filter(col("tag").isin(tagsAny.map(_.toString): _*))
+          .select(col("segment_id") +: idCols.map(col): _*).distinct()
+        val joinKeys = "segment_id" +: idCols
+        val scan = readPaths(spark, keyedSegs.map(_._1))
+        // postings are bounded by the selectivity decision per segment;
+        // broadcast while the summed bound stays driver-sized, plain
+        // shuffled semi-join (AQE decides the strategy) beyond it
+        val totalBound = keyedSegs.map(_._3).sum
+        val rhs =
+          if (totalBound <= 4000000L) broadcast(postings) else postings
+        Seq(scan.join(rhs, joinKeys, "left_semi"))
+      }
     val parts = (densePaths.result() match {
       case Seq() => Seq.empty[DataFrame]
       case ps    => Seq(readPaths(spark, ps).filter(pred))
-    }) ++ sparseParts.result()
+    }) ++ sparseParts ++ sparseLegacy.result()
     if (parts.isEmpty) spark.emptyDataFrame
     else parts.reduce(_ unionByName _)
   }
@@ -446,6 +532,12 @@ object Segments {
     * write — no sort, no window.
     */
   def compact(spark: SparkSession, baseDir: String,
+      stableSegmentId: String): Option[SegmentDescriptor] =
+    withLease(spark, baseDir, s"compact-$stableSegmentId") {
+      compactUnlocked(spark, baseDir, stableSegmentId)
+    }
+
+  private def compactUnlocked(spark: SparkSession, baseDir: String,
       stableSegmentId: String): Option[SegmentDescriptor] = {
     val deltaDescs = catalogDescriptors(spark, baseDir).filter(!_.is_stable)
     if (deltaDescs.isEmpty) return None // nothing to compact (idempotent)
@@ -464,38 +556,130 @@ object Segments {
     Some(desc)
   }
 
+  // ---- maintenance-writer lease (A1) -------------------------------
+  //
+  // The catalog's append protocol is coordination-free for APPENDS
+  // (atomic write-then-rename, latest-row-wins), but the three
+  // maintenance operations (compact / rebuildLayout / checkpointCatalog)
+  // each do a read-fold-append cycle: two of them interleaving could
+  // publish a fold of a stale read (e.g. a checkpoint resurrecting
+  // segments a concurrent compact just retired). The reference runs
+  // these from ONE background thread (config.h:96-99); across drivers
+  // that discipline becomes this lease — a lock file created with
+  // fail-if-exists whose TTL lets a crashed holder's lease be broken.
+
+  /** A maintenance lease could not be acquired: another maintenance job
+    * holds it and its TTL has not lapsed.
+    */
+  final class CatalogLeaseHeld(dir: String, holder: String, expiresAt: Long)
+    extends RuntimeException(
+      s"catalog maintenance lease at $dir held by '$holder' until " +
+        s"$expiresAt — one maintenance writer at a time (run compaction/" +
+        "rebuild/checkpoint from a single job, as the reference's " +
+        "background thread does)")
+
+  private def leasePath(baseDir: String) =
+    new HPath(s"$baseDir/$CatalogDir/.maintenance-lease")
+
+  /** Acquire the maintenance lease (fail-if-exists create). A lease
+    * whose TTL has lapsed is broken and re-acquired once — a crashed
+    * holder must not wedge maintenance forever.
+    */
+  private[segments] def acquireLease(spark: SparkSession, baseDir: String,
+      holder: String, ttlMs: Long = 600000L): Unit = {
+    val fs = hfs(spark, baseDir)
+    val p = leasePath(baseDir)
+    fs.mkdirs(p.getParent)
+    def tryCreate(): Boolean =
+      try {
+        val out = fs.create(p, false) // fail-if-exists
+        try out.write(s"$holder\t${System.currentTimeMillis() + ttlMs}"
+          .getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (tryCreate()) return
+    // held: read holder/expiry; break only a LAPSED lease, then retry
+    val (h, exp) =
+      try {
+        val in = fs.open(p)
+        val line = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().next() finally in.close()
+        val f = line.split("\t", -1)
+        (f(0), f(1).toLong)
+      } catch { case _: Exception => ("unknown", Long.MaxValue) }
+    if (exp < System.currentTimeMillis()) {
+      fs.delete(p, false)
+      if (tryCreate()) return
+    }
+    throw new CatalogLeaseHeld(baseDir, h, exp)
+  }
+
+  private[segments] def releaseLease(spark: SparkSession,
+      baseDir: String): Unit = {
+    val fs = hfs(spark, baseDir)
+    fs.delete(leasePath(baseDir), false)
+  }
+
+  /** Run `body` under the maintenance lease. */
+  private def withLease[A](spark: SparkSession, baseDir: String,
+      holder: String)(body: => A): A = {
+    acquireLease(spark, baseDir, holder)
+    try body finally releaseLease(spark, baseDir)
+  }
+
+  /** Test seam: invoked between a checkpoint's fold (read of the file
+    * list) and its append — the window a concurrent flush append can
+    * land in. Production: no-op.
+    */
+  private[segments] var checkpointInterleaveHook: () => Unit = () => ()
+
   /** A1 catalog checkpoint: fold the append-only manifest history into a
     * single file and drop the older files — the catalog's own compaction
     * (one tiny file per flush/compact otherwise accumulates forever).
-    * Crash-safe without coordination: the checkpoint is itself an append
-    * (reader order is file-name order, so for every segment it carries it
-    * supersedes the folded files), and a crash between checkpoint write
-    * and old-file deletion leaves duplicate rows that latest-row-wins
-    * collapses on read. Run from the maintenance job that owns
-    * compaction/rebuild (single catalog writer, like the reference's
-    * background thread) — concurrent catalog appends during a checkpoint
-    * are not coordinated against.
+    *
+    * Safe against CONCURRENT FLUSH APPENDS by construction: the
+    * checkpoint file's name is derived from the LAST FOLDED file
+    * (`<lastFolded>x-ckpt.tsv`, which sorts immediately after it), so
+    * any append that lands after the fold's file-list read — whether a
+    * brand-new segment or an update to a folded segment — sorts after
+    * the checkpoint and wins latest-row-wins on read. Naming the
+    * checkpoint "now" instead would let a stale fold shadow such an
+    * update. A crash between checkpoint write and old-file deletion
+    * leaves duplicate rows that latest-row-wins collapses on read.
+    *
+    * Safe against concurrent MAINTENANCE (compact/rebuild, which also
+    * read-fold-append) via the maintenance lease — see [[acquireLease]].
     */
-  def checkpointCatalog(spark: SparkSession, baseDir: String): Unit = {
-    val dir = s"$baseDir/$CatalogDir"
-    val fs = hfs(spark, dir)
-    val p = new HPath(dir)
-    if (!fs.exists(p)) return
-    val files = fs.listStatus(p).map(_.getPath)
-      .filter(_.getName.startsWith("desc-")).sortBy(_.getName).toSeq
-    if (files.length <= 1) return
-    val latest = scala.collection.mutable.LinkedHashMap
-      .empty[String, SegmentDescriptor]
-    files.foreach { f =>
-      val in = fs.open(f)
-      try scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().filter(_.nonEmpty)
-        .foreach { line => val d = decode(line); latest(d.segment_id) = d }
-      finally in.close()
+  def checkpointCatalog(spark: SparkSession, baseDir: String): Unit =
+    withLease(spark, baseDir, "checkpoint") {
+      val dir = s"$baseDir/$CatalogDir"
+      val fs = hfs(spark, dir)
+      val p = new HPath(dir)
+      if (fs.exists(p)) {
+        val files = fs.listStatus(p).map(_.getPath)
+          .filter(_.getName.startsWith("desc-")).sortBy(_.getName).toSeq
+        if (files.length > 1) {
+          val latest = scala.collection.mutable.LinkedHashMap
+            .empty[String, SegmentDescriptor]
+          files.foreach { f =>
+            val in = fs.open(f)
+            try scala.io.Source.fromInputStream(in, "UTF-8")
+              .getLines().filter(_.nonEmpty)
+              .foreach { line =>
+                val d = decode(line); latest(d.segment_id) = d
+              }
+            finally in.close()
+          }
+          checkpointInterleaveHook()
+          val name =
+            files.last.getName.stripSuffix(".tsv") + "x-ckpt.tsv"
+          writeLinesNamed(spark, dir, name,
+            latest.values.map(encode).toSeq)
+          files.foreach(f => fs.delete(f, false))
+        }
+      }
     }
-    appendLines(spark, dir, "desc", latest.values.map(encode).toSeq)
-    files.foreach(f => fs.delete(f, false))
-  }
 
   /** B1 periodic rebuild (reference retrains global centroids every 24 h,
     * config.h:96-99): re-cluster the store's latest-live rows under NEW
@@ -508,6 +692,13 @@ object Segments {
     * keeps probe pruning aligned with drifting data.
     */
   def rebuildLayout(spark: SparkSession, baseDir: String,
+      reassign: DataFrame => DataFrame,
+      stableSegmentId: String): Option[SegmentDescriptor] =
+    withLease(spark, baseDir, s"rebuild-$stableSegmentId") {
+      rebuildLayoutUnlocked(spark, baseDir, reassign, stableSegmentId)
+    }
+
+  private def rebuildLayoutUnlocked(spark: SparkSession, baseDir: String,
       reassign: DataFrame => DataFrame,
       stableSegmentId: String): Option[SegmentDescriptor] = {
     val active = catalogDescriptors(spark, baseDir)

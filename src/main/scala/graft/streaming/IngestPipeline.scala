@@ -101,25 +101,46 @@ object IngestPipeline {
   }
 
   /** [[start]] with every knob taken from a loaded [[graft.GraftConfig]]
-    * (the reference's loadConfig path, config.cpp:14-74): each
-    * micro-batch is first admitted by the ingest guard under the
-    * config's limits (whole-batch reject, exactly as the reference
-    * rejects the RPC — config.h:177-182), then flushed with the
-    * config's segment size (`segment.target_size_vectors`). The
-    * config's `collection.dim` is enforced per batch, so a
-    * mis-deployed collection surfaces at ingest, not at query time.
+    * (the reference's loadConfig path, config.cpp:14-74).
+    *
+    * LIMIT SCOPES — the two halves of the reference's limits contract
+    * apply at different boundaries here:
+    *
+    *  - REQUEST-scoped limits (`max_upsert_batch`,
+    *    `max_request_size_bytes`, config.h:177-182) bound one client
+    *    RPC. They are enforced where the RPC enters the system —
+    *    [[graft.Graft.upsert]] / a caller's own
+    *    `IngestGuard.validateBatch` — NOT per micro-batch: a streaming
+    *    micro-batch aggregates an arbitrary number of already-admitted
+    *    requests (an AvailableNow catch-up batch can carry the whole
+    *    backlog), so rejecting it would wedge the pipeline permanently
+    *    (the checkpoint re-delivers the same oversized batch on every
+    *    restart) and would contradict `segment.target_size_vectors`
+    *    (2M), which expects batches 200× the RPC cap.
+    *  - DATA-shape invariants (`collection.dim`, `max_tags_per_vector`)
+    *    hold for every row regardless of batching — those ARE checked
+    *    per micro-batch, so a mis-deployed collection surfaces at
+    *    ingest, not at query time.
+    *
+    * `maxFilesPerTrigger` (default 64 source files ≈ a bounded slice of
+    * backlog) keeps catch-up batches executor-memory-sized; pass None
+    * to let one batch drain everything.
     */
   def startWithConfig(spark: SparkSession, sourceDir: String,
       baseDir: String, checkpointDir: String, cfg: graft.GraftConfig,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val src = spark.readStream
-      .schema(mutationSchema)
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxFilesPerTrigger: Option[Int] = Some(64)): StreamingQuery = {
+    val shapeOnly = cfg.ingestLimits.copy(
+      maxUpsertBatch = Int.MaxValue, maxRequestBytes = Long.MaxValue)
+    val reader = spark.readStream.schema(mutationSchema)
+    val src = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
       .parquet(sourceDir)
     src.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.ingest.IngestGuard.validateBatch(batch, cfg.ingestLimits,
+        graft.ingest.IngestGuard.validateBatch(batch, shapeOnly,
           vecCol = "vec", idCol = Some("id"))
         flushBatch(batch, baseDir, batchId,
           maxRowsPerSegment = cfg.segment.targetSizeVectors)

@@ -79,13 +79,19 @@ object WalCodec {
     * otherwise. Replay-side — codec choice never needs to be configured
     * for reads.
     */
-  /** Decoded-payload byte ceiling: the same bound the ingest guard
-    * admits (`max_request_size_bytes` 100 MiB, config.h:179) — a frame
-    * the write path could legally have carried must replay, and nothing
-    * larger can be a legitimate record.
+  /** Decoded-payload byte ceiling — a DECOMPRESSION-BOMB guard, not the
+    * ingest limit: 1 GiB, 10× the reference's `max_request_size_bytes`
+    * (100 MiB, config.h:179). Deliberately decoupled from
+    * [[graft.ingest.IngestLimits]]: request-size limits are enforced at
+    * ADMISSION (the guard can be raised via GraftConfig), and a replay
+    * must accept every frame any legal configuration of the write path
+    * could have carried — tying the decode cap to one config's ingest
+    * limit would turn a raised-limit deployment's legal log into a
+    * recovery failure. Nothing legitimate approaches 1 GiB; a zstd
+    * frame declaring more is corruption or an attack, and rejecting it
+    * bounds replay memory.
     */
-  val MaxDecodedBytes: Long =
-    graft.ingest.IngestLimits.reference.maxRequestBytes
+  val MaxDecodedBytes: Long = 1L << 30
 
   def decode(payload: Array[Byte]): Array[Byte] =
     if (magic4(payload, 0x28, 0xB5, 0x2F, 0xFD)) { // zstd frame
@@ -93,7 +99,7 @@ object WalCodec {
       if (size >= 0) {
         require(size <= MaxDecodedBytes,
           s"zstd WAL payload declares content size $size > " +
-            s"max_request_size_bytes $MaxDecodedBytes")
+            s"decode safety bound $MaxDecodedBytes")
         com.github.luben.zstd.Zstd.decompress(payload, size.toInt)
       } else {
         // streamed frames (reference-interchange logs written by a
@@ -270,6 +276,14 @@ object Wal {
     * refuses the append outright when every segment is still unflushed
     * (losing an unflushed segment would lose acknowledged writes; the
     * reference would rather reject new ingest).
+    *
+    * This is the CONFIG default (`GraftConfig.wal.maxFiles`), wired by
+    * deployments that also wire a real flushed frontier. It is NOT the
+    * API default of [[appendBinaryRotating]]: a finite cap with the
+    * default `flushedEpoch = Long.MinValue` frontier can never reclaim
+    * anything, so a caller who asked for neither would deadlock at
+    * 10 segments (30 GiB) — the backstop is opt-in, taken together
+    * with the frontier that makes it reclaimable.
     */
   val defaultMaxFiles: Int = 10
 
@@ -314,7 +328,7 @@ object Wal {
   def appendBinaryRotating(dir: String, records: Seq[(Long, Array[Byte])],
       rotateBytes: Long = defaultRotateBytes,
       codec: WalCodec = WalCodec.None,
-      maxFiles: Int = defaultMaxFiles,
+      maxFiles: Int = Int.MaxValue,
       flushedEpoch: Long = Long.MinValue): Unit = {
     val d = new File(dir)
     if (!d.exists()) d.mkdirs()

@@ -273,6 +273,58 @@ class SegmentsSpec extends SparkSpec {
     Segments.deleteDir(base)
   }
 
+  test("append landing mid-checkpoint is never lost (A1 checkpoint ordering)") {
+    val base = tmpBase()
+    val rows = segmentRows.cache()
+    Segments.writeSegment(rows.filter(col("epoch") < 2000), base, "d0", false)
+    Segments.writeSegment(rows.filter(col("epoch") >= 2000), base, "d1", false)
+    Segments.compact(spark, base, "stable-0")
+    val stable0 = Segments.catalogDescriptors(spark, base)
+      .find(_.segment_id == "stable-0").get
+    // interleave in the checkpoint's read→append window: a flush lands a
+    // NEW segment AND a compaction-style UPDATE of a segment the fold
+    // carries (stable-0 retired) — the two shapes a stale fold could
+    // shadow if the checkpoint file sorted after them
+    Segments.checkpointInterleaveHook = () => {
+      Segments.appendCatalog(spark, base, Seq(
+        stable0.copy(segment_id = "d9", is_stable = false),
+        stable0.copy(replaced_by = Some("stable-1"))))
+    }
+    try Segments.checkpointCatalog(spark, base)
+    finally Segments.checkpointInterleaveHook = () => ()
+    val active = Segments.catalogDescriptors(spark, base)
+      .map(_.segment_id).toSet
+    // the new segment survives, and the update wins over the fold: the
+    // checkpoint file is named to sort right after its LAST FOLDED file,
+    // so later appends always supersede it
+    assert(active.contains("d9"), active.toString)
+    assert(!active.contains("stable-0"), active.toString)
+  }
+
+  test("maintenance lease: one writer at a time; a lapsed lease is broken (A1)") {
+    val base = tmpBase()
+    val rows = segmentRows.cache()
+    Segments.writeSegment(rows.filter(col("epoch") < 2000), base, "d0", false)
+    Segments.writeSegment(rows.filter(col("epoch") >= 2000), base, "d1", false)
+    Segments.acquireLease(spark, base, "other-driver")
+    intercept[Segments.CatalogLeaseHeld] {
+      Segments.compact(spark, base, "s0")
+    }
+    // nothing landed while refused
+    assert(Segments.catalogDescriptors(spark, base).forall(!_.is_stable))
+    Segments.releaseLease(spark, base)
+    // a crashed holder's lapsed lease must not wedge maintenance
+    Segments.acquireLease(spark, base, "crashed-driver", ttlMs = 1L)
+    Thread.sleep(10)
+    assert(Segments.compact(spark, base, "s0").nonEmpty)
+    assert(Segments.catalogDescriptors(spark, base)
+      .map(_.segment_id) === Seq("s0"))
+    // and the successful compact released its own lease on the way out
+    Segments.acquireLease(spark, base, "next")
+    Segments.releaseLease(spark, base)
+    Segments.deleteDir(base)
+  }
+
   test("stored PQ codes: phase-1 scan reads codes, never raw vectors") {
     val base = tmpBase()
     val cb = graft.index.Pq.deterministicCodebook(emb, 8, 8, 50)

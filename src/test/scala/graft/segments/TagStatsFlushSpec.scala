@@ -76,11 +76,44 @@ class TagStatsFlushSpec extends SparkSpec {
     assert(sparse.select("vec_id").as[Long].collect().sorted.toSeq === want)
     assert(dense.select("vec_id").as[Long].collect().sorted.toSeq === want)
     // posting read prunes to the requested tag directories only
-    val postings = spark.read.parquet(s"$base/_tagindex/seg0")
+    val postings = spark.read
+      .parquet(s"$base/_tagindex/segment_id=seg0")
       .filter(col("tag").isin(tags: _*))
     val scan = postings.queryExecution.executedPlan.toString
     assert(scan.contains("PartitionFilters") && scan.contains("tag"),
       "tag postings must prune by partition directory")
+    Segments.deleteDir(base)
+  }
+
+  test("N sparse segments consolidate into ONE posting semi-join (plan is O(1) in segment count)") {
+    val base = tmp("graft-tagidx-many-")
+    val n = 8
+    (0 until n).foreach { s =>
+      val part = VectorEntries.fromEmbeddings(emb)
+        .filter(col("vec_id") % n === s)
+        .withColumn("epoch", col("vec_id"))
+        .withColumn("centroid_id", col("vec_id") % 4)
+      Segments.writeSegment(part, base, f"seg$s%03d", isStable = false)
+      Segments.writeTagStats(part, base, f"seg$s%03d")
+      Segments.writeTagIndex(part, base, f"seg$s%03d")
+    }
+    val tags = Seq(3, 11)
+    val sparse = Segments.scanForTagsRowLevel(spark, base, tags,
+      denseThreshold = 1.1)
+    val plan = sparse.queryExecution.executedPlan.toString
+    // every segment takes the sparse branch, yet the physical plan has
+    // exactly ONE semi-join (the consolidated posting join) and ONE
+    // store scan covering all 8 segment roots — not one subtree per
+    // segment (the plan is AQE-wrapped, so assert on its rendering)
+    assert("LeftSemi".r.findAllMatchIn(plan).size === 1, plan)
+    assert("store/segment_id=".r.findAllMatchIn(plan).size === 1, plan)
+    assert(plan.contains("(8 paths)"), plan)
+    // and the consolidated path returns exactly the per-segment truth
+    val vt = VectorEntries.fromEmbeddings(emb)
+    val want = vt.filter(arrays_overlap(col("tags"), lit(tags.toArray)))
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(sparse.select("vec_id").as[Long].collect().sorted.toSeq
+      === want)
     Segments.deleteDir(base)
   }
 

@@ -108,7 +108,20 @@ class IngestPipelineSpec extends SparkSpec {
     assert(causes(ex).exists(_.isInstanceOf[graft.ingest.DimMismatch]),
       ex.toString)
     assert(Segments.catalog(spark, base2).count() === 0) // nothing landed
-    Seq(src, base, ckpt, src2, base2, ckpt2).foreach(Segments.deleteDir)
+    // REQUEST-scoped limits must NOT gate micro-batches: a catch-up
+    // batch aggregates many already-admitted RPCs, so a config whose
+    // max_upsert_batch is far below the backlog still ingests (the
+    // alternative is a permanent wedge — the checkpoint re-delivers
+    // the same oversized batch forever)
+    val tiny = cfg.copy(limits = cfg.limits.copy(maxUpsertBatch = 10))
+    val src3 = tmp("graft-cfg-src3-"); val base3 = tmp("graft-cfg-base3-")
+    val ckpt3 = tmp("graft-cfg-ckpt3-")
+    rows.coalesce(1).write.mode("append").parquet(src3)
+    IngestPipeline.startWithConfig(spark, src3, base3, ckpt3, tiny)
+      .awaitTermination()
+    assert(IngestPipeline.liveView(spark, base3).count() === oracle.length)
+    Seq(src, base, ckpt, src2, base2, ckpt2, src3, base3, ckpt3)
+      .foreach(Segments.deleteDir)
   }
 
   test("crash replay of the same batch is idempotent (T8 fault-inject analogue)") {

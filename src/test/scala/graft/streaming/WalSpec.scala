@@ -105,13 +105,18 @@ class WalSpec extends AnyFunSuite {
     val recs = (1L to 110L).map(e =>
       (e, s"""{"op":"INSERT","id":$e}""".getBytes("UTF-8")))
     val batches = recs.grouped(10).toSeq // epochs 1-10, 11-20, …
+    // the cap is OPT-IN (the API default is unbounded — a finite cap
+    // with no flushed frontier could deadlock default callers at
+    // 30 GiB); config-wired deployments pass GraftConfig.wal.maxFiles
     batches.take(10).foreach(b =>
-      Wal.appendBinaryRotating(dir, b.toSeq, rotateBytes = 1L))
+      Wal.appendBinaryRotating(dir, b.toSeq, rotateBytes = 1L,
+        maxFiles = Wal.defaultMaxFiles))
     assert(Wal.segments(dir).length === 10)
     // 11th segment with nothing flushed → disk-full backstop: reject,
     // and the log is untouched (no segment lost, no partial append)
     intercept[Wal.WalAtCapacity] {
-      Wal.appendBinaryRotating(dir, batches(10).toSeq, rotateBytes = 1L)
+      Wal.appendBinaryRotating(dir, batches(10).toSeq, rotateBytes = 1L,
+        maxFiles = Wal.defaultMaxFiles)
     }
     assert(Wal.segments(dir).length === 10)
     assert(sameFrames(Wal.replayBinaryRotated(dir), recs.take(100)))
@@ -119,7 +124,7 @@ class WalSpec extends AnyFunSuite {
     // reclaim and the append lands; replay is exactly the unflushed
     // suffix plus the new frames
     Wal.appendBinaryRotating(dir, batches(10).toSeq, rotateBytes = 1L,
-      flushedEpoch = 30L)
+      maxFiles = Wal.defaultMaxFiles, flushedEpoch = 30L)
     assert(Wal.segments(dir).length === 8) // 10 - 3 reclaimed + 1 new
     assert(sameFrames(Wal.replayBinaryRotated(dir),
       recs.slice(30, 100) ++ batches(10)))
