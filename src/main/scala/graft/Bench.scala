@@ -5,8 +5,11 @@ import org.apache.spark.sql.functions._
 
 import graft.index.Ivf
 
-/** Benchmark main: runs every registered query on SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line {"metric":..,"value":..,"queries":{..},"sf":..}.
+/** Benchmark main: runs every registered query on SPARK_GRAFT_SF_DIR.
+  * STDOUT carries ONE SHORT JSON line (<1900 B: headline contract
+  * metrics, failed/flaky lists) sized to survive the driver's ~2000-char
+  * tail capture whole — the per-query battery map and every extra metric
+  * live in BENCH_FULL.json (and the full line is echoed to stderr).
   * Failures are recorded per query (value -1) instead of being silently
   * timed — a failing query must never masquerade as a fast one.
   *
@@ -1601,11 +1604,66 @@ object Bench {
     // contract line every consumer parses)
     val sfDirJson = sfDir.replace("\\", "\\\\").replace("\"", "\\\"")
     val jsonLine = s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"failed":$failed,"flaky":$flakyJson,"recall_at_tuned_nprobe":${num(tunedRecall, 4)},"recall_pq2phase":${num(recallPq, 4)},"recall_int8":${num(recallInt8, 4)},"recall_pq_trained":${num(recallPqTrained, 4)},"recall_pq_at_tuned_rerank":${num(recallPqTuned, 4)},"pq_tuned_rerank":$pqRerank,"recall_pq_opq":${num(recallOpq, 4)},"tuned_nprobe":$tunedNprobe,"ivf_nlist":$nlist,"n_queries_per_batch":$nQueries,"knn_exact_per_query_ms":${num(perQueryMs, 2)},"knn_1m_exact_qps":${num(knn1mExactQps, 1)},"ivf_assign_1m_rows_per_sec":${num(assign1mRowsPerSec, 0)},"knn_1m_ivf_qps":${num(knn1mIvfQps, 1)},"serving_nlist":$servNlist,"serving_nprobe":$servNprobe,"ivf_1m_query_p50_ms":${num(ivf1mP50Ms, 1)},"ivf_1m_query_p99_ms":${num(ivf1mP99Ms, 1)},"ivf_1m_query_p50_steady_ms":${num(ivf1mP50SteadyMs, 1)},"ivf_1m_query_p99_steady_ms":${num(ivf1mP99SteadyMs, 1)},"ivf_1m_query_filtered_p99_ms":${num(ivf1mFilteredP99Ms, 1)},${extrasField}"job_dispatch_floor_ms":${num(dispatchFloorMs, 1)},"floor_gate_ms":15,"floor_gate_ok":$floorGateOk,"stress768_rows":$s768Rows,"stress768_assign_rows_per_sec":${num(s768AssignRps, 0)},"stress768_pq96_encode_rows_per_sec":${num(s768EncodeRps, 0)},"stress768_pq96_2phase_sec":${num(s768TwoPhaseSec, 3)},"ingest_ops":$ingestOps,"ingest_ops_per_sec":${num(ingestQps, 1)},"flush_lag_ms":${num(flushLagMsOut, 1)},"compact_sec":${num(compactSec, 3)},"write_amplification":${num(writeAmp, 3)},"delta_resident_fraction":${num(deltaFrac, 4)},"sf":"$sfDirJson"}"""
-    println(jsonLine)
-    // defensive duplicate: the driver's log capture truncates the head of
-    // long lines (BENCH_r04.json starts mid-key, losing the first ~20
-    // battery entries from the record) — persist the full line to a file
-    // in the repo so every round's complete metrics survive verbatim
+    // the FULL record goes to BENCH_FULL.json (+ stderr for the run log).
+    // STDOUT gets ONLY a short (<1900 B) contract line: the driver's
+    // capture keeps the last ~2000 chars of stdout, so the 6-7 KB full
+    // line has arrived head-truncated (unparseable) in EVERY round's
+    // BENCH_r*.json — a self-contained record requires the one stdout
+    // line to fit inside the capture window whole.
+    val summary = scala.collection.mutable.LinkedHashMap[String, String](
+      "metric" -> "\"total\"",
+      "value" -> num(total, 3),
+      "unit" -> "\"sec\"",
+      "n_queries" -> results.length.toString,
+      "failed" -> failed,
+      "flaky" -> flakyJson,
+      "recall_at_tuned_nprobe" -> num(tunedRecall, 4),
+      "tuned_nprobe" -> tunedNprobe.toString,
+      "ivf_nlist" -> nlist.toString,
+      "recall_pq2phase" -> num(recallPq, 4),
+      "recall_pq_at_tuned_rerank" -> num(recallPqTuned, 4),
+      "recall_pq_opq" -> num(recallOpq, 4),
+      "recall_int8" -> num(recallInt8, 4),
+      "knn_1m_exact_qps" -> num(knn1mExactQps, 1),
+      "knn_1m_ivf_qps" -> num(knn1mIvfQps, 1),
+      "ivf_1m_query_p50_ms" -> num(ivf1mP50Ms, 1),
+      "ivf_1m_query_p99_ms" -> num(ivf1mP99Ms, 1),
+      "ivf_1m_query_p99_steady_ms" -> num(ivf1mP99SteadyMs, 1),
+      "ivf_1m_query_filtered_p99_ms" -> num(ivf1mFilteredP99Ms, 1),
+      "job_dispatch_floor_ms" -> num(dispatchFloorMs, 1),
+      "floor_gate_ok" -> floorGateOk.toString,
+      "stress768_assign_rows_per_sec" -> num(s768AssignRps, 0),
+      "stress768_pq96_encode_rows_per_sec" -> num(s768EncodeRps, 0),
+      "ingest_ops_per_sec" -> num(ingestQps, 1),
+      "flush_lag_ms" -> num(flushLagMsOut, 1),
+      "compact_sec" -> num(compactSec, 3),
+      "write_amplification" -> num(writeAmp, 3),
+      "delta_resident_fraction" -> num(deltaFrac, 4))
+    // headline extras (already JSON-rendered strings) worth the budget
+    val summaryExtras = Seq("recovery_sec", "recovery_budget_ok",
+      "serving_concurrent_qps", "local_concurrent_qps",
+      "local_1m_query_p50_ms", "ivf_10m_build_sec",
+      "ivf_10m_query_p99_ms", "ivf_10m_query_p99_steady_ms",
+      "ivf_10m_filtered_p99_ms", "local_pq_10m_adc_p50_ms",
+      "minhash_lsh_docs_per_sec", "simhash_docs_per_sec",
+      "freshness_p50_ms", "freshness_p99_ms", "freshness_trigger_ms",
+      "hnsw_ef_tuned", "recall_hnsw",
+      "ivf_100m_rows", "ivf_100m_build_sec", "ivf_100m_codes_mb",
+      "ivf_100m_query_p50_ms", "ivf_100m_query_p99_ms",
+      "ivf_100m_query_p99_steady_ms", "ivf_100m_adc_p50_ms",
+      "ivf_100m_floor_before_ms", "ivf_100m_floor_after_ms")
+    summaryExtras.foreach(k => extras.get(k).foreach(v => summary(k) = v))
+    summary("queries_full") = "\"BENCH_FULL.json\""
+    summary("sf") = "\"" + sfDirJson + "\""
+    val shortLine = summary
+      .map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    if (shortLine.length > 1900)
+      // never let the summary itself outgrow the capture window — drop
+      // to the guaranteed-parseable core rather than truncate mid-JSON
+      println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","failed":$failed,"flaky":$flakyJson,"queries_full":"BENCH_FULL.json","sf":"$sfDirJson"}""")
+    else println(shortLine)
+    System.err.println(jsonLine)
     try {
       val out = sys.env.getOrElse("GRAFT_BENCH_OUT",
         "/root/repo/BENCH_FULL.json")

@@ -1,0 +1,360 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.index.{AdaptiveServingIndex, HnswHotCache, Ivf, ServingIndex}
+import graft.ingest.IngestGuard
+import graft.segments.Segments
+import graft.streaming.{IngestPipeline, Wal, WalRecord, WalRecordFb}
+
+/** The one user-facing entry point — the reference's server lifecycle
+  * (`src/cpp/api/` open → upsert/delete RPCs → search → background
+  * compaction → recovery-on-restart) re-expressed as a library handle
+  * over the Spark-native components this engine already provides.
+  * [[Graft.open]] takes a [[GraftConfig]] (the reference's own YAML,
+  * `configs/woved-default.yaml`) and a store directory, recovers any
+  * un-flushed WAL tail, and returns a handle wiring together:
+  *
+  *  - the INGEST GUARD ([[graft.ingest.IngestGuard]]) at the RPC
+  *    boundary — [[upsert]]/[[delete]] enforce the full request limits
+  *    (`max_upsert_batch`, `max_request_size_bytes`, dim, tags), which
+  *    is exactly where the reference rejects (config.h:177-182); the
+  *    streaming micro-batch path deliberately does NOT re-check
+  *    request-scoped caps (see IngestPipeline.startWithConfig);
+  *  - the WAL ([[graft.streaming.Wal]]) — every admitted batch is
+  *    group-committed (FlatBuffers frames, the config's codec and
+  *    rotate cadence, the `max_files` backstop armed with a REAL
+  *    flushed frontier) before it is flushed, and [[Graft.open]]
+  *    replays the tail past the persisted frontier into a recovery
+  *    segment (T8, the reference's startup recovery);
+  *  - the SEGMENT STORE ([[graft.segments.Segments]]) — one hive tree,
+  *    flushes via the W6 LWW dedupe, compaction/rebuild/checkpoint
+  *    under the catalog maintenance lease;
+  *  - the SERVING INDEX ([[graft.index.ServingIndex]]) wrapped in the
+  *    ADAPTIVE NPROBE CONTROLLER ([[graft.index.AdaptiveServingIndex]],
+  *    config.h:138-147 bands/target), rebuilt lazily after writes;
+  *  - the optional HNSW HOT CACHE (config.h:102-108), byte-budgeted
+  *    with the config's `memory_cache_mb`: the facade stands up one
+  *    driver-resident tier, so that tier receives the whole budget
+  *    (were more tiers stood up here, the budget would be split — the
+  *    tiers share one currency, see [[graft.index.HnswHotCache]]).
+  *
+  * THREADING: one Graft handle per maintenance domain — [[upsert]],
+  * [[compact]], [[rebuild]] are not designed for concurrent calls on
+  * one handle (the reference serializes these on its background
+  * thread); [[search]] is safe to call concurrently between writes.
+  *
+  * DATA MODEL of an upsert batch (columns): `id` string (required),
+  * `vec` array<double> (nullable for tombstones), optional `tags`
+  * array<int>, optional `epoch` long (assigned monotonically when
+  * absent), optional `deleted` boolean / `op` string ("DELETE" rows
+  * become tombstones). `vec_id`/`id_hash` derive from `id` via the
+  * engine's seed-0 xxhash64 (S5), so the same id always routes to the
+  * same shard and LWW key.
+  */
+final class Graft private (
+    val spark: SparkSession,
+    val config: GraftConfig,
+    val baseDir: String) {
+
+  private val walDir = s"$baseDir/wal"
+  private val frontierPath = Paths.get(s"$baseDir/wal/_flushed_epoch")
+  // NOT underscore-prefixed: Spark's file listing treats _-prefixed
+  // paths as metadata and ignores them even when named explicitly
+  private val centroidsPath = s"$baseDir/centroids"
+
+  // monotonic epoch assignment for batches that don't bring their own —
+  // initialized past everything the store or WAL has seen, so restart
+  // never reuses an epoch (LWW requires uniqueness per id)
+  private val nextEpoch = new AtomicLong(0L)
+  private val nextBatch = new AtomicLong(0L)
+  @volatile private var flushedFrontier = Long.MinValue
+  @volatile private var servingCache: Option[AdaptiveServingIndex] = None
+  @volatile private var hnswCache: Option[HnswHotCache] = None
+
+  // ---- ingest (W5/W1/W2/W4) ----------------------------------------
+
+  /** Admit one upsert/delete batch (the RPC boundary): validate under
+    * the config's FULL limits, group-commit to the WAL, flush to a
+    * delta segment (within-batch LWW), advance the flushed frontier.
+    * Returns the epoch range `[first, last]` the batch landed under.
+    */
+  def upsert(batch: DataFrame): (Long, Long) = {
+    IngestGuard.validateBatch(batch, config.ingestLimits, vecCol = "vec",
+      tagsCol = if (batch.columns.contains("tags")) Some("tags") else None,
+      idCol = Some("id"))
+    val prepared = prepare(batch).cache()
+    try {
+      val epochs = prepared.agg(min("epoch"), max("epoch")).head()
+      val (lo, hi) = (epochs.getLong(0), epochs.getLong(1))
+      appendWal(prepared)
+      IngestPipeline.flushBatch(prepared, baseDir,
+        nextBatch.getAndIncrement(),
+        maxRowsPerSegment = config.segment.targetSizeVectors)
+      advanceFrontier(hi)
+      invalidateServing()
+      (lo, hi)
+    } finally prepared.unpersist()
+  }
+
+  /** Tombstone a set of ids (W5 DELETE): an upsert of null-vector rows. */
+  def delete(ids: DataFrame): (Long, Long) =
+    upsert(ids.select(col("id"),
+      lit(null).cast("array<double>").as("vec"),
+      lit(true).as("deleted")))
+
+  /** Normalize a user batch to the engine's mutation shape. Epochs, when
+    * absent, are assigned monotonically; the batch is RPC-bounded
+    * (≤ max_upsert_batch), so the single-partition row_number is
+    * driver-cheap and deterministic (ordered by id).
+    */
+  private def prepare(batch: DataFrame): DataFrame = {
+    val n = batch.count()
+    val withDeleted =
+      if (batch.columns.contains("deleted")) batch
+      else if (batch.columns.contains("op"))
+        batch.withColumn("deleted", col("op") === "DELETE")
+      else batch.withColumn("deleted", lit(false))
+    val withEpoch =
+      if (withDeleted.columns.contains("epoch")) withDeleted
+      else {
+        val base = nextEpoch.getAndAdd(n)
+        withDeleted.coalesce(1).withColumn("epoch",
+          lit(base) + row_number().over(Window.orderBy("id")) - 1)
+      }
+    val hashed = withEpoch
+      .withColumn("id_hash", VectorFunctions.hashId(col("id")))
+      .withColumn("vec_id", col("id_hash"))
+    val cents = centroidsFor(hashed)
+    Ivf.assign(hashed, cents, vecCol = "vec")
+      .withColumn("centroid_id", coalesce(col("centroid_id"), lit(-1L)))
+  }
+
+  /** Centroids for assignment: loaded from the store tree, trained on
+    * the first vector-carrying batch when absent (nlist clamped to the
+    * data), persisted so every later batch and every reopen assigns
+    * against the SAME layout (B1 — retraining is [[rebuild]]'s job).
+    */
+  private def centroidsFor(batch: DataFrame): DataFrame = {
+    if (Files.exists(Paths.get(centroidsPath)))
+      return spark.read.parquet(centroidsPath)
+    val vecs = batch.filter(col("vec").isNotNull)
+      .select(col("vec").as("embedding"))
+    val nVec = vecs.count()
+    require(nVec > 0,
+      "first batch carries no vectors — cannot train the centroid layout")
+    val nlist = math.max(1, math.min(config.delta.nlist,
+      (nVec / 4).toInt))
+    val model = Ivf.trainKMeans(vecs, nlist)
+    val cents = Ivf.kmeansCentroids(spark, model)
+    cents.write.mode("overwrite").parquet(centroidsPath)
+    spark.read.parquet(centroidsPath)
+  }
+
+  private def centroids(): DataFrame = {
+    require(Files.exists(Paths.get(centroidsPath)),
+      s"no centroid layout at $centroidsPath — ingest first")
+    spark.read.parquet(centroidsPath)
+  }
+
+  /** Group-commit the prepared batch to the WAL (W1/W2): driver-side
+    * FlatBuffers encode of an RPC-bounded batch, one framed append
+    * under the config's codec/rotation, the max_files backstop armed
+    * with the REAL flushed frontier (so stalls reclaim-or-reject
+    * instead of deadlocking — config.h:50).
+    */
+  private def appendWal(prepared: DataFrame): Unit = {
+    val rows = prepared.select(col("id"), col("id_hash"), col("epoch"),
+        col("deleted"), col("centroid_id"),
+        col("vec").cast("array<double>"))
+      .collect()
+    val recs = rows.map { r =>
+      val deleted = r.getBoolean(3)
+      val vecF: Array[Float] =
+        if (r.isNullAt(5)) Array.emptyFloatArray
+        else r.getSeq[Double](5).iterator.map(_.toFloat).toArray
+      val rec = WalRecord(
+        op = if (deleted) 1.toByte else 0.toByte,
+        id = r.getString(0), idHash = r.getLong(1), tenantNsHash = 0L,
+        timestampNanos = r.getLong(2), dim = vecF.length, vector = vecF,
+        tags = Array.emptyIntArray, flags = 0, epoch = r.getLong(2),
+        centroidId =
+          if (deleted || r.isNullAt(4)) 0 else r.getLong(4).toInt,
+        tenant = "t0", namespace = "default")
+      (rec.epoch, WalRecordFb.encode(rec))
+    }
+    Wal.appendBinaryRotating(walDir, recs.toSeq,
+      rotateBytes = config.wal.rotateBytes, codec = config.walCodec,
+      maxFiles = config.wal.maxFiles, flushedEpoch = flushedFrontier)
+  }
+
+  private def advanceFrontier(epoch: Long): Unit = {
+    flushedFrontier = math.max(flushedFrontier, epoch)
+    Files.createDirectories(frontierPath.getParent)
+    Files.write(frontierPath,
+      flushedFrontier.toString.getBytes(StandardCharsets.UTF_8))
+    Wal.reclaim(walDir, flushedFrontier)
+  }
+
+  // ---- serving (Q6/Q13/Q14/T5) -------------------------------------
+
+  /** The serving stack, rebuilt lazily after any write: stored-layout
+    * build (latest-live masking — read-your-writes over everything
+    * flushed) wrapped in the adaptive nprobe controller; plus the HNSW
+    * hot cache when the config enables it.
+    */
+  private def serving(): AdaptiveServingIndex = {
+    servingCache.getOrElse {
+      val idx = ServingIndex.buildStored(spark, baseDir, centroids(),
+        config.collection.metric, limits = config.servingLimits)
+      val adaptive = new AdaptiveServingIndex(idx,
+        lo = config.tuning.nprobeDeltaMin,
+        hi = config.tuning.nprobeDeltaMax,
+        target = config.tuning.recallTarget)
+      servingCache = Some(adaptive)
+      if (config.hnswCache.enabled && hnswCache.isEmpty)
+        hnswCache = Some(new HnswHotCache(idx,
+          maxElements = config.hnswCache.maxElements,
+          m = config.hnswCache.m,
+          efConstruction = config.hnswCache.efConstruction,
+          ef = config.hnswCache.ef,
+          // the facade stands up ONE driver-resident tier → it gets
+          // the config's whole memory_cache_mb budget
+          maxBytes = config.global.memoryCacheBytes))
+      adaptive
+    }
+  }
+
+  private def invalidateServing(): Unit = {
+    servingCache = None
+    hnswCache = None
+  }
+
+  /** KNN over everything flushed (the tiered read-your-writes view),
+    * at the controller's current nprobe; served from the HNSW hot
+    * cache when enabled and warm (Q14 fall-through semantics).
+    */
+  def search(q: Array[Float], k: Int): Array[(Long, Double)] = {
+    val adaptive = serving()
+    hnswCache match {
+      case Some(cache) => cache.search(q, k, adaptive.currentNprobe)
+      case None        => adaptive.search(q, k)
+    }
+  }
+
+  /** Current runtime nprobe (the controller's live decision, Q13). */
+  def currentNprobe: Int = serving().currentNprobe
+
+  /** T5: the live resolved view (latest version per id, tombstones
+    * masked) as a DataFrame for batch analytics.
+    */
+  def liveView: DataFrame =
+    graft.operators.Lww.latestBy(Segments.readSegments(spark, baseDir),
+      "id_hash", "epoch").filter(!col("deleted"))
+
+  // ---- maintenance (W11/W12/B1/A1) ---------------------------------
+
+  /** Compact all delta segments into one stable segment (lease-guarded,
+    * atomic publish). Returns the new descriptor, None when idle.
+    */
+  def compact(): Option[Segments.SegmentDescriptor] = {
+    val r = Segments.compact(spark, baseDir,
+      f"stable-${nextBatch.getAndIncrement()}%05d")
+    if (r.nonEmpty) invalidateServing()
+    r
+  }
+
+  /** B1 periodic rebuild: retrain centroids on the current live corpus
+    * and re-layout the store under them (the reference's 24 h job).
+    */
+  def rebuild(): Option[Segments.SegmentDescriptor] = {
+    val live = liveView.filter(col("vec").isNotNull)
+      .select(col("vec").as("embedding"))
+    val n = live.count()
+    if (n == 0) return None
+    val nlist = math.max(1, math.min(config.delta.nlist, (n / 4).toInt))
+    val model = Ivf.trainKMeans(live, nlist)
+    val cents = Ivf.kmeansCentroids(spark, model)
+    cents.write.mode("overwrite").parquet(centroidsPath)
+    val r = Segments.rebuildLayout(spark, baseDir,
+      df => Ivf.assign(df, centroids(), vecCol = "vec")
+        .withColumn("centroid_id",
+          coalesce(col("centroid_id"), lit(-1L))),
+      f"rebuild-${nextBatch.getAndIncrement()}%05d")
+    if (r.nonEmpty) invalidateServing()
+    r
+  }
+
+  /** Fold the catalog manifest history (A1 checkpoint, lease-guarded). */
+  def checkpoint(): Unit = Segments.checkpointCatalog(spark, baseDir)
+
+  /** Release driver/executor-resident serving state. The store tree on
+    * disk IS the database — reopen with [[Graft.open]].
+    */
+  def close(): Unit = {
+    servingCache.foreach(_ => ())
+    invalidateServing()
+  }
+
+  // ---- recovery (T8/W3) --------------------------------------------
+
+  private[graft] def recoverOnOpen(): Unit = {
+    // frontier: everything at or below it is already in segments
+    flushedFrontier =
+      if (Files.exists(frontierPath))
+        new String(Files.readAllBytes(frontierPath),
+          StandardCharsets.UTF_8).trim.toLong
+      else Long.MinValue
+    val tail = Wal.replayBinaryRotated(walDir)
+      .filter(_._1 > flushedFrontier)
+    if (tail.nonEmpty) {
+      import spark.implicits._
+      val rows = tail.map { case (_, payload) =>
+        val r = WalRecordFb.decode(payload)
+        (r.id, r.idHash, r.idHash, r.epoch, r.op == 1.toByte,
+          if (r.op == 1.toByte) -1L else r.centroidId.toLong,
+          if (r.vector.isEmpty) null
+          else r.vector.map(_.toDouble).toSeq)
+      }.toDF("id", "id_hash", "vec_id", "epoch", "deleted",
+        "centroid_id", "vec")
+      val maxEpoch = tail.map(_._1).max
+      // deterministic recovery segment id → a crash DURING recovery
+      // replays into the same segment idempotently
+      Segments.writeSegment(
+        graft.operators.Lww.latestBy(rows, "id_hash", "epoch"),
+        baseDir, s"recover-$maxEpoch", isStable = false)
+      advanceFrontier(maxEpoch)
+    }
+    // epoch/batch counters resume past everything ever seen
+    val descs = Segments.allDescriptors(spark, baseDir)
+    val maxSeen = (flushedFrontier +: descs.map(_.max_epoch)).max
+    nextEpoch.set(math.max(0L, maxSeen + 1))
+    nextBatch.set(descs.length.toLong)
+  }
+}
+
+object Graft {
+
+  /** Open (or create) a store at `baseDir` under `cfg`: recover any
+    * un-flushed WAL tail, then return the wired handle. The config is
+    * validated on load; a fresh directory becomes a new collection.
+    */
+  def open(spark: SparkSession, baseDir: String,
+      cfg: GraftConfig = GraftConfig.default): Graft = {
+    val g = new Graft(spark, cfg, baseDir)
+    g.recoverOnOpen()
+    g
+  }
+
+  /** [[open]] from a YAML config path (the reference's own format). */
+  def open(spark: SparkSession, baseDir: String,
+      cfgPath: String): Graft =
+    open(spark, baseDir, GraftConfig.load(cfgPath))
+}

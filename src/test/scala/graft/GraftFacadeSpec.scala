@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.segments.Segments
+import graft.streaming.{Wal, WalRecord, WalRecordFb}
+
+/** The facade lifecycle the reference's server runs, from the shipped
+  * default config file ALONE: open → upsert → search → LWW re-upsert →
+  * delete → compact → reopen → WAL-tail crash recovery. Everything
+  * below `Graft.open(configs/graft-default.yaml)` comes from the file
+  * (dim 768, metric ip, nprobe bands, WAL codec/rotation, limits).
+  */
+class GraftFacadeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp() =
+    java.nio.file.Files.createTempDirectory("graft-facade-").toString
+
+  private val cfgPath = "configs/graft-default.yaml"
+  private val dim = 768
+  private val n = 200
+
+  /** Near-orthogonal vectors: v_i carries 1.0 at slot (i*3)%dim plus a
+    * tiny deterministic ripple — self-dot dominates every cross-dot,
+    * so exact top-1 is unambiguous and survives IVF probing.
+    */
+  private def vec(i: Int): Array[Double] =
+    Array.tabulate(dim)(d =>
+      (if (d == (i * 3) % dim) 1.0 else 0.0) + 0.001 * math.cos(i + d))
+
+  private def batchDF(ids: Seq[Int]) =
+    ids.map(i => (s"id-$i", vec(i).toSeq)).toDF("id", "vec")
+
+  test("open from the default config file: upsert → search → LWW → delete → compact → reopen") {
+    val base = tmp()
+    val g = Graft.open(spark, base, cfgPath)
+    assert(g.config.collection.dim === dim)
+
+    val (lo, hi) = g.upsert(batchDF(0 until n))
+    assert(hi - lo === (n - 1).toLong)
+    assert(g.liveView.count() === n)
+
+    // self-query: near-orthogonal fixture → exact top-1 is the row
+    // itself, and it must survive the probed path
+    val q7 = vec(7).map(_.toFloat)
+    val hit = g.search(q7, 5)
+    assert(hit.nonEmpty)
+    val id7hash = Seq("id-7").toDF("id")
+      .select(graft.functions.VectorFunctions.hashId(col("id")))
+      .head().getLong(0)
+    assert(hit.head._1 === id7hash, hit.take(3).mkString(","))
+    assert(g.currentNprobe >= g.config.tuning.nprobeDeltaMin)
+
+    // LWW re-upsert: id-7 moves to a new direction; the old version
+    // must be masked everywhere
+    val moved = Seq(("id-7", vec(777).toSeq)).toDF("id", "vec")
+    g.upsert(moved)
+    assert(g.liveView.count() === n) // still one live row per id
+    val hitMoved = g.search(vec(777).map(_.toFloat), 3)
+    assert(hitMoved.head._1 === id7hash)
+
+    // delete: id-3 disappears from the live view and from search
+    val id3hash = Seq("id-3").toDF("id")
+      .select(graft.functions.VectorFunctions.hashId(col("id")))
+      .head().getLong(0)
+    g.delete(Seq("id-3").toDF("id"))
+    assert(g.liveView.count() === n - 1)
+    assert(!g.search(vec(3).map(_.toFloat), 10).exists(_._1 === id3hash))
+
+    // compact: deltas fold into one stable segment, results unchanged
+    assert(g.compact().nonEmpty)
+    val cat = Segments.catalogDescriptors(spark, base)
+    assert(cat.count(_.is_stable) === 1 && cat.forall(_.is_stable))
+    assert(g.liveView.count() === n - 1)
+    // id-7 lives at direction 777 since the re-upsert — the compacted
+    // world must serve the LWW winner, not the purged original
+    val q777 = vec(777).map(_.toFloat)
+    assert(g.search(q777, 3).head._1 === id7hash)
+    g.checkpoint()
+
+    // reopen: the store tree on disk is the database (centroids,
+    // catalog, frontier all persist)
+    g.close()
+    val g2 = Graft.open(spark, base, cfgPath)
+    assert(g2.liveView.count() === n - 1)
+    assert(g2.search(q777, 3).head._1 === id7hash)
+    g2.close()
+    Segments.deleteDir(base)
+  }
+
+  test("RPC boundary enforces the config's full limits; micro-batch path does not wedge") {
+    val base = tmp()
+    val cfg = GraftConfig.load(cfgPath)
+    val small = cfg.copy(limits = cfg.limits.copy(maxUpsertBatch = 50))
+    val g = Graft.open(spark, base, small)
+    intercept[graft.ingest.UpsertBatchTooLarge] {
+      g.upsert(batchDF(0 until 51))
+    }
+    // a wrong-dim batch rejects whole (mis-deployment surfaces at write)
+    intercept[graft.ingest.DimMismatch] {
+      g.upsert(Seq(("bad", Seq(1.0, 2.0))).toDF("id", "vec"))
+    }
+    // nothing landed
+    assert(Segments.catalogDescriptors(spark, base).isEmpty)
+    g.close()
+    Segments.deleteDir(base)
+  }
+
+  test("open replays the un-flushed WAL tail into a recovery segment (T8)") {
+    val base = tmp()
+    val g = Graft.open(spark, base, cfgPath)
+    g.upsert(batchDF(0 until 50))
+    g.close()
+
+    // an acknowledged-but-unflushed batch: frames land in the WAL with
+    // epochs past the persisted frontier, no segment (the crash window
+    // between group commit and flush)
+    val ghostHash = Seq("ghost-1").toDF("id")
+      .select(graft.functions.VectorFunctions.hashId(col("id")))
+      .head().getLong(0)
+    val ghost = WalRecord(op = 0.toByte, id = "ghost-1",
+      idHash = ghostHash, tenantNsHash = 0L,
+      timestampNanos = 999999L, dim = dim,
+      vector = vec(99).map(_.toFloat), tags = Array.emptyIntArray,
+      flags = 0, epoch = 999999L, centroidId = 0,
+      tenant = "t0", namespace = "default")
+    Wal.appendBinaryRotating(s"$base/wal",
+      Seq((ghost.epoch, WalRecordFb.encode(ghost))))
+
+    val g2 = Graft.open(spark, base, cfgPath)
+    assert(g2.liveView.count() === 51)
+    assert(g2.liveView.filter(col("id_hash") === ghostHash).count() === 1)
+    // the recovery segment is in the catalog, and a SECOND reopen does
+    // not duplicate it (frontier advanced; replay is idempotent)
+    assert(Segments.catalogDescriptors(spark, base)
+      .exists(_.segment_id.startsWith("recover-")))
+    g2.close()
+    val g3 = Graft.open(spark, base, cfgPath)
+    assert(g3.liveView.count() === 51)
+    g3.close()
+    Segments.deleteDir(base)
+  }
+}
