@@ -1299,6 +1299,45 @@ object Bench {
         } catch { case ex: Throwable =>
           System.err.println(s"[bench] cosine serving FAILED: ${ex.getMessage}")
         }
+        // Q14 ef auto-tune: the nprobe-tuner discipline applied to the
+        // HNSW hot cache's quality knob (the reference tunes nprobe
+        // within bands for recall_target, config.h:138-147; the cache
+        // previously served at a FIXED ef=50 with recall asserted only
+        // in unit tests). Cache over a 100k hot subset of the serving
+        // corpus, sweep ef against the config's recall target, report
+        // the tuned ef + achieved recall + calibrated-serve latency.
+        try {
+          val hotRows = e.select(col("vec_id"), col("embedding"))
+            .limit(100000).collect()
+            .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+          val cache = new graft.index.HnswHotCache(idx,
+            maxElements = hotRows.length)
+          val tB0 = System.nanoTime()
+          hotRows.foreach { case (id, v) => cache.offer(id, v) }
+          cache.refresh()
+          extras("hnsw_cache_elements") = cache.cacheSize.toString
+          extras("hnsw_cache_build_sec") =
+            num((System.nanoTime() - tB0) / 1e9, 3)
+          val tT0 = System.nanoTime()
+          val (efTuned, recallHnsw) = cache.tuneEf(
+            qRows.take(50).toSeq, k = 10,
+            target = cfg.tuning.recallTarget)
+          extras("hnsw_tune_sec") = num((System.nanoTime() - tT0) / 1e9, 3)
+          extras("hnsw_ef_tuned") = efTuned.toString
+          extras("recall_hnsw") = num(recallHnsw, 4)
+          // driver-tier serve latency at the tuned ef (cache hit path)
+          val lat = (0 until 3).flatMap { _ =>
+            qRows.map { qv =>
+              val t0 = System.nanoTime()
+              cache.search(qv, 10, nprobeServ)
+              (System.nanoTime() - t0) / 1e6
+            }
+          }.sorted
+          extras("hnsw_query_p50_ms") = num(pctl(lat, 50), 2)
+          extras("hnsw_query_p99_ms") = num(pctl(lat, 99), 2)
+        } catch { case ex: Throwable =>
+          System.err.println(s"[bench] hnsw ef tune FAILED: ${ex.getMessage}")
+        }
         // 10M scale probe (the 100x question in miniature): same layout
         // family (nlist held at ~2000 -> ~5000-row lists), same nprobe, so
         // a request touches the same 0.4% probed FRACTION of a 10x corpus.

@@ -223,6 +223,54 @@ final class Hnsw(val metric: String, val m: Int = 16,
       .map { case (s, n) => (ids(n), s) }
       .toArray
   }
+
+  /** Exact top-k over the graph's own vectors (linear scan, same
+    * [[dist]] arithmetic) — the calibration ground truth for
+    * [[Hnsw.tuneEf]]. O(size·dim) per call: calibration-only, never a
+    * serving path.
+    */
+  def exactTopK(q: Array[Float], k: Int): Array[(Long, Double)] = {
+    val scored = new Array[(Double, Int)](vecs.length)
+    var i = 0
+    while (i < vecs.length) { scored(i) = (dist(q, vecs(i)), i); i += 1 }
+    // metric direction + id tie-break exactly as [[better]]
+    scored.sortBy { case (s, n) => (if (asc) s else -s, ids(n)) }
+      .take(k).map { case (s, n) => (ids(n), s) }
+  }
+}
+
+object Hnsw {
+
+  /** Q13-for-ef: the nprobe tuner's discipline applied to the HNSW beam
+    * width (the reference tunes nprobe within bands for its recall
+    * target, config.h:138-147; the cache's quality knob is `ef`).
+    * Doubling sweep from max(k, efLo) to efHi: for each candidate,
+    * mean recall@k of the beam search against [[Hnsw.exactTopK]] over
+    * the query sample; picks the SMALLEST ef meeting `target` (falls
+    * back to efHi with its achieved recall when none does — disclosed,
+    * never silently under target). Unlike nprobe, a narrower beam is
+    * not a prefix of a wider one, so each candidate reruns the search —
+    * calibration cost, paid offline on a sample.
+    */
+  def tuneEf(graph: Hnsw, queries: Seq[Array[Float]], k: Int,
+      target: Double, efLo: Int = 16,
+      efHi: Int = 1024): (Int, Double) = {
+    require(queries.nonEmpty, "ef sweep needs a query sample")
+    val truth = queries.map(q =>
+      graph.exactTopK(q, k).map(_._1).toSet)
+    def recallAt(ef: Int): Double =
+      queries.zip(truth).map { case (q, t) =>
+        if (t.isEmpty) 1.0
+        else graph.search(q, k, ef).count(r => t(r._1)).toDouble / t.size
+      }.sum / queries.size
+    var ef = math.max(k, efLo)
+    var r = recallAt(ef)
+    while (r < target && ef < efHi) {
+      ef = math.min(efHi, ef * 2)
+      r = recallAt(ef)
+    }
+    (ef, r)
+  }
 }
 
 /** The hot-vector cache in front of [[ServingIndex]] (reference
@@ -257,6 +305,25 @@ final class HnswHotCache(idx: ServingIndex, maxElements: Int = 1000000,
   private var graph = new Hnsw(idx.metric, m, efConstruction)
   private var vecsById = mutable.LongMap.empty[Array[Float]]
   private var bytes = 0L
+  private var efCur = ef
+
+  /** The beam width requests currently use (constructor default until
+    * [[tuneEf]] runs).
+    */
+  def currentEf: Int = efCur
+
+  /** Calibrate the beam width against the config's recall target on a
+    * query sample ([[Hnsw.tuneEf]] — the nprobe-tuner discipline for
+    * the cache's quality knob). Sets [[currentEf]]; returns
+    * (ef, achieved recall) — recall is vs the GRAPH's own corpus
+    * (what subset is cached is admission policy, measured separately).
+    */
+  def tuneEf(queries: Seq[Array[Float]], k: Int,
+      target: Double = 0.95): (Int, Double) = {
+    val (e, r) = Hnsw.tuneEf(graph, queries, k, target)
+    efCur = e
+    (e, r)
+  }
 
   def cacheSize: Int = graph.size
 
@@ -305,7 +372,7 @@ final class HnswHotCache(idx: ServingIndex, maxElements: Int = 1000000,
     */
   def search(q: Array[Float], k: Int, nprobe: Int): Array[(Long, Double)] = {
     val res =
-      if (graph.size >= k * 4) graph.search(q, k, ef)
+      if (graph.size >= k * 4) graph.search(q, k, efCur)
       else idx.search(q, k, nprobe)
     observe(res.map(_._1))
     res

@@ -36,6 +36,44 @@ class HnswSpec extends SparkSpec {
     }
   }
 
+  test("ef auto-tune: smallest band ef meeting the recall target; exactTopK agrees with brute force") {
+    val g = new Hnsw("ip", m = 16, efConstruction = 200)
+    rows.foreach { case (id, v) => g.insert(id, v) }
+    val queries = rows.filter(_._1 % 25 == 0).map(_._2).toSeq
+    // exactTopK IS brute force (same arithmetic, same tie-break)
+    queries.take(5).foreach { qv =>
+      assert(g.exactTopK(qv, 10).map(_._1).toSeq ===
+        brute(qv, 10, "ip").map(_._1))
+    }
+    val target = 0.95
+    val (ef, recall) = Hnsw.tuneEf(g, queries, k = 10, target = target)
+    assert(recall >= target, s"ef=$ef recall=$recall")
+    // picked ef is the SMALLEST on the doubling ladder meeting target:
+    // the next rung down (if any) must miss it
+    if (ef > 16) {
+      val below = queries.map { qv =>
+        val t = g.exactTopK(qv, 10).map(_._1).toSet
+        g.search(qv, 10, ef / 2).count(r => t(r._1)).toDouble / t.size
+      }.sum / queries.size
+      assert(below < target, s"ef/2=${ef / 2} already meets: $below")
+    }
+    // the cache serves at the tuned width
+    val cents = Ivf.deterministicCentroids(emb, 50)
+    val idx = ServingIndex.build(Ivf.assign(emb, cents), cents, "ip")
+    try {
+      val cache = new HnswHotCache(idx, maxElements = rows.length)
+      rows.foreach { case (id, v) => cache.offer(id, v) }
+      cache.refresh()
+      assert(cache.currentEf === 50) // constructor default until tuned
+      val (efC, recC) = cache.tuneEf(queries, k = 10, target = target)
+      assert(cache.currentEf === efC && recC >= target)
+      // served results at the tuned ef match the graph's own at that ef
+      val qv = queries.head
+      assert(cache.search(qv, 10, nprobe = 4).toSeq ===
+        g.search(qv, 10, efC).toSeq)
+    } finally idx.unpersist()
+  }
+
   test("construction and search are deterministic (hash levels, id tie-breaks)") {
     def build() = {
       val g = new Hnsw("ip")
