@@ -746,6 +746,84 @@ object Bench {
           catch { case _: Throwable => () }
       }
 
+    // Ingest→queryable FRESHNESS as an end-to-end latency distribution —
+    // the one reference latency-shaped target not otherwise measured as
+    // one (flush at 128 MiB or 100 ms, config.h:37-39; group commit
+    // 8 ms, yaml:46-48; flush_lag_ms above is a bulk-run aggregate, not
+    // a per-event distribution). A PACED streaming run: the ingest
+    // pipeline runs a 100 ms ProcessingTime trigger; a producer lands
+    // one small mutation wave at a time and clocks append-complete →
+    // wave's segment PUBLISHED in the catalog. Publish IS tiered-read
+    // visibility (liveView reads exactly the catalog's segments —
+    // validated with a real tiered read at the end); the poll is a
+    // driver-side catalog list at ~2 ms, so it adds no Spark jobs to
+    // the pipeline under measurement.
+    try {
+      val fDir = java.nio.file.Files.createTempDirectory("graft-fresh-")
+        .toString
+      val fSrc = s"$fDir/src"; val fTree = s"$fDir/tree"
+      val fCkpt = s"$fDir/ckpt"
+      import org.apache.spark.sql.streaming.Trigger
+      val fq = graft.streaming.IngestPipeline.start(spark, fSrc, fTree,
+        fCkpt, Trigger.ProcessingTime("100 milliseconds"))
+      try {
+        val waves = 25
+        val waveRows = 500
+        val lat = scala.collection.mutable.ArrayBuffer.empty[Double]
+        var w = 0
+        var timedOut = false
+        while (w < waves && !timedOut) {
+          val epoch0 = (w * waveRows + 1).toLong
+          val wave = spark.range(waveRows).select(
+            lit("UPSERT").as("op"),
+            (col("id") + epoch0).as("vec_id"),
+            concat(lit("f-"), (col("id") + epoch0).cast("string")).as("id"),
+            (col("id") + epoch0).as("id_hash"),
+            (col("id") + epoch0).as("epoch"),
+            lit(false).as("deleted"),
+            (col("id") % 4).as("centroid_id"),
+            array(lit(0.1), lit(0.2), lit(0.3), lit(0.4))
+              .cast("array<double>").as("vec"))
+          wave.coalesce(1).write.mode("append").parquet(fSrc)
+          val wantEpoch = epoch0 + waveRows - 1
+          val t0 = System.nanoTime() // append complete — clock starts
+          val deadline = t0 + 60L * 1000000000L
+          var visible = false
+          while (!visible && System.nanoTime() < deadline) {
+            val descs = graft.segments.Segments
+              .catalogDescriptors(spark, fTree)
+            visible = descs.nonEmpty && descs.map(_.max_epoch).max >= wantEpoch
+            if (!visible) Thread.sleep(2)
+          }
+          if (visible) lat += (System.nanoTime() - t0) / 1e6
+          else timedOut = true
+          w += 1
+        }
+        if (lat.nonEmpty && !timedOut) {
+          // one REAL tiered read proves publish == visibility
+          val live = graft.streaming.IngestPipeline
+            .liveView(spark, fTree).count()
+          val sorted = lat.sorted.toIndexedSeq
+          def p(q: Int) =
+            sorted(math.min(sorted.length - 1, sorted.length * q / 100))
+          extras("freshness_waves") = lat.length.toString
+          extras("freshness_wave_rows") = waveRows.toString
+          extras("freshness_trigger_ms") = "100"
+          extras("freshness_p50_ms") = num(p(50), 1)
+          extras("freshness_p99_ms") = num(p(99), 1)
+          extras("freshness_read_rows") =
+            (if (live == lat.length.toLong * waveRows) live else -1L).toString
+        } else extras("freshness_p99_ms") = "-1"
+      } finally {
+        fq.stop()
+        try graft.segments.Segments.deleteDir(fDir)
+        catch { case _: Throwable => () }
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] freshness probe FAILED: ${e.getMessage}")
+    }
+    calib("after_freshness")
+
     // Corpus-scale KNN (the sf tables are 2k vectors — fixed-overhead-
     // dominated): replicate embeddings to ~1M rows with jittered copies and
     // measure (a) exact-scan QPS for the 80-query batch, (b) map-side IVF
