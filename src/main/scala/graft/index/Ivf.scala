@@ -352,4 +352,202 @@ object Ivf {
       .map { case (v, i) => (i.toLong, v.toArray) }
       .toSeq.toDF("cid", "cv")
   }
+
+  // ---- two-level (hierarchical) coarse quantizer ---------------------
+  //
+  // At the reference's declared collection scale (100M × dim 768,
+  // config.h:19-21) a FLAT argmin over nlist=4096 centroids costs
+  // 4096·768 ≈ 3.1M madds per row — ~3·10^14 for the corpus, hours on
+  // one box and the dominant cost of any rebuild. The standard public
+  // remedy (hierarchical / IMI-style coarse quantization — Babenko &
+  // Lempitsky, "The Inverted Multi-Index", CVPR 2012; FAISS's
+  // hierarchical coarse quantizers) assigns in two hops: argmin over k1
+  // coarse cells, then argmin over that cell's k2 sub-centroids —
+  // (k1+k2)·dim per row, a 32× cut at 64×64=4096. ONLY assignment is
+  // hierarchical: the flat (cid, cv) view ranks all k1·k2 lists per
+  // query, so probing/serving see an ordinary flat-nlist IVF and every
+  // existing probe path works unchanged. Assignment is approximate
+  // (the true flat argmin may sit in a different coarse cell); that is
+  // the standard trade and it moves recall, not correctness — the
+  // probe ranks lists by the same flat centroids the rows were
+  // assigned under.
+
+  /** Two-level centroid set: `fine(c1)(c2)` is the codeword of flat
+    * list `c1·k2 + c2`. Fine cells short on training data are padded
+    * with the coarse centroid (duplicate codewords → empty lists,
+    * harmless).
+    */
+  final case class TwoLevelCentroids(k2: Int,
+      coarse: Array[Array[Double]],
+      fine: Array[Array[Array[Double]]]) {
+    def k1: Int = coarse.length
+    def nlist: Int = k1 * k2
+
+    /** The flat (cid, cv) relation every probe/serving path consumes. */
+    def flatCentroids(
+        spark: org.apache.spark.sql.SparkSession): DataFrame = {
+      import spark.implicits._
+      (for { c1 <- fine.indices; c2 <- fine(c1).indices }
+        yield ((c1.toLong * k2 + c2), fine(c1)(c2).toSeq))
+        .toDF("cid", "cv")
+    }
+  }
+
+  /** Train the two-level quantizer: MLlib KMeans for the k1 coarse
+    * cells, then a deterministic driver-side Lloyd's per cell for its
+    * k2 sub-centroids (cells are sample-sized — a Spark job per cell
+    * would be scheduler overhead, not compute). Sample-driven like
+    * every centroid train ([[trainKMeans]] at 100 TB runs on a
+    * driver-bounded sample; the quantizer is global and tiny).
+    */
+  def trainTwoLevel(sample: DataFrame, k1: Int, k2: Int,
+      seed: Long = 42L, vecCol: String = "embedding",
+      maxIter: Int = 10): TwoLevelCentroids = {
+    val coarseModel = trainKMeans(sample, k1, seed, vecCol, maxIter)
+    val coarse = coarseModel.clusterCenters.map(_.toArray)
+    val assigned = assignKMeans(sample, coarseModel, vecCol)
+      .select(col("centroid_id"), col(vecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    val byCell = assigned.groupBy(_._1)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val futs = (0 until k1).map { c1 =>
+      Future {
+        val rows = byCell.getOrElse(c1, Array.empty).map(_._2)
+        val centers = lloyd(rows, k2, maxIter)
+        // pad data-starved cells with the coarse centroid
+        val out = Array.tabulate(k2)(i =>
+          if (i < centers.length) centers(i) else coarse(c1).clone())
+        out
+      }
+    }
+    val fine = Await.result(Future.sequence(futs), Duration.Inf).toArray
+    TwoLevelCentroids(k2, coarse, fine)
+  }
+
+  /** Deterministic Lloyd's k-means (driver-side, evenly-spaced init,
+    * empty clusters keep their previous center). Returns ≤ k centers.
+    */
+  private[index] def lloyd(rows: Array[Array[Double]], k: Int,
+      maxIter: Int): Array[Array[Double]] = {
+    if (rows.isEmpty) return Array.empty
+    val kk = math.min(k, rows.length)
+    val dim = rows(0).length
+    val centers = Array.tabulate(kk)(i =>
+      rows((i.toLong * rows.length / kk).toInt).clone())
+    val assign = new Array[Int](rows.length)
+    var iter = 0
+    while (iter < maxIter) {
+      var r = 0
+      while (r < rows.length) {
+        val v = rows(r)
+        var best = 0; var bestD = Double.PositiveInfinity
+        var c = 0
+        while (c < kk) {
+          val cw = centers(c)
+          var d = 0.0; var i = 0
+          while (i < dim) {
+            val diff = v(i) - cw(i); d += diff * diff; i += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        assign(r) = best
+        r += 1
+      }
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val counts = new Array[Int](kk)
+      r = 0
+      while (r < rows.length) {
+        val s = sums(assign(r)); val v = rows(r)
+        var i = 0
+        while (i < dim) { s(i) += v(i); i += 1 }
+        counts(assign(r)) += 1
+        r += 1
+      }
+      var c = 0
+      while (c < kk) {
+        if (counts(c) > 0) {
+          val s = sums(c)
+          var i = 0
+          while (i < dim) { centers(c)(i) = s(i) / counts(c); i += 1 }
+        }
+        c += 1
+      }
+      iter += 1
+    }
+    centers
+  }
+
+  /** Corpus-scale two-hop assignment (mapPartitions kernel, the
+    * [[assignBulk]] discipline): per row an argmin over the k1 coarse
+    * centroids, then over the chosen cell's k2 sub-centroids; emits
+    * flat `centroid_id = c1·k2 + c2` (null vectors → null, as
+    * [[assign]]). (k1+k2)·dim madds per row instead of k1·k2·dim.
+    */
+  def assignTwoLevelBulk(data: DataFrame, tl: TwoLevelCentroids,
+      vecCol: String = "embedding"): DataFrame = {
+    val coarse = tl.coarse
+    val fine = tl.fine
+    val k2 = tl.k2
+    val cNorms = coarse.map(r => { var s = 0.0; var i = 0
+      while (i < r.length) { s += r(i) * r(i); i += 1 }; s })
+    val fNorms = fine.map(_.map(r => { var s = 0.0; var i = 0
+      while (i < r.length) { s += r(i) * r(i); i += 1 }; s }))
+    val outSchema = org.apache.spark.sql.types.StructType(
+      data.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "centroid_id", org.apache.spark.sql.types.LongType,
+        nullable = true))
+    val vecIdx = data.schema.fieldIndex(vecCol)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    data.mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
+      def toDoubles(v: Any): Array[Double] = v match {
+        case null => null
+        case a: scala.collection.mutable.ArraySeq.ofDouble => a.array
+        case a: scala.collection.mutable.ArraySeq.ofFloat =>
+          val f = a.array
+          val d = new Array[Double](f.length)
+          var i = 0
+          while (i < f.length) { d(i) = f(i).toDouble; i += 1 }
+          d
+        case s: scala.collection.Seq[_] =>
+          s.iterator.map {
+            case f: java.lang.Float => f.toDouble
+            case d: java.lang.Double => d.doubleValue()
+            case x => throw new IllegalArgumentException(
+              s"non-numeric vector element: $x")
+          }.toArray
+        case x => throw new IllegalArgumentException(
+          s"unsupported vector column value: ${x.getClass}")
+      }
+      def argmin(v: Array[Double], m: Array[Array[Double]],
+          norms: Array[Double]): Int = {
+        var best = 0; var bestD = Double.PositiveInfinity
+        var c = 0
+        while (c < m.length) {
+          val row = m(c)
+          var dot = 0.0; var i = 0
+          val n = v.length
+          while (i < n) { dot += v(i) * row(i); i += 1 }
+          val d = norms(c) - 2.0 * dot // + ||v||², constant per row
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        best
+      }
+      it.map { row =>
+        val v = toDoubles(row.get(vecIdx))
+        val cid: Any =
+          if (v == null) null
+          else {
+            val c1 = argmin(v, coarse, cNorms)
+            val c2 = argmin(v, fine(c1), fNorms(c1))
+            c1.toLong * k2 + c2
+          }
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ cid)
+      }
+    }(enc)
+  }
 }

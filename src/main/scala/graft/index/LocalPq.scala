@@ -35,7 +35,7 @@ final class LocalPqIndex private (
     cids: Array[Long],
     matrix: Array[Array[Double]],
     cb: Pq.Codebook,
-    lists: scala.collection.mutable.LongMap[(Array[Long], Array[Int])],
+    lists: scala.collection.mutable.LongMap[(Array[Long], Array[Byte])],
     listSizes: Map[Long, Long],
     val limits: ServingLimits,
     val cachedBytes: Long) {
@@ -107,13 +107,14 @@ final class LocalPqIndex private (
     probed.foreach { cid =>
       // empty lists pass coverage but have no cached rows to scan
       val (ids, codes) = lists.getOrElse(cid,
-        (Array.emptyLongArray, Array.emptyIntArray))
+        (Array.emptyLongArray, Array.emptyByteArray))
       var r = 0
       while (r < ids.length) {
         val off = r * m
         var s = 0.0
         var j = 0
-        while (j < m) { s += l(j)(codes(off + j)); j += 1 }
+        // codes are uint8 packed as JVM bytes — mask back to 0..255
+        while (j < m) { s += l(j)(codes(off + j) & 0xFF); j += 1 }
         topk.insert(s, ids(r))
         r += 1
       }
@@ -155,9 +156,12 @@ object LocalPqIndex {
 
   /** Build from coded assignments (cols: vec_id, centroid_id, codes
     * array<int>): whole lists admitted in cid order under `maxBytes`
-    * (8 B id + 4 B per code a row), fetched in ONE aggregation over the
-    * codes relation — the codes are the small side by construction
-    * (that is why this tier exists), so the collect is budget-bounded.
+    * (8 B id + 1 B per code a row — codes are uint8, k = 256, packed
+    * as true bytes exactly like the reference's code arrays, so the
+    * budget holds 4x what int-boxed codes would), fetched in ONE
+    * aggregation over the codes relation — the codes are the small
+    * side by construction (that is why this tier exists), so the
+    * collect is budget-bounded.
     */
   def build(assignedCodes: DataFrame, centroids: DataFrame,
       cb: Pq.Codebook,
@@ -168,7 +172,7 @@ object LocalPqIndex {
     val sizes = assignedCodes.groupBy(col("centroid_id"))
       .agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    val perRow = 8L + 4L * cb.m
+    val perRow = 8L + cb.m.toLong
     var bytes = 0L
     val admitted = scala.collection.mutable.LongMap.empty[Boolean]
     cids.sorted.foreach { cid =>
@@ -184,33 +188,33 @@ object LocalPqIndex {
     // cache budget in driver heap (boxed Rows); per-partition (cid,
     // ids[], codes[]) fragments arrive already at ~1x the packed size
     val m = cb.m
-    val fragments: Array[(Long, Array[Long], Array[Int])] = assignedCodes
+    val fragments: Array[(Long, Array[Long], Array[Byte])] = assignedCodes
       .filter(col("centroid_id").isin(adm.toSeq: _*))
       .select(col("centroid_id").cast("long"), col("vec_id").cast("long"),
         col("codes"))
       .rdd.mapPartitions { it =>
         val by = scala.collection.mutable.LongMap
           .empty[(scala.collection.mutable.ArrayBuffer[Long],
-            scala.collection.mutable.ArrayBuffer[Int])]
+            scala.collection.mutable.ArrayBuffer[Byte])]
         it.foreach { r =>
           val (ids, codes) = by.getOrElseUpdate(r.getLong(0),
             (scala.collection.mutable.ArrayBuffer.empty[Long],
-              scala.collection.mutable.ArrayBuffer.empty[Int]))
+              scala.collection.mutable.ArrayBuffer.empty[Byte]))
           ids += r.getLong(1)
           val cs = r.getSeq[Int](2)
           var j = 0
-          while (j < m) { codes += cs(j); j += 1 }
+          while (j < m) { codes += cs(j).toByte; j += 1 }
         }
         by.iterator.map { case (cid, (ids, codes)) =>
           (cid, ids.toArray, codes.toArray)
         }
       }.collect()
     val lists = scala.collection.mutable.LongMap
-      .empty[(Array[Long], Array[Int])]
+      .empty[(Array[Long], Array[Byte])]
     fragments.groupBy(_._1).foreach { case (cid, frags) =>
       val n = frags.map(_._2.length).sum
       val idArr = new Array[Long](n)
-      val codeArr = new Array[Int](n * m)
+      val codeArr = new Array[Byte](n * m)
       var o = 0
       frags.foreach { case (_, ids, codes) =>
         System.arraycopy(ids, 0, idArr, o, ids.length)
@@ -222,7 +226,7 @@ object LocalPqIndex {
       // reproducibility should not depend on fragment arrival order)
       val perm = idArr.indices.sortBy(idArr(_))
       val ids2 = new Array[Long](n)
-      val codes2 = new Array[Int](n * m)
+      val codes2 = new Array[Byte](n * m)
       var i = 0
       while (i < perm.length) {
         ids2(i) = idArr(perm(i))

@@ -31,6 +31,49 @@ class IvfPqSpec extends SparkSpec {
     }
   }
 
+  test("two-level quantizer: each hop is an exact argmin; probe-all search over its layout is exact") {
+    val tl = Ivf.trainTwoLevel(emb, k1 = 4, k2 = 4)
+    assert(tl.nlist === 16)
+    val flat = tl.flatCentroids(spark)
+    assert(flat.count() === 16)
+    val assigned = Ivf.assignTwoLevelBulk(emb, tl)
+    val got = assigned.select(col("vec_id"), col("centroid_id"))
+      .as[(Long, Long)].collect().toMap
+    // per-row both hops are exact argmins (driver recompute)
+    val vecs = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    def l2(a: Seq[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    vecs.take(100).foreach { case (id, v) =>
+      val c1 = tl.coarse.zipWithIndex
+        .minBy { case (c, i) => (l2(v, c), i) }._2
+      val c2 = tl.fine(c1).zipWithIndex
+        .minBy { case (c, i) => (l2(v, c), i) }._2
+      assert(got(id) === c1.toLong * 4 + c2, s"vec $id")
+    }
+    // cid domain
+    assert(got.values.forall(c => c >= 0 && c < 16))
+    // probe-ALL over the two-level layout is EXACT: assignment places
+    // rows, probing ranks all lists, so approximation in the hierarchy
+    // cannot lose a row when every list is probed
+    val qs = graft.operators.Knn.defaultQueries(emb).limit(5)
+    val viaLayout = Ivf.search(assigned, qs, flat, "ip", 10, nprobe = 16)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val exact = graft.operators.Knn.exactBatch(qs, emb, "ip", 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(viaLayout === exact)
+    // null vector → null cid (tombstone convention of assign/assignBulk)
+    val withNull = emb.limit(3)
+      .withColumn("embedding",
+        when(col("vec_id") % 3 === 0,
+          lit(null).cast("array<float>")).otherwise(col("embedding")))
+    val nulls = Ivf.assignTwoLevelBulk(withNull, tl)
+      .filter(col("embedding").isNull)
+    assert(nulls.count() > 0 &&
+      nulls.filter(col("centroid_id").isNotNull).count() === 0)
+  }
+
   test("assignBulk is bit-identical to the codegen assign (float and double, nulls)") {
     val cents = Ivf.deterministicCentroids(emb, 50)
     // float source with injected nulls, odd row counts vs the 256 chunk
