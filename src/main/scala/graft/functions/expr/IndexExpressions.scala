@@ -381,6 +381,54 @@ case class PqLut(child: Expression, codebooks: Array[Array[Array[Double]]],
   * weather). This loops over j instead: the generated body is ~60
   * lines at any m.
   */
+/** [[PqAdcSum]] over BYTE-PACKED codes (BinaryType, one uint8 per
+  * subspace — the reference's own code layout at k=256): same lookup-sum
+  * arithmetic, the code read masks the signed JVM byte back to 0..255.
+  * Byte codes quarter the decode/transfer cost of array<int> on every
+  * serving read — at 100M×m96 that is the difference between a 10 GB
+  * and a 40 GB working set.
+  */
+case class PqAdcSumBytes(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, ArrayType(ArrayType(DoubleType, _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"pq_adc_sum_bytes requires (binary, array<array<double>>), got ($l, $r)")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def nullSafeEval(codesAny: Any, lutAny: Any): Any = {
+    val codes = codesAny.asInstanceOf[Array[Byte]]
+    val lut = lutAny.asInstanceOf[ArrayData]
+    var s = 0.0
+    var j = 0
+    while (j < codes.length) {
+      s += lut.getArray(j).getDouble(codes(j) & 0xFF); j += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val acc = ctx.freshName("acc")
+    val j = ctx.freshName("j")
+    nullSafeCodeGen(ctx, ev, (codes, lut) => {
+      s"""
+         |double $acc = 0.0;
+         |for (int $j = 0; $j < $codes.length; $j++) {
+         |  $acc += $lut.getArray($j).getDouble((int)($codes[$j]) & 0xFF);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 case class PqEncode(child: Expression,
     codebooks: Array[Array[Array[Double]]], dsub: Int)
   extends UnaryExpression {
@@ -483,6 +531,114 @@ case class PqEncode(child: Expression,
     copy(child = c)
 }
 
+/** [[PqEncode]] emitting BYTE-PACKED codes (BinaryType): identical
+  * argmin loop and tie-breaks, each code stored as one uint8 (requires
+  * k ≤ 256 — the reference's 8-bit codes, config.h:87). The byte form
+  * is the serving-store layout; bit-agreement with [[PqEncode]] is
+  * spec-pinned (PqTrainSpec).
+  */
+case class PqEncodeBytes(child: Expression,
+    codebooks: Array[Array[Array[Double]]], dsub: Int)
+  extends UnaryExpression {
+
+  require(codebooks.forall(_.length <= 256),
+    "byte-packed PQ codes require k <= 256 codewords per subspace")
+
+  private lazy val norms: Array[Array[Double]] = codebooks.map(_.map { row =>
+    var s = 0.0; var i = 0
+    while (i < row.length) { s += row(i) * row(i); i += 1 }
+    s
+  })
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (NumericArrays.ok(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"pq_encode_bytes requires a numeric array, got ${child.dataType}")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val read = NumericArrays.reader(child.dataType)
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val m = codebooks.length
+    val out = new Array[Byte](m)
+    var j = 0
+    while (j < m) {
+      val book = codebooks(j)
+      val nrm = norms(j)
+      val base = j * dsub
+      var vv = 0.0
+      var t = 0
+      while (t < dsub) { val x = read(v, base + t); vv += x * x; t += 1 }
+      var best = -1
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < book.length) {
+        val cw = book(c)
+        var vc = 0.0
+        t = 0
+        while (t < dsub) { vc += read(v, base + t) * cw(t); t += 1 }
+        val d = vv - 2 * vc + nrm(c)
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(j) = best.toByte
+      j += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val books = ctx.addReferenceObj("books", codebooks, "double[][][]")
+    val nrms = ctx.addReferenceObj("nrms", norms, "double[][]")
+    val out = ctx.freshName("out")
+    val book = ctx.freshName("book")
+    val nrm = ctx.freshName("nrm")
+    val base = ctx.freshName("base")
+    val vv = ctx.freshName("vv")
+    val x = ctx.freshName("x")
+    val best = ctx.freshName("best")
+    val bestD = ctx.freshName("bestD")
+    val cw = ctx.freshName("cw")
+    val vc = ctx.freshName("vc")
+    val d = ctx.freshName("d")
+    val j = ctx.freshName("j")
+    val c = ctx.freshName("c")
+    val t = ctx.freshName("t")
+    nullSafeCodeGen(ctx, ev, v => {
+      val get = NumericArrays.getter(child.dataType, v, s"($base + $t)")
+      s"""
+         |byte[] $out = new byte[$books.length];
+         |for (int $j = 0; $j < $books.length; $j++) {
+         |  double[][] $book = $books[$j];
+         |  double[] $nrm = $nrms[$j];
+         |  int $base = $j * $dsub;
+         |  double $vv = 0.0;
+         |  for (int $t = 0; $t < $dsub; $t++) {
+         |    double $x = $get; $vv += $x * $x;
+         |  }
+         |  int $best = -1;
+         |  double $bestD = Double.POSITIVE_INFINITY;
+         |  for (int $c = 0; $c < $book.length; $c++) {
+         |    double[] $cw = $book[$c];
+         |    double $vc = 0.0;
+         |    for (int $t = 0; $t < $dsub; $t++) {
+         |      $vc += $get * $cw[$t];
+         |    }
+         |    double $d = $vv - 2 * $vc + $nrm[$c];
+         |    if ($d < $bestD) { $bestD = $d; $best = $c; }
+         |  }
+         |  $out[$j] = (byte) $best;
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object IndexExpressions {
   /** Map-side argmin over a small matrix (centroids / PQ sub-codebook):
     * index of the row minimizing expanded-form L2 to `vec`, ties → lowest
@@ -494,6 +650,11 @@ object IndexExpressions {
   /** ADC lookup-sum (S8): codes array<int> × per-query LUT array<array<double>>. */
   def pqAdcSum(codes: Column, lut: Column): Column =
     GraftBridge.column(PqAdcSum(
+      GraftBridge.expression(codes), GraftBridge.expression(lut)))
+
+  /** ADC lookup-sum over byte-packed codes (binary × LUT). */
+  def pqAdcSumBytes(codes: Column, lut: Column): Column =
+    GraftBridge.column(PqAdcSumBytes(
       GraftBridge.expression(codes), GraftBridge.expression(lut)))
 
   /** Dense matrix × vector (OPQ rotation): map-side, whole-stage codegen. */
@@ -512,4 +673,10 @@ object IndexExpressions {
   def pqEncode(vec: Column, codebooks: Array[Array[Array[Double]]],
       dsub: Int): Column =
     GraftBridge.column(PqEncode(GraftBridge.expression(vec), codebooks, dsub))
+
+  /** [[pqEncode]] emitting byte-packed codes (k ≤ 256). */
+  def pqEncodeBytes(vec: Column, codebooks: Array[Array[Array[Double]]],
+      dsub: Int): Column =
+    GraftBridge.column(
+      PqEncodeBytes(GraftBridge.expression(vec), codebooks, dsub))
 }

@@ -427,16 +427,45 @@ object Ivf {
     TwoLevelCentroids(k2, coarse, fine)
   }
 
-  /** Deterministic Lloyd's k-means (driver-side, evenly-spaced init,
-    * empty clusters keep their previous center). Returns ≤ k centers.
+  /** Deterministic Lloyd's k-means (driver-side; greedy farthest-point
+    * init, empty clusters keep their previous center). Farthest-point
+    * (k-center) seeding matters when the data is a mixture of many
+    * tight clusters: evenly-spaced-row init seeds several centers
+    * inside the same cluster and none in others, and Lloyd then
+    * collapses the unseeded mass onto a few mean-drifted centers —
+    * measured as a 2M-row layout with median list size 1. Farthest
+    * point provably seeds distinct clusters first. Returns ≤ k centers.
     */
   private[index] def lloyd(rows: Array[Array[Double]], k: Int,
       maxIter: Int): Array[Array[Double]] = {
     if (rows.isEmpty) return Array.empty
     val kk = math.min(k, rows.length)
     val dim = rows(0).length
-    val centers = Array.tabulate(kk)(i =>
-      rows((i.toLong * rows.length / kk).toInt).clone())
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val x = a(i) - b(i); s += x * x; i += 1 }
+      s
+    }
+    val centers = new Array[Array[Double]](kk)
+    centers(0) = rows(0).clone()
+    val minD = rows.map(d2(_, centers(0)))
+    var c0 = 1
+    while (c0 < kk) {
+      var far = 0; var farD = -1.0
+      var r = 0
+      while (r < rows.length) {
+        if (minD(r) > farD) { farD = minD(r); far = r }
+        r += 1
+      }
+      centers(c0) = rows(far).clone()
+      r = 0
+      while (r < rows.length) {
+        val d = d2(rows(r), centers(c0))
+        if (d < minD(r)) minD(r) = d
+        r += 1
+      }
+      c0 += 1
+    }
     val assign = new Array[Int](rows.length)
     var iter = 0
     while (iter < maxIter) {

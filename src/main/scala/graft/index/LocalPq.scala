@@ -168,8 +168,11 @@ object LocalPqIndex {
       maxBytes: Long = LocalServingIndex.defaultMaxBytes,
       limits: ServingLimits = ServingLimits.reference): LocalPqIndex = {
     val (cids, matrix) = Ivf.collectCentroids(centroids)
-    // list sizes first (driver-sized: nlist longs), then admission
-    val sizes = assignedCodes.groupBy(col("centroid_id"))
+    // list sizes first (driver-sized: nlist longs), then admission —
+    // centroid_id cast defensively: a hive-partitioned codes tree read
+    // with partition-value inference delivers it as INT
+    val sizes = assignedCodes
+      .groupBy(col("centroid_id").cast("long").as("centroid_id"))
       .agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     val perRow = 8L + cb.m.toLong
@@ -188,6 +191,13 @@ object LocalPqIndex {
     // cache budget in driver heap (boxed Rows); per-partition (cid,
     // ids[], codes[]) fragments arrive already at ~1x the packed size
     val m = cb.m
+    // codes arrive either BYTE-PACKED (BinaryType — the serving-store
+    // layout, one arraycopy per row) or as array<int> (the
+    // oracle-facing layout — per-element narrowing); both pack to the
+    // same byte lists
+    val binaryCodes =
+      assignedCodes.schema("codes").dataType ==
+        org.apache.spark.sql.types.BinaryType
     val fragments: Array[(Long, Array[Long], Array[Byte])] = assignedCodes
       .filter(col("centroid_id").isin(adm.toSeq: _*))
       .select(col("centroid_id").cast("long"), col("vec_id").cast("long"),
@@ -201,9 +211,12 @@ object LocalPqIndex {
             (scala.collection.mutable.ArrayBuffer.empty[Long],
               scala.collection.mutable.ArrayBuffer.empty[Byte]))
           ids += r.getLong(1)
-          val cs = r.getSeq[Int](2)
-          var j = 0
-          while (j < m) { codes += cs(j).toByte; j += 1 }
+          if (binaryCodes) codes ++= r.getAs[Array[Byte]](2)
+          else {
+            val cs = r.getSeq[Int](2)
+            var j = 0
+            while (j < m) { codes += cs(j).toByte; j += 1 }
+          }
         }
         by.iterator.map { case (cid, (ids, codes)) =>
           (cid, ids.toArray, codes.toArray)

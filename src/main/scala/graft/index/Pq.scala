@@ -76,6 +76,14 @@ object Pq {
     // Bit-identity with the per-subspace form is pinned in PqTrainSpec.
     IndexExpressions.pqEncode(col(vecCol), cb.codebooks, cb.dsub)
 
+  /** [[codesColumn]] in the BYTE-PACKED store layout (BinaryType, one
+    * uint8 per subspace — the reference's own 8-bit code arrays,
+    * config.h:87): same argmin, same tie-breaks, a quarter of the
+    * array<int> decode/transfer cost on every serving read.
+    */
+  def codesBinaryColumn(cb: Codebook, vecCol: String = "embedding"): Column =
+    IndexExpressions.pqEncodeBytes(col(vecCol), cb.codebooks, cb.dsub)
+
   /** Per-query ADC look-up table column: lut(j)(c) = dot(q_j, cw(j)(c)).
     * Materialized once per query row (m×k doubles), broadcast with the
     * query set. The codebook is a codegen reference object, NOT a literal:
@@ -94,10 +102,15 @@ object Pq {
       idCol: String = "vec_id"): DataFrame = {
     val withLut = queries.withColumn("__lut", lutColumn(cb))
       .select(col("query_id"), col("__lut"))
+    // byte-packed and array<int> code relations share one entry point —
+    // the lookup-sum kernel dispatches on the stored type
+    val sum = codes.schema("codes").dataType match {
+      case org.apache.spark.sql.types.BinaryType =>
+        IndexExpressions.pqAdcSumBytes(col("codes"), col("__lut"))
+      case _ => IndexExpressions.pqAdcSum(col("codes"), col("__lut"))
+    }
     codes.crossJoin(broadcast(withLut))
-      .select(col("query_id"), col(idCol),
-        IndexExpressions.pqAdcSum(col("codes"), col("__lut"))
-          .as("approx_score"))
+      .select(col("query_id"), col(idCol), sum.as("approx_score"))
   }
 
   /** Q8 two-phase: phase-1 ADC top-(rerank×k) candidates → exact re-score
@@ -152,6 +165,34 @@ object Pq {
         val model = new KMeans().setK(k).setSeed(seed + j)
           .setMaxIter(maxIter).setFeaturesCol("features").fit(sub)
         model.clusterCenters.map(_.toArray)
+      }
+    }
+    val books = Await.result(Future.sequence(futs), Duration.Inf).toArray
+    Codebook(m, dsub, Array.tabulate(k)(_.toLong), books)
+  }
+
+  /** [[trainCodebook]]'s driver-side twin for SAMPLE-sized training
+    * sets: one collect of the (bounded) sample, then m concurrent
+    * deterministic Lloyd fits ([[Ivf.lloyd]], farthest-point init) over
+    * the sliced subvectors. At 16k×m96 the MLlib form pays ~96 job
+    * DAGs of scheduler overhead for sub-second kernels (measured
+    * ~530 s); this runs the same arithmetic in-process in seconds.
+    * Short subspaces return < k codewords when the sample has < k
+    * distinct values — the codebook is simply smaller there.
+    */
+  def trainCodebookDriver(embeddings: DataFrame, m: Int, dsub: Int,
+      k: Int, vecCol: String = "embedding",
+      maxIter: Int = 10): Codebook = {
+    val rows = embeddings.select(col(vecCol).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(rows.nonEmpty, "empty codebook training sample")
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val futs = (0 until m).map { j =>
+      Future {
+        val subs = rows.map(_.slice(j * dsub, j * dsub + dsub))
+        Ivf.lloyd(subs, k, maxIter)
       }
     }
     val books = Await.result(Future.sequence(futs), Duration.Inf).toArray

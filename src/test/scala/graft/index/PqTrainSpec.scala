@@ -46,4 +46,58 @@ class PqTrainSpec extends SparkSpec {
       .as[(Seq[Int], Seq[Int])].collect()
     sample.foreach { case (a, b) => assert(a === b) }
   }
+
+  test("byte-packed codes: encode, ADC, and the local tier agree with the array<int> forms") {
+    import org.apache.spark.sql.functions._
+    val cb = Pq.trainCodebook(emb, 8, 8, k = 32, maxIter = 5)
+    // encode bit-agreement: bytes == ints, element for element
+    val mism = emb.select(Pq.codesColumn(cb).as("a"),
+        Pq.codesBinaryColumn(cb).as("b"))
+      .as[(Seq[Int], Array[Byte])].collect()
+      .count { case (a, b) =>
+        a.length != b.length ||
+          a.zip(b).exists { case (x, y) => x != (y & 0xFF) }
+      }
+    assert(mism === 0)
+    // ADC scores: one adcScores entry point, same numbers either layout
+    val qs = Knn.defaultQueries(emb).limit(5)
+    val intScores = Pq.adcScores(Pq.encode(emb, cb), cb, qs)
+      .select("query_id", "vec_id", "approx_score")
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    val binCodes = emb.select(col("vec_id"),
+      Pq.codesBinaryColumn(cb).as("codes"))
+    val binScores = Pq.adcScores(binCodes, cb, qs)
+      .select("query_id", "vec_id", "approx_score")
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(intScores === binScores)
+    // local tier packs both layouts to identical lists → identical ADC
+    val cents = Ivf.deterministicCentroids(emb, 50)
+    val assignedInt = Ivf.assign(emb, cents)
+      .select(col("vec_id"), col("centroid_id"),
+        Pq.codesColumn(cb).as("codes"))
+    val assignedBin = Ivf.assign(emb, cents)
+      .select(col("vec_id"), col("centroid_id"),
+        Pq.codesBinaryColumn(cb).as("codes"))
+    val li = LocalPqIndex.build(assignedInt, cents, cb)
+    val lb = LocalPqIndex.build(assignedBin, cents, cb)
+    val qv = qs.collect().head.getSeq[Float](1).toArray
+    assert(li.searchAdc(qv, 10, 4).toSeq === lb.searchAdc(qv, 10, 4).toSeq)
+    assert(li.cachedBytes === lb.cachedBytes)
+  }
+
+  test("trainCodebookDriver matches the MLlib form's quality on the fixture") {
+    val qs = Knn.defaultQueries(emb)
+    val exact = Knn.exactBatch(qs, emb, "ip", 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    def recall(cb: Pq.Codebook): Double = {
+      val approx = Pq.twoPhaseSearch(emb, Pq.encode(emb, cb), cb, qs, 10, 4)
+        .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+      (approx & exact).size.toDouble / exact.size
+    }
+    val mllib = recall(Pq.trainCodebook(emb, 8, 8, k = 32, maxIter = 5))
+    val driver = recall(Pq.trainCodebookDriver(emb, 8, 8, k = 32,
+      maxIter = 5))
+    // same arithmetic family, different init — both must clear the bar
+    assert(driver > 0.7, s"driver-trained recall $driver (mllib $mllib)")
+  }
 }
