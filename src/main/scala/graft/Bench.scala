@@ -176,6 +176,30 @@ object Bench {
       math.ceil(xs.length * p / 100.0).toInt - 1)))
 
 
+  /** The shared deterministic vector formula of the 100M fixture: one
+    * of 5000 latent group signals + per-id noise, every element an
+    * xxhash64 chain of (id | group, t). Pure function of id — the build
+    * kernel, the query generator, and the exact rerank all call THIS.
+    */
+  private[graft] def synthVec100m(id: Long, d: Int,
+      nGroups: Long = 5000L): Array[Float] = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    def pmodL(x: Long, m: Long): Long = ((x % m) + m) % m
+    val gid = pmodL(XXH64.hashLong(id, 42L), nGroups)
+    val hg = XXH64.hashLong(gid, 42L)
+    val hi = XXH64.hashLong(id, 42L)
+    val out = new Array[Float](d)
+    var t = 0
+    while (t < d) {
+      val a = pmodL(XXH64.hashInt(t, hg), 1000L)
+      val b = pmodL(XXH64.hashInt(t, hi), 1000L)
+      out(t) = ((a.toDouble / 500.0 - 1.0) * 0.8 +
+        (b.toDouble / 500.0 - 1.0) * 0.6).toFloat
+      t += 1
+    }
+    out
+  }
+
   /** The 100M-vector stable-tier section (build-once store + per-round
     * serving measurements) — callable standalone (Smoke100m) and from
     * [[main]].
@@ -220,17 +244,27 @@ object Bench {
       // ||c||² alone), which both collapses the list layout and makes
       // recall meaningless. Real embedding corpora are clustered — this
       // generator gives the IVF exactly the structure it is built for,
-      // while staying a pure function of vec_id (regenerable anywhere).
-      val nGroups = 5000L
+      // while staying a pure function of vec_id (regenerable anywhere:
+      // the SAME [[synthVec100m]] runs in the build kernel, the query
+      // generator, and the phase-2 rerank). Generation runs as a
+      // mapPartitions kernel, NOT an in-plan transform(...) HOF — HOF
+      // lambdas evaluate interpreted, measured ~1.4 ms/row at dim 768
+      // (the whole 2M build was generator-bound at ~50× the math cost).
+      val genSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType, containsNull = false),
+          nullable = false)))
       def gen(ids: org.apache.spark.sql.DataFrame) = {
-        val gid = pmod(xxhash64(col("id")), lit(nGroups))
-        ids.select(
-          col("id").as("vec_id"),
-          transform(sequence(lit(0), lit(d - 1)),
-            t => ((pmod(xxhash64(gid, t), lit(1000L)).cast("double")
-                / 500.0 - 1.0) * 0.8 +
-              (pmod(xxhash64(col("id"), t), lit(1000L)).cast("double")
-                / 500.0 - 1.0) * 0.6).cast("float")).as("embedding"))
+        val enc = org.apache.spark.sql.Encoders.row(genSchema)
+        ids.select(col("id")).mapPartitions { it =>
+          it.map { r =>
+            val id = r.getLong(0)
+            org.apache.spark.sql.Row(id, synthVec100m(id, d))
+          }
+        }(enc)
       }
       if (!java.nio.file.Files.exists(metaPath)) {
         System.err.println(s"[bench] building 100M store at $dir100 " +
@@ -336,23 +370,13 @@ object Bench {
         gen(selfIds.toSeq.toDF("id")).collect()
           .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       }
-      // driver-side regeneration of a row's vector (for exact rerank):
-      // the same xxhash64 chain the in-plan generator evaluates
-      def regen(id: Long): Array[Float] = {
-        import org.apache.spark.sql.catalyst.expressions.XXH64
-        def pmodL(x: Long, m: Long) = ((x % m) + m) % m
-        val gid = pmodL(XXH64.hashLong(id, 42L), nGroups)
-        Array.tabulate(d) { t =>
-          val hg = pmodL(XXH64.hashInt(t, XXH64.hashLong(gid, 42L)), 1000L)
-          val hi = pmodL(XXH64.hashInt(t, XXH64.hashLong(id, 42L)), 1000L)
-          ((hg.toDouble / 500.0 - 1.0) * 0.8 +
-            (hi.toDouble / 500.0 - 1.0) * 0.6).toFloat
-        }
-      }
-      // pin the regen against the plan before trusting phase 2 with it
+      // phase-2 regeneration IS the corpus formula (one function, no
+      // replication to drift); the roundtrip check guards the
+      // kernel→store serialization path
+      def regen(id: Long): Array[Float] = synthVec100m(id, d)
       qSelf.take(2).foreach { case (id, v) =>
         require(java.util.Arrays.equals(regen(id), v),
-          s"driver regen diverges from the plan generator at id=$id")
+          s"generator roundtrip diverges at id=$id")
       }
       def dotF(a: Array[Float], b: Array[Float]): Double = {
         var s = 0.0; var i = 0

@@ -114,6 +114,14 @@ object Ivf {
           var i = 0
           while (i < f.length) { d(i) = f(i).toDouble; i += 1 }
           d
+        // a fused upstream mapPartitions (no serialization boundary)
+        // hands the raw primitive array through unchanged
+        case a: Array[Double] => a
+        case a: Array[Float] =>
+          val d = new Array[Double](a.length)
+          var i = 0
+          while (i < a.length) { d(i) = a(i).toDouble; i += 1 }
+          d
         case s: scala.collection.Seq[_] =>
           s.iterator.map {
             case f: java.lang.Float => f.toDouble
@@ -540,6 +548,14 @@ object Ivf {
           val d = new Array[Double](f.length)
           var i = 0
           while (i < f.length) { d(i) = f(i).toDouble; i += 1 }
+          d
+        // a fused upstream mapPartitions (no serialization boundary)
+        // hands the raw primitive array through unchanged
+        case a: Array[Double] => a
+        case a: Array[Float] =>
+          val d = new Array[Double](a.length)
+          var i = 0
+          while (i < a.length) { d(i) = a(i).toDouble; i += 1 }
           d
         case s: scala.collection.Seq[_] =>
           s.iterator.map {
