@@ -202,6 +202,20 @@ object SparkEntry {
           filter = Knn.sampleFilter(25))
         .select("query_id", "vec_id", "score")
     }),
+    // B2 at corpus scale: the two-level (hierarchical) coarse quantizer
+    // (Ivf.trainTwoLevel/assignTwoLevelBulk — (k1+k2)·dim per row
+    // instead of k1·k2·dim; the 100M-build assignment path). Gated at
+    // PROBE-ALL width: probing every flat list makes the search exact
+    // regardless of which list each row was assigned to, so the
+    // hierarchical layout is value-pinned against the exact oracle —
+    // a mis-assignment that dropped or duplicated a row WOULD surface.
+    "knn_twolevel" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val tl = Ivf.trainTwoLevel(e, k1 = 4, k2 = 4)
+      Ivf.search(Ivf.assignTwoLevelBulk(e, tl), q(s, dir),
+          tl.flatCentroids(s), "ip", 10, nprobe = tl.nlist)
+        .select("query_id", "vec_id", "score")
+    }),
     // the composite QueryRequest shape (types.h:67-75): tags_any + tenant
     // equality + nprobe restriction in ONE request
     "knn_ivf_filtered" -> ((s, dir) => {
@@ -1053,6 +1067,13 @@ object SparkEntry {
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "nprobe_tune" -> nprobeTuneSql(Seq(1, 2, 4)),
     "knn_exact_ip" -> topkSql(
+      """SELECT q.query_id, emb.vec_id,
+        |    list_dot_product(q.qv, emb.e) AS score
+        |  FROM q CROSS JOIN emb""".stripMargin, 10, desc = true),
+    // two-level layout at probe-all width == the exact scan (the
+    // hierarchy moves rows between lists, never in or out of the probe
+    // union when every list is probed)
+    "knn_twolevel" -> topkSql(
       """SELECT q.query_id, emb.vec_id,
         |    list_dot_product(q.qv, emb.e) AS score
         |  FROM q CROSS JOIN emb""".stripMargin, 10, desc = true),
