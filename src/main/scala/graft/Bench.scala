@@ -462,6 +462,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the driver-resident serving tiers collect budget-bounded packed
+      // lists (up to ~10 GB of byte codes at the 100M geometry) — the
+      // 1 GiB default result cap is below the tier's own byte budget
+      .config("spark.driver.maxResultSize", "32g")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

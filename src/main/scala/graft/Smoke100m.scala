@@ -15,6 +15,10 @@ object Smoke100m {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
+      // the driver-resident serving tiers collect budget-bounded packed
+      // lists (up to ~10 GB of byte codes at the 100M geometry) — the
+      // 1 GiB default result cap is below the tier's own byte budget
+      .config("spark.driver.maxResultSize", "32g")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
