@@ -383,8 +383,15 @@ object Bench {
         while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
         s
       }
+      // request parallelism: the reference's worker_threads model
+      // (config.h:171) — at this geometry one request's ADC scans ~0.5M
+      // candidates × 96 lookups, compute-bound single-threaded (measured
+      // p50 166 ms serial); the pool turns it latency-bound again
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+      extras("ivf_100m_worker_threads") = "16"
       def twoPhase(q: Array[Float], k: Int): Array[(Long, Double)] = {
-        val cand = local.searchAdc(q, k * rerank100, nprobe100)
+        val cand = local.searchAdcParallel(q, k * rerank100, nprobe100,
+          pool)
         cand.map { case (id, _) => (id, dotF(q, regen(id))) }
           .sortBy { case (id, s) => (-s, id) }.take(k)
       }
@@ -397,9 +404,12 @@ object Bench {
         .LinkedHashMap.empty[Long, Double] // per-query min (steady)
       val fullRaw = scala.collection.mutable.ArrayBuffer.empty[Double]
       (0 until 3).foreach { _ =>
+        System.gc() // a 10 GB resident heap: collect between rounds, not
+                    // mid-loop (the r7 serial run's 2 s p99 was one major
+                    // GC landing inside the measurement window)
         qOut.foreach { case (qid, qv) =>
           val tA0 = System.nanoTime()
-          local.searchAdc(qv, 10, nprobe100)
+          local.searchAdcParallel(qv, 10, nprobe100, pool)
           adcLat += (System.nanoTime() - tA0) / 1e6
           val tF0 = System.nanoTime()
           twoPhase(qv, 10)
@@ -447,6 +457,7 @@ object Bench {
       }.sorted
       extras("ivf_100m_stored_p50_ms") = num(pctl(storedLat, 50), 1)
       extras("ivf_100m_stored_p99_ms") = num(pctl(storedLat, 99), 1)
+      pool.shutdown()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] 100M stable tier FAILED: ${e.getMessage}")
       extras("ivf_100m_query_p99_ms") = "-1"

@@ -122,6 +122,59 @@ final class LocalPqIndex private (
     topk.result()
   }
 
+  /** [[searchAdc]] with the scan fanned out over a worker pool — the
+    * reference's `worker_threads` request parallelism (config.h:171)
+    * applied to the one place a 100M-geometry request is compute-bound:
+    * the ADC scan of ~0.5M candidates × m lookups. Probed lists split
+    * into ~`chunkRows` work units; each unit ranks into its own
+    * bounded top-k and the unit winners merge under the shared
+    * (score desc, id asc) contract — top-k is scan-order-insensitive,
+    * so results are IDENTICAL to the serial scan (LocalPqSpec pins it).
+    * The LUT is built once per request and shared read-only.
+    */
+  def searchAdcParallel(q: Array[Float], k: Int, nprobe: Int,
+      pool: java.util.concurrent.ExecutorService,
+      chunkRows: Int = 65536): Array[(Long, Double)] =
+    adcTopNParallel(q, math.min(k, limits.maxK), nprobe, pool, chunkRows)
+
+  private def adcTopNParallel(q: Array[Float], n: Int, nprobe: Int,
+      pool: java.util.concurrent.ExecutorService,
+      chunkRows: Int): Array[(Long, Double)] = {
+    val probed = capProbes(probe(q, nprobe))
+    require(coversProbes(probed),
+      "probed list not cached — serve via the declarative stored " +
+        "IVF-PQ path (cache miss falls to the store)")
+    val l = lut(q)
+    val m = cb.m
+    val units = probed.flatMap { cid =>
+      val (ids, _) = lists.getOrElse(cid,
+        (Array.emptyLongArray, Array.emptyByteArray))
+      (0 until ids.length by chunkRows).map(s =>
+        (cid, s, math.min(ids.length, s + chunkRows)))
+    }
+    val futs = units.map { case (cid, from, until) =>
+      pool.submit(new java.util.concurrent.Callable[Array[(Long, Double)]] {
+        override def call(): Array[(Long, Double)] = {
+          val (ids, codes) = lists(cid)
+          val topk = new ServingIndex.BoundedTopK(n, asc = false)
+          var r = from
+          while (r < until) {
+            val off = r * m
+            var s = 0.0
+            var j = 0
+            while (j < m) { s += l(j)(codes(off + j) & 0xFF); j += 1 }
+            topk.insert(s, ids(r))
+            r += 1
+          }
+          topk.result()
+        }
+      })
+    }
+    val merged = new ServingIndex.BoundedTopK(n, asc = false)
+    futs.foreach(_.get().foreach { case (id, s) => merged.insert(s, id) })
+    merged.result()
+  }
+
   /** Two-phase: phase-1 top-(rerank·k) → exact dot re-score against the
     * raw tier → final top-k. Equals `Pq.twoPhaseSearch` on the same
     * rows (same candidate rule, same `dotD` re-score, same final rank).

@@ -38,6 +38,21 @@ class LocalPqSpec extends SparkSpec {
     }
   }
 
+  test("parallel ADC is identical to the serial scan (worker-pool fan-out changes nothing)") {
+    val pq = LocalPqIndex.build(codes, cents, cb)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      qRows.take(8).foreach { case (qid, qv) =>
+        // tiny chunkRows forces many work units per list — the merge
+        // path is exercised, not bypassed
+        val par = pq.searchAdcParallel(qv, 20, nprobe = 3, pool,
+          chunkRows = 7).toSeq
+        val ser = pq.searchAdc(qv, 20, nprobe = 3).toSeq
+        assert(par === ser, s"q=$qid")
+      }
+    } finally pool.shutdown()
+  }
+
   test("probed-subset ADC equals the declarative path restricted to the probed lists") {
     val pq = LocalPqIndex.build(codes, cents, cb)
     qRows.take(3).foreach { case (qid, qv) =>
