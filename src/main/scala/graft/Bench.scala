@@ -1056,6 +1056,9 @@ object Bench {
         .toString
       val fSrc = s"$fDir/src"; val fTree = s"$fDir/tree"
       val fCkpt = s"$fDir/ckpt"
+      // the file source resolves the path at stream START — it must
+      // exist before the first wave is written
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(fSrc))
       import org.apache.spark.sql.streaming.Trigger
       val fq = graft.streaming.IngestPipeline.start(spark, fSrc, fTree,
         fCkpt, Trigger.ProcessingTime("100 milliseconds"))
