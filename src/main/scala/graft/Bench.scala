@@ -444,8 +444,12 @@ object Bench {
         val qdf = Seq((0L, qv.toSeq)).toDF("query_id", "qv")
         val scored = graft.index.Pq.adcScores(
           codesDf.filter(col("centroid_id").isin(probed: _*)), cb, qdf)
-        graft.operators.TopK.viaAggregator(
-          scored, "query_id", "vec_id", "approx_score", 10).count()
+        // SINGLE-query miss path: orderBy+limit plans as ONE stage
+        // (TakeOrderedAndProject — per-partition heaps, driver merge);
+        // the grouped aggregator is the many-query shape and pays a
+        // second stage this point request doesn't need
+        scored.orderBy(col("approx_score").desc, col("vec_id").asc)
+          .limit(10).count()
       }
       storedAdc(qOut.head._2) // warm (plan + file index)
       val storedLat = (0 until 2).flatMap { _ =>
