@@ -252,6 +252,36 @@ final class Graft private (
   /** Current runtime nprobe (the controller's live decision, Q13). */
   def currentNprobe: Int = serving().currentNprobe
 
+  /** Q14 cache warmer (the maintenance-side admission pass a reference
+    * deployment runs): offer the live corpus to the HNSW hot cache up
+    * to its byte budget, refresh the graph, and CALIBRATE the beam
+    * width against the config's recall target ([[graft.index.Hnsw.tuneEf]]
+    * — the nprobe-tuner discipline on the cache's quality knob, using a
+    * sample of cached vectors as self-queries). Returns
+    * (tuned ef, achieved recall), or None when the config leaves the
+    * cache disabled. Until this runs, cache-enabled requests fall
+    * through to the probe path (cold-cache semantics).
+    */
+  def warmCache(tuneSample: Int = 32): Option[(Int, Double)] = {
+    serving() // stands up the cache when cfg.hnswCache.enabled
+    hnswCache.map { cache =>
+      val dim = config.collection.dim
+      // rows the budget can hold, priced like the cache's own ledger
+      val capRows = math.max(1L, config.global.memoryCacheBytes /
+        (4L * dim + 8L + 4L * (3L * config.hnswCache.m))).toInt
+      val rows = liveView.filter(col("vec").isNotNull)
+        .select(col("id_hash"), col("vec").cast("array<double>"))
+        .limit(math.min(capRows, config.hnswCache.maxElements))
+        .collect()
+        .map(r => (r.getLong(0),
+          r.getSeq[Double](1).iterator.map(_.toFloat).toArray))
+      rows.foreach { case (id, v) => cache.offer(id, v) }
+      cache.refresh()
+      cache.tuneEf(rows.take(tuneSample).map(_._2).toSeq, k = 10,
+        target = config.tuning.recallTarget)
+    }
+  }
+
   /** T5: the live resolved view (latest version per id, tombstones
     * masked) as a DataFrame for batch analytics.
     */

@@ -89,6 +89,27 @@ class GraftFacadeSpec extends SparkSpec {
     Segments.deleteDir(base)
   }
 
+  test("HNSW hot cache: warmCache admits, tunes ef to the config target, and serves") {
+    val base = tmp()
+    val cfg = GraftConfig.load(cfgPath)
+    val withCache = cfg.copy(hnswCache = cfg.hnswCache.copy(enabled = true))
+    val g = Graft.open(spark, base, withCache)
+    g.upsert(batchDF(0 until 100))
+    // cold: requests fall through to the probe path but still answer
+    val q5 = vec(5).map(_.toFloat)
+    val id5hash = Seq("id-5").toDF("id")
+      .select(graft.functions.VectorFunctions.hashId(col("id")))
+      .head().getLong(0)
+    assert(g.search(q5, 3).head._1 === id5hash)
+    // warm: whole corpus fits the budget; ef calibrated to the target
+    val Some((ef, recall)) = g.warmCache()
+    assert(ef >= 10 && recall >= withCache.tuning.recallTarget,
+      s"ef=$ef recall=$recall")
+    assert(g.search(q5, 3).head._1 === id5hash) // now served by the graph
+    g.close()
+    Segments.deleteDir(base)
+  }
+
   test("RPC boundary enforces the config's full limits; micro-batch path does not wedge") {
     val base = tmp()
     val cfg = GraftConfig.load(cfgPath)
