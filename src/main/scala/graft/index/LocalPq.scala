@@ -219,15 +219,19 @@ object LocalPqIndex {
   def build(assignedCodes: DataFrame, centroids: DataFrame,
       cb: Pq.Codebook,
       maxBytes: Long = LocalServingIndex.defaultMaxBytes,
-      limits: ServingLimits = ServingLimits.reference): LocalPqIndex = {
+      limits: ServingLimits = ServingLimits.reference,
+      knownSizes: Option[Map[Long, Long]] = None): LocalPqIndex = {
     val (cids, matrix) = Ivf.collectCentroids(centroids)
     // list sizes first (driver-sized: nlist longs), then admission —
     // centroid_id cast defensively: a hive-partitioned codes tree read
-    // with partition-value inference delivers it as INT
-    val sizes = assignedCodes
+    // with partition-value inference delivers it as INT. A caller
+    // holding catalog-recorded sizes passes them via `knownSizes` and
+    // skips this scan — at the 100M geometry the sizes pass otherwise
+    // re-reads the whole 10 GB codes relation just to count it.
+    val sizes = knownSizes.getOrElse(assignedCodes
       .groupBy(col("centroid_id").cast("long").as("centroid_id"))
       .agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap)
     val perRow = 8L + cb.m.toLong
     var bytes = 0L
     val admitted = scala.collection.mutable.LongMap.empty[Boolean]
