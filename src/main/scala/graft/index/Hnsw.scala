@@ -151,6 +151,10 @@ final class Hnsw(val metric: String, val m: Int = 16,
 
   def insert(id: Long, vec: Array[Float]): Unit = {
     if (idToNode.contains(id)) return // cache insert is idempotent
+    // one dimension per graph — a mismatched insert would poison every
+    // later dist() against it (W13 normalizes but never reshapes)
+    require(entry < 0 || vec.length == vecs(entry).length,
+      s"insert dim ${vec.length} != collection dim ${vecs(entry).length}")
     val node = ids.length
     val level = levelOf(id)
     ids += id
@@ -201,6 +205,12 @@ final class Hnsw(val metric: String, val m: Int = 16,
   /** Top-k via beam search with width ef (reference default ef=50). */
   def search(q: Array[Float], k: Int, ef: Int = 50): Array[(Long, Double)] = {
     if (entry < 0) return Array.empty
+    // fixed collection dimension (config.h:19-21) — reject mismatches at
+    // the request boundary; the dist loop runs over q.length, so a long
+    // query would read past row vectors and a short one would silently
+    // score a truncated prefix
+    require(q.length == vecs(entry).length,
+      s"query dim ${q.length} != collection dim ${vecs(entry).length}")
     var ep = entry
     var l = maxLevel
     while (l > 0) {

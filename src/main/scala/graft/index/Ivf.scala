@@ -252,6 +252,12 @@ object Ivf {
     */
   def probePick(queryVec: Array[Float], cids: Array[Long],
       matrix: Array[Array[Double]], nprobe: Int): Seq[Long] = {
+    // the collection's dimension is fixed (config.h:19-21); a mismatched
+    // query must be rejected at the request boundary — unchecked, a
+    // LONGER query silently truncates (wrong scores, no error) and a
+    // shorter one crashes an executor task mid-scan
+    require(matrix.isEmpty || queryVec.length == matrix.head.length,
+      s"query dim ${queryVec.length} != collection dim ${matrix.head.length}")
     def dotDD(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { s += a(i) * b(i); i += 1 }

@@ -133,6 +133,32 @@ class LocalPqSpec extends SparkSpec {
     idx.unpersist()
   }
 
+  test("knownSizes sidecar build is identical to the counted build (admission and answers)") {
+    // the 100M path persists per-list row counts at build time so the
+    // local-tier admission never re-scans the codes relation; the
+    // sidecar-fed build must be indistinguishable from the counting one
+    val counted = codes.groupBy(col("centroid_id").cast("long"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val viaSidecar = LocalPqIndex.build(codes, cents, cb,
+      knownSizes = Some(counted))
+    val viaScan = LocalPqIndex.build(codes, cents, cb)
+    assert(viaSidecar.cachedLists === viaScan.cachedLists)
+    assert(viaSidecar.cachedBytes === viaScan.cachedBytes)
+    qRows.take(3).foreach { case (qid, qv) =>
+      assert(viaSidecar.searchAdc(qv, 10, 4).toSeq ===
+        viaScan.searchAdc(qv, 10, 4).toSeq, s"q=$qid")
+    }
+    // a tight budget admits the same subset either way — the sizes map
+    // is the only admission input, so identical sizes ⇒ identical cut
+    val budget = viaScan.cachedBytes / 2
+    val halfA = LocalPqIndex.build(codes, cents, cb, maxBytes = budget,
+      knownSizes = Some(counted))
+    val halfB = LocalPqIndex.build(codes, cents, cb, maxBytes = budget)
+    assert(halfA.cachedLists === halfB.cachedLists)
+    assert(halfA.cachedBytes === halfB.cachedBytes)
+  }
+
   test("empty IVF lists count as covered — a fully cached corpus never false-misses") {
     // a centroid no row assigns to (e.g. an empty k-means cluster): it
     // is admitted at zero bytes but no fragment ever arrives, so
