@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench contract line must be the LAST stdout line (its consumer
+// keeps a bounded stdout tail and parses the final line as JSON) — sbt's
+// "[success] Total time ..." epilogue would otherwise follow it.
+Global / showSuccess := false
+Global / showTiming := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

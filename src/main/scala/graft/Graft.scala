@@ -1,9 +1,9 @@
 package graft
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
 import java.util.concurrent.atomic.AtomicLong
 
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -65,10 +65,19 @@ final class Graft private (
     val baseDir: String) {
 
   private val walDir = s"$baseDir/wal"
-  private val frontierPath = Paths.get(s"$baseDir/wal/_flushed_epoch")
+  private val frontierPath = new HPath(s"$baseDir/wal/_flushed_epoch")
   // NOT underscore-prefixed: Spark's file listing treats _-prefixed
   // paths as metadata and ignores them even when named explicitly
   private val centroidsPath = s"$baseDir/centroids"
+
+  // The store's own filesystem (the same Hadoop FS the segment tree
+  // uses) — the centroid layout and the flushed frontier MUST live on
+  // it, not on the driver's local FS: a java.nio exists() against a
+  // remote baseDir is always false, which would retrain + overwrite the
+  // layout on every batch and silently corrupt recall. The WAL tier is
+  // java.io (posix append semantics), so [[Graft.open]] additionally
+  // requires a local-scheme baseDir today (checked loudly at open).
+  private val fs = Segments.hfs(spark, baseDir)
 
   // monotonic epoch assignment for batches that don't bring their own —
   // initialized past everything the store or WAL has seen, so restart
@@ -94,6 +103,13 @@ final class Graft private (
     try {
       val epochs = prepared.agg(min("epoch"), max("epoch")).head()
       val (lo, hi) = (epochs.getLong(0), epochs.getLong(1))
+      // a batch that BRINGS its own epoch column can land above the
+      // auto-assignment counter; bump it so a later auto-epoch batch
+      // always sorts after everything already committed — otherwise LWW
+      // keeps the older explicit-epoch row and the new write is
+      // silently invisible until reopen (no-op for auto-epoch batches,
+      // where hi + 1 == the counter already)
+      nextEpoch.getAndUpdate(c => math.max(c, hi + 1))
       appendWal(prepared)
       IngestPipeline.flushBatch(prepared, baseDir,
         nextBatch.getAndIncrement(),
@@ -143,23 +159,39 @@ final class Graft private (
     * against the SAME layout (B1 — retraining is [[rebuild]]'s job).
     */
   private def centroidsFor(batch: DataFrame): DataFrame = {
-    if (Files.exists(Paths.get(centroidsPath)))
+    if (fs.exists(new HPath(centroidsPath)))
       return spark.read.parquet(centroidsPath)
     val vecs = batch.filter(col("vec").isNotNull)
       .select(col("vec").as("embedding"))
     val nVec = vecs.count()
     require(nVec > 0,
       "first batch carries no vectors — cannot train the centroid layout")
-    val nlist = math.max(1, math.min(config.delta.nlist,
-      (nVec / 4).toInt))
-    val model = Ivf.trainKMeans(vecs, nlist)
-    val cents = Ivf.kmeansCentroids(spark, model)
+    val cents = trainCentroids(vecs, nVec)
     cents.write.mode("overwrite").parquet(centroidsPath)
     spark.read.parquet(centroidsPath)
   }
 
+  /** nlist clamped to the data; KMeans needs k ≥ 2, so a corpus too
+    * small to cluster (the very first tiny batch) gets the trivial
+    * 1-list layout — its mean vector — instead of a crash. [[rebuild]]
+    * retrains properly once the corpus grows.
+    */
+  private def trainCentroids(vecs: DataFrame, nVec: Long): DataFrame = {
+    import spark.implicits._
+    val nlist = math.max(1, math.min(config.delta.nlist,
+      (nVec / 4).toInt))
+    if (nlist < 2) {
+      val mean = vecs.select(posexplode(col("embedding")))
+        .groupBy("pos").agg(avg("col").as("m"))
+        .collect().map(r => (r.getInt(0), r.getDouble(1)))
+        .sortBy(_._1).map(_._2)
+      Seq((0L, mean.toSeq)).toDF("cid", "cv")
+    } else
+      Ivf.kmeansCentroids(spark, Ivf.trainKMeans(vecs, nlist))
+  }
+
   private def centroids(): DataFrame = {
-    require(Files.exists(Paths.get(centroidsPath)),
+    require(fs.exists(new HPath(centroidsPath)),
       s"no centroid layout at $centroidsPath — ingest first")
     spark.read.parquet(centroidsPath)
   }
@@ -197,9 +229,15 @@ final class Graft private (
 
   private def advanceFrontier(epoch: Long): Unit = {
     flushedFrontier = math.max(flushedFrontier, epoch)
-    Files.createDirectories(frontierPath.getParent)
-    Files.write(frontierPath,
-      flushedFrontier.toString.getBytes(StandardCharsets.UTF_8))
+    // temp + rename: a crash mid-write must never leave a garbled
+    // frontier (open would fail parsing it; replaying extra WAL past a
+    // LOWER frontier is merely idempotent work, LWW resolves it)
+    val tmp = new HPath(s"$baseDir/wal/_flushed_epoch.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(flushedFrontier.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(frontierPath, false)
+    fs.rename(tmp, frontierPath)
     Wal.reclaim(walDir, flushedFrontier)
   }
 
@@ -309,17 +347,46 @@ final class Graft private (
       .select(col("vec").as("embedding"))
     val n = live.count()
     if (n == 0) return None
-    val nlist = math.max(1, math.min(config.delta.nlist, (n / 4).toInt))
-    val model = Ivf.trainKMeans(live, nlist)
-    val cents = Ivf.kmeansCentroids(spark, model)
-    cents.write.mode("overwrite").parquet(centroidsPath)
-    val r = Segments.rebuildLayout(spark, baseDir,
-      df => Ivf.assign(df, centroids(), vecCol = "vec")
-        .withColumn("centroid_id",
-          coalesce(col("centroid_id"), lit(-1L))),
-      f"rebuild-${nextBatch.getAndIncrement()}%05d")
+    val cents = trainCentroids(live, n)
+    // Train → STAGE → relayout → swap. Overwriting the live centroids
+    // before rebuildLayout would leave the store partitioned under the
+    // OLD layout while assignment/probing use the NEW one if the
+    // relayout throws (e.g. CatalogLeaseHeld) or the driver dies — a
+    // silent low-recall state. The staged path is named after the
+    // rebuild segment so [[recoverOnOpen]] can finish (publish landed)
+    // or discard (it didn't) an interrupted swap deterministically.
+    val rebuildId = f"rebuild-${nextBatch.getAndIncrement()}%05d"
+    val nextPath = s"$baseDir/centroids_next_$rebuildId"
+    cents.write.mode("overwrite").parquet(nextPath)
+    val nextCents = spark.read.parquet(nextPath)
+    val r =
+      try Segments.rebuildLayout(spark, baseDir,
+        df => Ivf.assign(df, nextCents, vecCol = "vec")
+          .withColumn("centroid_id",
+            coalesce(col("centroid_id"), lit(-1L))),
+        rebuildId)
+      catch {
+        case e: Throwable =>
+          fs.delete(new HPath(nextPath), true)
+          throw e
+      }
+    r match {
+      case Some(_) => promoteCentroids(nextPath) // atomic publish landed
+      case None    => fs.delete(new HPath(nextPath), true) // idle store
+    }
     if (r.nonEmpty) invalidateServing()
     r
+  }
+
+  /** Swap the staged centroid layout live (rename, not rewrite). A crash
+    * between the two renames leaves the staged dir in place and the live
+    * path absent — [[recoverOnOpen]] completes the swap from the staged
+    * dir (its rebuild descriptor is in the catalog, so publish landed).
+    */
+  private def promoteCentroids(nextPath: String): Unit = {
+    val live = new HPath(centroidsPath)
+    fs.delete(live, true)
+    fs.rename(new HPath(nextPath), live)
   }
 
   /** Fold the catalog manifest history (A1 checkpoint, lease-guarded). */
@@ -336,12 +403,32 @@ final class Graft private (
   // ---- recovery (T8/W3) --------------------------------------------
 
   private[graft] def recoverOnOpen(): Unit = {
+    // finish or discard an interrupted rebuild's centroid swap FIRST —
+    // staged layouts are named centroids_next_<rebuildId>; if the
+    // catalog carries that rebuild's descriptor the atomic publish
+    // landed (store is laid out under the staged centroids → promote),
+    // otherwise the relayout never committed (→ discard the staging)
+    val staged = Option(fs.globStatus(
+      new HPath(s"$baseDir/centroids_next_*"))).getOrElse(Array.empty)
+    if (staged.nonEmpty) {
+      val published = Segments.allDescriptors(spark, baseDir)
+        .map(_.segment_id).toSet
+      staged.foreach { st =>
+        val rebuildId = st.getPath.getName.stripPrefix("centroids_next_")
+        if (published.contains(rebuildId))
+          promoteCentroids(st.getPath.toString)
+        else fs.delete(st.getPath, true)
+      }
+    }
     // frontier: everything at or below it is already in segments
     flushedFrontier =
-      if (Files.exists(frontierPath))
-        new String(Files.readAllBytes(frontierPath),
+      if (fs.exists(frontierPath)) {
+        val in = fs.open(frontierPath)
+        try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in),
           StandardCharsets.UTF_8).trim.toLong
-      else Long.MinValue
+        finally in.close()
+      } else Long.MinValue
     val tail = Wal.replayBinaryRotated(walDir)
       .filter(_._1 > flushedFrontier)
     if (tail.nonEmpty) {
@@ -366,7 +453,18 @@ final class Graft private (
     val descs = Segments.allDescriptors(spark, baseDir)
     val maxSeen = (flushedFrontier +: descs.map(_.max_epoch)).max
     nextEpoch.set(math.max(0L, maxSeen + 1))
-    nextBatch.set(descs.length.toLong)
+    // the batch counter resumes PAST the max numeric suffix actually
+    // used, never from the descriptor COUNT: compact()/rebuild() consume
+    // ids even when they publish nothing (return None), and a folded
+    // catalog can carry duplicate rows — counting would land the counter
+    // on a used id and the next flush would Overwrite a live segment
+    // (acknowledged writes silently lost). recover-<epoch> ids are
+    // epoch-derived, not counter-derived, and are excluded.
+    val counterId = "(?:delta|stable|rebuild)-(\\d+)(?:-\\d+)?".r
+    val used = descs.iterator.map(_.segment_id).collect {
+      case counterId(n) => n.toLong
+    }.toSeq
+    nextBatch.set(if (used.isEmpty) 0L else used.max + 1L)
   }
 }
 
@@ -378,6 +476,16 @@ object Graft {
     */
   def open(spark: SparkSession, baseDir: String,
       cfg: GraftConfig = GraftConfig.default): Graft = {
+    // The segment store / centroids / frontier all go through the
+    // Hadoop FS API, but the WAL tier is java.io (posix append
+    // semantics) — fail LOUDLY on a remote baseDir instead of silently
+    // journaling into a local directory literally named "s3://…" while
+    // the segments land remotely (a split-brain store).
+    val scheme = Segments.hfs(spark, baseDir).getScheme
+    require(scheme == "file",
+      s"Graft.open requires a local-filesystem baseDir (WAL tier is " +
+        s"posix); got scheme '$scheme'. Use the segment-store APIs " +
+        "directly for remote stores, or stage the WAL locally.")
     val g = new Graft(spark, cfg, baseDir)
     g.recoverOnOpen()
     g

@@ -566,6 +566,7 @@ final class ServingIndex private (
       filter: ServingFilter = ServingFilter.none): Array[(Long, Double)] = {
     validateFilter(filter, hasTenant, hasTags)
     val kk = math.min(k, limits.maxK) // clamp, not reject (config.h:128)
+    if (kk <= 0) return Array.empty // degenerate size: an answer, not an error
     val probed = capProbes(probe(q, nprobe))
     val parts = probed.flatMap(cidToPart.get).distinct.toArray
     if (parts.isEmpty) return Array.empty
@@ -606,6 +607,7 @@ final class ServingIndex private (
     validateFilter(filter, hasTenant, hasTags)
     validateFilter(filter, overlay.hasTenant, overlay.hasTags)
     val kk = math.min(k, limits.maxK)
+    if (kk <= 0) return Array.empty // degenerate size: an answer, not an error
     val probed = capProbes(probe(q, nprobe))
     val probedSet = probed.toSet
     val parts = probed.flatMap(cidToPart.get).distinct.toArray
@@ -657,6 +659,7 @@ final class ServingIndex private (
     validateFilter(filter, hasTenant, hasTags)
     validateFilter(filter, overlay.hasTenant, overlay.hasTags)
     val kk = math.min(k, limits.maxK)
+    if (kk <= 0) return Array.empty // degenerate size: an answer, not an error
     val probed = capProbes(probe(q, nprobe))
     val probedSet = probed.toSet
     val parts = probed.flatMap(cidToPart.get).distinct.toArray
@@ -716,7 +719,7 @@ final class ServingIndex private (
     val mA = postingMissAcc
     val probedSets = plan.probedByQuery.map(_.toSet)
     val partials: Array[Array[(Int, Array[(Long, Double)])]] =
-      if (plan.parts.isEmpty) Array.empty
+      if (plan.parts.isEmpty || kk <= 0) Array.empty
       else ServingIndex.withDeadline(blocks.sparkContext, limits.deadlineMs) {
         blocks.sparkContext.runJob(
           blocks,
@@ -817,7 +820,7 @@ final class ServingIndex private (
     val shadowBc = overlay.shadowBc // handle only — the set never ships
     val probedSets = plan.probedByQuery.map(_.toSet)
     val partials: Array[Array[(Int, Array[(Long, Double)])]] =
-      if (plan.parts.isEmpty) Array.empty
+      if (plan.parts.isEmpty || kk <= 0) Array.empty
       else ServingIndex.withDeadline(blocks.sparkContext, limits.deadlineMs) {
         blocks.sparkContext.runJob(
           blocks,
@@ -870,7 +873,7 @@ final class ServingIndex private (
     val shadowBc = overlay.shadowBc
     val probedSets = plan.probedByQuery.map(_.toSet)
     val partials: Array[Array[(Int, Array[(Long, Double)])]] =
-      if (plan.parts.isEmpty) Array.empty
+      if (plan.parts.isEmpty || kk <= 0) Array.empty
       else ServingIndex.withDeadline(blocks.sparkContext, limits.deadlineMs) {
         blocks.sparkContext.runJob(
           overlay.tiered,

@@ -167,8 +167,13 @@ object TopK {
     * nothing per candidate.
     */
   final class Bounded(k: Int, asc: Boolean) extends Serializable {
-    private val scores = new Array[Double](k)
-    private val ids = new Array[Long](k)
+    // k <= 0 is a degenerate but legal request size (the reference's
+    // guardrail contract answers it with an empty result, never a task
+    // crash) — every serving tier shares this kernel, so clamping here
+    // covers search/searchBatch, local and PQ paths alike.
+    private val cap = math.max(k, 0)
+    private val scores = new Array[Double](cap)
+    private val ids = new Array[Long](cap)
     private var size = 0
     private def better(s: Double, id: Long, j: Int): Boolean = {
       val sj = scores(j)
@@ -176,8 +181,9 @@ object TopK {
       else s > sj || (s == sj && id < ids(j))
     }
     def insert(s: Double, id: Long): Unit = {
-      if (size < k || better(s, id, k - 1)) {
-        var p = if (size < k) size else k - 1
+      if (cap == 0) return
+      if (size < cap || better(s, id, cap - 1)) {
+        var p = if (size < cap) size else cap - 1
         scores(p) = s; ids(p) = id
         while (p > 0 && better(scores(p), ids(p), p - 1)) {
           val ts = scores(p); val ti = ids(p)
@@ -185,7 +191,7 @@ object TopK {
           scores(p - 1) = ts; ids(p - 1) = ti
           p -= 1
         }
-        if (size < k) size += 1
+        if (size < cap) size += 1
       }
     }
     def result(): Array[(Long, Double)] = {

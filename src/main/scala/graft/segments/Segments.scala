@@ -117,6 +117,15 @@ object Segments {
       }
       def perPath(ps: Seq[String]): DataFrame =
         ps.map(p => spark.read.parquet(p)).reduce(_ unionByName _)
+      // kv fallback: per-root scans must KEEP basePath=parent so the
+      // key=value components (segment_id/centroid_id) still materialize
+      // as partition columns — downstream provenance filters and
+      // replaced_by joins depend on them — and must tolerate the very
+      // sub-partition divergence that made the multi-path read refuse
+      // (a root with no centroid_id level unions as nulls, not a throw)
+      def perRootKv(parent: String, ps: Seq[String]): DataFrame =
+        ps.map(p => readInferenceOff(spark, parent, Seq(p)))
+          .reduce(_.unionByName(_, allowMissingColumns = true))
       groups.toSeq.sortBy(_._1._1).map { case ((parent, kv), ps) =>
         if (kv) {
           try readInferenceOff(spark, parent, ps)
@@ -125,11 +134,11 @@ object Segments {
               System.err.println(s"[graft] multi-path read of " +
                 s"${ps.length} roots under $parent refused " +
                 s"(${e.getMessage.takeWhile(_ != '\n')}) — falling back " +
-                "to per-path scans")
-              perPath(ps)
+                "to per-root scans (basePath preserved)")
+              perRootKv(parent, ps)
           }
         } else perPath(ps)
-      }.reduce(_ unionByName _)
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
     }
 
   /** W4: write one immutable segment from rows carrying
@@ -204,7 +213,7 @@ object Segments {
 
   private val appendSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  private def hfs(spark: SparkSession, dir: String): FileSystem =
+  private[graft] def hfs(spark: SparkSession, dir: String): FileSystem =
     new HPath(dir).getFileSystem(spark.sessionState.newHadoopConf())
 
   private def encode(d: SegmentDescriptor): String = {

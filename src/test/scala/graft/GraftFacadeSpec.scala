@@ -128,6 +128,73 @@ class GraftFacadeSpec extends SparkSpec {
     Segments.deleteDir(base)
   }
 
+  test("reopen resumes the segment-id counter past consumed ids — a new flush never overwrites a live segment") {
+    val base = tmp()
+    val g = Graft.open(spark, base, cfgPath)
+    g.upsert(batchDF(0 until 40))          // delta-00000
+    assert(g.compact().nonEmpty)           // stable-00001
+    assert(g.compact().isEmpty)            // consumes id 2, publishes nothing
+    assert(g.rebuild().nonEmpty)           // rebuild-00003 (replaces stable)
+    g.checkpoint()                         // folds catalog history
+    g.close()
+
+    val g2 = Graft.open(spark, base, cfgPath)
+    val before = Segments.catalogDescriptors(spark, base)
+      .map(d => d.segment_id -> d.num_vectors).toMap
+    g2.upsert(batchDF(100 until 110))
+    val after = Segments.catalogDescriptors(spark, base)
+      .map(d => d.segment_id -> d.num_vectors).toMap
+    // every pre-existing live segment survives untouched (the old bug:
+    // counter resumed from the descriptor COUNT, landed on a used id,
+    // and the next flush silently Overwrote a live segment's data)
+    before.foreach { case (id, nv) =>
+      assert(after.get(id) === Some(nv), s"segment $id was clobbered")
+    }
+    assert(g2.liveView.count() === 50)
+    g2.close()
+    Segments.deleteDir(base)
+  }
+
+  test("an explicit-epoch batch bumps the auto-epoch counter — later auto writes stay visible") {
+    val base = tmp()
+    val g = Graft.open(spark, base, cfgPath)
+    // batch brings its OWN epochs, far above the counter
+    val explicit = Seq(("id-X", vec(1).toSeq, 5000L))
+      .toDF("id", "vec", "epoch")
+    g.upsert(explicit)
+    // auto-epoch re-upsert of the same id must WIN (be the LWW latest),
+    // not silently lose to the explicit 5000
+    g.upsert(Seq(("id-X", vec(2).toSeq)).toDF("id", "vec"))
+    val live = g.liveView.filter(col("id") === "id-X")
+      .select(col("epoch")).head().getLong(0)
+    assert(live > 5000L, s"auto epoch $live did not sort after 5000")
+    val hit = g.search(vec(2).map(_.toFloat), 1)
+    val idXhash = Seq("id-X").toDF("id")
+      .select(graft.functions.VectorFunctions.hashId(col("id")))
+      .head().getLong(0)
+    assert(hit.head._1 === idXhash)
+    g.close()
+    Segments.deleteDir(base)
+  }
+
+  test("an interrupted rebuild centroid swap heals at open: promote if published, discard if not") {
+    val base = tmp()
+    val g = Graft.open(spark, base, cfgPath)
+    g.upsert(batchDF(0 until 40))
+    g.close()
+    // simulate a crash AFTER staging a new layout but BEFORE the
+    // relayout committed: the staged dir exists, no rebuild descriptor
+    val stale = s"$base/centroids_next_rebuild-99999"
+    spark.read.parquet(s"$base/centroids").write.parquet(stale)
+    val g2 = Graft.open(spark, base, cfgPath)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(stale)),
+      "unpublished staged layout must be discarded at open")
+    // the live layout is intact and still serves
+    assert(g2.search(vec(7).map(_.toFloat), 3).nonEmpty)
+    g2.close()
+    Segments.deleteDir(base)
+  }
+
   test("open replays the un-flushed WAL tail into a recovery segment (T8)") {
     val base = tmp()
     val g = Graft.open(spark, base, cfgPath)

@@ -163,7 +163,7 @@ class QueryFuzzSpec extends SparkSpec {
   test("seeded random batches are identical to their per-request answers") {
     val rng = new Random(777L)
     for (iter <- 0 until 8) {
-      val metric = Array("ip", "l2", "cosine")(iter % 3)
+      val metric = Seq("ip", "l2", "cosine")(iter % 3)
       val idx = indexes(metric)
       val reqs = (0 until 1 + rng.nextInt(20))
         .map(i => (i.toLong, fuzzVec(rng, metric)))
