@@ -200,6 +200,70 @@ object Bench {
     out
   }
 
+  /** Exact top-10 ground truth for the 100M recall gate: ONE distributed
+    * brute-force pass over the regenerated corpus (raw floats exist only
+    * inside each task, like the build) — per-partition bounded top-k via
+    * the engine's shared [[graft.operators.TopK.Bounded]] kernel (same
+    * (score desc, id asc) tie contract as serving), driver merge of
+    * nPart×10 partials. Persisted as `groundtruth.tsv` beside the store:
+    * computed once, read by every later round (same lifecycle as the
+    * codes themselves). At 100 TB this is exactly how a recall audit
+    * runs — a full scan is affordable ONCE, per corpus generation.
+    */
+  private[graft] def groundTruth100m(spark: SparkSession, cpus: Int,
+      dir100: String, nRows: Long, d: Int,
+      queries: Array[(Long, Array[Float])],
+      extras: scala.collection.mutable.LinkedHashMap[String, String])
+      : Map[Long, Array[(Long, Double)]] = {
+    val gtPath = java.nio.file.Paths.get(s"$dir100/groundtruth.tsv")
+    if (!java.nio.file.Files.exists(gtPath)) {
+      System.err.println(s"[bench] computing 100M exact ground truth " +
+        s"(${queries.length} queries × $nRows rows) — one-time, persisted")
+      val t0 = System.nanoTime()
+      val bq = spark.sparkContext.broadcast(queries.map(_._2))
+      val partials = spark.range(0L, nRows, 1L, cpus * 4).rdd
+        .mapPartitions { it =>
+          val qs = bq.value
+          val tops = Array.fill(qs.length)(
+            new graft.operators.TopK.Bounded(10, asc = false))
+          it.foreach { id =>
+            val v = synthVec100m(id, d)
+            var qi = 0
+            while (qi < qs.length) {
+              val q = qs(qi)
+              var s = 0.0; var i = 0
+              while (i < d) { s += q(i).toDouble * v(i).toDouble; i += 1 }
+              tops(qi).insert(s, id)
+              qi += 1
+            }
+          }
+          Iterator.single(tops.map(_.result()))
+        }.collect()
+      val merged = queries.indices.map { qi =>
+        val top = new graft.operators.TopK.Bounded(10, asc = false)
+        partials.foreach(_(qi).foreach { case (id, s) => top.insert(s, id) })
+        (queries(qi)._1, top.result())
+      }
+      val gtSec = (System.nanoTime() - t0) / 1e9
+      extras("ivf_100m_groundtruth_sec") = num(gtSec, 1)
+      java.nio.file.Files.write(gtPath,
+        merged.map { case (qid, hits) =>
+          s"$qid\t" + hits.map { case (id, s) => f"$id:$s%.9f" }
+            .mkString(",")
+        }.mkString("\n").getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+    }
+    new String(java.nio.file.Files.readAllBytes(gtPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").filter(_.nonEmpty).map { line =>
+        val Array(qid, rest) = line.split("\t")
+        qid.toLong -> rest.split(",").map { h =>
+          val c = h.lastIndexOf(':')
+          (h.take(c).toLong, h.drop(c + 1).toDouble)
+        }
+      }.toMap
+  }
+
   /** The 100M-vector stable-tier section (build-once store + per-round
     * serving measurements) — callable standalone (Smoke100m) and from
     * [[main]].
@@ -358,7 +422,10 @@ object Bench {
       // truncates the probe walk at a bounded ADC cost instead of
       // letting one hot list own the tail latency
       val limits100 = graft.index.ServingLimits(
-        maxK = 100,
+        // maxK here caps the INTERNAL phase-1 candidate fetch (k × the
+        // rerank factor), not a user-facing k — the recall ladder walks
+        // rerank up to 128, so the pool cap must clear 10×128
+        maxK = 2048,
         maxCandidates = math.max(100000L,
           2L * nprobe100 * metaRows / (k1 * k2)).toInt,
         maxBatch = 100, deadlineMs = 5000L)
@@ -381,6 +448,19 @@ object Bench {
       extras("ivf_100m_cached_lists") = local.cachedLists.toString
       extras("ivf_100m_cached_mb") =
         (local.cachedBytes / 1048576L).toString
+      // layout-balance disclosure (the r8 collapse detector): median
+      // list size and the corpus fraction held by the 50 hottest lists —
+      // the broken layout read (1, 0.84); a healthy 4096-list layout
+      // reads (~rows/nlist, ~0.02)
+      knownSizes.foreach { szs =>
+        val v = szs.values.toArray.sorted
+        if (v.nonEmpty) {
+          extras("ivf_100m_list_p50_rows") = v(v.length / 2).toString
+          extras("ivf_100m_top50_lists_frac") =
+            num(v.takeRight(50).map(_.toDouble).sum /
+              math.max(1.0, v.map(_.toDouble).sum), 4)
+        }
+      }
       // query vectors: 50 out-of-corpus + 25 self-queries (in-corpus
       // ids — after rerank the exact top-1 must be the row itself)
       val qOut = gen(spark.range(metaRows, metaRows + 50).toDF())
@@ -458,6 +538,88 @@ object Bench {
       }
       extras("ivf_100m_self_recall_at1") =
         num(selfHits.toDouble / qSelf.length, 3)
+      // recall@10 vs an EXACT ground truth (the reference's 0.95 recall
+      // target at its declared collection scale): one distributed
+      // brute-force pass over the regenerated corpus — per-partition
+      // bounded top-k heaps (the same shared kernel and tie contract the
+      // serving scans use), driver merge — persisted beside the store
+      // like the build itself (one-time; later rounds just read it).
+      try {
+        val gt = groundTruth100m(spark, cpus, dir100, metaRows, d,
+          qOut.take(20), extras)
+        // COVERAGE first (probe quality in isolation): the fraction of
+        // true top-10 ids whose assigned list is probed at nprobe —
+        // separates "the layout/probe missed the neighborhood" from
+        // "ADC ordering inside the probed pool missed it" (the PQ side)
+        val gtIds = gt.values.flatten.map(_._1).toSet.toSeq
+        val gtList = spark.read.parquet(s"$dir100/codes")
+          .filter(col("vec_id").isin(gtIds: _*))
+          .select(col("vec_id"), col("centroid_id").cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        def coverage(np: Int): Double = {
+          val per = gt.toSeq.map { case (qid, want) =>
+            val qv = qOut.find(_._1 == qid).get._2
+            val probed = local.probe(qv, np).toSet
+            want.count { case (id, _) =>
+              gtList.get(id).exists(probed) }.toDouble / want.length
+          }
+          per.sum / per.length
+        }
+        extras("ivf_100m_gt_coverage_nprobe12") = num(coverage(12), 4)
+        def recallAt10(np: Int, rr: Int): Double = {
+          val per = gt.toSeq.map { case (qid, want) =>
+            val qv = qOut.find(_._1 == qid).get._2
+            val cand = local.searchAdcParallel(qv, 10 * rr, np, pool)
+            val got = cand.map { case (id, _) => (id, dotF(qv, regen(id))) }
+              .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
+            val r = want.count { case (id, _) => got(id) }.toDouble / want.length
+            if (sys.env.contains("GRAFT_GT_DEBUG") && r < 1.0)
+              System.err.println(f"[gtdebug] np=$np rr=$rr qid=$qid r=$r%.2f " +
+                s"missing=" + want.filterNot { case (id, _) => got(id) }
+                  .map { case (id, sc) =>
+                    s"$id@${gtList.getOrElse(id, -99L)}:" + f"$sc%.3f" }
+                  .mkString(","))
+            r
+          }
+          per.sum / per.length
+        }
+        val r0 = recallAt10(nprobe100, rerank100)
+        extras("ivf_100m_recall_at10") = num(r0, 4)
+        if (r0 < 0.95) {
+          // disclose the knobs that DO reach the target (the tuner's
+          // escalation ladder, run offline exactly like nprobe_tune).
+          // Rerank depth is the expected lever on this fixture: the
+          // within-group ranking is a noise-dot ranking, the hardest
+          // case for PQ codes — candidates are cheap to rerank exactly
+          // (regen + one dot), so the ladder walks rerank hard.
+          val ladder = Seq((12, 16), (12, 32), (24, 32), (24, 64),
+            (48, 64), (48, 128))
+          val walked = ladder.map { case (np, rr) =>
+            val r = recallAt10(np, rr)
+            System.err.println(
+              f"[bench] 100M recall ladder nprobe=$np rerank=$rr → $r%.4f")
+            (np, rr, r)
+          }
+          extras("ivf_100m_recall_ladder") = walked
+            .map { case (np, rr, r) => f""""$np/$rr":${r}%.4f""" }
+            .mkString("{", ",", "}")
+          walked.find(_._3 >= 0.95) match {
+            case Some((np, rr, r)) =>
+              extras("ivf_100m_recall_at10_tuned") = num(r, 4)
+              extras("ivf_100m_tuned_nprobe") = np.toString
+              extras("ivf_100m_tuned_rerank") = rr.toString
+            case None =>
+              extras("ivf_100m_recall_at10_tuned") =
+                num(walked.map(_._3).max, 4)
+              extras("ivf_100m_tuned_nprobe") = "-1"
+              extras("ivf_100m_tuned_rerank") = "-1"
+          }
+        }
+      } catch { case e: Throwable =>
+        System.err.println(
+          s"[bench] 100M ground-truth recall FAILED: ${e.getMessage}")
+        extras("ivf_100m_recall_at10") = "-1"
+      }
       // the DISTRIBUTED twin: stored-codes ADC as a partition-pruned
       // Spark job over the probed lists (the path a cache miss takes)
       val codesDf = spark.read.parquet(s"$dir100/codes")
@@ -2096,6 +2258,9 @@ object Bench {
       "freshness_p50_ms", "freshness_p99_ms", "freshness_trigger_ms",
       "hnsw_ef_tuned", "recall_hnsw",
       "ivf_100m_rows", "ivf_100m_build_sec", "ivf_100m_codes_mb",
+      "ivf_100m_recall_at10", "ivf_100m_recall_at10_tuned",
+      "ivf_100m_tuned_nprobe", "ivf_100m_tuned_rerank",
+      "ivf_100m_gt_coverage_nprobe12", "ivf_100m_top50_lists_frac",
       "ivf_100m_query_p50_ms", "ivf_100m_query_p99_ms",
       "ivf_100m_query_p99_steady_ms", "ivf_100m_adc_p50_ms",
       "ivf_100m_floor_before_ms", "ivf_100m_floor_after_ms")

@@ -109,6 +109,43 @@ object SparkEntry {
       })
   }
 
+  /** Shared facade-lifecycle store per sfDir (F1 oracle-gated): the
+    * deterministic mutation log driven through the PUBLIC [[Graft]]
+    * handle — open → three upsert batches (INSERT / UPSERT / DELETE ops,
+    * explicit epochs) → compact → reopen — so the battery gates the
+    * facade's full write path (guard, WAL group-commit, flush, LWW,
+    * compaction, recovery bookkeeping) against the same DuckDB oracle
+    * the raw MutationLog query uses. The handle's store is a temp tree;
+    * `liveView` over it must equal the oracle's `live` CTE exactly.
+    */
+  private object FacadeFixture {
+    private val cache = scala.collection.concurrent.TrieMap
+      .empty[String, DataFrame]
+    def live(s: SparkSession, dir: String): DataFrame =
+      cache.getOrElseUpdate(dir, {
+        val base = java.nio.file.Files
+          .createTempDirectory("graft-facade-fixture-").toString
+        val cfg0 = GraftConfig.default
+        val cfg = cfg0.copy(collection = cfg0.collection.copy(dim = 64))
+        val g = Graft.open(s, base, cfg)
+        val log = MutationLog.deterministicLog(emb(s, dir))
+          .select(col("id"), col("vec"), col("epoch"), col("op"))
+        // the server lifecycle: batches arrive in epoch order, then a
+        // background compaction folds the deltas; a REOPENED handle
+        // must serve the identical live view (recovery bookkeeping)
+        Seq("INSERT", "UPSERT", "DELETE").foreach { op =>
+          g.upsert(log.filter(col("op") === op))
+        }
+        g.compact()
+        g.close()
+        val g2 = Graft.open(s, base, cfg)
+        g2.liveView.select(
+          expr("CAST(substring(id, 5) AS LONG)").as("vec_id"),
+          col("epoch"),
+          dotD(col("vec"), col("vec")).as("norm_sq"))
+      })
+  }
+
   /** Shared verified MinHash near-dup pairs (a, b, jaccard ≥ 0.5) per
     * sfDir: five battery entries (dedup_minhash, dedup_clusters,
     * dup_source_matrix, curation_funnel, decontaminate_fuzzy) consume
@@ -495,6 +532,10 @@ object SparkEntry {
       MutationLog.live(MutationLog.deterministicLog(emb(s, dir)))
         .select(col("vec_id"), col("op"), col("epoch"),
           dotD(col("vec"), col("vec")).as("norm_sq"))),
+    // F1 through the PUBLIC facade: the same mutation history driven via
+    // Graft.open → upsert×3 → compact → reopen; liveView must equal the
+    // oracle's live CTE (same epochs, same vectors, tombstones masked)
+    "facade_live" -> ((s, dir) => FacadeFixture.live(s, dir)),
     "point_lookup" -> ((s, dir) =>
       MutationLog.pointLookup(
         MutationLog.deterministicLog(emb(s, dir)), pointIds)),
@@ -1313,6 +1354,11 @@ object SparkEntry {
     "upsert_live" ->
       s"""$MUTLOG
          |SELECT vec_id, op, epoch,
+         |  list_dot_product(vec, vec) AS norm_sq
+         |FROM live""".stripMargin,
+    "facade_live" ->
+      s"""$MUTLOG
+         |SELECT vec_id, epoch,
          |  list_dot_product(vec, vec) AS norm_sq
          |FROM live""".stripMargin,
     "point_lookup" ->

@@ -417,12 +417,42 @@ object Ivf {
   def trainTwoLevel(sample: DataFrame, k1: Int, k2: Int,
       seed: Long = 42L, vecCol: String = "embedding",
       maxIter: Int = 10): TwoLevelCentroids = {
-    val coarseModel = trainKMeans(sample, k1, seed, vecCol, maxIter)
-    val coarse = coarseModel.clusterCenters.map(_.toArray)
-    val assigned = assignKMeans(sample, coarseModel, vecCol)
-      .select(col("centroid_id"), col(vecCol).cast("array<double>"))
+    // BOTH levels train with the deterministic farthest-point [[lloyd]],
+    // NOT MLlib KMeans. Measured on the 100M clustered fixture (5000
+    // near-orthogonal tight groups — real embedding corpora at scale
+    // look like this locally): MLlib's kmeans|| coarse level collapsed
+    // to ONE cell holding 98.6% of the corpus (the isotropic-shell
+    // degeneracy — from far away a mixture of many random tight groups
+    // has no macro-structure, so one mean-drifted center captures
+    // everything), while the farthest-point Lloyd on the very same data
+    // split that mass into 64 balanced children. k-center seeding keeps
+    // one center per region of the shell; Lloyd then refines locally
+    // instead of collapsing (PLANS.md round 8).
+    val rows = sample
+      .select(col(vecCol).cast("array<double>"))
       .collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .map(_.getSeq[Double](0).toArray)
+    val coarse = {
+      val c = lloyd(rows, k1, maxIter)
+      // data-starved sample: pad to k1 so cid arithmetic stays k1·k2
+      Array.tabulate(k1)(i =>
+        if (i < c.length) c(i) else c(i % math.max(1, c.length)).clone())
+    }
+    val cNorms = coarse.map(r => { var s = 0.0; var i = 0
+      while (i < r.length) { s += r(i) * r(i); i += 1 }; s })
+    val assigned = rows.map { v =>
+      var best = 0; var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < coarse.length) {
+        val row = coarse(c)
+        var dot = 0.0; var i = 0
+        while (i < v.length) { dot += v(i) * row(i); i += 1 }
+        val d = cNorms(c) - 2.0 * dot
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      (best, v)
+    }
     val byCell = assigned.groupBy(_._1)
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
@@ -480,35 +510,57 @@ object Ivf {
       }
       c0 += 1
     }
-    val assign = new Array[Int](rows.length)
+    // iterations run the assign + partial-sum phase chunk-parallel
+    // (the coarse call is 131k × dim-768 rows — minutes serial, seconds
+    // across the driver's cores). DETERMINISTIC: fixed chunk boundaries,
+    // per-chunk partial sums merged in chunk order — same floating-point
+    // result on every run of the same input.
+    val nChunks = math.min(32, math.max(1, rows.length / 2048))
+    val bounds = Array.tabulate(nChunks + 1)(i =>
+      (i.toLong * rows.length / nChunks).toInt)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
     var iter = 0
     while (iter < maxIter) {
-      var r = 0
-      while (r < rows.length) {
-        val v = rows(r)
-        var best = 0; var bestD = Double.PositiveInfinity
-        var c = 0
-        while (c < kk) {
-          val cw = centers(c)
-          var d = 0.0; var i = 0
-          while (i < dim) {
-            val diff = v(i) - cw(i); d += diff * diff; i += 1
+      val parts = Await.result(Future.sequence((0 until nChunks).map {
+        ch => Future {
+          val sums = Array.fill(kk)(new Array[Double](dim))
+          val counts = new Array[Int](kk)
+          var r = bounds(ch)
+          while (r < bounds(ch + 1)) {
+            val v = rows(r)
+            var best = 0; var bestD = Double.PositiveInfinity
+            var c = 0
+            while (c < kk) {
+              val cw = centers(c)
+              var d = 0.0; var i = 0
+              while (i < dim) {
+                val diff = v(i) - cw(i); d += diff * diff; i += 1
+              }
+              if (d < bestD) { bestD = d; best = c }
+              c += 1
+            }
+            val s = sums(best)
+            var i = 0
+            while (i < dim) { s(i) += v(i); i += 1 }
+            counts(best) += 1
+            r += 1
           }
-          if (d < bestD) { bestD = d; best = c }
-          c += 1
+          (sums, counts)
         }
-        assign(r) = best
-        r += 1
-      }
+      }), Duration.Inf)
       val sums = Array.fill(kk)(new Array[Double](dim))
       val counts = new Array[Int](kk)
-      r = 0
-      while (r < rows.length) {
-        val s = sums(assign(r)); val v = rows(r)
-        var i = 0
-        while (i < dim) { s(i) += v(i); i += 1 }
-        counts(assign(r)) += 1
-        r += 1
+      parts.foreach { case (ps, pc) =>
+        var c = 0
+        while (c < kk) {
+          val s = sums(c); val p = ps(c)
+          var i = 0
+          while (i < dim) { s(i) += p(i); i += 1 }
+          counts(c) += pc(c)
+          c += 1
+        }
       }
       var c = 0
       while (c < kk) {

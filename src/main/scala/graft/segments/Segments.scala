@@ -275,7 +275,7 @@ object Segments {
       }
   }
 
-  private[segments] def appendCatalog(spark: SparkSession, baseDir: String,
+  private[graft] def appendCatalog(spark: SparkSession, baseDir: String,
       descs: Seq[SegmentDescriptor]): Unit =
     appendLines(spark, s"$baseDir/$CatalogDir", "desc", descs.map(encode))
 

@@ -74,29 +74,40 @@ object IngestPipeline {
     */
   def flushBatch(batch: DataFrame, baseDir: String, batchId: Long,
       maxRowsPerSegment: Long = 2000000L): Unit = {
-    // pre-dedupe count decides the split (one cheap scan, no shuffle) —
-    // an upper bound on the deduped size, like the reference's flush
-    // threshold which meters the buffer before dedupe (config.h:29)
-    val n0 = batch.count()
-    if (n0 == 0L) return
     val deduped = graft.operators.Lww.latestBy(batch, "id_hash", "epoch")
-    val parts = math.max(1L, (n0 + maxRowsPerSegment - 1) / maxRowsPerSegment)
-    if (parts == 1L)
-      // common case: dedupe flows straight into the segment write — one
-      // shuffle + one write, nothing materialized twice
-      Segments.writeSegment(deduped, baseDir, f"delta-$batchId%05d",
-        isStable = false)
-    else {
-      // multi-segment flush: cache so the dedupe shuffle runs once, not
-      // once per slice
-      deduped.cache()
-      try {
-        val slice = pmod(col("id_hash"), lit(parts))
-        (0L until parts).foreach { p =>
-          Segments.writeSegment(deduped.filter(slice === p), baseDir,
-            f"delta-$batchId%05d-$p%02d", isStable = false)
-        }
-      } finally deduped.unpersist()
+    // OPTIMISTIC single-pass flush: dedupe flows straight into the
+    // segment write with the descriptor stats riding the write action
+    // (Observation) — the common micro-batch is exactly ONE job. The
+    // old pre-count pass existed only to decide the multi-segment
+    // split, but it cost a whole extra job per flush — at a 100 ms
+    // flush trigger that count was ~1/3 of the measured ingest→visible
+    // freshness latency. The write lands UNPUBLISHED (appendDesc=false);
+    // the real deduped count then decides: empty → discard the dir,
+    // oversized → re-slice from the WRITTEN segment (a columnar
+    // read-back of one segment, not a lineage replay), else publish.
+    // Readers only ever see the catalog, so every outcome is atomic.
+    val seg0 = f"delta-$batchId%05d"
+    val desc = Segments.writeSegment(deduped, baseDir, seg0,
+      isStable = false, appendDesc = false)
+    val n = desc.num_vectors
+    if (n == 0L) {
+      Segments.deleteDir(desc.file_path)
+    } else if (n <= maxRowsPerSegment) {
+      Segments.appendCatalog(batch.sparkSession, baseDir, Seq(desc))
+    } else {
+      // rare oversized flush (a batch past the reference's flush
+      // threshold, config.h:29): slice the written segment by id_hash
+      // and publish all slices in ONE atomic catalog append
+      val parts = (n + maxRowsPerSegment - 1) / maxRowsPerSegment
+      val written = batch.sparkSession.read.parquet(desc.file_path)
+      val slice = pmod(col("id_hash"), lit(parts))
+      val descs = (0L until parts).map { p =>
+        Segments.writeSegment(written.filter(slice === p), baseDir,
+          f"delta-$batchId%05d-$p%02d", isStable = false,
+          appendDesc = false)
+      }
+      Segments.appendCatalog(batch.sparkSession, baseDir, descs)
+      Segments.deleteDir(desc.file_path)
     }
   }
 
