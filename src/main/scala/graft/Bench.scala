@@ -424,8 +424,8 @@ object Bench {
       val limits100 = graft.index.ServingLimits(
         // maxK here caps the INTERNAL phase-1 candidate fetch (k × the
         // rerank factor), not a user-facing k — the recall ladder walks
-        // rerank up to 128, so the pool cap must clear 10×128
-        maxK = 2048,
+        // rerank up to 512, so the pool cap must clear 10×512
+        maxK = 8192,
         maxCandidates = math.max(100000L,
           2L * nprobe100 * metaRows / (k1 * k2)).toInt,
         maxBatch = 100, deadlineMs = 5000L)
@@ -538,6 +538,19 @@ object Bench {
       }
       extras("ivf_100m_self_recall_at1") =
         num(selfHits.toDouble / qSelf.length, 3)
+      // the same plumbing gate with ADC-crowding removed (pool 32×k):
+      // a miss HERE is a plumbing bug, not quantization statistics —
+      // at this geometry each latent group holds ~20k members whose
+      // relative order is an iid-noise ranking, so the default pool of
+      // 4×k can rank the query's own row below 40 near-tied neighbors
+      val selfHits32 = qSelf.count { case (id, qv) =>
+        val cand = local.searchAdcParallel(qv, 32, nprobe100, pool)
+        cand.map { case (cid2, _) => (cid2, dotF(qv, regen(cid2))) }
+          .sortBy { case (cid2, s) => (-s, cid2) }.headOption
+          .exists(_._1 == id)
+      }
+      extras("ivf_100m_self_recall_at1_pool32") =
+        num(selfHits32.toDouble / qSelf.length, 3)
       // recall@10 vs an EXACT ground truth (the reference's 0.95 recall
       // target at its declared collection scale): one distributed
       // brute-force pass over the regenerated corpus — per-partition
@@ -566,45 +579,60 @@ object Bench {
           per.sum / per.length
         }
         extras("ivf_100m_gt_coverage_nprobe12") = num(coverage(12), 4)
-        def recallAt10(np: Int, rr: Int): Double = {
+        // (idRecall, scoreRatio) per config. SCORE RATIO is the ann-
+        // benchmarks-style quality metric this fixture actually needs:
+        // each latent group holds ~corpus/5000 members whose relative
+        // order is an iid-noise ranking (top-10 and rank-1000 true
+        // scores differ by well under 1%), so id-recall mostly measures
+        // near-tie resolution inside 8×-compressed codes. scoreRatio =
+        // Σ exact-score(returned top-10) / Σ exact-score(true top-10):
+        // 1.0 means the returned neighbors are as close as the true
+        // ones for every practical purpose, whatever their ids.
+        def recallAt10(np: Int, rr: Int): (Double, Double) = {
           val per = gt.toSeq.map { case (qid, want) =>
             val qv = qOut.find(_._1 == qid).get._2
             val cand = local.searchAdcParallel(qv, 10 * rr, np, pool)
             val got = cand.map { case (id, _) => (id, dotF(qv, regen(id))) }
-              .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
-            val r = want.count { case (id, _) => got(id) }.toDouble / want.length
+              .sortBy { case (id, s) => (-s, id) }.take(10)
+            val gotIds = got.map(_._1).toSet
+            val r = want.count { case (id, _) =>
+              gotIds(id) }.toDouble / want.length
+            val sr = got.map(_._2).sum / want.map(_._2).sum
             if (sys.env.contains("GRAFT_GT_DEBUG") && r < 1.0)
               System.err.println(f"[gtdebug] np=$np rr=$rr qid=$qid r=$r%.2f " +
-                s"missing=" + want.filterNot { case (id, _) => got(id) }
+                s"missing=" + want.filterNot { case (id, _) => gotIds(id) }
                   .map { case (id, sc) =>
                     s"$id@${gtList.getOrElse(id, -99L)}:" + f"$sc%.3f" }
                   .mkString(","))
-            r
+            (r, sr)
           }
-          per.sum / per.length
+          (per.map(_._1).sum / per.length, per.map(_._2).sum / per.length)
         }
-        val r0 = recallAt10(nprobe100, rerank100)
+        val (r0, sr0) = recallAt10(nprobe100, rerank100)
         extras("ivf_100m_recall_at10") = num(r0, 4)
+        extras("ivf_100m_score_ratio_at10") = num(sr0, 5)
         if (r0 < 0.95) {
-          // disclose the knobs that DO reach the target (the tuner's
-          // escalation ladder, run offline exactly like nprobe_tune).
-          // Rerank depth is the expected lever on this fixture: the
-          // within-group ranking is a noise-dot ranking, the hardest
-          // case for PQ codes — candidates are cheap to rerank exactly
-          // (regen + one dot), so the ladder walks rerank hard.
+          // disclose the knobs that move id-recall toward the target
+          // (the tuner's escalation ladder, run offline exactly like
+          // nprobe_tune). Rerank depth is the lever on this fixture:
+          // candidates are cheap to rerank exactly (regen + one dot).
           val ladder = Seq((12, 16), (12, 32), (24, 32), (24, 64),
-            (48, 64), (48, 128))
+            (48, 128), (48, 512))
           val walked = ladder.map { case (np, rr) =>
-            val r = recallAt10(np, rr)
+            val (r, sr) = recallAt10(np, rr)
             System.err.println(
-              f"[bench] 100M recall ladder nprobe=$np rerank=$rr → $r%.4f")
-            (np, rr, r)
+              f"[bench] 100M recall ladder nprobe=$np rerank=$rr → " +
+                f"id=$r%.4f score=$sr%.5f")
+            (np, rr, r, sr)
           }
           extras("ivf_100m_recall_ladder") = walked
-            .map { case (np, rr, r) => f""""$np/$rr":${r}%.4f""" }
+            .map { case (np, rr, r, _) => f""""$np/$rr":${r}%.4f""" }
+            .mkString("{", ",", "}")
+          extras("ivf_100m_score_ratio_ladder") = walked
+            .map { case (np, rr, _, sr) => f""""$np/$rr":${sr}%.5f""" }
             .mkString("{", ",", "}")
           walked.find(_._3 >= 0.95) match {
-            case Some((np, rr, r)) =>
+            case Some((np, rr, r, _)) =>
               extras("ivf_100m_recall_at10_tuned") = num(r, 4)
               extras("ivf_100m_tuned_nprobe") = np.toString
               extras("ivf_100m_tuned_rerank") = rr.toString
@@ -2261,6 +2289,7 @@ object Bench {
       "ivf_100m_recall_at10", "ivf_100m_recall_at10_tuned",
       "ivf_100m_tuned_nprobe", "ivf_100m_tuned_rerank",
       "ivf_100m_gt_coverage_nprobe12", "ivf_100m_top50_lists_frac",
+      "ivf_100m_score_ratio_at10", "ivf_100m_self_recall_at1_pool32",
       "ivf_100m_query_p50_ms", "ivf_100m_query_p99_ms",
       "ivf_100m_query_p99_steady_ms", "ivf_100m_adc_p50_ms",
       "ivf_100m_floor_before_ms", "ivf_100m_floor_after_ms")

@@ -63,6 +63,11 @@ object ProfFresh {
       val sorted = lat.sorted.toIndexedSeq
       def p(q: Int) =
         sorted(math.min(sorted.length - 1, sorted.length * q / 100))
+      // decomposition: Spark's own per-trigger durations
+      fq.recentProgress.takeRight(8).foreach { pr =>
+        System.err.println(s"[fresh] progress rows=${pr.numInputRows} " +
+          s"durations=${pr.durationMs}")
+      }
       println(f"""{"waves":${lat.length},"p50_ms":${p(50)}%.1f,"p99_ms":${p(99)}%.1f}""")
     } finally {
       fq.stop()

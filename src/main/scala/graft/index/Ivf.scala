@@ -397,6 +397,20 @@ object Ivf {
     def k1: Int = coarse.length
     def nlist: Int = k1 * k2
 
+    /** Per-coarse-cell radius: max L2 distance from the coarse center
+      * to any of its children — the triangle-inequality screening bound
+      * [[assignTwoLevelBulk]] uses to make hierarchical assignment an
+      * EXACT flat argmin (d(v, child of j) ≥ d(v, coarse_j) − radius_j).
+      */
+    lazy val radii: Array[Double] = Array.tabulate(k1) { c1 =>
+      val c = coarse(c1)
+      fine(c1).iterator.map { ch =>
+        var s = 0.0; var i = 0
+        while (i < ch.length) { val d = ch(i) - c(i); s += d * d; i += 1 }
+        math.sqrt(s)
+      }.max
+    }
+
     /** The flat (cid, cv) relation every probe/serving path consumes. */
     def flatCentroids(
         spark: org.apache.spark.sql.SparkSession): DataFrame = {
@@ -576,14 +590,25 @@ object Ivf {
     centers
   }
 
-  /** Corpus-scale two-hop assignment (mapPartitions kernel, the
-    * [[assignBulk]] discipline): per row an argmin over the k1 coarse
-    * centroids, then over the chosen cell's k2 sub-centroids; emits
-    * flat `centroid_id = c1·k2 + c2` (null vectors → null, as
-    * [[assign]]). (k1+k2)·dim madds per row instead of k1·k2·dim.
+  /** Corpus-scale hierarchical assignment (mapPartitions kernel, the
+    * [[assignBulk]] discipline) that is an EXACT flat argmin over all
+    * k1·k2 lists: coarse cells are visited in distance order and
+    * pruned with the triangle inequality — a child of cell j can beat
+    * the best-so-far only if d(v, coarse_j) − radius_j < bestDist — so
+    * the result equals the brute-force argmin over [[TwoLevelCentroids
+    * .flatCentroids]] (IvfPqSpec recomputes it) at ~(k1 + few·k2)·dim
+    * madds per row instead of k1·k2·dim. Exactness matters beyond
+    * recall hygiene: PROBING ranks lists flat, so a greedy two-hop
+    * assignment (the previous kernel) could park ~8% of rows in lists
+    * outside their own vector's top-12 probe ranks — measured as
+    * self-recall@1 0.92 at the 100M geometry, healed to flat-exact by
+    * this kernel (PLANS.md round 8). Null vectors → null, as
+    * [[assign]].
     */
   def assignTwoLevelBulk(data: DataFrame, tl: TwoLevelCentroids,
       vecCol: String = "embedding"): DataFrame = {
+    val radii = tl.radii
+    val rMax = radii.max
     val coarse = tl.coarse
     val fine = tl.fine
     val k2 = tl.k2
@@ -625,30 +650,75 @@ object Ivf {
         case x => throw new IllegalArgumentException(
           s"unsupported vector column value: ${x.getClass}")
       }
-      def argmin(v: Array[Double], m: Array[Array[Double]],
-          norms: Array[Double]): Int = {
-        var best = 0; var bestD = Double.PositiveInfinity
-        var c = 0
-        while (c < m.length) {
-          val row = m(c)
-          var dot = 0.0; var i = 0
-          val n = v.length
+      val k1 = coarse.length
+      // reused per-partition scratch (no per-row allocation)
+      val dcs = new Array[Double](k1)
+      val ord = new Array[Int](k1)
+      def assignFlatExact(v: Array[Double]): Long = {
+        val n = v.length
+        var vn = 0.0
+        var i = 0
+        while (i < n) { vn += v(i) * v(i); i += 1 }
+        // true coarse distances (the triangle bound needs absolutes)
+        var j = 0
+        while (j < k1) {
+          val row = coarse(j)
+          var dot = 0.0; i = 0
           while (i < n) { dot += v(i) * row(i); i += 1 }
-          val d = norms(c) - 2.0 * dot // + ||v||², constant per row
-          if (d < bestD) { bestD = d; best = c }
-          c += 1
+          val d2 = vn - 2.0 * dot + cNorms(j)
+          dcs(j) = math.sqrt(if (d2 > 0.0) d2 else 0.0)
+          ord(j) = j
+          j += 1
         }
-        best
+        // insertion sort of k1 indices by coarse distance (k1 is 64 —
+        // ~2% of the coarse-dot cost)
+        j = 1
+        while (j < k1) {
+          val oj = ord(j); val dj = dcs(oj)
+          var p = j - 1
+          while (p >= 0 && dcs(ord(p)) > dj) { ord(p + 1) = ord(p); p -= 1 }
+          ord(p + 1) = oj
+          j += 1
+        }
+        var bestD2 = Double.PositiveInfinity
+        var bestDist = Double.PositiveInfinity
+        var bestCid = -1L
+        var jj = 0
+        var done = false
+        while (jj < k1 && !done) {
+          val cell = ord(jj)
+          val dc = dcs(cell)
+          if (dc - rMax > bestDist) done = true // cells are dc-ordered
+          else if (dc - radii(cell) <= bestDist) {
+            val children = fine(cell)
+            val fn = fNorms(cell)
+            var c = 0
+            while (c < children.length) {
+              val row = children(c)
+              var dot = 0.0; i = 0
+              while (i < n) { dot += v(i) * row(i); i += 1 }
+              val d2 = vn - 2.0 * dot + fn(c)
+              // strict < keeps the flat tie contract: lowest cid wins
+              // (cells in dc order do not reorder cids, so an equal-d2
+              // lower cid is only reachable via <, never overwritten)
+              val cid = cell.toLong * k2 + c
+              if (d2 < bestD2 || (d2 == bestD2 && cid < bestCid)) {
+                bestD2 = d2
+                bestDist = math.sqrt(if (d2 > 0.0) d2 else 0.0)
+                bestCid = cid
+              }
+              c += 1
+            }
+          }
+          jj += 1
+        }
+        bestCid
       }
       it.map { row =>
         val v = toDoubles(row.get(vecIdx))
         val cid: Any =
           if (v == null) null
-          else {
-            val c1 = argmin(v, coarse, cNorms)
-            val c2 = argmin(v, fine(c1), fNorms(c1))
-            c1.toLong * k2 + c2
-          }
+          else assignFlatExact(v)
         org.apache.spark.sql.Row.fromSeq(row.toSeq :+ cid)
       }
     }(enc)

@@ -156,7 +156,8 @@ object Segments {
     */
   def writeSegment(rowsIn: DataFrame, baseDir: String, segmentId: String,
       isStable: Boolean, expectedNdvPerFile: Long = 100000L,
-      appendDesc: Boolean = true): SegmentDescriptor = {
+      appendDesc: Boolean = true,
+      repartitionForWrite: Boolean = true): SegmentDescriptor = {
     // provenance (QueryResult.segment_id, types.h:81) is carried by the
     // directory itself: segments live at `store/segment_id=S/` so the
     // whole store is ONE hive tree — N live segments load as ONE
@@ -170,13 +171,19 @@ object Segments {
     // descriptor stats ride along with the write action itself (one pass)
     val obs = new org.apache.spark.sql.Observation(s"seg-$segmentId")
     // one writer per inverted list — avoids the tasks×centroids small-file
-    // explosion (AQE coalesces the shuffle at scale)
-    rows.observe(obs,
+    // explosion (AQE coalesces the shuffle at scale). A latency-bound
+    // caller (the streaming micro-batch flush) passes
+    // repartitionForWrite=false: its input is one AQE-coalesced
+    // aggregate output, so the extra exchange is a whole sequential
+    // query stage bought for nothing — measured ~1/3 of the 100 ms-
+    // trigger freshness latency.
+    val observed = rows.observe(obs,
         count(lit(1)).as("n"),
         min(col("id_hash")).as("minh"), max(col("id_hash")).as("maxh"),
         min(col("epoch")).as("mine"), max(col("epoch")).as("maxe"),
         avg(col("deleted").cast("double")).as("tr"))
-      .repartition(col("centroid_id")).write
+    (if (repartitionForWrite) observed.repartition(col("centroid_id"))
+     else observed).write
       .mode(SaveMode.Overwrite)
       .partitionBy("centroid_id")
       .option("parquet.bloom.filter.enabled#id_hash", "true")

@@ -87,13 +87,18 @@ object IngestPipeline {
     // read-back of one segment, not a lineage replay), else publish.
     // Readers only ever see the catalog, so every outcome is atomic.
     val seg0 = f"delta-$batchId%05d"
+    val tW0 = System.nanoTime()
     val desc = Segments.writeSegment(deduped, baseDir, seg0,
-      isStable = false, appendDesc = false)
+      isStable = false, appendDesc = false, repartitionForWrite = false)
+    val tW1 = System.nanoTime()
     val n = desc.num_vectors
     if (n == 0L) {
       Segments.deleteDir(desc.file_path)
     } else if (n <= maxRowsPerSegment) {
       Segments.appendCatalog(batch.sparkSession, baseDir, Seq(desc))
+      if (sys.env.contains("GRAFT_FLUSH_DEBUG"))
+        System.err.println(f"[flush] write=${(tW1 - tW0) / 1e6}%.0f ms " +
+          f"catalog=${(System.nanoTime() - tW1) / 1e6}%.0f ms n=$n")
     } else {
       // rare oversized flush (a batch past the reference's flush
       // threshold, config.h:29): slice the written segment by id_hash

@@ -31,7 +31,7 @@ class IvfPqSpec extends SparkSpec {
     }
   }
 
-  test("two-level quantizer: each hop is an exact argmin; probe-all search over its layout is exact") {
+  test("two-level quantizer: assignment IS the exact flat argmin; probe-all search over its layout is exact") {
     val tl = Ivf.trainTwoLevel(emb, k1 = 4, k2 = 4)
     assert(tl.nlist === 16)
     val flat = tl.flatCentroids(spark)
@@ -39,18 +39,21 @@ class IvfPqSpec extends SparkSpec {
     val assigned = Ivf.assignTwoLevelBulk(emb, tl)
     val got = assigned.select(col("vec_id"), col("centroid_id"))
       .as[(Long, Long)].collect().toMap
-    // per-row both hops are exact argmins (driver recompute)
+    // the triangle-pruned hierarchical kernel must equal the brute
+    // flat argmin over ALL k1·k2 children (driver recompute) — probing
+    // ranks lists flat, so any assignment/probe disagreement turns
+    // into silent recall loss (the r8 100M self-recall find)
     val vecs = emb.select(col("vec_id"),
         col("embedding").cast("array<double>"))
       .as[(Long, Seq[Double])].collect()
     def l2(a: Seq[Double], b: Array[Double]) =
       a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val flatAll = for {
+      c1 <- tl.fine.indices; c2 <- tl.fine(c1).indices
+    } yield (c1.toLong * 4 + c2, tl.fine(c1)(c2))
     vecs.take(100).foreach { case (id, v) =>
-      val c1 = tl.coarse.zipWithIndex
-        .minBy { case (c, i) => (l2(v, c), i) }._2
-      val c2 = tl.fine(c1).zipWithIndex
-        .minBy { case (c, i) => (l2(v, c), i) }._2
-      assert(got(id) === c1.toLong * 4 + c2, s"vec $id")
+      val want = flatAll.minBy { case (cid, cv) => (l2(v, cv), cid) }._1
+      assert(got(id) === want, s"vec $id")
     }
     // cid domain
     assert(got.values.forall(c => c >= 0 && c < 16))
