@@ -187,7 +187,11 @@ final class Graft private (
         .sortBy(_._1).map(_._2)
       Seq((0L, mean.toSeq)).toDF("cid", "cv")
     } else
-      Ivf.kmeansCentroids(spark, Ivf.trainKMeans(vecs, nlist))
+      // balance-gated: a collapsed k-means layout (the clustered-corpus
+      // degeneracy caught at 100M, PLANS.md round 8) falls back to the
+      // deterministic farthest-point Lloyd instead of silently shipping
+      // a one-mega-list store through ingest or a 24 h rebuild()
+      Ivf.trainCentroidsBalanced(vecs, nVec, nlist)
   }
 
   private def centroids(): DataFrame = {
@@ -237,7 +241,13 @@ final class Graft private (
     try out.write(flushedFrontier.toString.getBytes(StandardCharsets.UTF_8))
     finally out.close()
     fs.delete(frontierPath, false)
-    fs.rename(tmp, frontierPath)
+    // fail LOUDLY on a false return (dest recreated, transient FS
+    // error): recovery stays correct with a stale/absent frontier
+    // (idempotent LWW replay), but silently repaying a full WAL replay
+    // on every reopen is an invisible failure, not a policy
+    if (!fs.rename(tmp, frontierPath))
+      throw new java.io.IOException(
+        s"frontier rename failed: $tmp -> $frontierPath")
     Wal.reclaim(walDir, flushedFrontier)
   }
 
@@ -451,6 +461,27 @@ final class Graft private (
     }
     // epoch/batch counters resume past everything ever seen
     val descs = Segments.allDescriptors(spark, baseDir)
+    // orphan-segment sweep: a crash between an optimistic (unpublished)
+    // flush write and its catalog append — or between an oversized
+    // flush's slice publish and its draft delete — leaves
+    // store/segment_id=* dirs no catalog row ever referenced. Readers
+    // are catalog-driven so they never see them, but the disk leak is
+    // permanent without a sweep; anything swept here is re-delivered by
+    // the stream checkpoint / WAL replay, so deletion loses nothing.
+    // (Mirrors the centroids_next_* healing above.)
+    locally {
+      val knownIds = descs.map(_.segment_id).toSet
+      val storeRoot = new HPath(s"$baseDir/${Segments.StoreDir}")
+      if (fs.exists(storeRoot)) fs.listStatus(storeRoot).foreach { st =>
+        val nm = st.getPath.getName
+        if (nm.startsWith("segment_id=") &&
+            !knownIds.contains(nm.stripPrefix("segment_id="))) {
+          System.err.println(s"[graft] sweeping orphan segment dir " +
+            s"${st.getPath} (no catalog row references it)")
+          fs.delete(st.getPath, true)
+        }
+      }
+    }
     val maxSeen = (flushedFrontier +: descs.map(_.max_epoch)).max
     nextEpoch.set(math.max(0L, maxSeen + 1))
     // the batch counter resumes PAST the max numeric suffix actually

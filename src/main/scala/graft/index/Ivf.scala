@@ -367,6 +367,85 @@ object Ivf {
       .toSeq.toDF("cid", "cv")
   }
 
+  /** [[trainKMeans]] with a LAYOUT-BALANCE GATE — the production
+    * trainer the facade uses. The degeneracy caught at 100M in the
+    * two-level trainer (PLANS.md round 8: MLlib's kmeans|| on a
+    * mixture of many near-orthogonal tight groups collapses to ONE
+    * mean-drifted center holding ~99% of the corpus) is equally
+    * reachable through this single-level path on clustered data, and
+    * nothing downstream would see it — probing still "works", recall
+    * silently dies. So after training, audit the layout on an
+    * unbiased driver-bounded sample (the TwoLevelRecallSpec balance
+    * thresholds: ≥80% lists non-empty, no list > 20× mean, median ≥
+    * mean/10) and on collapse fall back to the deterministic
+    * farthest-point [[lloyd]] on the same sample — k-center seeding
+    * provably seeds distinct clusters first, which is exactly what the
+    * kmeans|| init lost. Returns the flat (cid, cv) layout.
+    */
+  def trainCentroidsBalanced(vecs: DataFrame, nRows: Long, nlist: Int,
+      seed: Long = 42L, vecCol: String = "embedding", maxIter: Int = 20,
+      auditSample: Int = 65536): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val model = trainKMeans(vecs, nlist, seed, vecCol, maxIter)
+    // unbiased sample (df.sample scans, so cluster-ordered storage
+    // cannot bias it the way limit() would), bounded for the driver
+    val fraction = math.min(1.0,
+      (4.0 * auditSample) / math.max(1L, nRows))
+    val sample = vecs.select(col(vecCol).cast("array<double>"))
+      .sample(withReplacement = false, fraction, seed)
+      .limit(auditSample)
+      .collect().map(_.getSeq[Double](0).toArray)
+    val centers = model.clusterCenters.map(_.toArray)
+    if (sample.length < 2 * nlist || centers.length < 2)
+      return kmeansCentroids(spark, model) // too small to judge
+    if (!layoutCollapsed(centers, sample)) kmeansCentroids(spark, model)
+    else {
+      System.err.println(s"[graft] k-means layout collapsed on a " +
+        s"${sample.length}-row audit sample — falling back to " +
+        "deterministic farthest-point Lloyd")
+      val c = lloyd(sample, nlist, maxIter)
+      // pad a data-starved result so cid arithmetic keeps nlist lists
+      // (duplicate codewords → empty lists, harmless)
+      Array.tabulate(nlist)(i =>
+        (i.toLong, (if (i < c.length) c(i)
+        else c(i % math.max(1, c.length))).toSeq))
+        .toSeq.toDF("cid", "cv")
+    }
+  }
+
+  /** The layout-collapse detector behind [[trainCentroidsBalanced]]:
+    * assign the audit sample to `centers` by exact L2 argmin and apply
+    * the TwoLevelRecallSpec balance thresholds (≥80% of lists
+    * non-empty, no list over 20× the mean, median ≥ mean/10). Pure and
+    * deterministic — unit-testable against hand-built degenerate
+    * layouts.
+    */
+  private[graft] def layoutCollapsed(centers: Array[Array[Double]],
+      sample: Array[Array[Double]]): Boolean = {
+    val counts = new Array[Long](centers.length)
+    val cNorms = centers.map(c => { var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }; s })
+    sample.foreach { v =>
+      var best = 0; var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < centers.length) {
+        val row = centers(c)
+        var dot = 0.0; var i = 0
+        while (i < v.length) { dot += v(i) * row(i); i += 1 }
+        val dd = cNorms(c) - 2.0 * dot
+        if (dd < bestD) { bestD = dd; best = c }
+        c += 1
+      }
+      counts(best) += 1
+    }
+    val nonEmpty = counts.count(_ > 0)
+    val mean = sample.length.toDouble / centers.length
+    val median = counts.sorted.apply(counts.length / 2)
+    nonEmpty < (centers.length * 8) / 10 ||
+      counts.max > 20 * mean || median < mean / 10
+  }
+
   // ---- two-level (hierarchical) coarse quantizer ---------------------
   //
   // At the reference's declared collection scale (100M × dim 768,

@@ -138,7 +138,24 @@ object Segments {
               perRootKv(parent, ps)
           }
         } else perPath(ps)
-      }.reduce(_.unionByName(_, allowMissingColumns = true))
+        // STRICT union across groups: genuinely divergent segment
+        // schemas (e.g. a segment written without a data column) are
+        // corruption and must surface, not null-fill silently. Only the
+        // kv fallback above tolerates missing columns — there the
+        // divergence is the known sub-partition case, and it WARNS when
+        // it fires. A legitimately mixed store (kv + foreign layouts)
+        // still loads: that divergence is partition-column-only, and we
+        // null-fill it loudly rather than refuse.
+      }.reduce { (a, b) =>
+        try a.unionByName(b)
+        catch {
+          case e: org.apache.spark.sql.AnalysisException =>
+            System.err.println(s"[graft] segment groups diverge in " +
+              s"columns (${e.getMessage.takeWhile(_ != '\n')}) — " +
+              "null-filling the missing side")
+            a.unionByName(b, allowMissingColumns = true)
+        }
+      }
     }
 
   /** W4: write one immutable segment from rows carrying

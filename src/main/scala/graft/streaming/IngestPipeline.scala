@@ -86,10 +86,24 @@ object IngestPipeline {
     // oversized → re-slice from the WRITTEN segment (a columnar
     // read-back of one segment, not a lineage replay), else publish.
     // Readers only ever see the catalog, so every outcome is atomic.
+    //
+    // Whether the write carries the one-writer-per-list exchange is
+    // decided BEFORE it runs, from Catalyst's size estimate (driver-
+    // side, no job — file sources and local relations both know their
+    // bytes): a latency-bound micro-batch (the 100 ms-trigger case)
+    // skips the exchange — its input is one AQE-coalesced aggregate
+    // output, so the extra stage bought nothing but ~1/3 of the
+    // freshness latency — while a bulk/catch-up batch KEEPS it: a
+    // many-task input written without the exchange explodes into up to
+    // tasks×nlist small files per segment (the writeSegment contract).
+    // The estimate is pre-dedupe, so it only ever errs toward keeping
+    // the exchange — the safe side.
+    val estBytes = deduped.queryExecution.optimizedPlan.stats.sizeInBytes
+    val repart = estBytes > BigInt(microBatchBytesBound)
     val seg0 = f"delta-$batchId%05d"
     val tW0 = System.nanoTime()
     val desc = Segments.writeSegment(deduped, baseDir, seg0,
-      isStable = false, appendDesc = false, repartitionForWrite = false)
+      isStable = false, appendDesc = false, repartitionForWrite = repart)
     val tW1 = System.nanoTime()
     val n = desc.num_vectors
     if (n == 0L) {
@@ -98,7 +112,8 @@ object IngestPipeline {
       Segments.appendCatalog(batch.sparkSession, baseDir, Seq(desc))
       if (sys.env.contains("GRAFT_FLUSH_DEBUG"))
         System.err.println(f"[flush] write=${(tW1 - tW0) / 1e6}%.0f ms " +
-          f"catalog=${(System.nanoTime() - tW1) / 1e6}%.0f ms n=$n")
+          f"catalog=${(System.nanoTime() - tW1) / 1e6}%.0f ms n=$n " +
+          s"repart=$repart est=$estBytes")
     } else {
       // rare oversized flush (a batch past the reference's flush
       // threshold, config.h:29): slice the written segment by id_hash
@@ -115,6 +130,12 @@ object IngestPipeline {
       Segments.deleteDir(desc.file_path)
     }
   }
+
+  /** Input-size bound below which a flush skips the per-centroid write
+    * exchange (~one or two post-AQE output partitions of raw input —
+    * well past any single RPC, well under a catch-up batch).
+    */
+  private[graft] val microBatchBytesBound: Long = 128L * 1024 * 1024
 
   /** [[start]] with every knob taken from a loaded [[graft.GraftConfig]]
     * (the reference's loadConfig path, config.cpp:14-74).
