@@ -46,10 +46,18 @@ object IngestPipeline {
 
   /** T1-T4: start the ingest stream. Each micro-batch is LWW-deduped on
     * id_hash and flushed as delta segment `delta-<batchId>`.
+    *
+    * With `overlay` set, each batch is published to the driver-resident
+    * [[BufferOverlay]] BEFORE the durable flush (one collect, no
+    * shuffle) and pruned from it after the catalog publish — the
+    * reference's buffer-serves-reads visibility (msg-buf.h:116-166)
+    * next to the unchanged durability path. Readers merge
+    * `overlay.asBuffer` via [[liveView]]'s buffer parameter.
     */
   def start(spark: SparkSession, sourceDir: String, baseDir: String,
       checkpointDir: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      overlay: Option[BufferOverlay] = None): StreamingQuery = {
     val src = spark.readStream
       .schema(mutationSchema)
       .parquet(sourceDir)
@@ -57,7 +65,12 @@ object IngestPipeline {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val published = overlay.map(_.publishBatch(batch))
         flushBatch(batch, baseDir, batchId)
+        // only now are these epochs catalog-served — drop them from the
+        // driver tier (crash between publish and prune just re-delivers
+        // the batch: LWW makes the replayed publish a no-op merge)
+        for (o <- overlay; e <- published if e != Long.MinValue) o.prune(e)
       }
       .start()
   }
@@ -73,7 +86,8 @@ object IngestPipeline {
     * sub-segment keeps a deterministic name so replays stay idempotent.
     */
   def flushBatch(batch: DataFrame, baseDir: String, batchId: Long,
-      maxRowsPerSegment: Long = 2000000L): Unit = {
+      maxRowsPerSegment: Long = 2000000L,
+      repartitionOverride: Option[Boolean] = None): Unit = {
     val deduped = graft.operators.Lww.latestBy(batch, "id_hash", "epoch")
     // OPTIMISTIC single-pass flush: dedupe flows straight into the
     // segment write with the descriptor stats riding the write action
@@ -98,8 +112,11 @@ object IngestPipeline {
     // tasks×nlist small files per segment (the writeSegment contract).
     // The estimate is pre-dedupe, so it only ever errs toward keeping
     // the exchange — the safe side.
+    // repartitionOverride pins the exchange decision for A/B profiling
+    // (ProfIngestAB) — production callers leave it None
     val estBytes = deduped.queryExecution.optimizedPlan.stats.sizeInBytes
-    val repart = estBytes > BigInt(microBatchBytesBound)
+    val repart = repartitionOverride.getOrElse(
+      estBytes > BigInt(microBatchBytesBound))
     val seg0 = f"delta-$batchId%05d"
     val tW0 = System.nanoTime()
     val desc = Segments.writeSegment(deduped, baseDir, seg0,
