@@ -330,12 +330,59 @@ final class Graft private (
     }
   }
 
-  /** T5: the live resolved view (latest version per id, tombstones
-    * masked) as a DataFrame for batch analytics.
+  /** Driver-resident buffer overlay for the streaming ingest path —
+    * rows a [[startStream]] micro-batch has admitted but not yet
+    * catalog-published serve reads from here (the reference's
+    * buffer-serves-reads visibility, msg-buf.h:116-166). Empty unless
+    * a stream is running; the synchronous [[upsert]] path never needs
+    * it (durable + published before it returns).
     */
-  def liveView: DataFrame =
-    graft.operators.Lww.latestBy(Segments.readSegments(spark, baseDir),
-      "id_hash", "epoch").filter(!col("deleted"))
+  val overlay = new graft.streaming.BufferOverlay()
+
+  /** T1-T5 streaming ingest through the facade: mutation-shaped parquet
+    * landing under `sourceDir` flows through the same per-batch LWW +
+    * segment flush as [[upsert]], with each batch published to
+    * [[overlay]] BEFORE the durable flush and pruned after the catalog
+    * publish — so [[liveView]] reads are fresh at driver-memory latency
+    * (bench: ingest→queryable p50 ≈2× the 100 ms trigger via the
+    * overlay vs ≈5× via file publish alone).
+    */
+  def startStream(sourceDir: String, checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    // "sdelta" keys the stream's segment-id space away from the
+    // facade counter's "delta-" names (recoverOnOpen excludes it from
+    // the counter scan, as with recover-<epoch>); one stream per store
+    IngestPipeline.start(spark, sourceDir, baseDir, checkpointDir,
+      trigger, overlay = Some(overlay), segmentPrefix = "sdelta")
+
+  /** T5: the live resolved view (latest version per id, tombstones
+    * masked) as a DataFrame for batch analytics. Merges the streaming
+    * [[overlay]] tier when non-empty (same LWW resolution — an overlay
+    * row and its just-flushed segment twin collapse to one).
+    */
+  def liveView: DataFrame = {
+    val segs = Segments.readSegments(spark, baseDir)
+    val merged = overlay.asBuffer(spark) match {
+      case None => segs
+      case Some(buf0) =>
+        val buf = buf0.withColumn("segment_id", lit("buffer"))
+        if (segs.columns.isEmpty) buf
+        else {
+          // align the overlay to the segment schema: buffered rows
+          // carry the fixed mutation columns; any extra segment column
+          // (tags, ...) is null until the durable flush publishes it
+          val aligned = segs.columns.foldLeft(buf) { (b, c) =>
+            if (b.columns.contains(c)) b
+            else b.withColumn(c, lit(null).cast(segs.schema(c).dataType))
+          }.select(segs.columns.map(col).toSeq: _*)
+          segs.unionByName(aligned)
+        }
+    }
+    graft.operators.Lww.latestBy(merged, "id_hash", "epoch")
+      .filter(!col("deleted"))
+  }
 
   // ---- maintenance (W11/W12/B1/A1) ---------------------------------
 

@@ -671,30 +671,35 @@ object Ivf {
 
   /** Corpus-scale hierarchical assignment (mapPartitions kernel, the
     * [[assignBulk]] discipline) that is an EXACT flat argmin over all
-    * k1·k2 lists: coarse cells are visited in distance order and
-    * pruned with the triangle inequality — a child of cell j can beat
-    * the best-so-far only if d(v, coarse_j) − radius_j < bestDist — so
-    * the result equals the brute-force argmin over [[TwoLevelCentroids
-    * .flatCentroids]] (IvfPqSpec recomputes it) at ~(k1 + few·k2)·dim
-    * madds per row instead of k1·k2·dim. Exactness matters beyond
-    * recall hygiene: PROBING ranks lists flat, so a greedy two-hop
-    * assignment (the previous kernel) could park ~8% of rows in lists
-    * outside their own vector's top-12 probe ranks — measured as
-    * self-recall@1 0.92 at the 100M geometry, healed to flat-exact by
-    * this kernel (PLANS.md round 8). Null vectors → null, as
-    * [[assign]].
+    * k1·k2 lists, executed as a blocked GEMM: rows are buffered B at a
+    * time and all child dot products computed in ONE `dgemm` against
+    * the flat centroid matrix (netlib BLAS — `VectorBLAS` when the JVM
+    * has `--add-modules=jdk.incubator.vector`, the Java fallback
+    * otherwise), then argmin_c (‖c‖² − 2·v·c) per row with the flat
+    * tie contract (lowest cid wins). Equals the brute-force argmin
+    * over [[TwoLevelCentroids.flatCentroids]] (IvfPqSpec recomputes
+    * it). Exactness matters beyond recall hygiene: PROBING ranks lists
+    * flat, so a greedy two-hop assignment (the r7 kernel) parked ~8%
+    * of rows in lists outside their own vector's top-12 probe ranks
+    * (PLANS.md round 8).
+    *
+    * Why GEMM and not the r8 triangle-pruned scalar walk: on a
+    * concentrated high-dim corpus (5000 tight groups under 64 coarse
+    * cells) every coarse radius is comparable to every coarse
+    * distance, the bound `d(v,cell) − radius(cell) ≤ best` never
+    * fires, and the walk degrades to all k1·k2 dots as latency-bound
+    * serial scalar loops — measured ~4k rows/s across 32 cores at the
+    * 100M geometry (a ~7 h build; the r8 driver bench died inside it).
+    * The same arithmetic as a register-blocked GEMM runs ~10 Gmadd/s
+    * per thread (25× the serial chain), and keeping it EXACT costs
+    * nothing: pruning saved no work on exactly the corpus shape that
+    * matters. Null vectors → null, as [[assign]].
     */
   def assignTwoLevelBulk(data: DataFrame, tl: TwoLevelCentroids,
       vecCol: String = "embedding"): DataFrame = {
-    val radii = tl.radii
-    val rMax = radii.max
     val coarse = tl.coarse
     val fine = tl.fine
     val k2 = tl.k2
-    val cNorms = coarse.map(r => { var s = 0.0; var i = 0
-      while (i < r.length) { s += r(i) * r(i); i += 1 }; s })
-    val fNorms = fine.map(_.map(r => { var s = 0.0; var i = 0
-      while (i < r.length) { s += r(i) * r(i); i += 1 }; s }))
     val outSchema = org.apache.spark.sql.types.StructType(
       data.schema.fields :+ org.apache.spark.sql.types.StructField(
         "centroid_id", org.apache.spark.sql.types.LongType,
@@ -730,75 +735,85 @@ object Ivf {
           s"unsupported vector column value: ${x.getClass}")
       }
       val k1 = coarse.length
-      // reused per-partition scratch (no per-row allocation)
-      val dcs = new Array[Double](k1)
-      val ord = new Array[Int](k1)
-      def assignFlatExact(v: Array[Double]): Long = {
-        val n = v.length
-        var vn = 0.0
-        var i = 0
-        while (i < n) { vn += v(i) * v(i); i += 1 }
-        // true coarse distances (the triangle bound needs absolutes)
-        var j = 0
-        while (j < k1) {
-          val row = coarse(j)
-          var dot = 0.0; i = 0
-          while (i < n) { dot += v(i) * row(i); i += 1 }
-          val d2 = vn - 2.0 * dot + cNorms(j)
-          dcs(j) = math.sqrt(if (d2 > 0.0) d2 else 0.0)
-          ord(j) = j
-          j += 1
-        }
-        // insertion sort of k1 indices by coarse distance (k1 is 64 —
-        // ~2% of the coarse-dot cost)
-        j = 1
-        while (j < k1) {
-          val oj = ord(j); val dj = dcs(oj)
-          var p = j - 1
-          while (p >= 0 && dcs(ord(p)) > dj) { ord(p + 1) = ord(p); p -= 1 }
-          ord(p + 1) = oj
-          j += 1
-        }
-        var bestD2 = Double.PositiveInfinity
-        var bestDist = Double.PositiveInfinity
-        var bestCid = -1L
-        var jj = 0
-        var done = false
-        while (jj < k1 && !done) {
-          val cell = ord(jj)
-          val dc = dcs(cell)
-          if (dc - rMax > bestDist) done = true // cells are dc-ordered
-          else if (dc - radii(cell) <= bestDist) {
-            val children = fine(cell)
-            val fn = fNorms(cell)
-            var c = 0
-            while (c < children.length) {
-              val row = children(c)
-              var dot = 0.0; i = 0
-              while (i < n) { dot += v(i) * row(i); i += 1 }
-              val d2 = vn - 2.0 * dot + fn(c)
-              // strict < keeps the flat tie contract: lowest cid wins
-              // (cells in dc order do not reorder cids, so an equal-d2
-              // lower cid is only reachable via <, never overwritten)
-              val cid = cell.toLong * k2 + c
-              if (d2 < bestD2 || (d2 == bestD2 && cid < bestCid)) {
-                bestD2 = d2
-                bestDist = math.sqrt(if (d2 > 0.0) d2 else 0.0)
-                bestCid = cid
-              }
-              c += 1
-            }
+      val d = if (k1 > 0 && coarse(0) != null) coarse(0).length else 0
+      // flat centroid matrix, column-major d×nCols in ascending-cid
+      // order (cells can be ragged — cidOf maps column → flat cid);
+      // built once per partition, shared across every block
+      var nCols = 0
+      var cell0 = 0
+      while (cell0 < k1) { nCols += fine(cell0).length; cell0 += 1 }
+      val cm = new Array[Double](d * nCols)
+      val cidOf = new Array[Long](nCols)
+      val colNorm = new Array[Double](nCols)
+      var colI = 0
+      cell0 = 0
+      while (cell0 < k1) {
+        val children = fine(cell0)
+        var c = 0
+        while (c < children.length) {
+          val row = children(c)
+          var s = 0.0
+          var i = 0
+          while (i < d) {
+            cm(colI * d + i) = row(i); s += row(i) * row(i); i += 1
           }
-          jj += 1
+          cidOf(colI) = cell0.toLong * k2 + c
+          colNorm(colI) = s
+          colI += 1
+          c += 1
         }
-        bestCid
+        cell0 += 1
       }
-      it.map { row =>
-        val v = toDoubles(row.get(vecIdx))
-        val cid: Any =
-          if (v == null) null
-          else assignFlatExact(v)
-        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ cid)
+      val blas = dev.ludovic.netlib.blas.BLAS.getInstance()
+      val blockRows = 256
+      val vm = new Array[Double](d * blockRows) // d×B column-major
+      val scores = new Array[Double](nCols * blockRows)
+      it.grouped(blockRows).flatMap { chunk =>
+        // pack non-null vectors as columns; remember each row's column
+        val colOfRow = new Array[Int](chunk.length)
+        var bN = 0
+        var r = 0
+        while (r < chunk.length) {
+          val v = toDoubles(chunk(r).get(vecIdx))
+          if (v == null) colOfRow(r) = -1
+          else {
+            if (v.length != d) throw new IllegalArgumentException(
+              s"vector dim ${v.length} != centroid dim $d")
+            System.arraycopy(v, 0, vm, bN * d, d)
+            colOfRow(r) = bN
+            bN += 1
+          }
+          r += 1
+        }
+        if (bN > 0)
+          // scores(c + b·nCols) = centroid_c · vec_b for every pair —
+          // one register-blocked GEMM instead of bN·nCols serial loops
+          blas.dgemm("T", "N", nCols, bN, d, 1.0, cm, d, vm, d, 0.0,
+            scores, nCols)
+        val out = List.newBuilder[org.apache.spark.sql.Row]
+        r = 0
+        while (r < chunk.length) {
+          val b = colOfRow(r)
+          val cid: Any =
+            if (b < 0) null
+            else {
+              // argmin_c (‖c‖² − 2·dot) ≡ argmin_c d²(v,c); ascending
+              // scan with strict < keeps the lowest cid on exact ties
+              val off = b * nCols
+              var best = 0
+              var bestScore = colNorm(0) - 2.0 * scores(off)
+              var c = 1
+              while (c < nCols) {
+                val s = colNorm(c) - 2.0 * scores(off + c)
+                if (s < bestScore) { bestScore = s; best = c }
+                c += 1
+              }
+              cidOf(best)
+            }
+          out += org.apache.spark.sql.Row.fromSeq(chunk(r).toSeq :+ cid)
+          r += 1
+        }
+        out.result()
       }
     }(enc)
   }

@@ -57,7 +57,8 @@ object IngestPipeline {
   def start(spark: SparkSession, sourceDir: String, baseDir: String,
       checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow(),
-      overlay: Option[BufferOverlay] = None): StreamingQuery = {
+      overlay: Option[BufferOverlay] = None,
+      segmentPrefix: String = "delta"): StreamingQuery = {
     val src = spark.readStream
       .schema(mutationSchema)
       .parquet(sourceDir)
@@ -66,7 +67,7 @@ object IngestPipeline {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val published = overlay.map(_.publishBatch(batch))
-        flushBatch(batch, baseDir, batchId)
+        flushBatch(batch, baseDir, batchId, segmentPrefix = segmentPrefix)
         // only now are these epochs catalog-served — drop them from the
         // driver tier (crash between publish and prune just re-delivers
         // the batch: LWW makes the replayed publish a no-op merge)
@@ -87,7 +88,8 @@ object IngestPipeline {
     */
   def flushBatch(batch: DataFrame, baseDir: String, batchId: Long,
       maxRowsPerSegment: Long = 2000000L,
-      repartitionOverride: Option[Boolean] = None): Unit = {
+      repartitionOverride: Option[Boolean] = None,
+      segmentPrefix: String = "delta"): Unit = {
     val deduped = graft.operators.Lww.latestBy(batch, "id_hash", "epoch")
     // OPTIMISTIC single-pass flush: dedupe flows straight into the
     // segment write with the descriptor stats riding the write action
@@ -117,7 +119,13 @@ object IngestPipeline {
     val estBytes = deduped.queryExecution.optimizedPlan.stats.sizeInBytes
     val repart = repartitionOverride.getOrElse(
       estBytes > BigInt(microBatchBytesBound))
-    val seg0 = f"delta-$batchId%05d"
+    // the prefix keys the writer's id space: a streaming pipeline on a
+    // baseDir that ALSO takes synchronous facade upserts must not share
+    // "delta-" with the facade's own counter — identical names would
+    // make the idempotent Overwrite replace a live foreign segment
+    // (Graft.startStream passes "sdelta"); replays of the SAME writer
+    // still land on the same name, which is the exactly-once contract
+    val seg0 = f"$segmentPrefix%s-$batchId%05d"
     val tW0 = System.nanoTime()
     val desc = Segments.writeSegment(deduped, baseDir, seg0,
       isStable = false, appendDesc = false, repartitionForWrite = repart)
@@ -140,7 +148,7 @@ object IngestPipeline {
       val slice = pmod(col("id_hash"), lit(parts))
       val descs = (0L until parts).map { p =>
         Segments.writeSegment(written.filter(slice === p), baseDir,
-          f"delta-$batchId%05d-$p%02d", isStable = false,
+          f"$segmentPrefix%s-$batchId%05d-$p%02d", isStable = false,
           appendDesc = false)
       }
       Segments.appendCatalog(batch.sparkSession, baseDir, descs)

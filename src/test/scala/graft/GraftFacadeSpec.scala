@@ -229,4 +229,68 @@ class GraftFacadeSpec extends SparkSpec {
     g3.close()
     Segments.deleteDir(base)
   }
+
+  test("startStream publishes to the facade overlay; liveView merges it with upserted segments (T5 via overlay)") {
+    val base = tmp()
+    val g = Graft.open(spark, base, cfgPath)
+    // a synchronous upsert first: segments now carry the facade's full
+    // column set, so the merge path (segment schema ⊇ overlay schema)
+    // is the one under test
+    g.upsert(batchDF(0 until 20))
+
+    // overlay rows not yet flushed anywhere must be visible through
+    // liveView, LWW-resolved against the flushed world
+    val ovRows = (20 until 25).map { i =>
+      (s"id-$i", vec(i).toSeq, (5000 + i).toLong)
+    } ++ Seq(("id-3", vec(333).toSeq, 9999L)) // supersedes the upsert
+    import org.apache.spark.sql.functions.{col => c}
+    val ovDf = ovRows.toDF("id", "vec", "epoch")
+      .withColumn("op", lit("UPSERT"))
+      .withColumn("id_hash", graft.functions.VectorFunctions.hashId(c("id")))
+      .withColumn("vec_id", c("id_hash"))
+      .withColumn("deleted", lit(false))
+      .withColumn("centroid_id", lit(0L))
+      .select("op", "vec_id", "id", "id_hash", "epoch", "deleted",
+        "centroid_id", "vec")
+    assert(g.overlay.publishBatch(ovDf) === 9999L)
+    assert(g.liveView.count() === 25) // 20 flushed + 5 new (id-3 merged)
+    // the overlay version of id-3 (epoch 9999) must win LWW
+    val id3 = Seq("id-3").toDF("id")
+      .select(graft.functions.VectorFunctions.hashId(c("id")))
+      .head().getLong(0)
+    assert(g.liveView.filter(c("id_hash") === id3)
+      .select("epoch").head().getLong(0) === 9999L)
+
+    // the streaming path end-to-end: source dir drains through
+    // startStream; AvailableNow flushes everything, so the overlay is
+    // published-then-pruned and liveView serves from segments alone
+    g.overlay.prune(Long.MaxValue)
+    val srcDir = s"$base/streamsrc"
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(srcDir))
+    val wave = (30 until 40).map { i =>
+      (s"id-$i", vec(i).toSeq, (8000 + i).toLong)
+    }.toDF("id", "vec", "epoch")
+      .withColumn("op", lit("UPSERT"))
+      .withColumn("id_hash", graft.functions.VectorFunctions.hashId(c("id")))
+      .withColumn("vec_id", c("id_hash"))
+      .withColumn("deleted", lit(false))
+      .withColumn("centroid_id", lit(0L))
+      .select("op", "vec_id", "id", "id_hash", "epoch", "deleted",
+        "centroid_id", "vec")
+    wave.coalesce(1).write.mode("append").parquet(srcDir)
+    val q = g.startStream(srcDir, s"$base/streamckpt")
+    try q.awaitTermination() finally q.stop()
+    // maxEpoch is a high-water mark (survives pruning): it already
+    // carries the direct publish's 9999 — the streamed publish keeps
+    // it (it would read 8039 on a fresh overlay)
+    assert(g.overlay.maxEpoch === 9999L)
+    assert(g.overlay.size === 0) // pruned after the catalog publish
+    // the 5 overlay-only rows were never flushed — pruning them is a
+    // visibility rollback ONLY because this test bypassed the ingest
+    // path (publishBatch direct); the stream's own rows are durable
+    assert(g.liveView.count() === 30) // 20 upserted + 10 streamed
+    g.close()
+    Segments.deleteDir(base)
+  }
 }
