@@ -472,8 +472,12 @@ object Bench {
         // rerank factor), not a user-facing k — the recall ladder walks
         // rerank up to 512, so the pool cap must clear 10×512
         maxK = 8192,
+        // sized to the recall LADDER's deepest escalation (nprobe 48),
+        // not just the serving default: the tuner escalates both knobs
+        // together, and a cap sized to nprobe 12 silently truncated the
+        // nprobe-48 ladder steps at ~24 lists (r9 first serve run)
         maxCandidates = math.max(100000L,
-          2L * nprobe100 * metaRows / (k1 * k2)).toInt,
+          2L * 48 * metaRows / (k1 * k2)).toInt,
         maxBatch = 100, deadlineMs = 5000L)
       val tL0 = System.nanoTime()
       val sizesPath = java.nio.file.Paths.get(s"$dir100/sizes.tsv")
@@ -663,7 +667,7 @@ object Bench {
           // nprobe_tune). Rerank depth is the lever on this fixture:
           // candidates are cheap to rerank exactly (regen + one dot).
           val ladder = Seq((12, 16), (12, 32), (24, 32), (24, 64),
-            (48, 128), (48, 512))
+            (48, 128), (48, 512), (48, 768))
           val walked = ladder.map { case (np, rr) =>
             val (r, sr) = recallAt10(np, rr)
             System.err.println(
