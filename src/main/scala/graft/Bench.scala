@@ -2247,6 +2247,13 @@ object Bench {
             .head().getLong(0))
         extras("stress768_assign_bulk_rows_per_sec") =
           num(n / assignBulkSec, 0)
+        // the GEMM twin (the bulk-build/rebuild path since r9) — same
+        // exact argmin, netlib-blocked dots
+        val assignGemmSec = gated768("stress768_assign_gemm")(
+          Ivf.assignBulkGemm(big, centsDf)
+            .select(count(col("centroid_id"))).head().getLong(0))
+        extras("stress768_assign_gemm_rows_per_sec") =
+          num(n / assignGemmSec, 0)
         val cbRnd = new scala.util.Random(7)
         val cb = graft.index.Pq.Codebook(m, dsub,
           Array.tabulate(k)(_.toLong),

@@ -418,7 +418,11 @@ final class Graft private (
     val nextCents = spark.read.parquet(nextPath)
     val r =
       try Segments.rebuildLayout(spark, baseDir,
-        df => Ivf.assign(df, nextCents, vecCol = "vec")
+        // the GEMM bulk assigner: exact argmin like Ivf.assign but it
+        // scales past the codegen kernel's row-at-a-time matrix streaming
+        // at big nlist×dim (the 24 h rebuild is a bulk build by
+        // definition — see stress768_assign_* in the bench record)
+        df => Ivf.assignBulkGemm(df, nextCents, vecCol = "vec")
           .withColumn("centroid_id",
             coalesce(col("centroid_id"), lit(-1L))),
         rebuildId)

@@ -87,6 +87,36 @@ object Ivf {
     * index builds (B1/B2 rebuilds, backfills: one pass, no shuffle, no
     * collect) and keep [[assign]] for composable per-row plans.
     */
+  /** [[assignBulk]]'s GEMM twin for bulk builds at big nlist×dim
+    * geometry (B1 rebuilds, backfills): the same exact argmin with the
+    * same lowest-cid tie rule, but every (row, centroid) dot runs
+    * through one netlib `dgemm` per 256-row block — reusing
+    * [[assignTwoLevelBulk]]'s kernel with a one-cell structure, so the
+    * flat column index IS the matrix index. Distances differ from the
+    * codegen kernel only in FP summation order (equal to rounding, not
+    * bit-identical — IvfPqSpec pins assignment-level equality), which
+    * is why [[assignBulk]] keeps its bit-identity contract and this
+    * variant exists separately. At the reference's 4096×768 geometry
+    * this is the bulk-assignment shape that scales: the blocked GEMM
+    * runs ~10 Gmadd/s/thread under VectorBLAS vs the chunked scalar
+    * kernel's ~1 (stress768_assign_* in the bench record).
+    */
+  def assignBulkGemm(data: DataFrame, centroids: DataFrame,
+      vecCol: String = "embedding"): DataFrame = {
+    val (cids, matrix) = collectCentroids(centroids)
+    require(matrix.nonEmpty,
+      "assignBulkGemm requires a non-empty centroid set")
+    val tl = TwoLevelCentroids(matrix.length, Array(matrix(0)),
+      Array(matrix))
+    val assigned = assignTwoLevelBulk(data, tl, vecCol)
+    // map the flat matrix index back to the caller's cid (identity for
+    // the usual dense 0..n-1 layout — no extra projection then)
+    if (cids.zipWithIndex.forall { case (c, i) => c == i.toLong }) assigned
+    else assigned.withColumn("centroid_id",
+      element_at(typedlit(cids.toSeq),
+        col("centroid_id").cast("int") + 1))
+  }
+
   def assignBulk(data: DataFrame, centroids: DataFrame,
       vecCol: String = "embedding", chunkRows: Int = 256): DataFrame = {
     val (cids, matrix) = collectCentroids(centroids)
@@ -475,20 +505,6 @@ object Ivf {
       fine: Array[Array[Array[Double]]]) {
     def k1: Int = coarse.length
     def nlist: Int = k1 * k2
-
-    /** Per-coarse-cell radius: max L2 distance from the coarse center
-      * to any of its children — the triangle-inequality screening bound
-      * [[assignTwoLevelBulk]] uses to make hierarchical assignment an
-      * EXACT flat argmin (d(v, child of j) ≥ d(v, coarse_j) − radius_j).
-      */
-    lazy val radii: Array[Double] = Array.tabulate(k1) { c1 =>
-      val c = coarse(c1)
-      fine(c1).iterator.map { ch =>
-        var s = 0.0; var i = 0
-        while (i < ch.length) { val d = ch(i) - c(i); s += d * d; i += 1 }
-        math.sqrt(s)
-      }.max
-    }
 
     /** The flat (cid, cv) relation every probe/serving path consumes. */
     def flatCentroids(

@@ -98,6 +98,24 @@ class IvfPqSpec extends SparkSpec {
       emb.select("vec_id").as[Long].collect().sorted)
   }
 
+  test("assignBulkGemm (the r9 bulk/rebuild path) assigns identically to the codegen assign") {
+    // GEMM dots differ from the codegen kernel only in FP summation
+    // order — assignment-level equality is the contract (distances are
+    // equal to rounding, not bit-identical like assignBulk's)
+    val cents = Ivf.deterministicCentroids(emb, 50)
+    val src = emb.withColumn("embedding",
+      when(col("vec_id") % 97 === 0, lit(null)).otherwise(col("embedding")))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("centroid_id"))
+        .as[(Long, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(pairs(Ivf.assignBulkGemm(src, cents)) ===
+      pairs(Ivf.assign(src, cents)))
+    // non-dense cids must map back through the caller's id space
+    val sparseCents = cents.withColumn("cid", col("cid") * 7 + 3)
+    assert(pairs(Ivf.assignBulkGemm(src, sparseCents)) ===
+      pairs(Ivf.assign(src, sparseCents)))
+  }
+
   test("reference-scale dims: assignment and PQ encode correct at dim 768 / m=96") {
     // synthesized corpus at the reference's dimensionality (config.h:19) —
     // the bench measures throughput here; this gates correctness
