@@ -1,4 +1,5 @@
 package graft
+package dev
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 object ProfCompact {

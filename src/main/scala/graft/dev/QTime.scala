@@ -1,9 +1,10 @@
 package graft
+package dev
 
 import org.apache.spark.sql.SparkSession
 
 /** Dev harness: time individual SparkEntry queries under the Bench session
-  * config. Usage: runMain graft.QTime <sfDir> <query> [query...]
+  * config. Usage: runMain graft.dev.QTime <sfDir> <query> [query...]
   * Each query runs twice; both times print (cold includes codegen/JIT).
   */
 object QTime {
