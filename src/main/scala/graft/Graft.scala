@@ -353,9 +353,17 @@ final class Graft private (
       : org.apache.spark.sql.streaming.StreamingQuery =
     // "sdelta" keys the stream's segment-id space away from the
     // facade counter's "delta-" names (recoverOnOpen excludes it from
-    // the counter scan, as with recover-<epoch>); one stream per store
+    // the counter scan, as with recover-<epoch>); one stream per store.
+    // Each published batch invalidates the serving cache — without it
+    // search() would serve the pre-stream index forever (liveView was
+    // coherent, the index path was not). The rebuild is lazy (next
+    // search) and catalog-driven; a deployment running hot search
+    // traffic under a continuous high-frequency trigger should prefer
+    // coarser triggers or scheduled compaction, exactly like the
+    // reference's flush/compact cadence.
     IngestPipeline.start(spark, sourceDir, baseDir, checkpointDir,
-      trigger, overlay = Some(overlay), segmentPrefix = "sdelta")
+      trigger, overlay = Some(overlay), segmentPrefix = "sdelta",
+      onPublish = _ => invalidateServing())
 
   /** T5: the live resolved view (latest version per id, tombstones
     * masked) as a DataFrame for batch analytics. Merges the streaming

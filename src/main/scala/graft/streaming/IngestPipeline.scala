@@ -58,7 +58,8 @@ object IngestPipeline {
       checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow(),
       overlay: Option[BufferOverlay] = None,
-      segmentPrefix: String = "delta"): StreamingQuery = {
+      segmentPrefix: String = "delta",
+      onPublish: Long => Unit = _ => ()): StreamingQuery = {
     val src = spark.readStream
       .schema(mutationSchema)
       .parquet(sourceDir)
@@ -68,9 +69,13 @@ object IngestPipeline {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val published = overlay.map(_.publishBatch(batch))
         flushBatch(batch, baseDir, batchId, segmentPrefix = segmentPrefix)
-        // only now are these epochs catalog-served — drop them from the
-        // driver tier (crash between publish and prune just re-delivers
-        // the batch: LWW makes the replayed publish a no-op merge)
+        // the batch is catalog-served now — notify BEFORE pruning the
+        // overlay, so a caller that keys freshness off the catalog
+        // (e.g. a serving-cache invalidation) is never left with
+        // neither tier holding the rows
+        onPublish(batchId)
+        // crash between publish and prune just re-delivers the batch:
+        // LWW makes the replayed publish a no-op merge
         for (o <- overlay; e <- published if e != Long.MinValue) o.prune(e)
       }
       .start()

@@ -268,19 +268,36 @@ class GraftFacadeSpec extends SparkSpec {
     val srcDir = s"$base/streamsrc"
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(srcDir))
-    val wave = (30 until 40).map { i =>
-      (s"id-$i", vec(i).toSeq, (8000 + i).toLong)
-    }.toDF("id", "vec", "epoch")
-      .withColumn("op", lit("UPSERT"))
-      .withColumn("id_hash", graft.functions.VectorFunctions.hashId(c("id")))
-      .withColumn("vec_id", c("id_hash"))
-      .withColumn("deleted", lit(false))
-      .withColumn("centroid_id", lit(0L))
+    // a search against the pre-stream world pins the serving cache so
+    // the post-stream search below proves the per-publish invalidation
+    assert(g.search(vec(5).map(_.toFloat), 3).nonEmpty)
+    // streamed rows carry their TRUE nearest-centroid assignment (the
+    // store's persisted layout), so the probed search can find them
+    val storeCents = spark.read.parquet(s"$base/centroids")
+    val wave = graft.index.Ivf.assign(
+      (30 until 40).map { i =>
+        (s"id-$i", vec(i).toSeq, (8000 + i).toLong)
+      }.toDF("id", "vec", "epoch")
+        .withColumn("op", lit("UPSERT"))
+        .withColumn("id_hash",
+          graft.functions.VectorFunctions.hashId(c("id")))
+        .withColumn("vec_id", c("id_hash"))
+        .withColumn("deleted", lit(false)),
+      storeCents, vecCol = "vec")
+      .withColumn("centroid_id", coalesce(c("centroid_id"), lit(-1L)))
       .select("op", "vec_id", "id", "id_hash", "epoch", "deleted",
         "centroid_id", "vec")
     wave.coalesce(1).write.mode("append").parquet(srcDir)
     val q = g.startStream(srcDir, s"$base/streamckpt")
     try q.awaitTermination() finally q.stop()
+    // the publish invalidated the serving cache: search() sees the
+    // streamed world (the index path, not just liveView)
+    val id35 = Seq("id-35").toDF("id")
+      .select(graft.functions.VectorFunctions.hashId(c("id")))
+      .head().getLong(0)
+    val hit35 = g.search(vec(35).map(_.toFloat), 3)
+    assert(hit35.nonEmpty && hit35.head._1 === id35,
+      hit35.take(3).mkString(","))
     // maxEpoch is a high-water mark (survives pruning): it already
     // carries the direct publish's 9999 — the streamed publish keeps
     // it (it would read 8039 on a fresh overlay)
