@@ -146,6 +146,45 @@ object SparkEntry {
       })
   }
 
+  /** The same server lifecycle through the STREAMING ingest door
+    * (T1-T5 via [[Graft.startStream]]): the whole mutation history
+    * lands as parquet in a source directory, one AvailableNow pass
+    * drains it through per-batch LWW + segment flush + buffer-overlay
+    * publish/prune + serving invalidation, and the resulting liveView
+    * must equal the SAME DuckDB live oracle the synchronous-upsert
+    * fixture uses — the two ingest doors are interchangeable.
+    */
+  private object FacadeStreamFixture {
+    private val cache = scala.collection.concurrent.TrieMap
+      .empty[String, DataFrame]
+    def live(s: SparkSession, dir: String): DataFrame =
+      cache.getOrElseUpdate(dir, {
+        val base = java.nio.file.Files
+          .createTempDirectory("graft-facade-stream-").toString
+        val cfg0 = GraftConfig.default
+        val cfg = cfg0.copy(collection = cfg0.collection.copy(dim = 64))
+        val g = Graft.open(s, base, cfg)
+        val src = s"$base/ingest"
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(src))
+        MutationLog.deterministicLog(emb(s, dir))
+          .withColumn("id_hash",
+            graft.functions.VectorFunctions.hashId(col("id")))
+          .withColumn("deleted", col("op") === "DELETE")
+          .withColumn("centroid_id", lit(-1L))
+          .select("op", "vec_id", "id", "id_hash", "epoch", "deleted",
+            "centroid_id", "vec")
+          .coalesce(2).write.mode("append").parquet(src)
+        val q = g.startStream(src, s"$base/ckpt")
+        q.awaitTermination()
+        val out = g.liveView.select(
+          col("vec_id"), col("epoch"),
+          dotD(col("vec"), col("vec")).as("norm_sq"))
+        g.close()
+        out
+      })
+  }
+
   /** Shared verified MinHash near-dup pairs (a, b, jaccard ≥ 0.5) per
     * sfDir: five battery entries (dedup_minhash, dedup_clusters,
     * dup_source_matrix, curation_funnel, decontaminate_fuzzy) consume
@@ -536,6 +575,7 @@ object SparkEntry {
     // Graft.open → upsert×3 → compact → reopen; liveView must equal the
     // oracle's live CTE (same epochs, same vectors, tombstones masked)
     "facade_live" -> ((s, dir) => FacadeFixture.live(s, dir)),
+    "facade_stream_live" -> ((s, dir) => FacadeStreamFixture.live(s, dir)),
     "point_lookup" -> ((s, dir) =>
       MutationLog.pointLookup(
         MutationLog.deterministicLog(emb(s, dir)), pointIds)),
@@ -1357,6 +1397,11 @@ object SparkEntry {
          |  list_dot_product(vec, vec) AS norm_sq
          |FROM live""".stripMargin,
     "facade_live" ->
+      s"""$MUTLOG
+         |SELECT vec_id, epoch,
+         |  list_dot_product(vec, vec) AS norm_sq
+         |FROM live""".stripMargin,
+    "facade_stream_live" ->
       s"""$MUTLOG
          |SELECT vec_id, epoch,
          |  list_dot_product(vec, vec) AS norm_sq
