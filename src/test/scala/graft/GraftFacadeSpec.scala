@@ -308,6 +308,19 @@ class GraftFacadeSpec extends SparkSpec {
     // path (publishBatch direct); the stream's own rows are durable
     assert(g.liveView.count() === 30) // 20 upserted + 10 streamed
     g.close()
+
+    // reopen across mixed writers: the facade counter resumes past its
+    // OWN ids only (delta/stable/rebuild) — sdelta names are the
+    // stream's checkpoint-derived space and must not advance it; the
+    // next upsert lands on delta-00001, next to the stream's segments
+    val g4 = Graft.open(spark, base, cfgPath)
+    assert(g4.liveView.count() === 30)
+    g4.upsert(batchDF(50 until 55))
+    val ids = Segments.catalogDescriptors(spark, base).map(_.segment_id)
+    assert(ids.contains("delta-00001"), ids.sorted.mkString(","))
+    assert(ids.exists(_.startsWith("sdelta-")))
+    assert(g4.liveView.count() === 35)
+    g4.close()
     Segments.deleteDir(base)
   }
 }
