@@ -98,9 +98,15 @@ object GraftFunctions {
 }
 
 /** `spark.sql.extensions=graft.GraftExtensions` — config-time injection
-  * of the graft SQL functions into every session of the application.
+  * of the graft SQL functions into every session of the application,
+  * plus the declarative-ANN planner rule
+  * ([[graft.plans.AnnTopKRewrite]]: `ORDER BY graft_dot(vec, q) DESC
+  * LIMIT k` over a registered centroid-partitioned store becomes an
+  * IVF-probed partition-pruned scan).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.injections.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(s => graft.plans.AnnTopKRewrite(s))
+  }
 }

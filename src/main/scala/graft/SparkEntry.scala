@@ -192,6 +192,56 @@ object SparkEntry {
     * shares a built index across queries, instead of rebuilding the
     * LSH pipeline (and leaking its shingle cache) per entry.
     */
+  /** Shared centroid-partitioned ANN store per sfDir for the declarative
+    * planner-rule entries ([[graft.plans.AnnTopKRewrite]]): the embeddings
+    * table assigned to the deterministic centroids (the exact `asg` CTE of
+    * the IVF oracle) and written `partitionBy(centroid_id)` — the physical
+    * layout the rewrite prunes against.
+    */
+  private object AnnStore {
+    final case class St(path: String, centsPath: String, nlist: Int)
+    private val cache = scala.collection.concurrent.TrieMap.empty[String, St]
+    def get(s: SparkSession, dir: String): St = cache.getOrElseUpdate(dir, {
+      val e = emb(s, dir)
+      val cents = Ivf.deterministicCentroids(e, 50)
+      val nlist = cents.count().toInt
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-annstore-").toString
+      Ivf.assign(e, cents).select("vec_id", "embedding", "centroid_id")
+        .repartition(col("centroid_id")) // one writer per inverted list
+        .write.partitionBy("centroid_id").parquet(s"$base/store")
+      cents.write.parquet(s"$base/cents")
+      St(s"$base/store", s"$base/cents", nlist)
+    })
+    /** Query vector: embedding of vec_id 0 (a registered query id in the
+      * shared `q` CTE), widened to double.
+      */
+    def qv0(s: SparkSession, dir: String): Array[Double] =
+      emb(s, dir).filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .collect().head.getSeq[Double](0).toArray
+    /** Declarative top-k over the store at the given probe width: the
+      * brute-force SQL shape; [[graft.plans.AnnTopKRewrite]] injects the
+      * probe filter at optimization time.
+      */
+    def declarativeTopK(s: SparkSession, dir: String,
+        nprobe: Int): DataFrame = {
+      val st = get(s, dir)
+      graft.plans.GraftAnn.install(s)
+      graft.plans.GraftAnn.configure(s, st.path, st.centsPath,
+        if (nprobe <= 0) st.nlist else nprobe)
+      val qv = qv0(s, dir)
+      val score = org.apache.spark.sql.GraftBridge.column(
+        graft.functions.expr.DotProduct(
+          org.apache.spark.sql.GraftBridge.expression(col("embedding")),
+          org.apache.spark.sql.GraftBridge.expression(lit(qv))))
+      s.read.parquet(st.path)
+        .select(col("vec_id"), score.as("score"))
+        .orderBy(col("score").desc, col("vec_id").asc)
+        .limit(10)
+    }
+  }
+
   private object MinhashPairs {
     private val cache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
     def get(s: SparkSession, dir: String): DataFrame =
@@ -269,6 +319,21 @@ object SparkEntry {
       Ivf.search(Ivf.assign(e, cents), q(s, dir), cents, "ip", 10, 3)
         .select("query_id", "vec_id", "score")
     }),
+    // ---- the declarative-ANN planner rule (SparkSessionExtensions /
+    // AnnTopKRewrite): the user writes the brute-force top-k SQL shape
+    // (ORDER BY dot DESC LIMIT k) over the centroid-partitioned store;
+    // the optimizer rule injects the IVF probe filter, which the
+    // datasource executes as partition pruning. At probe-all width the
+    // rewrite fires but stays exact — this entry pins the VALUES;
+    // AnnSqlRewriteSpec pins the PLAN (the partition filter) and the
+    // probed path's parity with Ivf.probes.
+    "ann_sql_topk" -> ((s, dir) =>
+      AnnStore.declarativeTopK(s, dir, nprobe = 0 /* probe-all */)),
+    // the same declarative shape at nprobe=3 — genuinely approximate,
+    // oracle-gated against the IVF CTE (probe + assignment + top-k all
+    // SQL-expressible, same contract as knn_ivf)
+    "ann_sql_probed" -> ((s, dir) =>
+      AnnStore.declarativeTopK(s, dir, nprobe = 3)),
     // Q6's candidate sampling INSIDE the probed lists (sample_p,
     // config.h:78 / types.h:74) — composes with the nprobe restriction
     "knn_ivf_sampled" -> ((s, dir) => {
@@ -1215,6 +1280,24 @@ object SparkEntry {
     "knn_ivf" ->
       s"""$IVF
          |SELECT query_id, vec_id, score FROM ivftop""".stripMargin,
+    // declarative-ANN rewrite at probe-all width == the exact scan for
+    // query 0 (every list probed ⇒ the In-filter keeps every row)
+    "ann_sql_topk" ->
+      s"""$EMB,
+         |q0 AS (SELECT qv FROM q WHERE query_id = 0),
+         |scored AS (SELECT emb.vec_id,
+         |    list_dot_product(emb.e, q0.qv) AS score
+         |  FROM emb CROSS JOIN q0)
+         |SELECT vec_id, score FROM (
+         |  SELECT scored.*, row_number() OVER (
+         |    ORDER BY score DESC, vec_id ASC) AS rn FROM scored) t
+         |WHERE rn <= 10""".stripMargin,
+    // declarative-ANN rewrite at nprobe=3 == the IVF search for query 0
+    // (the rule's probe/assignment contract IS the IVF CTE's)
+    "ann_sql_probed" ->
+      s"""$IVF
+         |SELECT vec_id, score FROM ivftop
+         |WHERE query_id = 0""".stripMargin,
     "knn_point" ->
       s"""$IVF
          |SELECT query_id, vec_id, score FROM ivftop

@@ -1,0 +1,280 @@
+package graft.plans
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types._
+
+import graft.functions.expr.{DotProduct, L2SqDistance}
+
+/** Declarative ANN: a Catalyst optimizer rule that turns a brute-force
+  * top-k-by-similarity query
+  *
+  * {{{
+  *   SELECT vec_id, graft_dot(embedding, <literal query vector>) AS score
+  *   FROM <centroid-partitioned store>
+  *   ORDER BY score DESC LIMIT k
+  * }}}
+  *
+  * into an IVF-probed, partition-pruned scan — the reference engine's
+  * coarse search (Q6, `config.h:74-78` nprobe) expressed as a query
+  * REWRITE instead of a dedicated API call. Users keep writing the exact
+  * declarative plan; when the scan targets a registered vector store the
+  * rule computes the `nprobe` nearest coarse centroids to the (foldable)
+  * query vector at optimization time and injects
+  * `centroid_id IN (<probed>)` directly above the file relation, which
+  * the datasource turns into partition pruning: only the probed inverted
+  * lists are read. At 100 TB this is the difference between a full-corpus
+  * scan and reading `nprobe/nlist` of it — the same contract as
+  * [[graft.index.Ivf.searchStored]], reached from plain SQL.
+  *
+  * Scoping and safety:
+  *  - fires only when `spark.graft.ann.storePath` is set AND the file
+  *    relation under the `ORDER BY … LIMIT` actually roots under that
+  *    path — no other query in the session can be touched;
+  *  - the probe contract is IDENTICAL to [[graft.index.Ivf.probes]]:
+  *    nprobe nearest centroids by expanded squared-L2
+  *    (q·q − 2·q·c + c·c, sequential double sums), ties to the lowest
+  *    centroid id — so a rewritten query returns exactly what the
+  *    imperative IVF search returns at the same nprobe;
+  *  - `nprobe >= nlist` probes every list: the rewrite still fires (the
+  *    plan proves itself) but the result is exact for a fully-assigned
+  *    store — that is the oracle-gated configuration;
+  *  - metric/direction must agree: inner-product (`graft_dot`)
+  *    descending, or squared-L2 (`graft_l2sq`) ascending. Anything else
+  *    (e.g. `ORDER BY dot ASC` — "farthest") is left untouched.
+  *
+  * The rule is idempotent (re-running on a rewritten plan finds the
+  * semantically-equal probe filter and leaves the plan alone), so it is
+  * safe both in the fixed-point operator-optimization batch
+  * ([[graft.GraftExtensions]] config-time injection) and in the
+  * post-optimization `spark.experimental.extraOptimizations` batch
+  * ([[GraftAnn.install]] for a live session).
+  */
+case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+  import AnnTopKRewrite._
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val conf = SQLConf.get
+    val store = conf.getConfString(STORE_PATH_KEY, "")
+    val cents = conf.getConfString(CENTROIDS_KEY, "")
+    if (store.isEmpty || cents.isEmpty) return plan
+    val nprobe = conf.getConfString(NPROBE_KEY, "8").toInt
+    if (nprobe <= 0) return plan
+    plan.transformDown {
+      case gl @ GlobalLimit(_, ll @ LocalLimit(_, s: Sort))
+          if s.global && s.order.nonEmpty =>
+        rewriteSort(s, store, cents, nprobe) match {
+          case Some(newSort) => gl.copy(child = ll.copy(child = newSort))
+          case None          => gl
+        }
+    }
+  }
+
+  /** Rewrite one `Sort` if its primary key is a supported distance over a
+    * store relation; extra keys (tie-breaks) ride along untouched.
+    */
+  private def rewriteSort(s: Sort, store: String, centsPath: String,
+      nprobe: Int): Option[Sort] = {
+    val order = s.order.head
+    val resolved = resolveThroughProjects(order.child, s.child)
+    val (vecAttr, qvec) = resolved match {
+      case DotProduct(a: AttributeReference, l)
+          if order.direction == Descending =>
+        (a, constArray(l).getOrElse(return None))
+      case DotProduct(l, a: AttributeReference)
+          if order.direction == Descending =>
+        (a, constArray(l).getOrElse(return None))
+      case L2SqDistance(a: AttributeReference, l)
+          if order.direction == Ascending =>
+        (a, constArray(l).getOrElse(return None))
+      case L2SqDistance(l, a: AttributeReference)
+          if order.direction == Ascending =>
+        (a, constArray(l).getOrElse(return None))
+      case _ => return None
+    }
+    // idempotence / user-override: if ANY In-filter on centroid_id
+    // already guards the subtree (a previous firing of this rule, or the
+    // user's own list restriction), do not stack another probe set — two
+    // stacked In-filters intersect, silently narrowing the probe width
+    val alreadyFiltered = s.child.exists {
+      case Filter(cond, _) => cond.exists {
+        case In(a, _) => a.references.nonEmpty &&
+          a.references.head.name == "centroid_id"
+        case _ => false
+      }
+      case _ => false
+    }
+    if (alreadyFiltered) return None
+    val probed = probe(spark, centsPath, qvec, nprobe)
+    if (probed.isEmpty) return None
+    var matched = 0
+    val newChild = s.child.transformUp {
+      case lr: LogicalRelation if relMatches(lr, store, vecAttr) =>
+        cidAttrOf(lr) match {
+          case Some(cid) =>
+            matched += 1
+            Filter(probeFilter(cid, probed), lr)
+          case None => lr
+        }
+    }
+    if (matched != 1) None
+    else Some(s.copy(child = newChild))
+  }
+
+  /** Substitute project aliases downward until the sort key is expressed
+    * over relation output attributes.
+    */
+  private def resolveThroughProjects(e: Expression,
+      plan: LogicalPlan): Expression = plan match {
+    case Project(projList, child) =>
+      val substituted = e.transformUp {
+        case a: AttributeReference =>
+          projList.collectFirst {
+            case al: Alias if al.exprId == a.exprId => al.child
+          }.getOrElse(a)
+      }
+      resolveThroughProjects(substituted, child)
+    case Filter(_, child)       => resolveThroughProjects(e, child)
+    case SubqueryAlias(_, child) => resolveThroughProjects(e, child)
+    case _ => e
+  }
+
+  private def relMatches(lr: LogicalRelation, store: String,
+      vecAttr: AttributeReference): Boolean = lr.relation match {
+    case fs: HadoopFsRelation =>
+      fs.location.rootPaths.exists(p =>
+        p.toString.stripSuffix("/").startsWith(store.stripSuffix("/")) ||
+          p.toUri.getPath.stripSuffix("/")
+            .startsWith(normalizePath(store))) &&
+        lr.output.exists(_.exprId == vecAttr.exprId)
+    case _ => false
+  }
+
+  private def cidAttrOf(lr: LogicalRelation): Option[Attribute] =
+    lr.output.find(_.name == "centroid_id")
+
+  private def probeFilter(cid: Attribute, probed: Array[Long]): Expression = {
+    val lits: Seq[Expression] = cid.dataType match {
+      case IntegerType => probed.toIndexedSeq.map(id => Literal(id.toInt))
+      case LongType    => probed.toIndexedSeq.map(id => Literal(id))
+      case StringType  => probed.toIndexedSeq.map(id => Literal(id.toString))
+      case _           => return In(Cast(cid, LongType),
+        probed.toIndexedSeq.map(id => Literal(id)))
+    }
+    In(cid, lits)
+  }
+}
+
+object AnnTopKRewrite {
+  val STORE_PATH_KEY = "spark.graft.ann.storePath"
+  val CENTROIDS_KEY = "spark.graft.ann.centroidsPath"
+  val NPROBE_KEY = "spark.graft.ann.nprobe"
+
+  /** Centroids collected once per path: nlist × dim doubles (a few MB at
+    * the reference's largest geometry), driver-resident like every other
+    * coarse-quantizer consumer. [[invalidate]] after retraining.
+    */
+  private val centroidCache =
+    TrieMap.empty[String, (Array[Long], Array[Array[Double]])]
+
+  def invalidate(path: String): Unit = centroidCache.remove(path)
+  def invalidateAll(): Unit = centroidCache.clear()
+
+  private def normalizePath(p: String): String =
+    p.stripPrefix("file:").stripSuffix("/")
+
+  private[plans] def loadCentroids(spark: SparkSession,
+      path: String): (Array[Long], Array[Array[Double]]) =
+    centroidCache.getOrElseUpdate(path, {
+      val df = spark.read.parquet(path)
+      val fields = df.schema.fields
+      val idCol = fields.collectFirst {
+        case f if f.name == "cid" || f.name == "centroid_id" => f.name
+      }.getOrElse(fields.collectFirst {
+        case f if f.dataType == LongType || f.dataType == IntegerType => f.name
+      }.getOrElse(throw new IllegalArgumentException(
+        s"no centroid-id column in $path")))
+      val vecCol = fields.collectFirst {
+        case f if f.dataType.isInstanceOf[ArrayType] => f.name
+      }.getOrElse(throw new IllegalArgumentException(
+        s"no centroid-vector column in $path"))
+      val rows = df.selectExpr(s"CAST($idCol AS BIGINT)",
+          s"CAST($vecCol AS ARRAY<DOUBLE>)")
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+      (rows.map(_._1), rows.map(_._2))
+    })
+
+  /** nprobe nearest centroids by expanded squared L2 (q·q − 2·q·c + c·c,
+    * sequential double sums — the arithmetic of [[graft.index.Ivf.probes]]
+    * and the DuckDB oracle), ties to the lowest centroid id.
+    */
+  private[plans] def probe(spark: SparkSession, centsPath: String,
+      q: Array[Double], nprobe: Int): Array[Long] = {
+    val (ids, cents) = loadCentroids(spark, centsPath)
+    var qq = 0.0
+    var i = 0
+    while (i < q.length) { qq += q(i) * q(i); i += 1 }
+    val scored = Array.tabulate(ids.length) { j =>
+      val c = cents(j)
+      require(c.length == q.length,
+        s"query dim ${q.length} != centroid dim ${c.length}")
+      var qc = 0.0
+      var cc = 0.0
+      var t = 0
+      while (t < c.length) { qc += q(t) * c(t); cc += c(t) * c(t); t += 1 }
+      (qq - 2.0 * qc + cc, ids(j))
+    }
+    scored.sortBy { case (d, cid) => (d, cid) }
+      .take(math.min(nprobe, ids.length)).map(_._2)
+  }
+
+  /** The foldable query vector, widened to double (float→double widening
+    * is exact; both engines accumulate in double).
+    */
+  private[plans] def constArray(e: Expression): Option[Array[Double]] =
+    e.dataType match {
+      case ArrayType(et @ (FloatType | DoubleType), _) if e.foldable =>
+        Option(e.eval()).map { v =>
+          val ad = v.asInstanceOf[ArrayData]
+          et match {
+            case FloatType => ad.toFloatArray().map(_.toDouble)
+            case _         => ad.toDoubleArray()
+          }
+        }
+      case _ => None
+    }
+}
+
+/** Live-session installer for [[AnnTopKRewrite]] (config-time injection
+  * goes through [[graft.GraftExtensions]]): appends the rule to
+  * `spark.experimental.extraOptimizations` once. That batch runs after
+  * the main optimizer, on the final plan shape; the injected
+  * `Filter(centroid_id IN …)` sits directly above the file relation,
+  * exactly where `PhysicalOperation` extracts partition filters from.
+  */
+object GraftAnn {
+  def install(spark: SparkSession): Unit = synchronized {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.exists(_.isInstanceOf[AnnTopKRewrite]))
+      spark.experimental.extraOptimizations = cur :+ AnnTopKRewrite(spark)
+  }
+
+  /** Point the rule at a store: base path (scopes the rewrite), its
+    * coarse centroids, and the probe width.
+    */
+  def configure(spark: SparkSession, storePath: String,
+      centroidsPath: String, nprobe: Int): Unit = {
+    spark.conf.set(AnnTopKRewrite.STORE_PATH_KEY, storePath)
+    spark.conf.set(AnnTopKRewrite.CENTROIDS_KEY, centroidsPath)
+    spark.conf.set(AnnTopKRewrite.NPROBE_KEY, nprobe.toString)
+  }
+}
