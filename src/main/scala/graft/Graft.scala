@@ -392,6 +392,35 @@ final class Graft private (
       .filter(!col("deleted"))
   }
 
+  /** The declarative-ANN door ([[graft.plans.AnnTopKRewrite]]) over the
+    * facade's STABLE tier: after [[compact]] the store is one fully
+    * LWW-resolved, tombstone-purged, centroid-partitioned segment —
+    * exactly the relation the planner rule prunes. Registers that
+    * segment and the live centroid layout with [[graft.plans.GraftAnn]]
+    * at the given probe width and returns the relation; the caller
+    * writes the brute-force top-k shape
+    * (`ORDER BY graft_dot(vec, <query>) DESC LIMIT k`, SQL or
+    * DataFrame) and the optimizer injects the IVF probe filter, so the
+    * scan reads ~nprobe/nlist of the corpus. Deltas written after the
+    * compact are NOT visible through this door (use [[search]] /
+    * [[liveView]] for read-your-writes); it refuses a mixed store
+    * rather than serve silently stale approximations.
+    */
+  def declarativeAnn(nprobe: Int = config.stable.nprobe): DataFrame = {
+    val descs = Segments.catalogDescriptors(spark, baseDir)
+    require(descs.nonEmpty, "empty store — ingest and compact() first")
+    require(descs.length == 1 && descs.head.is_stable,
+      s"declarative ANN serves the compacted stable tier: expected " +
+        s"exactly one stable segment, found ${descs.count(_.is_stable)} " +
+        s"stable / ${descs.count(!_.is_stable)} delta — compact() first")
+    graft.plans.GraftAnn.install(spark)
+    // a rebuild() may have retrained the layout in place — re-read it
+    graft.plans.AnnTopKRewrite.invalidate(centroidsPath)
+    graft.plans.GraftAnn.configure(spark, descs.head.file_path,
+      centroidsPath, nprobe)
+    spark.read.parquet(descs.head.file_path)
+  }
+
   // ---- maintenance (W11/W12/B1/A1) ---------------------------------
 
   /** Compact all delta segments into one stable segment (lease-guarded,

@@ -256,6 +256,7 @@ object SparkEntry {
     */
   def warmStoredTree(spark: SparkSession, dir: String): Unit = {
     SegTree.get(spark, dir)
+    AnnStore.get(spark, dir) // declarative-ANN store build is B2, not latency
     ()
   }
 

@@ -89,6 +89,48 @@ class GraftFacadeSpec extends SparkSpec {
     Segments.deleteDir(base)
   }
 
+  test("declarativeAnn: the planner-rule door over the compacted stable tier") {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import graft.functions.expr.DotProduct
+    val base = tmp()
+    val g = Graft.open(spark, base, cfgPath)
+    g.upsert(batchDF(0 until n))
+    // a delta-only store refuses the door (it would serve without LWW)
+    intercept[IllegalArgumentException](g.declarativeAnn())
+    assert(g.compact().nonEmpty)
+
+    val q7 = vec(7)
+    def scored(store: org.apache.spark.sql.DataFrame, k: Int) =
+      store.select(col("id_hash"),
+          GraftBridge.column(DotProduct(
+            GraftBridge.expression(col("vec")),
+            GraftBridge.expression(lit(q7)))).as("score"))
+        .orderBy(col("score").desc, col("id_hash").asc)
+        .limit(k)
+
+    // probed width: rewrite fires (partition filter at the scan) and the
+    // near-orthogonal fixture's exact top-1 survives probing
+    val probed = scored(g.declarativeAnn(nprobe = 4), 5)
+    val pf = probed.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec =>
+        f.metadata.getOrElse("PartitionFilters", "")
+    }.filter(_.contains("centroid_id"))
+    assert(pf.nonEmpty, probed.queryExecution.executedPlan.toString)
+    val id7hash = Seq("id-7").toDF("id")
+      .select(graft.functions.VectorFunctions.hashId(col("id")))
+      .head().getLong(0)
+    assert(probed.collect().head.getLong(0) === id7hash)
+
+    // probe-all width == exact brute force over the live view
+    val got = scored(g.declarativeAnn(nprobe = Int.MaxValue), 10)
+      .as[(Long, Double)].collect().toSeq
+    val want = scored(g.liveView, 10).as[(Long, Double)].collect().toSeq
+    assert(got === want)
+    g.close()
+    Segments.deleteDir(base)
+  }
+
   test("HNSW hot cache: warmCache admits, tunes ef to the config target, and serves") {
     val base = tmp()
     val cfg = GraftConfig.load(cfgPath)
