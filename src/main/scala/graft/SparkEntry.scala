@@ -207,7 +207,8 @@ object SparkEntry {
       val nlist = cents.count().toInt
       val base = java.nio.file.Files
         .createTempDirectory("graft-annstore-").toString
-      Ivf.assign(e, cents).select("vec_id", "embedding", "centroid_id")
+      Ivf.assign(e, cents)
+        .select("vec_id", "embedding", "label", "centroid_id")
         .repartition(col("centroid_id")) // one writer per inverted list
         .write.partitionBy("centroid_id").parquet(s"$base/store")
       cents.write.parquet(s"$base/cents")
@@ -224,8 +225,8 @@ object SparkEntry {
       * brute-force SQL shape; [[graft.plans.AnnTopKRewrite]] injects the
       * probe filter at optimization time.
       */
-    def declarativeTopK(s: SparkSession, dir: String,
-        nprobe: Int): DataFrame = {
+    def declarativeTopK(s: SparkSession, dir: String, nprobe: Int,
+        filter: Column = lit(true)): DataFrame = {
       val st = get(s, dir)
       graft.plans.GraftAnn.install(s)
       graft.plans.GraftAnn.configure(s, st.path, st.centsPath,
@@ -236,6 +237,7 @@ object SparkEntry {
           org.apache.spark.sql.GraftBridge.expression(col("embedding")),
           org.apache.spark.sql.GraftBridge.expression(lit(qv))))
       s.read.parquet(st.path)
+        .filter(filter)
         .select(col("vec_id"), score.as("score"))
         .orderBy(col("score").desc, col("vec_id").asc)
         .limit(10)
@@ -335,6 +337,14 @@ object SparkEntry {
     // SQL-expressible, same contract as knn_ivf)
     "ann_sql_probed" -> ((s, dir) =>
       AnnStore.declarativeTopK(s, dir, nprobe = 3)),
+    // declarative FILTERED ANN (the reference's Q2/Q3 composition,
+    // reached from SQL): the user's predicate sits between the top-k
+    // and the store; the rewrite injects the probe filter below it, so
+    // the scan executes BOTH — partition pruning from the probe set,
+    // data skipping from the pushed predicate
+    "ann_sql_filtered" -> ((s, dir) =>
+      AnnStore.declarativeTopK(s, dir, nprobe = 3,
+        filter = col("label") % 2 === 0)),
     // Q6's candidate sampling INSIDE the probed lists (sample_p,
     // config.h:78 / types.h:74) — composes with the nprobe restriction
     "knn_ivf_sampled" -> ((s, dir) => {
@@ -1299,6 +1309,40 @@ object SparkEntry {
       s"""$IVF
          |SELECT vec_id, score FROM ivftop
          |WHERE query_id = 0""".stripMargin,
+    // filtered declarative ANN: predicate applies INSIDE the probed
+    // lists, before the top-k (the Q2/Q3 composition contract)
+    "ann_sql_filtered" ->
+      s"""$EMB,
+         |cent AS (SELECT vec_id AS cid, e AS cv FROM emb
+         |  WHERE vec_id % 50 = 0),
+         |asg AS (SELECT vec_id, e, cid AS centroid_id FROM (
+         |    SELECT emb.vec_id, emb.e, cent.cid, row_number() OVER (
+         |      PARTITION BY emb.vec_id ORDER BY
+         |        list_dot_product(emb.e, emb.e)
+         |          - 2 * list_dot_product(emb.e, cent.cv)
+         |          + list_dot_product(cent.cv, cent.cv) ASC,
+         |        cent.cid ASC) AS rn
+         |    FROM emb CROSS JOIN cent) t
+         |  WHERE rn = 1),
+         |q0 AS (SELECT qv FROM q WHERE query_id = 0),
+         |prb AS (SELECT cid AS centroid_id FROM (
+         |    SELECT cent.cid, row_number() OVER (ORDER BY
+         |        list_dot_product(q0.qv, q0.qv)
+         |          - 2 * list_dot_product(q0.qv, cent.cv)
+         |          + list_dot_product(cent.cv, cent.cv) ASC,
+         |        cent.cid ASC) AS rn
+         |    FROM q0 CROSS JOIN cent) t
+         |  WHERE rn <= 3),
+         |scored AS (
+         |  SELECT a.vec_id, list_dot_product(q0.qv, a.e) AS score
+         |  FROM prb p JOIN asg a USING (centroid_id)
+         |  CROSS JOIN q0
+         |  JOIN emb ON a.vec_id = emb.vec_id
+         |  WHERE emb.label % 2 = 0)
+         |SELECT vec_id, score FROM (
+         |  SELECT scored.*, row_number() OVER (
+         |    ORDER BY score DESC, vec_id ASC) AS rn FROM scored) t
+         |WHERE rn <= 10""".stripMargin,
     "knn_point" ->
       s"""$IVF
          |SELECT query_id, vec_id, score FROM ivftop

@@ -211,6 +211,35 @@ class AnnSqlRewriteSpec extends SparkSpec {
     } finally deconfigure()
   }
 
+  test("user predicate composes: probe partition filter and pushed data filter reach the same scan") {
+    try {
+      configure(nprobe = 3)
+      val df = store.filter(col("vec_id") > 100)
+        .select(col("vec_id"), scoreCol(qv).as("score"))
+        .orderBy(col("score").desc, col("vec_id").asc).limit(5)
+      assert(injectedInFilter(df).nonEmpty)
+      val scans = df.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec => f.metadata
+      }
+      assert(scans.exists(m =>
+        m.getOrElse("PartitionFilters", "").contains("centroid_id") &&
+          m.getOrElse("PushedFilters", "").contains("vec_id")),
+        scans.mkString("\n"))
+      // values: the imperative probed search with the same predicate
+      val cents = spark.read.parquet(centsPath)
+      val probes = Ivf.probes(
+        Seq((0L, qv)).toDF("query_id", "qv"), cents, 3)
+        .select("centroid_id").as[Long].collect().toSet
+      val want = store
+        .filter(col("centroid_id").isin(probes.toSeq: _*) &&
+          col("vec_id") > 100)
+        .select(col("vec_id"), scoreCol(qv).as("score"))
+        .as[(Long, Double)].collect()
+        .sortBy { case (id, s) => (-s, id) }.take(5).toSeq
+      assert(df.as[(Long, Double)].collect().toSeq === want)
+    } finally deconfigure()
+  }
+
   test("idempotent under repeated application (fixed-point safety)") {
     try {
       configure(nprobe = 2)
