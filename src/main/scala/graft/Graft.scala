@@ -433,6 +433,98 @@ final class Graft private (
     r
   }
 
+  /** The reference's background maintenance pass as ONE policy decision
+    * (the reference drives compaction and the periodic retrain from
+    * config thresholds — `config.h:37-39,96-99`, yaml segment/delta
+    * sections): evaluate the loaded config against the live catalog and
+    * run what the policy asks. Triggers:
+    *  - COMPACT when any delta segment's tombstone ratio crosses
+    *    `segment.tombstone_ratio_threshold`, or the delta tier holds
+    *    more than `segment.max_segments_per_leaf` segments;
+    *  - REBUILD ([[rebuild]]: retrain + relayout) when the centroid
+    *    layout is older than `delta.rebuild_interval_hours`, or the
+    *    live per-list row distribution trips the shared collapse
+    *    detector ([[graft.index.Ivf.layoutCollapsed]] thresholds —
+    *    the 100M layout-collapse class caught in round 8: <80% lists
+    *    non-empty, a >20×-mean mega-list, or median < mean/10).
+    * The age check is metadata-cheap and short-circuits the skew scan
+    * (one column-pruned count-by-list job — bounded, but a job); both
+    * operations it delegates to are lease-guarded and atomic, so
+    * concurrent/maintain-twice calls stay safe. Returns what it decided
+    * and why, for the scheduler's log.
+    */
+  def maintain(nowMs: Long = System.currentTimeMillis())
+      : Graft.MaintenanceReport = {
+    val descs = Segments.catalogDescriptors(spark, baseDir)
+    val deltas = descs.filter(!_.is_stable)
+    val compactReason: Option[String] =
+      if (deltas.exists(_.tombstone_ratio >=
+          config.segment.tombstoneRatioThreshold))
+        Some(f"delta tombstone ratio ${deltas.map(_.tombstone_ratio).max}%.3f" +
+          f" >= tombstone_ratio_threshold " +
+          f"${config.segment.tombstoneRatioThreshold}%.2f")
+      else if (deltas.length > config.segment.maxSegmentsPerLeaf)
+        Some(s"${deltas.length} delta segments > max_segments_per_leaf " +
+          s"${config.segment.maxSegmentsPerLeaf}")
+      else None
+    val compacted = compactReason.isDefined && compact().nonEmpty
+    val rebuildReason: Option[String] =
+      if (descs.isEmpty) None
+      else centroidAgeReason(nowMs).orElse(layoutSkewReason())
+    val rebuilt = rebuildReason.isDefined && rebuild().nonEmpty
+    Graft.MaintenanceReport(
+      compactReason.filter(_ => compacted),
+      rebuildReason.filter(_ => rebuilt))
+  }
+
+  /** Layout age from the centroid directory's mtime: written at first
+    * ingest, staged-then-promoted by [[rebuild]] (the staged dir keeps
+    * its train-time stamp through the rename).
+    */
+  private def centroidAgeReason(nowMs: Long): Option[String] =
+    try {
+      val mtime = fs.getFileStatus(new HPath(centroidsPath))
+        .getModificationTime
+      val ageH = (nowMs - mtime) / 3.6e6
+      if (ageH >= config.delta.rebuildIntervalHours)
+        Some(f"centroid layout age $ageH%.1f h >= " +
+          s"rebuild_interval_hours ${config.delta.rebuildIntervalHours}")
+      else None
+    } catch { case _: java.io.FileNotFoundException => None }
+
+  /** The live store's per-list row distribution against the shared
+    * collapse thresholds. One count-by-list aggregation (column-pruned,
+    * map-side combined, nlist rows out) — the cost the maintenance
+    * cadence absorbs, not a per-query path.
+    */
+  private def layoutSkewReason(): Option[String] = {
+    val segs = Segments.readSegments(spark, baseDir)
+    if (!segs.columns.contains("centroid_id")) return None
+    val sizes = segs
+      .filter(col("centroid_id") >= 0) // -1 = unassigned tombstones
+      .groupBy(col("centroid_id").cast("long"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val nlist = centroids().count().toInt
+    if (nlist < 2 || sizes.isEmpty) return None
+    val counts = Array.tabulate(nlist)(i => sizes.getOrElse(i.toLong, 0L))
+    val total = counts.sum
+    // too small to judge: [[trainCentroids]] clamps nlist to rows/4, so
+    // a young store sits at ~4 rows/list — distribution statistics start
+    // meaning something once lists average ≥8 rows
+    if (total < 8L * nlist) return None
+    val mean = total.toDouble / nlist
+    val median = counts.sorted.apply(counts.length / 2)
+    val nonEmpty = counts.count(_ > 0)
+    if (nonEmpty < (nlist * 8) / 10)
+      Some(s"only $nonEmpty/$nlist lists non-empty — layout collapsed")
+    else if (counts.max > 20 * mean)
+      Some(f"hot list ${counts.max} rows vs mean $mean%.1f — mega-list")
+    else if (median < mean / 10)
+      Some(f"median list $median rows vs mean $mean%.1f — mass concentrating")
+    else None
+  }
+
   /** B1 periodic rebuild: retrain centroids on the current live corpus
     * and re-layout the store under them (the reference's 24 h job).
     */
@@ -588,6 +680,14 @@ final class Graft private (
 }
 
 object Graft {
+
+  /** What one [[Graft.maintain]] pass decided: each field holds the
+    * trigger that fired (and was acted on), or None.
+    */
+  final case class MaintenanceReport(compacted: Option[String],
+      rebuilt: Option[String]) {
+    def idle: Boolean = compacted.isEmpty && rebuilt.isEmpty
+  }
 
   /** Open (or create) a store at `baseDir` under `cfg`: recover any
     * un-flushed WAL tail, then return the wired handle. The config is

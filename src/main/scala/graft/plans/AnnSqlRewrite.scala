@@ -70,7 +70,17 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     plan.transformDown {
       case gl @ GlobalLimit(_, ll @ LocalLimit(_, s: Sort))
           if s.global && s.order.nonEmpty =>
-        rewriteSort(s, store, cents, nprobe) match {
+        // an optimizer rule must NEVER break a plan it declines to
+        // rewrite: any failure (unreadable centroids, dimension
+        // mismatch, …) means "not our query", not an error
+        val rewritten =
+          try rewriteSort(s, store, cents, nprobe)
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              logWarning(s"declarative-ANN rewrite skipped: ${e.getMessage}")
+              None
+          }
+        rewritten match {
           case Some(newSort) => gl.copy(child = ll.copy(child = newSort))
           case None          => gl
         }
@@ -112,20 +122,24 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => false
     }
     if (alreadyFiltered) return None
+    // locate the store relation FIRST: probes are computed only for a
+    // plan that verifiably scans the registered store (any other
+    // Sort+Limit over a dot product — different store, different
+    // dimensionality — must be left alone without even loading
+    // centroids)
+    val targets = s.child.collect {
+      case lr: LogicalRelation
+          if relMatches(lr, store, vecAttr) && cidAttrOf(lr).isDefined => lr
+    }
+    if (targets.length != 1) return None
+    val target = targets.head
     val probed = probe(spark, centsPath, qvec, nprobe)
     if (probed.isEmpty) return None
-    var matched = 0
     val newChild = s.child.transformUp {
-      case lr: LogicalRelation if relMatches(lr, store, vecAttr) =>
-        cidAttrOf(lr) match {
-          case Some(cid) =>
-            matched += 1
-            Filter(probeFilter(cid, probed), lr)
-          case None => lr
-        }
+      case lr: LogicalRelation if lr eq target =>
+        Filter(probeFilter(cidAttrOf(lr).get, probed), lr)
     }
-    if (matched != 1) None
-    else Some(s.copy(child = newChild))
+    Some(s.copy(child = newChild))
   }
 
   /** Substitute project aliases downward until the sort key is expressed

@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Physical segment layer (SURVEY W4/A1/W11-W12; reference
@@ -572,11 +572,31 @@ object Segments {
 
   private def compactUnlocked(spark: SparkSession, baseDir: String,
       stableSegmentId: String): Option[SegmentDescriptor] = {
-    val deltaDescs = catalogDescriptors(spark, baseDir).filter(!_.is_stable)
+    val active = catalogDescriptors(spark, baseDir)
+    val deltaDescs = active.filter(!_.is_stable)
     if (deltaDescs.isEmpty) return None // nothing to compact (idempotent)
+    // a crash-replay rerun reuses the torn attempt's stable id and
+    // OVERWRITES its data dir — that segment can't mask anything after
+    // this write, so it contributes no tombstone-retention range
+    val stableDescs = active.filter(d =>
+      d.is_stable && d.segment_id != stableSegmentId)
     val deltas = readPaths(spark, deltaDescs.map(_.file_path))
-    val resolved = graft.operators.Lww.latestBy(deltas, "id_hash", "epoch")
-      .filter(!col("deleted"))
+    val latest = graft.operators.Lww.latestBy(deltas, "id_hash", "epoch")
+    // W12 tombstone purge is only safe when no OLDER tier can still
+    // hold the masked row. This is a MINOR (delta-tier) compaction, so
+    // a tombstone survives into the output whenever any stable
+    // segment's id_hash range could contain its target — dropping it
+    // would RESURRECT the stable row at the next tiered read (found by
+    // the maintain() policy test: stable of gen 1, delete, compact of
+    // gen 2 brought the deleted rows back). Tombstones outside every
+    // stable range have nothing left to mask and drop now; retained
+    // ones are purged by the next full rewrite (rebuildLayout). With no
+    // stable tier this IS a full compaction and every tombstone drops.
+    val mayMaskStable: Column = stableDescs
+      .map(d => col("id_hash").between(lit(d.min_id_hash),
+        lit(d.max_id_hash)))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val resolved = latest.filter(!col("deleted") || mayMaskStable)
     val desc = writeSegment(resolved, baseDir, stableSegmentId,
       isStable = true, appendDesc = false)
     // publish the stable segment AND retire its inputs in one atomic

@@ -89,6 +89,50 @@ class GraftFacadeSpec extends SparkSpec {
     Segments.deleteDir(base)
   }
 
+  test("maintain(): the config-driven background maintenance pass compacts and rebuilds on its own triggers") {
+    val base = tmp()
+    val g = Graft.open(spark, base, cfgPath)
+    g.upsert(batchDF(0 until n))
+
+    // fresh store: below every trigger → idle, nothing changes
+    val r0 = g.maintain()
+    assert(r0.idle, r0.toString)
+    assert(Segments.catalogDescriptors(spark, base).count(!_.is_stable) === 1)
+
+    // delta-count trigger: grow past max_segments_per_leaf (yaml: 8)
+    (0 until g.config.segment.maxSegmentsPerLeaf).foreach { i =>
+      g.upsert(batchDF(Seq(1000 + i)))
+    }
+    val r1 = g.maintain()
+    assert(r1.compacted.exists(_.contains("max_segments_per_leaf")), r1)
+    assert(r1.rebuilt.isEmpty, r1)
+    val cat1 = Segments.catalogDescriptors(spark, base)
+    assert(cat1.forall(_.is_stable) && cat1.length === 1)
+
+    // tombstone trigger: a delete-heavy delta crosses the ratio
+    // threshold (yaml: 0.2) — maintain folds it away
+    g.delete((0 until 40).map(i => s"id-$i").toDF("id"))
+    val r2 = g.maintain()
+    assert(r2.compacted.exists(_.contains("tombstone_ratio")), r2)
+    assert(g.liveView.count() ===
+      (n + g.config.segment.maxSegmentsPerLeaf - 40).toLong)
+
+    // age trigger: a clock 25 h ahead retrains + re-lays the store
+    val r3 = g.maintain(nowMs = System.currentTimeMillis() +
+      25L * 3600 * 1000)
+    assert(r3.rebuilt.exists(_.contains("rebuild_interval_hours")), r3)
+    val cat3 = Segments.catalogDescriptors(spark, base)
+    assert(cat3.forall(_.is_stable) && cat3.length === 1)
+    // the rebuilt world still serves: exact top-1 self-hit on a row
+    // that SURVIVED the deletes (id-0..39 are gone)
+    val id50hash = Seq("id-50").toDF("id")
+      .select(graft.functions.VectorFunctions.hashId(col("id")))
+      .head().getLong(0)
+    assert(g.search(vec(50).map(_.toFloat), 3).head._1 === id50hash)
+    g.close()
+    Segments.deleteDir(base)
+  }
+
   test("declarativeAnn: the planner-rule door over the compacted stable tier") {
     import org.apache.spark.sql.GraftBridge
     import org.apache.spark.sql.execution.FileSourceScanExec
@@ -128,6 +172,11 @@ class GraftFacadeSpec extends SparkSpec {
     val want = scored(g.liveView, 10).as[(Long, Double)].collect().toSeq
     assert(got === want)
     g.close()
+    // shared session: deregister the store so no other suite's plans
+    // are even considered by the rule
+    spark.conf.unset(graft.plans.AnnTopKRewrite.STORE_PATH_KEY)
+    spark.conf.unset(graft.plans.AnnTopKRewrite.CENTROIDS_KEY)
+    spark.conf.unset(graft.plans.AnnTopKRewrite.NPROBE_KEY)
     Segments.deleteDir(base)
   }
 

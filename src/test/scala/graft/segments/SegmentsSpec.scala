@@ -44,6 +44,44 @@ class SegmentsSpec extends SparkSpec {
     Segments.deleteDir(base)
   }
 
+  test("second-generation compaction never resurrects: tombstones masking stable rows survive the minor compact") {
+    val base = tmpBase()
+    // generation 1: rows 0..9 live in a stable segment
+    val gen1 = (0L until 10L).map(i => (i, 100L + i, i, false, 0L))
+      .toDF("id_hash", "epoch", "vec_id", "deleted", "centroid_id")
+    Segments.writeSegment(gen1, base, "d0", false)
+    Segments.compact(spark, base, "s0")
+    // generation 2: tombstones for 0..4 (mask stable rows) and for
+    // 1000..1001 (outside every stable id_hash range — pure garbage)
+    val gen2 = (Seq(0L, 1L, 2L, 3L, 4L).map(i => (i, 200L + i))
+        ++ Seq((1000L, 300L), (1001L, 301L)))
+      .map { case (h, e) => (h, e, -1L, true, -1L) }
+      .toDF("id_hash", "epoch", "vec_id", "deleted", "centroid_id")
+    Segments.writeSegment(gen2, base, "d1", false)
+    Segments.compact(spark, base, "s1")
+
+    val all = Segments.readSegments(spark, base)
+    val live = graft.operators.Lww.latestBy(all, "id_hash", "epoch")
+      .filter(!col("deleted"))
+      .select("id_hash").as[Long].collect().sorted.toSeq
+    assert(live === (5L until 10L).toSeq,
+      s"deleted stable rows resurrected: $live")
+    // the range check purges what nothing can mask, keeps what can
+    val s1 = Segments.readSegments(spark, base, Some(true))
+      .filter(col("deleted"))
+      .select("id_hash").as[Long].collect().sorted.toSeq
+    assert(s1 === Seq(0L, 1L, 2L, 3L, 4L),
+      s"retained tombstone set wrong: $s1")
+    // the full rewrite purges the retained tombstones for good
+    Segments.rebuildLayout(spark, base,
+      df => df.withColumn("centroid_id", lit(0L)), "s2")
+    val rebuilt = Segments.readSegments(spark, base)
+    assert(rebuilt.filter(col("deleted")).count() === 0L)
+    assert(rebuilt.select("id_hash").as[Long].collect().sorted.toSeq
+      === (5L until 10L).toSeq)
+    Segments.deleteDir(base)
+  }
+
   test("compaction crash-replay: killed after segment write, rerun converges") {
     // the reference's compaction_merge kill point (fault-inject.sh:9):
     // crash AFTER the stable segment hits disk but BEFORE the catalog
