@@ -241,6 +241,23 @@ object Bench {
         java.nio.file.Files.delete(gtPath)
       }
     }
+    // tracked fallback: the ground truth is a pure function of the
+    // generator and the query-id set (NOT of the built store), so the
+    // repo keeps a committed copy — after a box reset the store must
+    // rebuild, but the exact pass need not repeat. The header stamp
+    // gates the copy exactly like the store-side file.
+    val repoGt = java.nio.file.Paths.get(
+      "/root/repo/bench_gt/groundtruth_100m.tsv")
+    if (!java.nio.file.Files.exists(gtPath) &&
+        java.nio.file.Files.exists(repoGt)) {
+      val first = scala.util.Using.resource(
+        java.nio.file.Files.newBufferedReader(repoGt))(_.readLine())
+      if (first == gtHeader) {
+        System.err.println(
+          s"[bench] seeding groundtruth.tsv from the tracked copy $repoGt")
+        java.nio.file.Files.copy(repoGt, gtPath)
+      }
+    }
     if (!java.nio.file.Files.exists(gtPath)) {
       System.err.println(s"[bench] computing 100M exact ground truth " +
         s"(${queries.length} queries × $nRows rows) — one-time, persisted")
@@ -277,6 +294,16 @@ object Bench {
             .mkString(",")
         }).mkString("\n").getBytes(
           java.nio.charset.StandardCharsets.UTF_8))
+      // refresh the tracked copy (committed by hand at round end) — only
+      // at the canonical geometry: a GRAFT_100M_ROWS smoke run must
+      // never clobber the 100M truth
+      if (nRows == 100000000L) try {
+        java.nio.file.Files.createDirectories(repoGt.getParent)
+        java.nio.file.Files.copy(gtPath, repoGt,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } catch { case e: Exception =>
+        System.err.println(s"[bench] tracked gt copy failed: ${e.getMessage}")
+      }
     }
     new String(java.nio.file.Files.readAllBytes(gtPath),
       java.nio.charset.StandardCharsets.UTF_8)
