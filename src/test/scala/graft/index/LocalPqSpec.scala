@@ -88,6 +88,35 @@ class LocalPqSpec extends SparkSpec {
     idx.unpersist()
   }
 
+  test("packed-tier file roundtrip: save → load is serving-identical; stamp mismatch refuses") {
+    val pq = LocalPqIndex.build(codes, cents, cb)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lpq-").toString
+    val path = s"$dir/localtier.bin"
+    val sizes = codes.groupBy(col("centroid_id").cast("long"))
+      .agg(count(lit(1)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    LocalPqIndex.savePacked(pq, path, "stamp-a")
+    val loaded = LocalPqIndex.loadPacked(path, "stamp-a", cents, cb,
+      pq.limits, sizes)
+    assert(loaded.isDefined)
+    assert(loaded.get.cachedLists === pq.cachedLists)
+    assert(loaded.get.cachedBytes === pq.cachedBytes)
+    // serving identity: every query's probe-all ADC ranking matches
+    qRows.take(5).foreach { case (_, qv) =>
+      assert(loaded.get.searchAdc(qv, 20, nlist).toSeq ===
+        pq.searchAdc(qv, 20, nlist).toSeq)
+    }
+    // a different stamp (new store generation / budget) must refuse
+    assert(LocalPqIndex.loadPacked(path, "stamp-b", cents, cb,
+      pq.limits, sizes).isEmpty)
+    // a truncated file is deleted and refused, not served
+    val raf = new java.io.RandomAccessFile(path, "rw")
+    raf.setLength(raf.length() / 2); raf.close()
+    assert(LocalPqIndex.loadPacked(path, "stamp-a", cents, cb,
+      pq.limits, sizes).isEmpty)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+  }
+
   test("budgeted admission: a tight budget caches a strict subset; uncovered probes are refused") {
     val full = LocalPqIndex.build(codes, cents, cb)
     val half = LocalPqIndex.build(codes, cents, cb,
