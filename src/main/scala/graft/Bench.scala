@@ -208,6 +208,12 @@ object Bench {
     out
   }
 
+  /** Ground-truth query count — part of the gtHeader stamp, so every
+    * consumer (the bench's recall gate, dev.SeedGtCheck) must agree on
+    * it or the seed path silently stops firing.
+    */
+  private[graft] val GtQueryCount = 20
+
   /** Exact top-10 ground truth for the 100M recall gate: ONE distributed
     * brute-force pass over the regenerated corpus (raw floats exist only
     * inside each task, like the build) — per-partition bounded top-k via
@@ -246,8 +252,8 @@ object Bench {
     // repo keeps a committed copy — after a box reset the store must
     // rebuild, but the exact pass need not repeat. The header stamp
     // gates the copy exactly like the store-side file.
-    val repoGt = java.nio.file.Paths.get(
-      "/root/repo/bench_gt/groundtruth_100m.tsv")
+    val repoGt = java.nio.file.Paths.get(sys.env.getOrElse(
+      "GRAFT_GT_TRACKED", "/root/repo/bench_gt/groundtruth_100m.tsv"))
     if (!java.nio.file.Files.exists(gtPath) &&
         java.nio.file.Files.exists(repoGt)) {
       val first = scala.util.Using.resource(
@@ -526,7 +532,13 @@ object Bench {
       val tierStamp = knownSizes.map { szs =>
         val fp = szs.toSeq.sorted
           .foldLeft(17L) { case (h, (c, n)) => h * 31 + c * 1000003 + n }
-        s"v1 rows=$metaRows m=$m maxBytes=$tierBudget sizes=$fp"
+        // codebook fingerprint: a retrained PQ with unchanged list
+        // sizes must invalidate the packed codes (stale codes against a
+        // new codebook would ADC-score silently wrong)
+        val cbFp = cb.codebooks.foldLeft(17L)((h, book) =>
+          book.foldLeft(h)((h2, cw) => cw.foldLeft(h2)((h3, v) =>
+            h3 * 31 + java.lang.Double.doubleToLongBits(v))))
+        s"v1 rows=$metaRows m=$m maxBytes=$tierBudget sizes=$fp cb=$cbFp"
       }
       val loaded = tierStamp.flatMap(st =>
         graft.index.LocalPqIndex.loadPacked(tierPath, st, cents, cb,
@@ -661,7 +673,7 @@ object Bench {
       // like the build itself (one-time; later rounds just read it).
       try {
         val gt = groundTruth100m(spark, cpus, dir100, metaRows, d,
-          qOut.take(20), extras)
+          qOut.take(GtQueryCount), extras)
         // COVERAGE first (probe quality in isolation): the fraction of
         // true top-10 ids whose assigned list is probed at nprobe —
         // separates "the layout/probe missed the neighborhood" from

@@ -492,37 +492,32 @@ final class Graft private (
       else None
     } catch { case _: java.io.FileNotFoundException => None }
 
-  /** The live store's per-list row distribution against the shared
-    * collapse thresholds. One count-by-list aggregation (column-pruned,
-    * map-side combined, nlist rows out) — the cost the maintenance
+  /** The LIVE per-list row distribution against the shared collapse
+    * thresholds ([[graft.index.Ivf.countsCollapseReason]] — one source
+    * of truth with the trainer audit). Counts are LWW-resolved live
+    * rows: raw segment counts would include superseded versions and
+    * rows duplicated across stable generations (minor compaction
+    * retires only deltas), and a spurious mega-list of MASKED data
+    * would trigger the most expensive operation maintain() can launch.
+    * One aggregation over the live view — the cost the maintenance
     * cadence absorbs, not a per-query path.
     */
   private def layoutSkewReason(): Option[String] = {
-    val segs = Segments.readSegments(spark, baseDir)
-    if (!segs.columns.contains("centroid_id")) return None
-    val sizes = segs
-      .filter(col("centroid_id") >= 0) // -1 = unassigned tombstones
+    val live = liveView
+    if (!live.columns.contains("centroid_id")) return None
+    val sizes = live
+      .filter(col("centroid_id") >= 0) // -1 = unassigned
       .groupBy(col("centroid_id").cast("long"))
       .agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     val nlist = centroids().count().toInt
     if (nlist < 2 || sizes.isEmpty) return None
     val counts = Array.tabulate(nlist)(i => sizes.getOrElse(i.toLong, 0L))
-    val total = counts.sum
     // too small to judge: [[trainCentroids]] clamps nlist to rows/4, so
     // a young store sits at ~4 rows/list — distribution statistics start
     // meaning something once lists average ≥8 rows
-    if (total < 8L * nlist) return None
-    val mean = total.toDouble / nlist
-    val median = counts.sorted.apply(counts.length / 2)
-    val nonEmpty = counts.count(_ > 0)
-    if (nonEmpty < (nlist * 8) / 10)
-      Some(s"only $nonEmpty/$nlist lists non-empty — layout collapsed")
-    else if (counts.max > 20 * mean)
-      Some(f"hot list ${counts.max} rows vs mean $mean%.1f — mega-list")
-    else if (median < mean / 10)
-      Some(f"median list $median rows vs mean $mean%.1f — mass concentrating")
-    else None
+    if (counts.sum < 8L * nlist) return None
+    Ivf.countsCollapseReason(counts)
   }
 
   /** B1 periodic rebuild: retrain centroids on the current live corpus

@@ -21,8 +21,11 @@ object SeedGtCheck {
       "/root/repo/bench_store/ivf100m")
     val n100 = 100000000L
     val d = 768
-    // the canonical bench query set: 50 out-of-corpus ids
-    val qs = Array.tabulate(20)(i =>
+    // the canonical GT query set: the first GtQueryCount out-of-corpus
+    // ids, shared with the bench's recall gate via one constant (the
+    // query-id list is part of the gtHeader stamp — drift here would
+    // make the seed path silently stop firing)
+    val qs = Array.tabulate(graft.Bench.GtQueryCount)(i =>
       (n100 + i, graft.Bench.synthVec100m(n100 + i, d)))
     val extras = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val gt = graft.Bench.groundTruth100m(spark, 4, dir100, n100, d,

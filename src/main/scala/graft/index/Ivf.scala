@@ -469,11 +469,30 @@ object Ivf {
       }
       counts(best) += 1
     }
+    countsCollapseReason(counts).isDefined
+  }
+
+  /** THE shared collapse judgment over a per-list counts array (the
+    * round-8 100M find's thresholds): <80% lists non-empty, a
+    * >20×-mean mega-list, or median < mean/10. One source of truth for
+    * the trainer audit ([[layoutCollapsed]]) and the maintenance
+    * policy ([[graft.Graft.maintain]]).
+    */
+  private[graft] def countsCollapseReason(
+      counts: Array[Long]): Option[String] = {
+    val nlist = counts.length
+    if (nlist < 2) return None
+    val total = counts.sum
+    val mean = total.toDouble / nlist
+    val median = counts.sorted.apply(nlist / 2)
     val nonEmpty = counts.count(_ > 0)
-    val mean = sample.length.toDouble / centers.length
-    val median = counts.sorted.apply(counts.length / 2)
-    nonEmpty < (centers.length * 8) / 10 ||
-      counts.max > 20 * mean || median < mean / 10
+    if (nonEmpty < (nlist * 8) / 10)
+      Some(s"only $nonEmpty/$nlist lists non-empty — layout collapsed")
+    else if (counts.max > 20 * mean)
+      Some(f"hot list ${counts.max} rows vs mean $mean%.1f — mega-list")
+    else if (median < mean / 10)
+      Some(f"median list $median rows vs mean $mean%.1f — mass concentrating")
+    else None
   }
 
   // ---- two-level (hierarchical) coarse quantizer ---------------------

@@ -384,6 +384,8 @@ object LocalPqIndex {
         magic.get(gotMagic)
         if (!java.util.Arrays.equals(gotMagic, FileMagic)) return None
         val stampLen = magic.getInt
+        if (stampLen < 0 || stampLen > 65536)
+          throw new java.io.IOException(s"corrupt stamp length $stampLen")
         val stampBuf = java.nio.ByteBuffer.allocate(stampLen + 4 + 4 + 8)
         readFully(stampBuf)
         val stampBytes = new Array[Byte](stampLen)
@@ -398,6 +400,12 @@ object LocalPqIndex {
         if (m != cb.m) return None
         val nLists = stampBuf.getInt
         val cachedBytes = stampBuf.getLong
+        // corrupt-header bound: a bit-flipped count must fail as a
+        // normal IOException (delete-and-rebuild), never as a multi-GB
+        // allocation dying with OutOfMemoryError (an Error would skip
+        // the cleanup handler below)
+        if (nLists < 0 || nLists > 16777216)
+          throw new java.io.IOException(s"corrupt list count $nLists")
         val lists = scala.collection.mutable.LongMap
           .empty[(Array[Long], Array[Byte])]
         var li = 0
@@ -406,6 +414,10 @@ object LocalPqIndex {
           readFully(hdr)
           val cid = hdr.getLong
           val n = hdr.getInt
+          if (n < 0 || n.toLong * (8 + m) > cachedBytes ||
+              knownSizes.get(cid).exists(_ != n.toLong))
+            throw new java.io.IOException(
+              s"corrupt or stale list header cid=$cid n=$n")
           val idBuf = java.nio.ByteBuffer.allocate(n * 8)
           readFully(idBuf)
           val ids = new Array[Long](n)

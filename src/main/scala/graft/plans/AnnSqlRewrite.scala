@@ -65,7 +65,10 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val store = conf.getConfString(STORE_PATH_KEY, "")
     val cents = conf.getConfString(CENTROIDS_KEY, "")
     if (store.isEmpty || cents.isEmpty) return plan
-    val nprobe = conf.getConfString(NPROBE_KEY, "8").toInt
+    // a malformed conf value must disable the rule, not fail every
+    // query planned in the session
+    val nprobe = scala.util.Try(
+      conf.getConfString(NPROBE_KEY, "8").trim.toInt).getOrElse(return plan)
     if (nprobe <= 0) return plan
     plan.transformDown {
       case gl @ GlobalLimit(_, ll @ LocalLimit(_, s: Sort))
@@ -113,9 +116,15 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // already guards the subtree (a previous firing of this rule, or the
     // user's own list restriction), do not stack another probe set — two
     // stacked In-filters intersect, silently narrowing the probe width
+    // OptimizeIn rewrites In → InSet above 10 values inside the same
+    // fixed-point batch this rule runs in under config-time injection;
+    // missing the InSet form would re-inject every iteration and the
+    // batch would never converge (Max iterations reached)
     val alreadyFiltered = s.child.exists {
       case Filter(cond, _) => cond.exists {
         case In(a, _) => a.references.nonEmpty &&
+          a.references.head.name == "centroid_id"
+        case InSet(a, _) => a.references.nonEmpty &&
           a.references.head.name == "centroid_id"
         case _ => false
       }
@@ -160,13 +169,23 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => e
   }
 
+  /** A rootPath is "under" the store only at a path-component boundary:
+    * `/data/store` matches `/data/store` and `/data/store/part`, never
+    * the sibling `/data/store_backup` (which would get probe-filtered
+    * with the WRONG store's centroids).
+    */
+  private def underStore(p: String, store: String): Boolean = {
+    val a = p.stripSuffix("/")
+    val b = store.stripSuffix("/")
+    a == b || a.startsWith(b + "/")
+  }
+
   private def relMatches(lr: LogicalRelation, store: String,
       vecAttr: AttributeReference): Boolean = lr.relation match {
     case fs: HadoopFsRelation =>
       fs.location.rootPaths.exists(p =>
-        p.toString.stripSuffix("/").startsWith(store.stripSuffix("/")) ||
-          p.toUri.getPath.stripSuffix("/")
-            .startsWith(normalizePath(store))) &&
+        underStore(p.toString, store) ||
+          underStore(p.toUri.getPath, normalizePath(store))) &&
         lr.output.exists(_.exprId == vecAttr.exprId)
     case _ => false
   }

@@ -254,4 +254,50 @@ class AnnSqlRewriteSpec extends SparkSpec {
       assert(filters.length === 1, s"stacked probe filters:\n$twice")
     } finally deconfigure()
   }
+
+  test("a sibling path that merely string-prefixes the store is NOT rewritten") {
+    try {
+      configure(nprobe = 2)
+      val sib = storePath + "_backup"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(sib)))
+        store.limit(50).write.parquet(sib)
+      val df = spark.read.parquet(sib)
+        .select(col("vec_id"), scoreCol(qv).as("score"))
+        .orderBy(col("score").desc, col("vec_id").asc).limit(5)
+      assert(injectedInFilter(df).isEmpty,
+        s"sibling dataset rewritten with the registered store's probes:\n" +
+          df.queryExecution.optimizedPlan)
+    } finally deconfigure()
+  }
+
+  test("fixed-point safety vs OptimizeIn: the InSet form blocks re-injection") {
+    // under config-time injection the rule shares a fixed-point batch
+    // with OptimizeIn, which converts In → InSet above the conversion
+    // threshold; missing that form would re-inject a fresh In every
+    // iteration and the batch would never converge
+    val thresholdKey = "spark.sql.optimizer.inSetConversionThreshold"
+    val saved = spark.conf.get(thresholdKey)
+    try {
+      spark.conf.set(thresholdKey, "2")
+      configure(nprobe = 4) // 4 > 2 → OptimizeIn converts
+      val rule = AnnTopKRewrite(spark)
+      val once = rule(topk(qv, 5).queryExecution.analyzed)
+      val inSet = org.apache.spark.sql.catalyst.optimizer.OptimizeIn(once)
+      assert(inSet.exists {
+        case Filter(org.apache.spark.sql.catalyst.expressions.InSet(a, _), _)
+          => a.references.head.name == "centroid_id"
+        case _ => false
+      }, s"OptimizeIn did not convert:\n$inSet")
+      val again = rule(inSet)
+      val probeFilters = again.collect {
+        case f: Filter if f.condition.references
+          .exists(_.name == "centroid_id") => f
+      }
+      assert(probeFilters.length === 1,
+        s"re-injected over the InSet form:\n$again")
+    } finally {
+      spark.conf.set(thresholdKey, saved)
+      deconfigure()
+    }
+  }
 }
