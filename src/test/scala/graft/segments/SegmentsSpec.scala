@@ -82,6 +82,56 @@ class SegmentsSpec extends SparkSpec {
     Segments.deleteDir(base)
   }
 
+  test("model property: any interleaving of writes/deletes/compacts/rebuilds preserves the LWW live view") {
+    // the resurrection bug class: correctness must hold across SEQUENCES
+    // of maintenance operations, not just one generation. A seeded
+    // random walk over (delta write | compact | rebuild) is checked
+    // against an in-memory LWW model after EVERY step.
+    for (seed <- Seq(1L, 7L, 42L)) {
+      val rnd = new scala.util.Random(seed)
+      val base = tmpBase()
+      val model = scala.collection.mutable.Map.empty[Long, (Long, Boolean)]
+      var epoch = 1000L
+      var segId = 0
+      for (step <- 0 until 10) {
+        rnd.nextInt(4) match {
+          case 0 | 1 =>
+            val n = 1 + rnd.nextInt(8)
+            val rows = (0 until n).map { _ =>
+              val id = rnd.nextInt(50).toLong
+              val del = rnd.nextInt(4) == 0
+              epoch += 1
+              model(id) = (epoch, del)
+              (id, epoch, id, del, id % 5)
+            }.toDF("id_hash", "epoch", "vec_id", "deleted", "centroid_id")
+            Segments.writeSegment(rows, base, f"d$segId%03d", false)
+            segId += 1
+          case 2 =>
+            Segments.compact(spark, base, f"s$segId%03d")
+            segId += 1
+          case 3 =>
+            if (Segments.catalogDescriptors(spark, base).nonEmpty) {
+              Segments.rebuildLayout(spark, base,
+                df => df.withColumn("centroid_id", col("id_hash") % 3),
+                f"r$segId%03d")
+              segId += 1
+            }
+        }
+        val live =
+          if (Segments.catalogDescriptors(spark, base).isEmpty) Set.empty
+          else graft.operators.Lww.latestBy(
+              Segments.readSegments(spark, base), "id_hash", "epoch")
+            .filter(!col("deleted"))
+            .select("id_hash", "epoch").as[(Long, Long)].collect().toSet
+        val want = model.collect {
+          case (h, (e, deleted)) if !deleted => (h, e)
+        }.toSet
+        assert(live === want, s"seed=$seed step=$step")
+      }
+      Segments.deleteDir(base)
+    }
+  }
+
   test("compaction crash-replay: killed after segment write, rerun converges") {
     // the reference's compaction_merge kill point (fault-inject.sh:9):
     // crash AFTER the stable segment hits disk but BEFORE the catalog
