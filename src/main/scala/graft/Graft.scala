@@ -505,13 +505,29 @@ final class Graft private (
   private def layoutSkewReason(): Option[String] = {
     val live = liveView
     if (!live.columns.contains("centroid_id")) return None
-    val sizes = live
+    val nlist = centroids().count().toInt
+    if (nlist < 2) return None
+    // bound the policy scan: the collapse thresholds are RELATIVE
+    // (nonEmpty fraction, max/mean, median/mean), so a uniform sample
+    // with ≥8 expected rows per list judges them as well as the full
+    // corpus — at 100 TB a healthy-store maintain() call must not pay
+    // a full-corpus aggregation just to conclude "fine". The sample
+    // fraction is sized from the catalog's row counts (an upper bound:
+    // masked duplicates only make the sample smaller, and the
+    // too-small floor below catches a starved one).
+    val catalogRows = Segments.catalogDescriptors(spark, baseDir)
+      .map(_.num_vectors).sum
+    val targetRows = math.max(8L * nlist, 65536L)
+    val fraction = math.min(1.0,
+      4.0 * targetRows / math.max(1L, catalogRows))
+    val sampled =
+      if (fraction >= 1.0) live else live.sample(false, fraction, 42L)
+    val sizes = sampled
       .filter(col("centroid_id") >= 0) // -1 = unassigned
       .groupBy(col("centroid_id").cast("long"))
       .agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    val nlist = centroids().count().toInt
-    if (nlist < 2 || sizes.isEmpty) return None
+    if (sizes.isEmpty) return None
     val counts = Array.tabulate(nlist)(i => sizes.getOrElse(i.toLong, 0L))
     // too small to judge: [[trainCentroids]] clamps nlist to rows/4, so
     // a young store sits at ~4 rows/list — distribution statistics start
