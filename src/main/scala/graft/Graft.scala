@@ -507,22 +507,15 @@ final class Graft private (
     if (!live.columns.contains("centroid_id")) return None
     val nlist = centroids().count().toInt
     if (nlist < 2) return None
-    // bound the policy scan: the collapse thresholds are RELATIVE
-    // (nonEmpty fraction, max/mean, median/mean), so a uniform sample
-    // with ≥8 expected rows per list judges them as well as the full
-    // corpus — at 100 TB a healthy-store maintain() call must not pay
-    // a full-corpus aggregation just to conclude "fine". The sample
-    // fraction is sized from the catalog's row counts (an upper bound:
-    // masked duplicates only make the sample smaller, and the
-    // too-small floor below catches a starved one).
-    val catalogRows = Segments.catalogDescriptors(spark, baseDir)
-      .map(_.num_vectors).sum
-    val targetRows = math.max(8L * nlist, 65536L)
-    val fraction = math.min(1.0,
-      4.0 * targetRows / math.max(1L, catalogRows))
-    val sampled =
-      if (fraction >= 1.0) live else live.sample(false, fraction, 42L)
-    val sizes = sampled
+    // Cost honesty: the LWW resolution itself (one hash-aggregate over
+    // (id_hash, epoch, deleted, centroid_id) — narrow columns, map-side
+    // combined) is the irreducible price of judging the LIVE
+    // distribution; sampling ABOVE it would save nothing (the join has
+    // already run) while adding exactly the threshold noise that could
+    // spuriously fire rebuild(), the most expensive action this policy
+    // can take. One such aggregation per maintain() call is the
+    // maintenance cadence's cost, not a per-query path.
+    val sizes = live
       .filter(col("centroid_id") >= 0) // -1 = unassigned
       .groupBy(col("centroid_id").cast("long"))
       .agg(count(lit(1)).as("n"))

@@ -400,12 +400,16 @@ object LocalPqIndex {
         if (m != cb.m) return None
         val nLists = stampBuf.getInt
         val cachedBytes = stampBuf.getLong
-        // corrupt-header bound: a bit-flipped count must fail as a
+        // corrupt-header bounds: a bit-flipped count must fail as a
         // normal IOException (delete-and-rebuild), never as a multi-GB
         // allocation dying with OutOfMemoryError (an Error would skip
-        // the cleanup handler below)
+        // the cleanup handler below). cachedBytes is itself header data
+        // and cannot bound anything — per-list counts are validated
+        // against the CALLER's knownSizes below.
         if (nLists < 0 || nLists > 16777216)
           throw new java.io.IOException(s"corrupt list count $nLists")
+        if (cachedBytes < 0 || cachedBytes > (1L << 40))
+          throw new java.io.IOException(s"corrupt byte count $cachedBytes")
         val lists = scala.collection.mutable.LongMap
           .empty[(Array[Long], Array[Byte])]
         var li = 0
@@ -414,8 +418,11 @@ object LocalPqIndex {
           readFully(hdr)
           val cid = hdr.getLong
           val n = hdr.getInt
-          if (n < 0 || n.toLong * (8 + m) > cachedBytes ||
-              knownSizes.get(cid).exists(_ != n.toLong))
+          // STRICT: every non-empty list in the file must match the
+          // caller's catalog-recorded size exactly — this is both the
+          // staleness check and the allocation bound (n comes from real
+          // data, not from the untrusted header)
+          if (n < 0 || !knownSizes.get(cid).contains(n.toLong))
             throw new java.io.IOException(
               s"corrupt or stale list header cid=$cid n=$n")
           val idBuf = java.nio.ByteBuffer.allocate(n * 8)

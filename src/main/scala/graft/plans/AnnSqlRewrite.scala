@@ -61,15 +61,12 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   import AnnTopKRewrite._
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val conf = SQLConf.get
-    val store = conf.getConfString(STORE_PATH_KEY, "")
-    val cents = conf.getConfString(CENTROIDS_KEY, "")
-    if (store.isEmpty || cents.isEmpty) return plan
-    // a malformed conf value must disable the rule, not fail every
-    // query planned in the session
-    val nprobe = scala.util.Try(
-      conf.getConfString(NPROBE_KEY, "8").trim.toInt).getOrElse(return plan)
-    if (nprobe <= 0) return plan
+    // bindings are PER STORE (the registry key is the store path):
+    // a DataFrame returned by one door must not silently adopt a later
+    // door's probe width or centroids just because optimization runs at
+    // action time — each relation resolves against ITS OWN binding
+    val bindings = AnnTopKRewrite.bindings(SQLConf.get)
+    if (bindings.isEmpty) return plan
     plan.transformDown {
       case gl @ GlobalLimit(_, ll @ LocalLimit(_, s: Sort))
           if s.global && s.order.nonEmpty =>
@@ -77,7 +74,7 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         // rewrite: any failure (unreadable centroids, dimension
         // mismatch, …) means "not our query", not an error
         val rewritten =
-          try rewriteSort(s, store, cents, nprobe)
+          try rewriteSort(s, bindings)
           catch {
             case scala.util.control.NonFatal(e) =>
               logWarning(s"declarative-ANN rewrite skipped: ${e.getMessage}")
@@ -93,8 +90,8 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   /** Rewrite one `Sort` if its primary key is a supported distance over a
     * store relation; extra keys (tie-breaks) ride along untouched.
     */
-  private def rewriteSort(s: Sort, store: String, centsPath: String,
-      nprobe: Int): Option[Sort] = {
+  private def rewriteSort(s: Sort,
+      bindings: Seq[AnnTopKRewrite.Binding]): Option[Sort] = {
     val order = s.order.head
     val resolved = resolveThroughProjects(order.child, s.child)
     val (vecAttr, qvec) = resolved match {
@@ -112,37 +109,38 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         (a, constArray(l).getOrElse(return None))
       case _ => return None
     }
-    // idempotence / user-override: if ANY In-filter on centroid_id
-    // already guards the subtree (a previous firing of this rule, or the
-    // user's own list restriction), do not stack another probe set — two
-    // stacked In-filters intersect, silently narrowing the probe width
-    // OptimizeIn rewrites In → InSet above 10 values inside the same
-    // fixed-point batch this rule runs in under config-time injection;
-    // missing the InSet form would re-inject every iteration and the
-    // batch would never converge (Max iterations reached)
+    // Refuse to rewrite when ANY filter in the subtree references
+    // centroid_id. This one conservative check carries two loads:
+    //  - CONVERGENCE under config-time injection: the rule shares a
+    //    fixed-point batch with OptimizeIn, which rewrites the injected
+    //    In to InSet (>10 values) or EqualTo (1 value) — matching only
+    //    the original In shape would re-inject every iteration until
+    //    "Max iterations reached" fails the query;
+    //  - USER OVERRIDE: a query that already restricts centroid_id
+    //    (=, IN, ranges, NOT IN) has chosen its own lists — stacking
+    //    the probe set on top would intersect the two and silently
+    //    return wrong/empty results.
     val alreadyFiltered = s.child.exists {
-      case Filter(cond, _) => cond.exists {
-        case In(a, _) => a.references.nonEmpty &&
-          a.references.head.name == "centroid_id"
-        case InSet(a, _) => a.references.nonEmpty &&
-          a.references.head.name == "centroid_id"
-        case _ => false
-      }
+      case Filter(cond, _) =>
+        cond.references.exists(_.name == "centroid_id")
       case _ => false
     }
     if (alreadyFiltered) return None
     // locate the store relation FIRST: probes are computed only for a
-    // plan that verifiably scans the registered store (any other
+    // plan that verifiably scans a registered store (any other
     // Sort+Limit over a dot product — different store, different
     // dimensionality — must be left alone without even loading
-    // centroids)
+    // centroids). A relation resolves to the LONGEST binding path that
+    // covers it.
     val targets = s.child.collect {
-      case lr: LogicalRelation
-          if relMatches(lr, store, vecAttr) && cidAttrOf(lr).isDefined => lr
-    }
+      case lr: LogicalRelation if cidAttrOf(lr).isDefined &&
+          lr.output.exists(_.exprId == vecAttr.exprId) =>
+        bindings.filter(b => relMatches(lr, b.storePath))
+          .sortBy(-_.storePath.length).headOption.map(b => (lr, b))
+    }.flatten
     if (targets.length != 1) return None
-    val target = targets.head
-    val probed = probe(spark, centsPath, qvec, nprobe)
+    val (target, binding) = targets.head
+    val probed = probe(spark, binding.centroidsPath, qvec, binding.nprobe)
     if (probed.isEmpty) return None
     val newChild = s.child.transformUp {
       case lr: LogicalRelation if lr eq target =>
@@ -180,13 +178,12 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     a == b || a.startsWith(b + "/")
   }
 
-  private def relMatches(lr: LogicalRelation, store: String,
-      vecAttr: AttributeReference): Boolean = lr.relation match {
+  private def relMatches(lr: LogicalRelation,
+      store: String): Boolean = lr.relation match {
     case fs: HadoopFsRelation =>
       fs.location.rootPaths.exists(p =>
         underStore(p.toString, store) ||
-          underStore(p.toUri.getPath, normalizePath(store))) &&
-        lr.output.exists(_.exprId == vecAttr.exprId)
+          underStore(p.toUri.getPath, normalizePath(store)))
     case _ => false
   }
 
@@ -209,6 +206,43 @@ object AnnTopKRewrite {
   val STORE_PATH_KEY = "spark.graft.ann.storePath"
   val CENTROIDS_KEY = "spark.graft.ann.centroidsPath"
   val NPROBE_KEY = "spark.graft.ann.nprobe"
+
+  /** Multi-store registry: `path|centroids|nprobe` records joined by
+    * `;` — [[GraftAnn.configure]] upserts keyed by store path, so doors
+    * over DIFFERENT stores never clobber each other's probe width or
+    * centroid layout. The three legacy single-store keys above remain
+    * honored as one extra binding.
+    */
+  val STORES_KEY = "spark.graft.ann.stores"
+
+  final case class Binding(storePath: String, centroidsPath: String,
+      nprobe: Int)
+
+  private[plans] def bindings(conf: SQLConf): Seq[Binding] = {
+    val multi = conf.getConfString(STORES_KEY, "")
+      .split(';').toIndexedSeq.filter(_.nonEmpty).flatMap { rec =>
+        rec.split('|') match {
+          case Array(p, c, np) =>
+            scala.util.Try(Binding(p, c, np.trim.toInt)).toOption
+              .filter(_.nprobe > 0)
+          case _ => None
+        }
+      }
+    val legacy = {
+      val store = conf.getConfString(STORE_PATH_KEY, "")
+      val cents = conf.getConfString(CENTROIDS_KEY, "")
+      // a malformed conf value must disable the binding, not fail
+      // every query planned in the session
+      val np = scala.util.Try(
+        conf.getConfString(NPROBE_KEY, "8").trim.toInt).getOrElse(0)
+      if (store.nonEmpty && cents.nonEmpty && np > 0)
+        Seq(Binding(store, cents, np))
+      else Nil
+    }
+    // multi registry wins over the legacy triple for the same path
+    (multi ++ legacy.filterNot(l =>
+      multi.exists(_.storePath == l.storePath))).distinct
+  }
 
   /** Centroids collected once per path: nlist × dim doubles (a few MB at
     * the reference's largest geometry), driver-resident like every other
@@ -301,13 +335,39 @@ object GraftAnn {
       spark.experimental.extraOptimizations = cur :+ AnnTopKRewrite(spark)
   }
 
-  /** Point the rule at a store: base path (scopes the rewrite), its
-    * coarse centroids, and the probe width.
+  /** Register (or re-register) a store binding: base path (scopes the
+    * rewrite), its coarse centroids, and the probe width. UPSERTS into
+    * the per-store registry keyed by path — other stores' bindings are
+    * untouched, so two doors in one session keep their own probe
+    * widths. Re-configuring the SAME store updates its binding
+    * (probe width is a property of the registered store, not of a
+    * previously returned DataFrame — plans optimize at action time).
     */
   def configure(spark: SparkSession, storePath: String,
       centroidsPath: String, nprobe: Int): Unit = {
-    spark.conf.set(AnnTopKRewrite.STORE_PATH_KEY, storePath)
-    spark.conf.set(AnnTopKRewrite.CENTROIDS_KEY, centroidsPath)
-    spark.conf.set(AnnTopKRewrite.NPROBE_KEY, nprobe.toString)
+    require(!Seq(storePath, centroidsPath).exists(p =>
+      p.contains('|') || p.contains(';')),
+      "store/centroid paths must not contain '|' or ';'")
+    val cur = spark.conf.get(AnnTopKRewrite.STORES_KEY, "")
+      .split(';').toIndexedSeq.filter(_.nonEmpty)
+      .filterNot(_.startsWith(storePath + "|"))
+    val next = cur :+ s"$storePath|$centroidsPath|$nprobe"
+    spark.conf.set(AnnTopKRewrite.STORES_KEY, next.mkString(";"))
+  }
+
+  /** Remove a store's binding (and the legacy single-store triple when
+    * it names the same path).
+    */
+  def deregister(spark: SparkSession, storePath: String): Unit = {
+    val cur = spark.conf.get(AnnTopKRewrite.STORES_KEY, "")
+      .split(';').toIndexedSeq.filter(_.nonEmpty)
+      .filterNot(_.startsWith(storePath + "|"))
+    if (cur.isEmpty) spark.conf.unset(AnnTopKRewrite.STORES_KEY)
+    else spark.conf.set(AnnTopKRewrite.STORES_KEY, cur.mkString(";"))
+    if (spark.conf.get(AnnTopKRewrite.STORE_PATH_KEY, "") == storePath) {
+      spark.conf.unset(AnnTopKRewrite.STORE_PATH_KEY)
+      spark.conf.unset(AnnTopKRewrite.CENTROIDS_KEY)
+      spark.conf.unset(AnnTopKRewrite.NPROBE_KEY)
+    }
   }
 }

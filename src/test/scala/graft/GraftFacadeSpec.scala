@@ -174,9 +174,7 @@ class GraftFacadeSpec extends SparkSpec {
     g.close()
     // shared session: deregister the store so no other suite's plans
     // are even considered by the rule
-    spark.conf.unset(graft.plans.AnnTopKRewrite.STORE_PATH_KEY)
-    spark.conf.unset(graft.plans.AnnTopKRewrite.CENTROIDS_KEY)
-    spark.conf.unset(graft.plans.AnnTopKRewrite.NPROBE_KEY)
+    spark.conf.unset(graft.plans.AnnTopKRewrite.STORES_KEY)
     Segments.deleteDir(base)
   }
 

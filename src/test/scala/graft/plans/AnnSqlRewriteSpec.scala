@@ -78,6 +78,7 @@ class AnnSqlRewriteSpec extends SparkSpec {
     spark.conf.unset(AnnTopKRewrite.STORE_PATH_KEY)
     spark.conf.unset(AnnTopKRewrite.CENTROIDS_KEY)
     spark.conf.unset(AnnTopKRewrite.NPROBE_KEY)
+    spark.conf.unset(AnnTopKRewrite.STORES_KEY)
   }
 
   override def afterAll(): Unit = {
@@ -267,6 +268,56 @@ class AnnSqlRewriteSpec extends SparkSpec {
       assert(injectedInFilter(df).isEmpty,
         s"sibling dataset rewritten with the registered store's probes:\n" +
           df.queryExecution.optimizedPlan)
+    } finally deconfigure()
+  }
+
+  test("a user predicate on centroid_id (any shape) disables the rewrite instead of stacking") {
+    try {
+      configure(nprobe = 2)
+      // EqualTo — the shape OptimizeIn also produces from 1-element In
+      val df = store.filter(col("centroid_id") === 0)
+        .select(col("vec_id"), scoreCol(qv).as("score"))
+        .orderBy(col("score").desc, col("vec_id").asc).limit(5)
+      assert(injectedInFilter(df).isEmpty,
+        s"probe set stacked over the user's list restriction:\n" +
+          df.queryExecution.optimizedPlan)
+      // the user's own restriction is the exact semantics
+      val want = store.filter(col("centroid_id") === 0)
+        .select(col("vec_id"), scoreCol(qv).as("score"))
+        .as[(Long, Double)].collect()
+        .sortBy { case (id, sc) => (-sc, id) }.take(5).toSeq
+      assert(df.as[(Long, Double)].collect().toSeq === want)
+    } finally deconfigure()
+  }
+
+  test("per-store bindings: two stores keep their own probe widths") {
+    try {
+      // second store: same data, different path and nprobe
+      val base2 = java.nio.file.Files
+        .createTempDirectory("graft-annsql2-").toString
+      spark.read.parquet(storePath)
+        .write.partitionBy("centroid_id").parquet(s"$base2/store")
+      spark.read.parquet(centsPath).write.parquet(s"$base2/cents")
+      GraftAnn.install(spark)
+      GraftAnn.configure(spark, storePath, centsPath, nprobe = 1)
+      GraftAnn.configure(spark, s"$base2/store", s"$base2/cents",
+        nprobe = nlist) // probe-all
+      def filterWidth(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.optimizedPlan.collect {
+          case Filter(In(a, vs), _)
+              if a.references.head.name == "centroid_id" => vs.length
+        }.headOption.getOrElse(-1)
+      val d1 = topk(qv, 5) // store 1, registered at nprobe=1
+      val d2 = spark.read.parquet(s"$base2/store")
+        .select(col("vec_id"), scoreCol(qv).as("score"))
+        .orderBy(col("score").desc, col("vec_id").asc).limit(5)
+      assert(filterWidth(d1) === 1, "store 1 must probe exactly 1 list")
+      assert(filterWidth(d2) === nlist, "store 2 must probe all lists")
+      // and the bindings don't interfere with values: probe-all = exact
+      deconfigure()
+      val exact = topk(qv, 5).as[(Long, Double)].collect().toSeq
+      GraftAnn.configure(spark, s"$base2/store", s"$base2/cents", nlist)
+      assert(d2.as[(Long, Double)].collect().toSeq === exact)
     } finally deconfigure()
   }
 
