@@ -592,6 +592,17 @@ object Segments {
     // stable range have nothing left to mask and drop now; retained
     // ones are purged by the next full rewrite (rebuildLayout). With no
     // stable tier this IS a full compaction and every tombstone drops.
+    //
+    // KNOWN COST (disclosed, conservative direction): with uniformly
+    // hashed ids a stable segment's [min,max] range spans nearly the
+    // whole Long space after a few rows, so in practice every tombstone
+    // is retained until a full rewrite — standard LSM delete behavior
+    // (only bottom-level compaction purges). The periodic rebuild
+    // (maintain()'s rebuild_interval_hours / layout triggers) bounds
+    // the accumulation. A precise per-tombstone existence probe against
+    // the stable tier (scanForIdHashes bloom/zone-map pruning) would
+    // make the purge exact at the price of an extra scan per minor
+    // compaction.
     val mayMaskStable: Column = stableDescs
       .map(d => col("id_hash").between(lit(d.min_id_hash),
         lit(d.max_id_hash)))
