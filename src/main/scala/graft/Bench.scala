@@ -256,12 +256,31 @@ object Bench {
       "GRAFT_GT_TRACKED", "/root/repo/bench_gt/groundtruth_100m.tsv"))
     if (!java.nio.file.Files.exists(gtPath) &&
         java.nio.file.Files.exists(repoGt)) {
-      val first = scala.util.Using.resource(
-        java.nio.file.Files.newBufferedReader(repoGt))(_.readLine())
-      if (first == gtHeader) {
+      // validate the WHOLE tracked copy, not just the header: a
+      // truncated file with an intact header would seed an incomplete
+      // truth and the recall gate would silently average over fewer
+      // than GtQueryCount queries — require one data line per query,
+      // each parsing to exactly k=10 `id:score` hits
+      val lines = new String(java.nio.file.Files.readAllBytes(repoGt),
+        java.nio.charset.StandardCharsets.UTF_8).split("\n")
+      val data = lines.filter(l => l.nonEmpty && !l.startsWith("#"))
+      val bodyOk = data.length == queries.length && data.forall { l =>
+        l.split("\t") match {
+          case Array(qid, rest) => qid.forall(_.isDigit) &&
+            rest.split(",").length == 10 &&
+            rest.split(",").forall(_.lastIndexOf(':') > 0)
+          case _ => false
+        }
+      }
+      if (lines.headOption.contains(gtHeader) && bodyOk) {
         System.err.println(
           s"[bench] seeding groundtruth.tsv from the tracked copy $repoGt")
         java.nio.file.Files.copy(repoGt, gtPath)
+      } else if (lines.headOption.contains(gtHeader)) {
+        System.err.println(s"[bench] tracked gt copy $repoGt has a valid " +
+          s"header but a truncated/malformed body (${data.length} data " +
+          s"lines, want ${queries.length} × k=10) — falling through to " +
+          "the exact pass")
       }
     }
     if (!java.nio.file.Files.exists(gtPath)) {
@@ -606,12 +625,40 @@ object Bench {
       // p50 166 ms serial); the pool turns it latency-bound again
       val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
       extras("ivf_100m_worker_threads") = "16"
-      def twoPhase(q: Array[Float], k: Int): Array[(Long, Double)] = {
-        val cand = local.searchAdcParallel(q, k * rerank100, nprobe100,
-          pool)
-        cand.map { case (id, _) => (id, dotF(q, regen(id))) }
-          .sortBy { case (id, s) => (-s, id) }.take(k)
+      // Two-phase at an explicit operating point. Phase-2 rerank fans
+      // out over the SAME worker pool once the candidate pool is deep
+      // (the tuned points rerank thousands of candidates; each costs a
+      // 768-dim regen + dot, ~30 µs — serial that is ~0.2 s at rerank
+      // 768, parallel it is ~20 ms). Small pools (the nprobe 12 /
+      // rerank 4 default: 40 candidates) stay serial, so the default-
+      // point numbers keep their r9/r10 shape. Chunked merge preserves
+      // the (score desc, id asc) contract exactly — rerank is a pure
+      // per-candidate map, order-insensitive before the final sort.
+      def twoPhaseAt(q: Array[Float], k: Int, np: Int,
+          rr: Int): Array[(Long, Double)] = {
+        val cand = local.searchAdcParallel(q, k * rr, np, pool)
+        val scored =
+          if (cand.length <= 256)
+            cand.map { case (id, _) => (id, dotF(q, regen(id))) }
+          else {
+            val chunk = 512
+            val futs = (0 until cand.length by chunk).map { from =>
+              val until = math.min(cand.length, from + chunk)
+              pool.submit(new java.util.concurrent.Callable[
+                  Array[(Long, Double)]] {
+                override def call(): Array[(Long, Double)] =
+                  Array.tabulate(until - from) { i =>
+                    val id = cand(from + i)._1
+                    (id, dotF(q, regen(id)))
+                  }
+              })
+            }
+            futs.flatMap(_.get()).toArray
+          }
+        scored.sortBy { case (id, s) => (-s, id) }.take(k)
       }
+      def twoPhase(q: Array[Float], k: Int): Array[(Long, Double)] =
+        twoPhaseAt(q, k, nprobe100, rerank100)
       extras("ivf_100m_floor_before_ms") =
         num(floorProbe(spark, cpus), 1)
       System.gc()
@@ -671,6 +718,13 @@ object Bench {
       // bounded top-k heaps (the same shared kernel and tie contract the
       // serving scans use), driver merge — persisted beside the store
       // like the build itself (one-time; later rounds just read it).
+      // the tuned operating point the recall block finds (defaults if
+      // the default point already meets 0.95) — the timed loop below
+      // runs AT this point, so recall and latency are finally proven at
+      // ONE (nprobe, rerank), the reference's joint promise
+      // (types.h:140-141: recall 0.95 AND p99 150 ms, simultaneously)
+      var tunedNp = -1
+      var tunedRr = -1
       try {
         val gt = groundTruth100m(spark, cpus, dir100, metaRows, d,
           qOut.take(GtQueryCount), extras)
@@ -705,9 +759,7 @@ object Bench {
         def recallAt10(np: Int, rr: Int): (Double, Double) = {
           val per = gt.toSeq.map { case (qid, want) =>
             val qv = qOut.find(_._1 == qid).get._2
-            val cand = local.searchAdcParallel(qv, 10 * rr, np, pool)
-            val got = cand.map { case (id, _) => (id, dotF(qv, regen(id))) }
-              .sortBy { case (id, s) => (-s, id) }.take(10)
+            val got = twoPhaseAt(qv, 10, np, rr)
             val gotIds = got.map(_._1).toSet
             val r = want.count { case (id, _) =>
               gotIds(id) }.toDouble / want.length
@@ -725,13 +777,25 @@ object Bench {
         val (r0, sr0) = recallAt10(nprobe100, rerank100)
         extras("ivf_100m_recall_at10") = num(r0, 4)
         extras("ivf_100m_score_ratio_at10") = num(sr0, 5)
+        if (r0 >= 0.95) { tunedNp = nprobe100; tunedRr = rerank100 }
         if (r0 < 0.95) {
           // disclose the knobs that move id-recall toward the target
           // (the tuner's escalation ladder, run offline exactly like
           // nprobe_tune). Rerank depth is the lever on this fixture:
-          // candidates are cheap to rerank exactly (regen + one dot).
-          val ladder = Seq((12, 16), (12, 32), (24, 32), (24, 64),
-            (48, 128), (48, 512), (48, 768))
+          // candidates are cheap to rerank exactly (regen + one dot),
+          // and gt-coverage@nprobe12 is 1.0 (measured above, r9-r11) —
+          // every true neighbor already sits in the 12-list pool, so
+          // widening nprobe at a FIXED fetch depth only adds
+          // distractors competing for the same 10·rr slots: recall at
+          // (12, rr) dominates (48, rr) while the ADC scan costs 1/4.
+          // The ladder therefore walks rerank depth at nprobe 12 first
+          // (cheapest operating points first — the first rung meeting
+          // 0.95 IS the frontier point the timed loop runs at), and
+          // escalates nprobe only as a fallback for a layout whose
+          // coverage actually needs more lists.
+          val ladder = Seq((12, 16), (12, 32), (12, 64), (12, 128),
+            (12, 256), (12, 384), (12, 512), (12, 768),
+            (24, 768), (48, 512), (48, 768))
           val walked = ladder.map { case (np, rr) =>
             val (r, sr) = recallAt10(np, rr)
             System.err.println(
@@ -750,6 +814,7 @@ object Bench {
               extras("ivf_100m_recall_at10_tuned") = num(r, 4)
               extras("ivf_100m_tuned_nprobe") = np.toString
               extras("ivf_100m_tuned_rerank") = rr.toString
+              tunedNp = np; tunedRr = rr
             case None =>
               extras("ivf_100m_recall_at10_tuned") =
                 num(walked.map(_._3).max, 4)
@@ -761,6 +826,45 @@ object Bench {
         System.err.println(
           s"[bench] 100M ground-truth recall FAILED: ${e.getMessage}")
         extras("ivf_100m_recall_at10") = "-1"
+      }
+      // ---- the TUNED-point timed loop: latency AT the operating point
+      // that met recall 0.95 above — same harness shape as the default-
+      // point loop (3 rounds × 50 out-of-corpus queries, GC between
+      // rounds, steady = per-query min across rounds). Before this
+      // loop the record proved recall and latency at DIFFERENT knob
+      // settings; this is the joint evidence. ----
+      if (tunedNp > 0 && tunedRr > 0) {
+        extras("ivf_100m_at_tuned_point") = s""""$tunedNp/$tunedRr""""
+        System.gc()
+        (0 until 3).foreach(_ =>
+          twoPhaseAt(qOut.head._2, 10, tunedNp, tunedRr)) // warm
+        val tRaw = scala.collection.mutable.ArrayBuffer.empty[Double]
+        val tAdc = scala.collection.mutable.ArrayBuffer.empty[Double]
+        val tSteady = scala.collection.mutable
+          .LinkedHashMap.empty[Long, Double]
+        (0 until 3).foreach { _ =>
+          System.gc()
+          qOut.foreach { case (qid, qv) =>
+            val tA0 = System.nanoTime()
+            local.searchAdcParallel(qv, 10 * tunedRr, tunedNp, pool)
+            tAdc += (System.nanoTime() - tA0) / 1e6
+            val t0 = System.nanoTime()
+            twoPhaseAt(qv, 10, tunedNp, tunedRr)
+            val ms = (System.nanoTime() - t0) / 1e6
+            tRaw += ms
+            tSteady(qid) = math.min(tSteady.getOrElse(qid, ms), ms)
+          }
+        }
+        extras("ivf_100m_adc_p50_at_tuned_ms") =
+          num(pctl(tAdc.sorted.toSeq, 50), 1)
+        extras("ivf_100m_query_p50_at_tuned_ms") =
+          num(pctl(tRaw.sorted.toSeq, 50), 1)
+        extras("ivf_100m_query_p99_at_tuned_ms") =
+          num(pctl(tRaw.sorted.toSeq, 99), 1)
+        extras("ivf_100m_query_p99_steady_at_tuned_ms") =
+          num(pctl(tSteady.values.toSeq.sorted, 99), 1)
+        extras("ivf_100m_floor_after_tuned_ms") =
+          num(floorProbe(spark, cpus), 1)
       }
       // the DISTRIBUTED twin: stored-codes ADC as a partition-pruned
       // Spark job over the probed lists (the path a cache miss takes)
@@ -1909,47 +2013,86 @@ object Bench {
         // delta vs the sequential loop (1000/p50) is the scheduler's
         // concurrency headroom; the concurrent p99 shows what queueing
         // does to a single client's tail.
+        // r11: the section carries its own INTERLEAVED constant-work
+        // calibration twin. The r10 record showed concurrent qps drop
+        // 4-7× against a 1.5× calib inflation elsewhere in the run —
+        // unadjudicable, because the only calibration signal (the
+        // dispatch floor) is single-threaded and measured minutes away
+        // from this section. The twin is the SAME 8-thread closed-loop
+        // harness submitting the same number of constant one-task Spark
+        // jobs (pure scheduler dispatch, no index scan) under identical
+        // thread pressure, round-interleaved with the measured rounds
+        // so both see the same machine weather. serve_qps/calib_qps is
+        // the floor-independent signal: a code regression moves the
+        // RATIO; box contention moves both numbers together.
         try {
           System.gc()
           val nThreads = 8
           val repsC = 3
-          val pool = java.util.concurrent.Executors.newFixedThreadPool(
-            nThreads, (r: Runnable) => {
-              val th = new Thread(r, "graft-bench-client")
-              th.setDaemon(true); th
-            })
-          val lat = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
-          (0 until 3).foreach(_ => idx.search(qRows.head, 10, nprobeServ))
-          val t0 = System.nanoTime()
-          val futs = (0 until nThreads).map { _ =>
-            pool.submit(new java.util.concurrent.Callable[Long] {
-              override def call(): Long = {
-                var n = 0L
-                var r = 0
-                while (r < repsC) {
+          def concRound(label: String, body: Int => Unit)
+              : (Long, Double, Array[Double]) = {
+            val pool = java.util.concurrent.Executors.newFixedThreadPool(
+              nThreads, (r: Runnable) => {
+                val th = new Thread(r, s"graft-bench-client-$label")
+                th.setDaemon(true); th
+              })
+            val lat =
+              new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+            val t0 = System.nanoTime()
+            val futs = (0 until nThreads).map { _ =>
+              pool.submit(new java.util.concurrent.Callable[Long] {
+                override def call(): Long = {
+                  var n = 0L
                   var i = 0
                   while (i < qRows.length) {
                     val tq = System.nanoTime()
-                    idx.search(qRows(i), 10, nprobeServ)
+                    body(i)
                     lat.add((System.nanoTime() - tq) / 1e6)
                     n += 1; i += 1
                   }
-                  r += 1
+                  n
                 }
-                n
-              }
-            })
+              })
+            }
+            val total = futs.map(_.get()).sum
+            val sec = (System.nanoTime() - t0) / 1e9
+            pool.shutdown()
+            (total, sec, lat.toArray(Array.empty[java.lang.Double])
+              .map(_.doubleValue()))
           }
-          val total = futs.map(_.get()).sum
-          val sec = (System.nanoTime() - t0) / 1e9
-          pool.shutdown()
-          val ls = lat.toArray(Array.empty[java.lang.Double])
-            .map(_.doubleValue()).sorted.toSeq
+          val sc = spark.sparkContext
+          def calibJob(): Unit =
+            sc.parallelize(0 until 1, 1).map(_ => 1).count()
+          // warm both shapes before any timed round
+          (0 until 3).foreach(_ => idx.search(qRows.head, 10, nprobeServ))
+          (0 until 3).foreach(_ => calibJob())
+          var servReqs = 0L; var servSec = 0.0
+          var calReqs = 0L; var calSec = 0.0
+          val servLat = scala.collection.mutable.ArrayBuffer.empty[Double]
+          val calLat = scala.collection.mutable.ArrayBuffer.empty[Double]
+          (0 until repsC).foreach { _ =>
+            val (cn, cs, cl) = concRound("calib", _ => calibJob())
+            calReqs += cn; calSec += cs; calLat ++= cl
+            val (sn, ss, sl) = concRound("serve",
+              i => idx.search(qRows(i), 10, nprobeServ))
+            servReqs += sn; servSec += ss; servLat ++= sl
+          }
+          val ls = servLat.sorted.toSeq
+          val lc = calLat.sorted.toSeq
+          val servQps = servReqs / servSec
+          val calQps = calReqs / calSec
           extras("serving_concurrent_threads") = nThreads.toString
-          extras("serving_concurrent_reqs") = total.toString
-          extras("serving_concurrent_qps") = num(total / sec, 1)
+          extras("serving_concurrent_reqs") = servReqs.toString
+          extras("serving_concurrent_qps") = num(servQps, 1)
           extras("serving_concurrent_p50_ms") = num(pctl(ls, 50), 1)
           extras("serving_concurrent_p99_ms") = num(pctl(ls, 99), 1)
+          extras("serving_concurrent_calib_qps") = num(calQps, 1)
+          extras("serving_concurrent_calib_p50_ms") = num(pctl(lc, 50), 1)
+          extras("serving_concurrent_calib_p99_ms") = num(pctl(lc, 99), 1)
+          // requests completed per unit of constant-work dispatch
+          // capacity — compare THIS across rounds, not raw qps
+          extras("serving_concurrent_ratio") =
+            num(if (calQps > 0) servQps / calQps else -1.0, 4)
         } catch { case ex: Throwable =>
           System.err.println(
             s"[bench] concurrent serving FAILED: ${ex.getMessage}")
@@ -2410,7 +2553,12 @@ object Bench {
         "ivf_100m_score_ratio_at10", "ivf_100m_self_recall_at1_pool32",
         "ivf_100m_query_p50_ms", "ivf_100m_query_p99_ms",
         "ivf_100m_query_p99_steady_ms", "ivf_100m_adc_p50_ms",
-        "ivf_100m_floor_before_ms", "ivf_100m_floor_after_ms")
+        "ivf_100m_floor_before_ms", "ivf_100m_floor_after_ms",
+        "ivf_100m_at_tuned_point", "ivf_100m_query_p50_at_tuned_ms",
+        "ivf_100m_query_p99_at_tuned_ms",
+        "ivf_100m_query_p99_steady_at_tuned_ms",
+        "ivf_100m_floor_after_tuned_ms",
+        "serving_concurrent_calib_qps", "serving_concurrent_ratio")
       summaryExtras.foreach(k => extras.get(k).foreach(v => summary(k) = v))
       summary("queries_full") = "\"BENCH_FULL.json\""
       summary("sf") = "\"" + sfDirJson + "\""

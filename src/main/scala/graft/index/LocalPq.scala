@@ -98,6 +98,18 @@ final class LocalPqIndex private (
   /** Internal phase-1 ranking: `n` may exceed max_top_k — the rerank
     * candidate pool is rerank·k, an internal budget, not a client k.
     */
+  /** Above this fetch depth phase 1 switches from the insertion-array
+    * kernel (optimal at serving k ≲ 100) to gather-then-quickselect
+    * ([[graft.operators.TopK.selectTopN]]): a deep-rerank fetch asks
+    * for thousands of candidates out of a pool only ~40× larger, where
+    * most scanned rows qualify and each insertion shifts O(n) slots —
+    * measured 268 ms of a 284 ms tuned-point query at n=7680 before
+    * the switch, ~O(pool) after. Results are IDENTICAL (same
+    * (score desc, id asc) contract; LocalPqSpec pins deep-fetch ==
+    * serial shallow ranking).
+    */
+  private val deepFetchThreshold = 256
+
   private def adcTopN(q: Array[Float], n: Int,
       nprobe: Int): Array[(Long, Double)] = {
     val probed = capProbes(probe(q, nprobe))
@@ -106,23 +118,50 @@ final class LocalPqIndex private (
         "IVF-PQ path (cache miss falls to the store)")
     val l = lut(q)
     val m = cb.m
-    val topk = new ServingIndex.BoundedTopK(n, asc = false)
-    probed.foreach { cid =>
-      // empty lists pass coverage but have no cached rows to scan
-      val (ids, codes) = lists.getOrElse(cid,
-        (Array.emptyLongArray, Array.emptyByteArray))
-      var r = 0
-      while (r < ids.length) {
-        val off = r * m
-        var s = 0.0
-        var j = 0
-        // codes are uint8 packed as JVM bytes — mask back to 0..255
-        while (j < m) { s += l(j)(codes(off + j) & 0xFF); j += 1 }
-        topk.insert(s, ids(r))
-        r += 1
+    if (n > deepFetchThreshold) {
+      // deep fetch: score everything into primitive buffers, one
+      // selection at the end
+      var total = 0
+      probed.foreach(cid => total += lists.get(cid)
+        .map(_._1.length).getOrElse(0))
+      val outIds = new Array[Long](total)
+      val outScores = new Array[Double](total)
+      var w = 0
+      probed.foreach { cid =>
+        val (ids, codes) = lists.getOrElse(cid,
+          (Array.emptyLongArray, Array.emptyByteArray))
+        var r = 0
+        while (r < ids.length) {
+          val off = r * m
+          var s = 0.0
+          var j = 0
+          while (j < m) { s += l(j)(codes(off + j) & 0xFF); j += 1 }
+          outIds(w) = ids(r); outScores(w) = s; w += 1
+          r += 1
+        }
       }
+      val len = graft.operators.TopK.selectTopN(
+        outIds, outScores, total, n, asc = false)
+      Array.tabulate(len)(i => (outIds(i), outScores(i)))
+    } else {
+      val topk = new ServingIndex.BoundedTopK(n, asc = false)
+      probed.foreach { cid =>
+        // empty lists pass coverage but have no cached rows to scan
+        val (ids, codes) = lists.getOrElse(cid,
+          (Array.emptyLongArray, Array.emptyByteArray))
+        var r = 0
+        while (r < ids.length) {
+          val off = r * m
+          var s = 0.0
+          var j = 0
+          // codes are uint8 packed as JVM bytes — mask back to 0..255
+          while (j < m) { s += l(j)(codes(off + j) & 0xFF); j += 1 }
+          topk.insert(s, ids(r))
+          r += 1
+        }
+      }
+      topk.result()
     }
-    topk.result()
   }
 
   /** [[searchAdc]] with the scan fanned out over a worker pool — the
@@ -155,27 +194,70 @@ final class LocalPqIndex private (
       (0 until ids.length by chunkRows).map(s =>
         (cid, s, math.min(ids.length, s + chunkRows)))
     }
-    val futs = units.map { case (cid, from, until) =>
-      pool.submit(new java.util.concurrent.Callable[Array[(Long, Double)]] {
-        override def call(): Array[(Long, Double)] = {
-          val (ids, codes) = lists(cid)
-          val topk = new ServingIndex.BoundedTopK(n, asc = false)
-          var r = from
-          while (r < until) {
-            val off = r * m
-            var s = 0.0
-            var j = 0
-            while (j < m) { s += l(j)(codes(off + j) & 0xFF); j += 1 }
-            topk.insert(s, ids(r))
-            r += 1
+    if (n > deepFetchThreshold) {
+      // deep fetch ([[deepFetchThreshold]]): each unit scores its rows
+      // into primitive buffers (no per-candidate ranking work at all),
+      // the driver thread concatenates and runs ONE quickselect — the
+      // per-unit insertion heaps are O(rows·n) in this regime
+      val futs = units.map { case (cid, from, until) =>
+        pool.submit(new java.util.concurrent.Callable[
+            (Array[Long], Array[Double])] {
+          override def call(): (Array[Long], Array[Double]) = {
+            val (ids, codes) = lists(cid)
+            val cnt = until - from
+            val uIds = new Array[Long](cnt)
+            val uScores = new Array[Double](cnt)
+            var r = from
+            var w = 0
+            while (r < until) {
+              val off = r * m
+              var s = 0.0
+              var j = 0
+              while (j < m) { s += l(j)(codes(off + j) & 0xFF); j += 1 }
+              uIds(w) = ids(r); uScores(w) = s; w += 1
+              r += 1
+            }
+            (uIds, uScores)
           }
-          topk.result()
-        }
-      })
+        })
+      }
+      val parts = futs.map(_.get())
+      val total = parts.iterator.map(_._1.length).sum
+      val allIds = new Array[Long](total)
+      val allScores = new Array[Double](total)
+      var w = 0
+      parts.foreach { case (uIds, uScores) =>
+        System.arraycopy(uIds, 0, allIds, w, uIds.length)
+        System.arraycopy(uScores, 0, allScores, w, uScores.length)
+        w += uIds.length
+      }
+      val len = graft.operators.TopK.selectTopN(
+        allIds, allScores, total, n, asc = false)
+      Array.tabulate(len)(i => (allIds(i), allScores(i)))
+    } else {
+      val futs = units.map { case (cid, from, until) =>
+        pool.submit(new java.util.concurrent.Callable[
+            Array[(Long, Double)]] {
+          override def call(): Array[(Long, Double)] = {
+            val (ids, codes) = lists(cid)
+            val topk = new ServingIndex.BoundedTopK(n, asc = false)
+            var r = from
+            while (r < until) {
+              val off = r * m
+              var s = 0.0
+              var j = 0
+              while (j < m) { s += l(j)(codes(off + j) & 0xFF); j += 1 }
+              topk.insert(s, ids(r))
+              r += 1
+            }
+            topk.result()
+          }
+        })
+      }
+      val merged = new ServingIndex.BoundedTopK(n, asc = false)
+      futs.foreach(_.get().foreach { case (id, s) => merged.insert(s, id) })
+      merged.result()
     }
-    val merged = new ServingIndex.BoundedTopK(n, asc = false)
-    futs.foreach(_.get().foreach { case (id, s) => merged.insert(s, id) })
-    merged.result()
   }
 
   /** Two-phase: phase-1 top-(rerank·k) → exact dot re-score against the
@@ -343,6 +425,14 @@ object LocalPqIndex {
         .putInt(idx.m).putInt(snap.size).putLong(idx.cachedBytes)
       head.flip(); while (head.hasRemaining) ch.write(head)
       snap.toSeq.sortBy(_._1).foreach { case (cid, (ids, codes)) =>
+        // same 2 GiB per-buffer bound as loadPacked: refuse to write a
+        // file the loader could never read back (the caller logs and
+        // serves from the in-memory tier; nothing is lost but the warm
+        // start)
+        if (ids.length.toLong * 8 > Int.MaxValue)
+          throw new java.io.IOException(
+            s"list cid=$cid n=${ids.length} exceeds the packed " +
+              "format's 2 GiB per-buffer bound — not packing")
         val hdr = java.nio.ByteBuffer.allocate(12)
         hdr.putLong(cid).putInt(ids.length); hdr.flip()
         while (hdr.hasRemaining) ch.write(hdr)
@@ -352,10 +442,22 @@ object LocalPqIndex {
         val cBuf = java.nio.ByteBuffer.wrap(codes)
         while (cBuf.hasRemaining) ch.write(cBuf)
       }
+      // fsync before the rename: close() alone leaves the bytes in the
+      // page cache, and a power failure shortly after the ATOMIC_MOVE
+      // could publish a torn file under the final name (loadPacked
+      // self-heals by delete+rebuild, but the rebuild is ~13 min at the
+      // 100M geometry — not worth saving one flush)
+      ch.force(true)
     } finally ch.close()
     java.nio.file.Files.move(tmp, p,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // fsync the parent directory so the rename itself is durable
+    try {
+      val dir = java.nio.channels.FileChannel.open(p.getParent,
+        java.nio.file.StandardOpenOption.READ)
+      try dir.force(true) finally dir.close()
+    } catch { case _: Exception => } // not supported on all filesystems
   }
 
   /** Load a packed tier written by [[savePacked]]. Returns None (and
@@ -425,6 +527,16 @@ object LocalPqIndex {
           if (n < 0 || !knownSizes.get(cid).contains(n.toLong))
             throw new java.io.IOException(
               s"corrupt or stale list header cid=$cid n=$n")
+          // explicit overflow guard: a genuine (catalog-validated) list
+          // beyond ~268M rows or n·m > Int.MaxValue would overflow int
+          // arithmetic into a negative allocation — reject with a real
+          // IOException (mirrors the corrupt-header bounds) instead of
+          // letting a generic Exception delete a VALID file and force
+          // the full rebuild on every start
+          if (n.toLong * 8 > Int.MaxValue || n.toLong * m > Int.MaxValue)
+            throw new java.io.IOException(
+              s"list cid=$cid n=$n exceeds the packed format's 2 GiB " +
+                "per-buffer bound — serve this layout from the store")
           val idBuf = java.nio.ByteBuffer.allocate(n * 8)
           readFully(idBuf)
           val ids = new Array[Long](n)

@@ -201,4 +201,100 @@ object TopK {
       out
     }
   }
+
+  /** Top-n SELECTION over parallel primitive (id, score) arrays under
+    * the same engine-wide (score best, id ascending) contract as
+    * [[Bounded]] — for the DEEP-fetch regime [[Bounded]] is wrong for:
+    * its insertion array is O(n) per qualifying insert, unbeatable at
+    * k ≲ 100 and pathological when a two-phase rerank fetches
+    * thousands of phase-1 candidates (n a large fraction of the
+    * scanned pool ⇒ most inserts qualify and each shifts ~n/2 slots).
+    * Quickselect partition to rank n, then sort only the winning
+    * prefix: O(total + n·log n). Mutates `ids`/`scores` in place and
+    * returns the result length (min(n, total)); the winners occupy
+    * `[0, len)` in final rank order.
+    */
+  def selectTopN(ids: Array[Long], scores: Array[Double], total: Int,
+      n: Int, asc: Boolean): Int = {
+    val want = math.max(0, math.min(n, total))
+    if (want == 0) return 0
+    // rank order: a before b iff score better, ties to the lower id
+    @inline def before(i: Int, j: Int): Boolean = {
+      val si = scores(i); val sj = scores(j)
+      (if (asc) si < sj else si > sj) || (si == sj && ids(i) < ids(j))
+    }
+    @inline def swap(i: Int, j: Int): Unit = {
+      val ts = scores(i); scores(i) = scores(j); scores(j) = ts
+      val ti = ids(i); ids(i) = ids(j); ids(j) = ti
+    }
+    // Hoare-style quickselect: shrink [lo, hi] around rank `want - 1`
+    var lo = 0
+    var hi = total - 1
+    while (lo < hi) {
+      // median-of-three pivot, moved to lo
+      val mid = lo + (hi - lo) / 2
+      if (before(mid, lo)) swap(mid, lo)
+      if (before(hi, lo)) swap(hi, lo)
+      if (before(hi, mid)) swap(hi, mid)
+      swap(lo, mid)
+      val p = lo
+      var i = lo + 1
+      var j = hi
+      while (i <= j) {
+        while (i <= j && before(i, p)) i += 1
+        while (i <= j && before(p, j)) j -= 1
+        if (i < j) { swap(i, j); i += 1; j -= 1 }
+        else if (i == j) { i += 1 }
+      }
+      swap(p, j)
+      if (j == want - 1) { lo = hi } // partitioned exactly at the cut
+      else if (j > want - 1) hi = j - 1
+      else lo = j + 1
+    }
+    // final rank order for the winners only
+    sortRange(ids, scores, 0, want, asc)
+    want
+  }
+
+  /** Dual-array quicksort of `[from, until)` under the shared contract
+    * (insertion sort below 32 elements).
+    */
+  private def sortRange(ids: Array[Long], scores: Array[Double],
+      from: Int, until: Int, asc: Boolean): Unit = {
+    @inline def before(i: Int, j: Int): Boolean = {
+      val si = scores(i); val sj = scores(j)
+      (if (asc) si < sj else si > sj) || (si == sj && ids(i) < ids(j))
+    }
+    @inline def swap(i: Int, j: Int): Unit = {
+      val ts = scores(i); scores(i) = scores(j); scores(j) = ts
+      val ti = ids(i); ids(i) = ids(j); ids(j) = ti
+    }
+    if (until - from < 32) {
+      var i = from + 1
+      while (i < until) {
+        var p = i
+        while (p > from && before(p, p - 1)) { swap(p, p - 1); p -= 1 }
+        i += 1
+      }
+      return
+    }
+    val mid = from + (until - from) / 2
+    val last = until - 1
+    if (before(mid, from)) swap(mid, from)
+    if (before(last, from)) swap(last, from)
+    if (before(last, mid)) swap(last, mid)
+    swap(from, mid)
+    val p = from
+    var i = from + 1
+    var j = last
+    while (i <= j) {
+      while (i <= j && before(i, p)) i += 1
+      while (i <= j && before(p, j)) j -= 1
+      if (i < j) { swap(i, j); i += 1; j -= 1 }
+      else if (i == j) i += 1
+    }
+    swap(p, j)
+    sortRange(ids, scores, from, j, asc)
+    sortRange(ids, scores, j + 1, until, asc)
+  }
 }

@@ -1,7 +1,5 @@
 package graft.plans
 
-import scala.collection.concurrent.TrieMap
-
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical._
@@ -109,23 +107,6 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         (a, constArray(l).getOrElse(return None))
       case _ => return None
     }
-    // Refuse to rewrite when ANY filter in the subtree references
-    // centroid_id. This one conservative check carries two loads:
-    //  - CONVERGENCE under config-time injection: the rule shares a
-    //    fixed-point batch with OptimizeIn, which rewrites the injected
-    //    In to InSet (>10 values) or EqualTo (1 value) — matching only
-    //    the original In shape would re-inject every iteration until
-    //    "Max iterations reached" fails the query;
-    //  - USER OVERRIDE: a query that already restricts centroid_id
-    //    (=, IN, ranges, NOT IN) has chosen its own lists — stacking
-    //    the probe set on top would intersect the two and silently
-    //    return wrong/empty results.
-    val alreadyFiltered = s.child.exists {
-      case Filter(cond, _) =>
-        cond.references.exists(_.name == "centroid_id")
-      case _ => false
-    }
-    if (alreadyFiltered) return None
     // locate the store relation FIRST: probes are computed only for a
     // plan that verifiably scans a registered store (any other
     // Sort+Limit over a dot product — different store, different
@@ -140,6 +121,33 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }.flatten
     if (targets.length != 1) return None
     val (target, binding) = targets.head
+    // Refuse to rewrite when ANY filter in the subtree resolves to the
+    // TARGET RELATION's centroid_id attribute — by exprId LINEAGE
+    // (each filter condition substituted through the project aliases
+    // beneath it, the same walk the sort key takes), not by column
+    // name: a query that renames the column first
+    // (`withColumnRenamed("centroid_id","list_id").filter(...)`) is
+    // restricting the same attribute and must decline exactly like the
+    // unrenamed spelling, or the probe filter would be injected BELOW
+    // the user's restriction and the silent intersection could return
+    // wrong/empty top-k. The one check carries two loads:
+    //  - CONVERGENCE under config-time injection: the rule shares a
+    //    fixed-point batch with OptimizeIn, which rewrites the injected
+    //    In to InSet (>10 values) or EqualTo (1 value) — the injected
+    //    filter references centroid_id by exprId directly, so lineage
+    //    matching finds every rewritten shape and the rule declines on
+    //    its own output;
+    //  - USER OVERRIDE: a query that already restricts centroid_id
+    //    (=, IN, ranges, NOT IN, renamed or derived) has chosen its own
+    //    lists — stacking the probe set on top would intersect the two.
+    val cidId = cidAttrOf(target).get.exprId
+    val alreadyFiltered = s.child.exists {
+      case Filter(cond, child) =>
+        resolveThroughProjects(cond, child).references
+          .exists(_.exprId == cidId)
+      case _ => false
+    }
+    if (alreadyFiltered) return None
     val probed = probe(spark, binding.centroidsPath, qvec, binding.nprobe)
     if (probed.isEmpty) return None
     val newChild = s.child.transformUp {
@@ -245,21 +253,49 @@ object AnnTopKRewrite {
   }
 
   /** Centroids collected once per path: nlist × dim doubles (a few MB at
-    * the reference's largest geometry), driver-resident like every other
-    * coarse-quantizer consumer. [[invalidate]] after retraining.
+    * the reference's largest geometry — ~25 MB at nlist 4096 × dim 768),
+    * driver-resident like every other coarse-quantizer consumer.
+    * BOUNDED: an access-ordered LRU capped at [[CentroidCacheMax]]
+    * entries — a long-lived session cycling rebuild paths must not
+    * accumulate dead layouts (each entry is tens of MB). Invalidated
+    * automatically by [[GraftAnn.deregister]]; [[invalidate]] remains
+    * for retraining IN PLACE at an unchanged path.
     */
+  private[plans] val CentroidCacheMax = 8
   private val centroidCache =
-    TrieMap.empty[String, (Array[Long], Array[Array[Double]])]
+    new java.util.LinkedHashMap[String, (Array[Long], Array[Array[Double]])](
+        16, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String,
+          (Array[Long], Array[Array[Double]])]): Boolean =
+        size() > CentroidCacheMax
+    }
 
-  def invalidate(path: String): Unit = centroidCache.remove(path)
-  def invalidateAll(): Unit = centroidCache.clear()
+  def invalidate(path: String): Unit =
+    centroidCache.synchronized { centroidCache.remove(path); () }
+  def invalidateAll(): Unit =
+    centroidCache.synchronized(centroidCache.clear())
+  private[plans] def cachedCentroidPaths: Seq[String] =
+    centroidCache.synchronized {
+      import scala.jdk.CollectionConverters._
+      centroidCache.keySet().asScala.toSeq
+    }
 
   private def normalizePath(p: String): String =
     p.stripPrefix("file:").stripSuffix("/")
 
   private[plans] def loadCentroids(spark: SparkSession,
-      path: String): (Array[Long], Array[Array[Double]]) =
-    centroidCache.getOrElseUpdate(path, {
+      path: String): (Array[Long], Array[Array[Double]]) = {
+    centroidCache.synchronized(Option(centroidCache.get(path))) match {
+      case Some(hit) => hit
+      case None =>
+        val loaded = loadCentroidsUncached(spark, path)
+        centroidCache.synchronized(centroidCache.put(path, loaded))
+        loaded
+    }
+  }
+
+  private def loadCentroidsUncached(spark: SparkSession,
+      path: String): (Array[Long], Array[Array[Double]]) = {
       val df = spark.read.parquet(path)
       val fields = df.schema.fields
       val idCol = fields.collectFirst {
@@ -278,7 +314,7 @@ object AnnTopKRewrite {
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
         .sortBy(_._1)
       (rows.map(_._1), rows.map(_._2))
-    })
+  }
 
   /** nprobe nearest centroids by expanded squared L2 (q·q − 2·q·c + c·c,
     * sequential double sums — the arithmetic of [[graft.index.Ivf.probes]]
@@ -348,23 +384,46 @@ object GraftAnn {
     require(!Seq(storePath, centroidsPath).exists(p =>
       p.contains('|') || p.contains(';')),
       "store/centroid paths must not contain '|' or ';'")
-    val cur = spark.conf.get(AnnTopKRewrite.STORES_KEY, "")
+    val all = spark.conf.get(AnnTopKRewrite.STORES_KEY, "")
       .split(';').toIndexedSeq.filter(_.nonEmpty)
-      .filterNot(_.startsWith(storePath + "|"))
+    val prior = all.find(_.startsWith(storePath + "|"))
+    val cur = all.filterNot(_.startsWith(storePath + "|"))
     val next = cur :+ s"$storePath|$centroidsPath|$nprobe"
+    // bindings are session-global and plans optimize at ACTION time:
+    // a DataFrame handed out under the prior binding that is collected
+    // after this call executes at the NEW probe width/centroids. That
+    // is the documented semantics (probe width is a property of the
+    // registered store), but silent reconfiguration under live handles
+    // is action-order-dependent — disclose it.
+    prior.filter(_ != next.last).foreach { old =>
+      System.err.println(s"[graft-ann] re-registering $storePath " +
+        s"(was '$old'): DataFrames obtained under the prior binding " +
+        "will serve at the NEW nprobe/centroids when next collected")
+    }
     spark.conf.set(AnnTopKRewrite.STORES_KEY, next.mkString(";"))
   }
 
   /** Remove a store's binding (and the legacy single-store triple when
-    * it names the same path).
+    * it names the same path). Also drops the store's centroids from the
+    * optimizer-side cache: a deregister→retrain→re-register cycle at an
+    * unchanged centroids path must serve the NEW layout without a
+    * manual [[AnnTopKRewrite.invalidate]] call.
     */
   def deregister(spark: SparkSession, storePath: String): Unit = {
-    val cur = spark.conf.get(AnnTopKRewrite.STORES_KEY, "")
+    val all = spark.conf.get(AnnTopKRewrite.STORES_KEY, "")
       .split(';').toIndexedSeq.filter(_.nonEmpty)
-      .filterNot(_.startsWith(storePath + "|"))
+    all.filter(_.startsWith(storePath + "|")).foreach { rec =>
+      rec.split('|') match {
+        case Array(_, cents, _) => AnnTopKRewrite.invalidate(cents)
+        case _ =>
+      }
+    }
+    val cur = all.filterNot(_.startsWith(storePath + "|"))
     if (cur.isEmpty) spark.conf.unset(AnnTopKRewrite.STORES_KEY)
     else spark.conf.set(AnnTopKRewrite.STORES_KEY, cur.mkString(";"))
     if (spark.conf.get(AnnTopKRewrite.STORE_PATH_KEY, "") == storePath) {
+      AnnTopKRewrite.invalidate(
+        spark.conf.get(AnnTopKRewrite.CENTROIDS_KEY, ""))
       spark.conf.unset(AnnTopKRewrite.STORE_PATH_KEY)
       spark.conf.unset(AnnTopKRewrite.CENTROIDS_KEY)
       spark.conf.unset(AnnTopKRewrite.NPROBE_KEY)

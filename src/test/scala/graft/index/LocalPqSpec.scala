@@ -53,6 +53,38 @@ class LocalPqSpec extends SparkSpec {
     } finally pool.shutdown()
   }
 
+  test("deep-fetch ADC (n past the quickselect switch) ranks identically to the heap path") {
+    // n > 256 routes both the serial and the parallel scan through
+    // gather + TopK.selectTopN instead of the insertion-array kernel —
+    // the tuned 100M operating point fetches 10·rerank in the
+    // thousands. Results must be IDENTICAL to the shallow kernel's
+    // ranking; the reference truth here is the declarative ADC + top-k
+    // aggregate, the same oracle the probe-all test pins.
+    // widened maxK: the deep fetch is an INTERNAL candidate budget
+    // (k × rerank), not a client k — the bench sizes maxK to the
+    // ladder's deepest escalation the same way
+    val pq = LocalPqIndex.build(codes, cents, cb,
+      limits = ServingLimits(maxK = 4096, maxCandidates = 100000))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val want = graft.operators.TopK.viaAggregator(
+          Pq.adcScores(codes.select("vec_id", "codes"), cb, queries),
+          "query_id", "vec_id", "approx_score", 300)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1)
+        .view.mapValues(_.map(t => (t._2, t._3))
+          .sortBy { case (id, s) => (-s, id) }.toSeq).toMap
+      qRows.take(4).foreach { case (qid, qv) =>
+        val ser = pq.searchAdc(qv, 300, nprobe = nlist).toSeq
+        val par = pq.searchAdcParallel(qv, 300, nprobe = nlist, pool,
+          chunkRows = 7).toSeq
+        assert(ser === want(qid), s"serial q=$qid")
+        assert(par === want(qid), s"parallel q=$qid")
+      }
+    } finally pool.shutdown()
+  }
+
   test("probed-subset ADC equals the declarative path restricted to the probed lists") {
     val pq = LocalPqIndex.build(codes, cents, cb)
     qRows.take(3).foreach { case (qid, qv) =>

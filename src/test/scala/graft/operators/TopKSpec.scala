@@ -48,4 +48,52 @@ class TopKSpec extends SparkSpec {
     assert(a.toSeq === Seq(3L, 4L))
     assert(w.toSeq === Seq(3L, 4L))
   }
+
+  test("selectTopN == full reference sort, random inputs with ties, both directions") {
+    val rnd = new Random(11)
+    for (trial <- 0 until 20; asc <- Seq(true, false)) {
+      val total = 1 + rnd.nextInt(3000)
+      val n = rnd.nextInt(total + 50) // sometimes > total
+      // coarse score grid forces plenty of exact ties
+      val pairs = Array.tabulate(total)(i =>
+        (rnd.nextInt(1000000).toLong, rnd.nextInt(40).toDouble / 7.0))
+      val ids = pairs.map(_._1)
+      val scores = pairs.map(_._2)
+      val want = pairs.toSeq
+        .sortBy { case (id, s) => (if (asc) s else -s, id) }
+        .take(n).map { case (id, s) => (id, s) }
+      val len = TopK.selectTopN(ids, scores, total, n, asc)
+      val got = (0 until len).map(i => (ids(i), scores(i)))
+      assert(got === want, s"trial=$trial asc=$asc total=$total n=$n")
+    }
+  }
+
+  test("selectTopN edge cases: n=0, n=total, single element, all-equal scores") {
+    assert(TopK.selectTopN(Array.empty[Long], Array.empty[Double],
+      0, 5, asc = false) === 0)
+    val ids1 = Array(9L); val s1 = Array(1.0)
+    assert(TopK.selectTopN(ids1, s1, 1, 0, asc = false) === 0)
+    assert(TopK.selectTopN(ids1, s1, 1, 1, asc = false) === 1)
+    // all-equal scores: pure id-ascending order
+    val ids = Array(5L, 1L, 9L, 3L, 7L)
+    val ss = Array.fill(5)(2.0)
+    val len = TopK.selectTopN(ids, ss, 5, 3, asc = false)
+    assert(len === 3)
+    assert(ids.take(3).toSeq === Seq(1L, 3L, 5L))
+  }
+
+  test("selectTopN matches Bounded on the same stream (shared contract)") {
+    val rnd = new Random(23)
+    for (asc <- Seq(true, false)) {
+      val total = 2000
+      val pairs = Array.tabulate(total)(_ =>
+        (rnd.nextInt(100000).toLong, rnd.nextInt(50).toDouble))
+      val b = new TopK.Bounded(37, asc)
+      pairs.foreach { case (id, s) => b.insert(s, id) }
+      val ids = pairs.map(_._1); val scores = pairs.map(_._2)
+      val len = TopK.selectTopN(ids, scores, total, 37, asc)
+      val got = (0 until len).map(i => (ids(i), scores(i)))
+      assert(got === b.result().toSeq, s"asc=$asc")
+    }
+  }
 }

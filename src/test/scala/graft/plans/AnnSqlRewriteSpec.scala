@@ -321,6 +321,96 @@ class AnnSqlRewriteSpec extends SparkSpec {
     } finally deconfigure()
   }
 
+  test("a RENAMED centroid_id restriction disables the rewrite (exprId lineage, not name)") {
+    try {
+      configure(nprobe = 2)
+      // the raw analyzed plan keeps the rename Project + Filter intact
+      // (the optimizer would push the predicate through the alias, but
+      // under config-time injection the rule can meet this exact shape
+      // mid-fixed-point) — the guard must resolve the filter through
+      // the alias and decline
+      val renamed = store.withColumnRenamed("centroid_id", "list_id")
+        .filter(col("list_id") === 0)
+        .select(col("vec_id"), scoreCol(qv).as("score"))
+        .orderBy(col("score").desc, col("vec_id").asc).limit(5)
+      val rule = AnnTopKRewrite(spark)
+      val applied = rule(renamed.queryExecution.analyzed)
+      val injected = applied.collect {
+        case f @ Filter(In(_, _), _) if f.condition.references
+          .exists(_.name == "centroid_id") => f
+      }
+      assert(injected.isEmpty,
+        s"probe set injected beneath a renamed centroid_id restriction:\n$applied")
+      // and end-to-end values are the user's own restriction exactly
+      val want = store.filter(col("centroid_id") === 0)
+        .select(col("vec_id"), scoreCol(qv).as("score"))
+        .as[(Long, Double)].collect()
+        .sortBy { case (id, sc) => (-sc, id) }.take(5).toSeq
+      assert(renamed.as[(Long, Double)].collect().toSeq === want)
+    } finally deconfigure()
+  }
+
+  test("deregister invalidates cached centroids: retrain-in-place then re-register serves the NEW layout") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-annreg-").toString
+    try {
+      // store copy with its own centroids path we can overwrite
+      spark.read.parquet(storePath)
+        .write.partitionBy("centroid_id").parquet(s"$base/store")
+      spark.read.parquet(centsPath).write.parquet(s"$base/cents")
+      GraftAnn.install(spark)
+      GraftAnn.configure(spark, s"$base/store", s"$base/cents", 2)
+      def probedLists(): Set[Any] = {
+        val df = spark.read.parquet(s"$base/store")
+          .select(col("vec_id"), scoreCol(qv).as("score"))
+          .orderBy(col("score").desc, col("vec_id").asc).limit(5)
+        df.queryExecution.optimizedPlan.collect {
+          case Filter(In(_, vs), _) => vs.map(_.eval())
+        }.headOption.getOrElse(Nil).toSet
+      }
+      val before = probedLists()
+      assert(before.nonEmpty, "rewrite must fire before the retrain")
+      // deregister, RETRAIN IN PLACE (shift-permute the layout: cid i
+      // keeps its label but takes the NEXT cid's vector — a 2-element
+      // probe set can never be invariant under a cyclic shift, so the
+      // probed cids MUST change), re-register — the optimizer must
+      // probe with the new layout without any manual
+      // AnnTopKRewrite.invalidate call
+      GraftAnn.deregister(spark, s"$base/store")
+      val old = spark.read.parquet(centsPath)
+        .select(col("cid").cast("long"), col("cv"))
+        .as[(Long, Seq[Double])].collect().sortBy(_._1)
+      val shifted = old.indices.map(i =>
+        (old(i)._1, old((i + 1) % old.length)._2))
+      shifted.toDF("cid", "cv")
+        .write.mode("overwrite").parquet(s"$base/cents")
+      GraftAnn.configure(spark, s"$base/store", s"$base/cents", 2)
+      val after = probedLists()
+      assert(after.nonEmpty, "rewrite must fire after re-register")
+      assert(after !== before,
+        s"stale centroid cache served the OLD layout: $after")
+    } finally {
+      GraftAnn.deregister(spark, s"$base/store")
+      deconfigure()
+    }
+  }
+
+  test("centroid cache is bounded (LRU, never exceeds the cap)") {
+    AnnTopKRewrite.invalidateAll()
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-annlru-").toString
+    val n = AnnTopKRewrite.CentroidCacheMax + 3
+    (0 until n).foreach { i =>
+      spark.read.parquet(centsPath).write.parquet(s"$base/c$i")
+      AnnTopKRewrite.loadCentroids(spark, s"$base/c$i")
+    }
+    assert(AnnTopKRewrite.cachedCentroidPaths.size
+      <= AnnTopKRewrite.CentroidCacheMax)
+    // most-recently-used survives; the eldest was evicted
+    assert(AnnTopKRewrite.cachedCentroidPaths.contains(s"$base/c${n - 1}"))
+    assert(!AnnTopKRewrite.cachedCentroidPaths.contains(s"$base/c0"))
+  }
+
   test("fixed-point safety vs OptimizeIn: the InSet form blocks re-injection") {
     // under config-time injection the rule shares a fixed-point batch
     // with OptimizeIn, which converts In → InSet above the conversion
