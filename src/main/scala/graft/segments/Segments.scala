@@ -144,14 +144,21 @@ object Segments {
         // kv fallback above tolerates missing columns — there the
         // divergence is the known sub-partition case, and it WARNS when
         // it fires. A legitimately mixed store (kv + foreign layouts)
-        // still loads: that divergence is partition-column-only, and we
-        // null-fill it loudly rather than refuse.
+        // still loads: that divergence is PARTITION-LAYOUT-only
+        // (segment_id/centroid_id materialize as partition columns on
+        // the kv side and not on the foreign side), and only THAT
+        // divergence null-fills — loudly. A missing data column
+        // rethrows: null-filling it would serve silently wrong rows.
       }.reduce { (a, b) =>
         try a.unionByName(b)
         catch {
           case e: org.apache.spark.sql.AnalysisException =>
+            val layoutCols = Set("segment_id", "centroid_id")
+            val diff = (a.columns.toSet -- b.columns.toSet) ++
+              (b.columns.toSet -- a.columns.toSet)
+            if (!diff.subsetOf(layoutCols)) throw e
             System.err.println(s"[graft] segment groups diverge in " +
-              s"columns (${e.getMessage.takeWhile(_ != '\n')}) — " +
+              s"partition-layout columns (${diff.mkString(", ")}) — " +
               "null-filling the missing side")
             a.unionByName(b, allowMissingColumns = true)
         }

@@ -412,4 +412,63 @@ class GraftFacadeSpec extends SparkSpec {
     g4.close()
     Segments.deleteDir(base)
   }
+
+  test("open sweeps orphan segment dirs no catalog row references (crash-window GC)") {
+    val base = tmp()
+    val g = Graft.open(spark, base, cfgPath)
+    g.upsert(batchDF(0 until 20))
+    g.checkpoint()
+    g.close()
+    // fabricate the crash window: a segment dir written by an
+    // optimistic flush whose catalog append never happened — readers
+    // are catalog-driven so it is invisible, but without the sweep the
+    // disk leak is permanent
+    val orphan = java.nio.file.Paths.get(
+      s"$base/${Segments.StoreDir}/segment_id=zz-orphan/centroid_id=0")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.write(orphan.resolve("part-0.parquet"),
+      Array[Byte](1, 2, 3))
+    val g2 = Graft.open(spark, base, cfgPath)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+      s"$base/${Segments.StoreDir}/segment_id=zz-orphan")),
+      "orphan dir survived the open sweep")
+    // and the sweep touched NOTHING the catalog references
+    assert(g2.liveView.count() === 20)
+    g2.close()
+    Segments.deleteDir(base)
+  }
+
+  test("frontier advance: a crash-torso .tmp never breaks reopen, and a blocked frontier path fails LOUDLY") {
+    val base = tmp()
+    val g = Graft.open(spark, base, cfgPath)
+    g.upsert(batchDF(0 until 10))
+    g.close()
+    // crash mid-advanceFrontier: a garbled .tmp torso beside the real
+    // frontier — reopen must ignore it and the next advance replaces it
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$base/wal/_flushed_epoch.tmp"),
+      "garbled-torso".getBytes)
+    val g2 = Graft.open(spark, base, cfgPath)
+    assert(g2.liveView.count() === 10)
+    g2.upsert(batchDF(10 until 12))
+    val fr = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$base/wal/_flushed_epoch"))).trim
+    assert(fr.nonEmpty && fr.forall(_.isDigit),
+      s"frontier garbled after torso-replacing advance: '$fr'")
+    assert(g2.liveView.count() === 12)
+    // now block the frontier path with a non-empty DIRECTORY: both the
+    // non-recursive delete and the rename must refuse, and the advance
+    // must THROW — silently skipping it would repay a full WAL replay
+    // on every reopen forever (an invisible failure, not a policy)
+    val fp = java.nio.file.Paths.get(s"$base/wal/_flushed_epoch")
+    java.nio.file.Files.delete(fp)
+    java.nio.file.Files.createDirectories(fp.resolve("block"))
+    java.nio.file.Files.write(fp.resolve("block").resolve("x"),
+      "y".getBytes)
+    intercept[java.io.IOException] {
+      g2.upsert(batchDF(12 until 13))
+    }
+    g2.close()
+    Segments.deleteDir(base)
+  }
 }

@@ -491,4 +491,31 @@ class SegmentsSpec extends SparkSpec {
     assert(st === Map(true -> 1L))
     Segments.deleteDir(base)
   }
+
+  test("outer union strictness: a missing DATA column refuses; partition-layout divergence null-fills") {
+    val base = tmpBase()
+    // a kv-layout group (normal segment tree) + a foreign flat root —
+    // the two land in different readPaths groups, so their union is the
+    // OUTER reduce under test
+    Segments.writeSegment(segmentRows, base, "d0", false)
+    val kvRoot = s"$base/${Segments.StoreDir}/segment_id=d0"
+    // foreign root 1: same data columns, no partition layout — the
+    // divergence is segment_id/centroid_id only → must load, null-filled
+    val foreignOk = s"$base/foreign_ok"
+    segmentRows.select("vec_id", "id_hash", "epoch", "deleted", "vec")
+      .limit(5).write.parquet(foreignOk)
+    val merged = Segments.readPaths(spark, Seq(kvRoot, foreignOk))
+    assert(merged.count() === segmentRows.count() + 5)
+    assert(merged.filter(col("segment_id").isNull).count() === 5)
+    // foreign root 2: missing the `epoch` DATA column — corruption, the
+    // union must surface it, never null-fill five epoch-less rows into
+    // an LWW view that would then resolve them arbitrarily
+    val foreignBad = s"$base/foreign_bad"
+    segmentRows.select("vec_id", "id_hash", "deleted", "vec")
+      .limit(5).write.parquet(foreignBad)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Segments.readPaths(spark, Seq(kvRoot, foreignBad)).count()
+    }
+    Segments.deleteDir(base)
+  }
 }
