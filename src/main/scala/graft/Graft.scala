@@ -428,7 +428,8 @@ final class Graft private (
     */
   def compact(): Option[Segments.SegmentDescriptor] = {
     val r = Segments.compact(spark, baseDir,
-      f"stable-${nextBatch.getAndIncrement()}%05d")
+      f"stable-${nextBatch.getAndIncrement()}%05d",
+      exactPurge = config.segment.exactTombstonePurge)
     if (r.nonEmpty) invalidateServing()
     r
   }

@@ -134,9 +134,15 @@ object GraftConfig {
       fenceEveryMs: Int = 5,
       fsyncEveryFences: Int = 50)
 
-  /** storage.segment (yaml:54-60). */
+  /** storage.segment (yaml:54-60). `exactTombstonePurge` (engine
+    * extension, default off) switches minor compaction from the
+    * conservative range-retention of tombstones to a per-tombstone
+    * existence probe against the stable tier — exact purge at the cost
+    * of one probe scan per compaction.
+    */
   final case class Segment(targetSizeVectors: Long = 2000000L,
-      maxSegmentsPerLeaf: Int = 8, tombstoneRatioThreshold: Double = 0.2)
+      maxSegmentsPerLeaf: Int = 8, tombstoneRatioThreshold: Double = 0.2,
+      exactTombstonePurge: Boolean = false)
 
   /** index.delta (yaml:63-71): the fresh tier's IVF-flat build. */
   final case class DeltaIndex(nlist: Int = 1024, nprobe: Int = 6,
@@ -244,7 +250,9 @@ object GraftConfig {
         maxSegmentsPerLeaf =
           segN.int("max_segments_per_leaf", d.segment.maxSegmentsPerLeaf),
         tombstoneRatioThreshold = segN.dbl("tombstone_ratio_threshold",
-          d.segment.tombstoneRatioThreshold)),
+          d.segment.tombstoneRatioThreshold),
+        exactTombstonePurge = segN.bool("exact_tombstone_purge",
+          d.segment.exactTombstonePurge)),
       delta = DeltaIndex(
         nlist = deltaN.int("nlist", d.delta.nlist),
         nprobe = deltaN.int("nprobe", d.delta.nprobe),

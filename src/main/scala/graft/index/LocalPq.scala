@@ -67,25 +67,9 @@ final class LocalPqIndex private (
     probed.forall(cid =>
       lists.contains(cid) || listSizes.getOrElse(cid, 0L) == 0L)
 
-  /** Per-query LUT: lut(j)(c) = dot(q_j, codeword(j)(c)), sequential
-    * double accumulation per codeword — `IndexExpressions.pqLut`'s
-    * arithmetic exactly.
-    */
-  private def lut(q: Array[Float]): Array[Array[Double]] = {
-    val m = cb.m
-    val dsub = cb.dsub
-    Array.tabulate(m) { j =>
-      val book = cb.codebooks(j)
-      val base = j * dsub
-      Array.tabulate(book.length) { c =>
-        val cw = book(c)
-        var s = 0.0
-        var d = 0
-        while (d < dsub) { s += q(base + d).toDouble * cw(d); d += 1 }
-        s
-      }
-    }
-  }
+  /** Per-query LUT — THE shared definition ([[Pq.lutFor]]). */
+  private def lut(q: Array[Float]): Array[Array[Double]] =
+    Pq.lutFor(cb, q)
 
   /** Phase 1: ADC top-k over the probed lists (approx score, higher =
     * better — the PQ path is inner-product, config.h:84-94). Equals
@@ -398,7 +382,7 @@ object LocalPqIndex {
   // of a distributed re-collect — at the 100M geometry the rebuild
   // costs ~13 min of collect+pack, the file loads in seconds) --------
 
-  private val FileMagic = "GRFTLPQ1".getBytes(
+  private[index] val FileMagic = "GRFTLPQ1".getBytes(
     java.nio.charset.StandardCharsets.US_ASCII)
 
   /** Write the admitted lists exactly as they sit in driver memory.

@@ -36,6 +36,27 @@ object Pq {
   final case class Codebook(m: Int, dsub: Int, codeIds: Array[Long],
       codebooks: Array[Array[Array[Double]]])
 
+  /** Per-query ADC lookup table: lut(j)(c) = dot(q_j, codeword(j)(c)),
+    * sequential double accumulation per codeword —
+    * `IndexExpressions.pqLut`'s arithmetic exactly. ONE definition
+    * shared by the driver tier ([[LocalPqIndex]]) and the distributed
+    * tier ([[PqServingIndex]]), so their scores cannot drift by ulps.
+    */
+  def lutFor(cb: Codebook, q: Array[Float]): Array[Array[Double]] = {
+    val dsub = cb.dsub
+    Array.tabulate(cb.m) { j =>
+      val book = cb.codebooks(j)
+      val base = j * dsub
+      Array.tabulate(book.length) { c =>
+        val cw = book(c)
+        var s = 0.0
+        var d = 0
+        while (d < dsub) { s += q(base + d).toDouble * cw(d); d += 1 }
+        s
+      }
+    }
+  }
+
   /** Oracle-reproducible codebook: for subspace j (0-based), codewords are
     * `slice(embedding, j*dsub+1, dsub)` of rows with vec_id % every == 0,
     * in vec_id order.

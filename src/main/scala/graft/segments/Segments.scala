@@ -572,13 +572,24 @@ object Segments {
     * write — no sort, no window.
     */
   def compact(spark: SparkSession, baseDir: String,
-      stableSegmentId: String): Option[SegmentDescriptor] =
+      stableSegmentId: String,
+      exactPurge: Boolean = false): Option[SegmentDescriptor] =
     withLease(spark, baseDir, s"compact-$stableSegmentId") {
-      compactUnlocked(spark, baseDir, stableSegmentId)
+      compactUnlocked(spark, baseDir, stableSegmentId, exactPurge)
     }
 
+  /** Above this many range-surviving tombstones the exact purge's
+    * existence probe switches from a driver-bounded `isin` pushdown
+    * (parquet bloom + zone-map row-group skipping — the cheap path) to
+    * a distributed left-semi join against the stable tier's live
+    * id_hash column (one narrow-column scan; no driver materialization
+    * however many tombstones a backlog holds).
+    */
+  private val ExactPurgeProbeBound = 10000
+
   private def compactUnlocked(spark: SparkSession, baseDir: String,
-      stableSegmentId: String): Option[SegmentDescriptor] = {
+      stableSegmentId: String,
+      exactPurge: Boolean = false): Option[SegmentDescriptor] = {
     val active = catalogDescriptors(spark, baseDir)
     val deltaDescs = active.filter(!_.is_stable)
     if (deltaDescs.isEmpty) return None // nothing to compact (idempotent)
@@ -606,15 +617,64 @@ object Segments {
     // is retained until a full rewrite — standard LSM delete behavior
     // (only bottom-level compaction purges). The periodic rebuild
     // (maintain()'s rebuild_interval_hours / layout triggers) bounds
-    // the accumulation. A precise per-tombstone existence probe against
-    // the stable tier (scanForIdHashes bloom/zone-map pruning) would
-    // make the purge exact at the price of an extra scan per minor
-    // compaction.
+    // the accumulation. `exactPurge` (config
+    // `segment.exact_tombstone_purge`, default off) buys the precise
+    // per-tombstone existence probe below at the price of one extra
+    // probe scan per minor compaction.
     val mayMaskStable: Column = stableDescs
       .map(d => col("id_hash").between(lit(d.min_id_hash),
         lit(d.max_id_hash)))
       .reduceOption(_ || _).getOrElse(lit(false))
-    val resolved = latest.filter(!col("deleted") || mayMaskStable)
+    // EXACT purge (opt-in, `segment.exact_tombstone_purge`): replace
+    // the range test with a per-tombstone EXISTENCE probe — a tombstone
+    // survives only when the stable tier actually holds a LIVE row with
+    // its id_hash (retaining on any-row-present would be wrong only in
+    // its other direction: if every stable row for the hash is itself a
+    // tombstone, LWW over what remains already resolves to deleted, so
+    // the delta tombstone is dead weight). Probe cost, by tombstone
+    // count: ≤ ExactPurgeProbeBound → one `isin`-pushed scan over the
+    // range-intersecting stable segments (parquet id_hash bloom +
+    // zone-maps skip row groups — the writeSegment layout exists for
+    // exactly this probe); above it → one distributed left-semi join
+    // against the stable tier's live id_hash column. Both return the
+    // same set; the LWW live view is invariant either way (model
+    // property runs both modes).
+    val resolved =
+      if (!exactPurge || stableDescs.isEmpty)
+        latest.filter(!col("deleted") || mayMaskStable)
+      else {
+        val live = latest.filter(!col("deleted"))
+        val tombs = latest.filter(col("deleted") && mayMaskStable)
+        // the probe decision needs the tombstone count — one extra
+        // narrow aggregation over the (small-by-invariant) delta tier,
+        // a maintenance-cadence cost like the compaction itself
+        val nTombs = tombs.count()
+        val kept =
+          if (nTombs == 0) tombs
+          else if (nTombs <= ExactPurgeProbeBound) {
+            val hashes = tombs.select(col("id_hash"))
+              .collect().map(_.getLong(0)).toIndexedSeq
+            val probePaths = stableDescs.filter(d =>
+                hashes.exists(h => d.min_id_hash <= h &&
+                  h <= d.max_id_hash))
+              .map(_.file_path)
+            val present =
+              if (probePaths.isEmpty) Set.empty[Long]
+              else readPaths(spark, probePaths)
+                .filter(col("id_hash").isin(hashes: _*) &&
+                  !col("deleted"))
+                .select(col("id_hash")).distinct()
+                .collect().map(_.getLong(0)).toSet
+            if (present.isEmpty) tombs.limit(0)
+            else tombs.filter(col("id_hash").isin(present.toSeq: _*))
+          } else {
+            val stableLive =
+              readPaths(spark, stableDescs.map(_.file_path))
+                .filter(!col("deleted")).select(col("id_hash"))
+            tombs.join(stableLive, Seq("id_hash"), "left_semi")
+          }
+        live.unionByName(kept)
+      }
     val desc = writeSegment(resolved, baseDir, stableSegmentId,
       isStable = true, appendDesc = false)
     // publish the stable segment AND retire its inputs in one atomic

@@ -87,7 +87,17 @@ class SegmentsSpec extends SparkSpec {
     // of maintenance operations, not just one generation. A seeded
     // random walk over (delta write | compact | rebuild) is checked
     // against an in-memory LWW model after EVERY step.
-    for (seed <- Seq(1L, 7L, 42L)) {
+    for (seed <- Seq(1L, 7L, 42L)) modelWalk(seed, exactPurge = false)
+  }
+
+  test("model property under EXACT tombstone purge: same walk, same live view") {
+    // the exact-purge probe must be invisible to the LWW live view —
+    // only which DEAD tombstones survive may differ from range retention
+    for (seed <- Seq(7L, 42L)) modelWalk(seed, exactPurge = true)
+  }
+
+  private def modelWalk(seed: Long, exactPurge: Boolean): Unit = {
+    locally {
       val rnd = new scala.util.Random(seed)
       val base = tmpBase()
       val model = scala.collection.mutable.Map.empty[Long, (Long, Boolean)]
@@ -107,7 +117,7 @@ class SegmentsSpec extends SparkSpec {
             Segments.writeSegment(rows, base, f"d$segId%03d", false)
             segId += 1
           case 2 =>
-            Segments.compact(spark, base, f"s$segId%03d")
+            Segments.compact(spark, base, f"s$segId%03d", exactPurge)
             segId += 1
           case 3 =>
             if (Segments.catalogDescriptors(spark, base).nonEmpty) {
@@ -130,6 +140,36 @@ class SegmentsSpec extends SparkSpec {
       }
       Segments.deleteDir(base)
     }
+  }
+
+  test("exact tombstone purge: drops tombstones with no live stable target, retains real masks") {
+    val base = tmpBase()
+    def rows(ts: (Long, Long, Boolean)*) =
+      ts.map { case (h, e, d) => (h, e, h, d, h % 3) }
+        .toDF("id_hash", "epoch", "vec_id", "deleted", "centroid_id")
+    // stable generation: id 1 LIVE, id 3 present only as a TOMBSTONE
+    Segments.writeSegment(rows((1L, 10L, false), (3L, 11L, true)),
+      base, "d000", false)
+    Segments.compact(spark, base, "s000")
+    // delta: tombstone for 1 (masks a live stable row → MUST survive),
+    // tombstone for 2 (id never existed → dead weight), tombstone for 3
+    // (stable holds only its own tombstone → LWW already deleted; dead
+    // weight), live row 4
+    Segments.writeSegment(rows((1L, 20L, true), (2L, 21L, true),
+      (3L, 22L, true), (4L, 23L, false)), base, "d001", false)
+    Segments.compact(spark, base, "s001", exactPurge = true)
+    val newest = Segments.readPaths(spark,
+        Segments.catalogDescriptors(spark, base)
+          .filter(_.segment_id == "s001").map(_.file_path))
+      .select("id_hash", "deleted").as[(Long, Boolean)].collect().toSet
+    assert(newest === Set((1L, true), (4L, false)),
+      s"exact purge kept the wrong tombstones: $newest")
+    // live view is the same as the conservative mode would give
+    val live = graft.operators.Lww.latestBy(
+        Segments.readSegments(spark, base), "id_hash", "epoch")
+      .filter(!col("deleted")).select("id_hash").as[Long].collect().toSet
+    assert(live === Set(4L))
+    Segments.deleteDir(base)
   }
 
   test("compaction crash-replay: killed after segment write, rerun converges") {
