@@ -601,6 +601,45 @@ object SparkEntry {
           StructField("vec_id", LongType, nullable = false),
           StructField("score", DoubleType, nullable = false))))
     }),
+    // DISTRIBUTED PQ cache tier (PqServingIndex: one inverted list per
+    // RDD partition in the block manager, request = runJob over the
+    // probed partitions only) driven through the DEEP-FETCH regime
+    // (10·rerank = 400 > the 256 quickselect switch, a strict subset of
+    // the 500-row pool) + exact rerank — one query oracle-gates the new
+    // tier AND TopK.selectTopN end to end. Oracle is knn_pq2phase's SQL
+    // at rerank 40: the tier must be value-invisible like every cache.
+    "knn_pq_deep" -> ((s, dir) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val e = emb(s, dir)
+      val cents = Ivf.deterministicCentroids(e, 50)
+      val cb = Pq.deterministicCodebook(e, 8, 8, 50)
+      val assigned = Ivf.assign(e, cents)
+      val codes = assigned.select(col("vec_id"), col("centroid_id"),
+        Pq.codesColumn(cb).as("codes"))
+      val wide = graft.index.ServingLimits(maxK = 4096,
+        maxCandidates = 100000)
+      val dist = graft.index.PqServingIndex.build(codes, cents, cb, wide)
+      val idx = graft.index.ServingIndex.build(assigned, cents, "ip")
+      val raw = idx.toLocal()
+      val nlist = cents.count().toInt
+      val reqs = q(s, dir).collect().sortBy(_.getLong(0))
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val rows = reqs.toIndexedSeq.flatMap { case (qid, qv) =>
+        val cand = dist.searchAdc(qv, 10 * 40, nprobe = nlist).map(_._1)
+        val exact = raw.scoreIds(qv, cand)
+        cand.map(id => (id, exact(id)))
+          .sortBy { case (id, sc) => (-sc, id) }.take(10)
+          .map { case (id, sc) => Row(qid, id, sc) }
+      }
+      dist.unpersist()
+      idx.unpersist()
+      s.createDataFrame(
+        s.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("query_id", LongType, nullable = false),
+          StructField("vec_id", LongType, nullable = false),
+          StructField("score", DoubleType, nullable = false))))
+    }),
     // ---- Q7/Q8: PQ ADC + two-phase rerank ------------------------------
     "knn_pq2phase" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -692,6 +731,37 @@ object SparkEntry {
       Segments.readSegments(s, base, stableOnly = Some(true))
         .select(col("vec_id"), col("epoch"),
           col("centroid_id").cast("long").as("centroid_id"))
+    }),
+    // ---- W12+: EXACT tombstone purge (segment.exact_tombstone_purge) —
+    // two-generation store where the three tombstone fates all occur:
+    // gen-1 stable holds live rows for vec_id % 7 != 0 only; gen-2
+    // deltas carry upserts (vid%5) and deletes (vid%10). A delete whose
+    // id is live in the stable tier MUST survive the minor compaction;
+    // one whose id never reached the stable tier is dead weight and
+    // drops. Output = the second stable segment's rows (live + retained
+    // tombstones), which the oracle derives from the same arithmetic.
+    "compact_exact_purge" -> ((s, dir) => {
+      import graft.segments.Segments
+      val e = emb(s, dir)
+      val log = MutationLog.deterministicLog(e)
+      def seg(df: DataFrame): DataFrame = df
+        .withColumn("id_hash", hashId(col("id")))
+        .withColumn("deleted", col("op") === "DELETE")
+        .withColumn("centroid_id", lit(0L))
+        .select("vec_id", "id_hash", "epoch", "deleted", "centroid_id",
+          "vec")
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-exactpurge-").toString
+      Segments.writeSegment(
+        seg(log.filter(col("epoch") < 2000 && col("vec_id") % 7 =!= 0)),
+        base, "d0", isStable = false)
+      Segments.compact(s, base, "s0")
+      Segments.writeSegment(seg(log.filter(col("epoch") >= 2000)),
+        base, "d1", isStable = false)
+      Segments.compact(s, base, "s1", exactPurge = true)
+      Segments.readPaths(s, Segments.catalogDescriptors(s, base)
+          .filter(_.segment_id == "s1").map(_.file_path))
+        .select(col("vec_id"), col("epoch"), col("deleted"))
     }),
     // ---- Q10/Q11: multi-tier read — buffer ∪ segment, LWW, tombstones --
     "tiered_knn" -> ((s, dir) => {
@@ -1219,7 +1289,30 @@ object SparkEntry {
   def oracleSql: Map[String, String] = oracleSqlBase ++ Map(
     // tiers that must be VALUE-INVISIBLE share their twin's oracle
     // verbatim (resolved here so the long SQL exists once)
-    "knn_pq_local" -> oracleSqlBase("knn_pq2phase"))
+    "knn_pq_local" -> oracleSqlBase("knn_pq2phase"),
+    // the distributed tier at DEEP fetch shares the two-phase oracle at
+    // rerank 40 (the only difference is the candidate-pool cut rn<=400
+    // instead of rn<=40 — one substitution keeps the two SQLs from
+    // drifting apart)
+    "knn_pq_deep" ->
+      oracleSqlBase("knn_pq2phase").replace("rn <= 40)", "rn <= 400)"),
+    // exact tombstone purge: LWW of the gen-2 delta; a tombstone
+    // survives iff its id is live in the gen-1 stable tier
+    // (vec_id % 7 <> 0 — ids the fixture kept out never reached stable)
+    "compact_exact_purge" ->
+      """WITH emb AS (SELECT vec_id FROM embeddings),
+        |d2 AS (
+        |  SELECT 'UPSERT' AS op, vec_id, 2000 + vec_id AS epoch
+        |    FROM emb WHERE vec_id % 5 = 0
+        |  UNION ALL
+        |  SELECT 'DELETE', vec_id, 3000 + vec_id
+        |    FROM emb WHERE vec_id % 10 = 0),
+        |lww AS (SELECT vec_id, epoch, (op = 'DELETE') AS deleted FROM (
+        |    SELECT d2.*, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY epoch DESC) AS rn FROM d2) t
+        |  WHERE rn = 1)
+        |SELECT vec_id, epoch, deleted FROM lww
+        |WHERE NOT deleted OR vec_id % 7 <> 0""".stripMargin)
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "nprobe_tune" -> nprobeTuneSql(Seq(1, 2, 4)),

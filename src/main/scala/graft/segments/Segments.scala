@@ -96,7 +96,7 @@ object Segments {
     else df
   }
 
-  private[segments] def readPaths(spark: SparkSession,
+  private[graft] def readPaths(spark: SparkSession,
       paths: Seq[String]): DataFrame =
     if (paths.isEmpty) spark.emptyDataFrame
     else {
