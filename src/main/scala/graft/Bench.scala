@@ -659,6 +659,74 @@ object Bench {
       }
       def twoPhase(q: Array[Float], k: Int): Array[(Long, Double)] =
         twoPhaseAt(q, k, nprobe100, rerank100)
+      // ---- the DISTRIBUTED CACHE tier (PqServingIndex): the cluster-
+      // shape answer to a cache miss — every packed list lives in the
+      // block manager, one list per partition, and a request is
+      // sc.runJob over ONLY the probed partitions (scheduler-level
+      // pruning; no Catalyst plan, no parquet decode per query). The
+      // parquet stored twin (below) is the true COLD path; this is what
+      // a cluster actually serves from when the driver tier misses.
+      // Measured FIRST among the timed sections: the range-read build
+      // wants the packed file page-cache-hot (the driver tier loaded it
+      // seconds ago — running this after the GT/ladder/stored sections
+      // measured build 71 s and a GC-storm 290 ms steady p99; here it
+      // is ~8 s and ~86 ms), and the 10 GB block-manager resident is
+      // unpersisted + GC'd before any other section times anything. ----
+      try {
+        val tD0 = System.nanoTime()
+        val dist = tierStamp.flatMap(st =>
+            graft.index.PqServingIndex.buildFromPacked(spark, tierPath,
+              st, cents, cb, limits100, knownSizes))
+          .getOrElse(graft.index.PqServingIndex.build(
+            spark.read.parquet(s"$dir100/codes"), cents, cb, limits100,
+            knownSizes))
+        extras("ivf_100m_dist_build_sec") =
+          num((System.nanoTime() - tD0) / 1e9, 1)
+        def distTwoPhase(qv: Array[Float]): Unit = {
+          val cand = dist.searchAdc(qv, 10 * rerank100, nprobe100)
+          cand.map { case (id, _) => (id, dotF(qv, regen(id))) }
+            .sortBy { case (id, s) => (-s, id) }.take(10)
+          ()
+        }
+        // FULL warm pass (every query once) + GC: the build leaves the
+        // JVM in a GC storm (the r11 first measurement started at
+        // ~1 s/query and settled to 60-90 ms within ~20 requests —
+        // those early samples were allocator weather, not serving)
+        qOut.take(25).foreach { case (_, qv) => distTwoPhase(qv) }
+        System.gc()
+        extras("ivf_100m_dist_floor_ms") = num(floorProbe(spark, cpus), 1)
+        val distSteady = scala.collection.mutable
+          .LinkedHashMap.empty[Long, Double]
+        val distRaw = scala.collection.mutable.ArrayBuffer.empty[Double]
+        (0 until 3).foreach { _ =>
+          System.gc()
+          qOut.take(25).foreach { case (qid, qv) =>
+            val t0 = System.nanoTime()
+            distTwoPhase(qv)
+            val ms = (System.nanoTime() - t0) / 1e6
+            distRaw += ms
+            distSteady(qid) =
+              math.min(distSteady.getOrElse(qid, ms), ms)
+          }
+        }
+        val distLat = distRaw.sorted.toSeq
+        extras("ivf_100m_dist_p50_ms") = num(pctl(distLat, 50), 1)
+        extras("ivf_100m_dist_p99_ms") = num(pctl(distLat, 99), 1)
+        extras("ivf_100m_dist_p99_steady_ms") =
+          num(pctl(distSteady.values.toSeq.sorted, 99), 1)
+        // value parity with the driver tier on this very corpus — the
+        // two cache levels must be interchangeable
+        val a = dist.searchAdc(qOut.head._2, 40, nprobe100).toSeq
+        val b = local.searchAdcParallel(qOut.head._2, 40, nprobe100,
+          pool).toSeq
+        extras("ivf_100m_dist_parity") = (a == b).toString
+        dist.unpersist()
+        System.gc()
+      } catch { case e: Throwable =>
+        System.err.println(
+          s"[bench] 100M distributed tier FAILED: ${e.getMessage}")
+        extras("ivf_100m_dist_p99_ms") = "-1"
+      }
       extras("ivf_100m_floor_before_ms") =
         num(floorProbe(spark, cpus), 1)
       System.gc()
@@ -892,71 +960,6 @@ object Bench {
       }.sorted
       extras("ivf_100m_stored_p50_ms") = num(pctl(storedLat, 50), 1)
       extras("ivf_100m_stored_p99_ms") = num(pctl(storedLat, 99), 1)
-      // ---- the DISTRIBUTED CACHE tier (PqServingIndex): the cluster-
-      // shape answer to a cache miss — every packed list lives in the
-      // block manager, one list per partition, and a request is
-      // sc.runJob over ONLY the probed partitions (scheduler-level
-      // pruning; no Catalyst plan, no parquet decode per query). The
-      // parquet twin above is the true COLD path; this is what a
-      // cluster actually serves from when the driver tier misses. ----
-      try {
-        val tD0 = System.nanoTime()
-        // fast path: range-read the SAME packed file the driver tier
-        // loads (no shuffle, no row decode, page-cache-hot — the
-        // cluster-shape index-shard load); fragment-shuffle build only
-        // when no valid file exists (it measured 469 s vs ~30 s)
-        val dist = tierStamp.flatMap(st =>
-            graft.index.PqServingIndex.buildFromPacked(spark, tierPath,
-              st, cents, cb, limits100, knownSizes))
-          .getOrElse(graft.index.PqServingIndex.build(
-            codesDf, cents, cb, limits100, knownSizes))
-        extras("ivf_100m_dist_build_sec") =
-          num((System.nanoTime() - tD0) / 1e9, 1)
-        def distTwoPhase(qv: Array[Float]): Unit = {
-          val cand = dist.searchAdc(qv, 10 * rerank100, nprobe100)
-          cand.map { case (id, _) => (id, dotF(qv, regen(id))) }
-            .sortBy { case (id, s) => (-s, id) }.take(10)
-          ()
-        }
-        // FULL warm pass (every query once) + GC: the build leaves the
-        // JVM in a GC storm (the r11 first measurement started at
-        // ~1 s/query and settled to 60-90 ms within ~20 requests —
-        // those early samples were allocator weather, not serving)
-        qOut.take(25).foreach { case (_, qv) => distTwoPhase(qv) }
-        System.gc()
-        extras("ivf_100m_dist_floor_ms") = num(floorProbe(spark, cpus), 1)
-        val distSteady = scala.collection.mutable
-          .LinkedHashMap.empty[Long, Double]
-        val distRaw = scala.collection.mutable.ArrayBuffer.empty[Double]
-        (0 until 3).foreach { _ =>
-          System.gc()
-          qOut.take(25).foreach { case (qid, qv) =>
-            val t0 = System.nanoTime()
-            distTwoPhase(qv)
-            val ms = (System.nanoTime() - t0) / 1e6
-            distRaw += ms
-            distSteady(qid) =
-              math.min(distSteady.getOrElse(qid, ms), ms)
-          }
-        }
-        val distLat = distRaw.sorted.toSeq
-        extras("ivf_100m_dist_p50_ms") = num(pctl(distLat, 50), 1)
-        extras("ivf_100m_dist_p99_ms") = num(pctl(distLat, 99), 1)
-        extras("ivf_100m_dist_p99_steady_ms") =
-          num(pctl(distSteady.values.toSeq.sorted, 99), 1)
-        // value parity with the driver tier on this very corpus — the
-        // two cache levels must be interchangeable
-        val a = dist.searchAdc(qOut.head._2, 40, nprobe100).toSeq
-        val b = local.searchAdcParallel(qOut.head._2, 40, nprobe100,
-          pool).toSeq
-        extras("ivf_100m_dist_parity") = (a == b).toString
-        dist.unpersist()
-        System.gc()
-      } catch { case e: Throwable =>
-        System.err.println(
-          s"[bench] 100M distributed tier FAILED: ${e.getMessage}")
-        extras("ivf_100m_dist_p99_ms") = "-1"
-      }
       pool.shutdown()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] 100M stable tier FAILED: ${e.getMessage}")
