@@ -330,6 +330,82 @@ final class Graft private (
     }
   }
 
+  // ---- Q7/Q8 at the facade: the reference's STABLE-tier IVF-PQ
+  // serving shape (config.h:84-94) reachable from the public API ----
+
+  @volatile private var pqTier:
+      Option[(graft.index.PqServingIndex, graft.index.Pq.Codebook)] = None
+
+  /** Stand up the distributed PQ cache tier over the CURRENT live
+    * corpus (the reference's stable-tier admission pass, a
+    * maintenance-cadence operation like [[warmCache]]): assign live
+    * rows to the serving centroid layout, PQ-encode them
+    * (`index.stable.pq_m` × 8 bits; pass `codebook` to pin a
+    * deterministic quantizer — tests and oracles do), and pack one
+    * inverted list per RDD partition in the block manager
+    * ([[graft.index.PqServingIndex]]). Codes cost `m` bytes a row vs
+    * `4·dim` for raw floats — the tier that still fits cluster memory
+    * when the raw corpus no longer does. Returns the packed list
+    * count. SNAPSHOT semantics: like every cache tier, the packed
+    * codes reflect the corpus at warm time; phase 2 re-scores against
+    * the CURRENT store, so deleted rows never surface, but rows
+    * upserted after the warm are served by [[search]]/[[liveView]]
+    * until the next admission pass re-warms.
+    */
+  def warmPqTier(codebook: Option[graft.index.Pq.Codebook] = None): Int = {
+    val dim = config.collection.dim
+    val m = codebook.map(_.m).getOrElse(config.stable.pqM)
+    require(dim % m == 0, s"collection.dim $dim not divisible by pq_m $m")
+    val live = liveView.filter(col("vec").isNotNull)
+      .select(col("id_hash").as("vec_id"),
+        col("vec").cast("array<double>").as("vec"))
+    val cb = codebook.getOrElse(graft.index.Pq.trainCodebookDriver(
+      live.limit(16384), m, dim / m, 256, vecCol = "vec", maxIter = 8))
+    val codes = Ivf.assign(live, centroids(), vecCol = "vec")
+      .select(col("vec_id"), col("centroid_id"),
+        graft.index.Pq.codesColumn(cb, "vec").as("codes"))
+    val tier = graft.index.PqServingIndex.build(codes, centroids(), cb,
+      config.servingLimits)
+    pqTier.foreach(_._1.unpersist())
+    pqTier = Some((tier, cb))
+    tier.cachedLists
+  }
+
+  /** Two-phase stable-tier search: phase 1 is the distributed PQ
+    * tier's in-task ADC over only the probed lists
+    * (`index.stable.nprobe`), phase 2 re-scores the `rerank·k`
+    * candidates EXACTLY against the store through the zone-map/bloom-
+    * pruned point-lookup path ([[graft.segments.Segments
+    * .scanForIdHashes]]) with LWW resolution — the reference's
+    * `rerank_factor` contract (config.h:93). Refuses when the tier is
+    * cold ([[warmPqTier]] is the admission pass).
+    */
+  def searchPq(q: Array[Float], k: Int,
+      rerank: Int = config.stable.rerankFactor): Array[(Long, Double)] = {
+    val (tier, _) = pqTier.getOrElse(throw new IllegalStateException(
+      "PQ tier cold — warmPqTier() is the stable-tier admission pass"))
+    val kk = math.min(k, config.servingLimits.maxK)
+    if (kk <= 0) return Array.empty
+    val cand = tier.searchAdc(q, kk * rerank, config.stable.nprobe)
+      .map(_._1)
+    if (cand.isEmpty) return Array.empty
+    val metric = config.collection.metric
+    val fetched = Segments
+      .scanForIdHashes(spark, baseDir, cand.toIndexedSeq)
+      .map { df =>
+        graft.operators.Lww.latestBy(df, "id_hash", "epoch")
+          .filter(!col("deleted") && col("vec").isNotNull)
+          .select(col("id_hash"), col("vec").cast("array<double>"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      }.getOrElse(Array.empty)
+    val topk = new graft.operators.TopK.Bounded(kk, asc = metric == "l2")
+    fetched.foreach { case (id, v) =>
+      topk.insert(graft.index.ServingIndex.scoreOne(q, v, metric), id)
+    }
+    topk.result()
+  }
+
   /** Driver-resident buffer overlay for the streaming ingest path —
     * rows a [[startStream]] micro-batch has admitted but not yet
     * catalog-published serve reads from here (the reference's

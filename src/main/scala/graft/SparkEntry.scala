@@ -146,6 +146,54 @@ object SparkEntry {
       })
   }
 
+  /** Q7/Q8 through the PUBLIC facade: the reference's stable-tier
+    * IVF-PQ serving shape driven end to end — upsert → compact →
+    * `warmPqTier` (deterministic codebook, so DuckDB can replay the
+    * quantizer) → `searchPq` two-phase (distributed-tier ADC phase 1 +
+    * exact store rerank). `stable.nprobe` is set past any layout's
+    * nlist, so the trained centroid layout is value-invisible
+    * (probe-all) and the oracle needs no kmeans replay.
+    */
+  private object FacadePqFixture {
+    private val cache = scala.collection.concurrent.TrieMap
+      .empty[String, DataFrame]
+    def results(s: SparkSession, dir: String): DataFrame =
+      cache.getOrElseUpdate(dir, {
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types._
+        val base = java.nio.file.Files
+          .createTempDirectory("graft-facade-pq-").toString
+        val cfg0 = GraftConfig.default
+        val cfg = cfg0.copy(
+          collection = cfg0.collection.copy(dim = 64),
+          stable = cfg0.stable.copy(pqM = 8, nprobe = 100000))
+        val g = Graft.open(s, base, cfg)
+        val log = MutationLog.deterministicLog(emb(s, dir))
+          .select(col("id"), col("vec"), col("epoch"), col("op"))
+        Seq("INSERT", "UPSERT", "DELETE").foreach { op =>
+          g.upsert(log.filter(col("op") === op))
+        }
+        g.compact()
+        g.warmPqTier(Some(Pq.deterministicCodebook(emb(s, dir), 8, 8, 50)))
+        val idMap = g.liveView.select(col("id_hash"),
+            expr("CAST(substring(id, 5) AS LONG)").as("vec_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        val reqs = q(s, dir).collect().sortBy(_.getLong(0))
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        val rows = reqs.toIndexedSeq.flatMap { case (qid, qv) =>
+          g.searchPq(qv, 10).map { case (idh, sc) =>
+            Row(qid, idMap(idh), sc) }
+        }
+        g.close()
+        s.createDataFrame(
+          s.sparkContext.parallelize(rows, 1),
+          StructType(Seq(
+            StructField("query_id", LongType, nullable = false),
+            StructField("vec_id", LongType, nullable = false),
+            StructField("score", DoubleType, nullable = false))))
+      })
+  }
+
   /** The same server lifecycle through the STREAMING ingest door
     * (T1-T5 via [[Graft.startStream]]): the whole mutation history
     * lands as parquet in a source directory, one AvailableNow pass
@@ -691,6 +739,7 @@ object SparkEntry {
     // oracle's live CTE (same epochs, same vectors, tombstones masked)
     "facade_live" -> ((s, dir) => FacadeFixture.live(s, dir)),
     "facade_stream_live" -> ((s, dir) => FacadeStreamFixture.live(s, dir)),
+    "facade_pq" -> ((s, dir) => FacadePqFixture.results(s, dir)),
     "point_lookup" -> ((s, dir) =>
       MutationLog.pointLookup(
         MutationLog.deterministicLog(emb(s, dir)), pointIds)),
@@ -1296,6 +1345,47 @@ object SparkEntry {
     // drifting apart)
     "knn_pq_deep" ->
       oracleSqlBase("knn_pq2phase").replace("rn <= 40)", "rn <= 400)"),
+    // the facade's stable-tier PQ door: two-phase over the LIVE corpus
+    // (MUTLOG live CTE) with the deterministic codebook built from the
+    // RAW emb rows — the same adc/cand/exact pipeline as knn_pq2phase,
+    // corpus swapped for the facade's LWW-resolved live view
+    "facade_pq" ->
+      s"""$MUTLOG,
+         |q AS (SELECT vec_id AS query_id, e AS qv FROM emb
+         |  WHERE vec_id % 25 = 0),
+         |cb AS (SELECT r.j, vec_id AS code_id,
+         |    e[r.j*8+1 : r.j*8+8] AS cw
+         |  FROM emb, range(8) r(j) WHERE vec_id % 50 = 0),
+         |sv AS (SELECT live.vec_id, r.j, vec[r.j*8+1 : r.j*8+8] AS s
+         |  FROM live, range(8) r(j)),
+         |codes AS (SELECT vec_id, j, code_id FROM (
+         |    SELECT sv.vec_id, sv.j, cb.code_id, row_number() OVER (
+         |      PARTITION BY sv.vec_id, sv.j ORDER BY
+         |        list_dot_product(sv.s, sv.s)
+         |          - 2 * list_dot_product(sv.s, cb.cw)
+         |          + list_dot_product(cb.cw, cb.cw) ASC, cb.code_id ASC) AS rn
+         |    FROM sv JOIN cb USING (j)) t
+         |  WHERE rn = 1),
+         |lut AS (SELECT q.query_id, cb.j, cb.code_id,
+         |    list_dot_product(q.qv[cb.j*8+1 : cb.j*8+8], cb.cw) AS part
+         |  FROM q CROSS JOIN cb),
+         |adc AS (SELECT l.query_id, c.vec_id,
+         |    list_sum(list(l.part ORDER BY l.j)) AS approx_score
+         |  FROM codes c JOIN lut l ON c.j = l.j AND c.code_id = l.code_id
+         |  GROUP BY l.query_id, c.vec_id),
+         |cand AS (SELECT query_id, vec_id FROM (
+         |    SELECT adc.*, row_number() OVER (
+         |      PARTITION BY query_id
+         |      ORDER BY approx_score DESC, vec_id ASC) AS rn FROM adc) t
+         |  WHERE rn <= 40),
+         |exact AS (SELECT cand.query_id, cand.vec_id,
+         |    list_dot_product(q.qv, live.vec) AS score
+         |  FROM cand JOIN q USING (query_id) JOIN live USING (vec_id))
+         |SELECT query_id, vec_id, score FROM (
+         |  SELECT exact.*, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rn
+         |  FROM exact) t
+         |WHERE rn <= 10""".stripMargin,
     // exact tombstone purge: LWW of the gen-2 delta; a tombstone
     // survives iff its id is live in the gen-1 stable tier
     // (vec_id % 7 <> 0 — ids the fixture kept out never reached stable)

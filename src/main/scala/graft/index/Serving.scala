@@ -1338,7 +1338,7 @@ object ServingIndex {
     * the precomputed query norm-squared ([[queryNormSq]]) for cosine;
     * NaN recomputes it here.
     */
-  private[index] def scoreOne(q: Array[Float], v: Array[Double],
+  private[graft] def scoreOne(q: Array[Float], v: Array[Double],
       metric: String, nqPre: Double = Double.NaN): Double = {
     val d = q.length
     var s = 0.0

@@ -413,6 +413,32 @@ class GraftFacadeSpec extends SparkSpec {
     Segments.deleteDir(base)
   }
 
+  test("stable-tier PQ door: cold tier refuses; warm tier serves exact-reranked self-queries; deletes never surface") {
+    val base = tmp()
+    val g = Graft.open(spark, base, cfgPath)
+    g.upsert(batchDF(0 until n))
+    g.compact()
+    val q7 = vec(7).map(_.toFloat)
+    intercept[IllegalStateException] { g.searchPq(q7, 5) }
+    val lists = g.warmPqTier() // trained codebook (pq_m from config)
+    assert(lists > 0)
+    // near-orthogonal fixture: after the exact rerank the top-1 must be
+    // the row itself, PQ compression notwithstanding
+    val id7hash = Seq("id-7").toDF("id")
+      .select(graft.functions.VectorFunctions.hashId(col("id")))
+      .head().getLong(0)
+    val hits = g.searchPq(q7, 5)
+    assert(hits.nonEmpty && hits.head._1 === id7hash,
+      hits.take(3).mkString(","))
+    // phase 2 reads the CURRENT store: a row deleted after the warm
+    // must never surface even though its codes are still packed
+    g.delete(Seq("id-7").toDF("id"))
+    assert(!g.searchPq(q7, 10).exists(_._1 === id7hash),
+      "deleted row surfaced from the stale PQ tier")
+    g.close()
+    Segments.deleteDir(base)
+  }
+
   test("open sweeps orphan segment dirs no catalog row references (crash-window GC)") {
     val base = tmp()
     val g = Graft.open(spark, base, cfgPath)
