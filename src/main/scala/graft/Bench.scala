@@ -190,13 +190,22 @@ object Bench {
     * kernel, the query generator, and the exact rerank all call THIS.
     */
   private[graft] def synthVec100m(id: Long, d: Int,
+      nGroups: Long = 5000L): Array[Float] =
+    synthVec100mInto(id, new Array[Float](d), nGroups)
+
+  /** Allocation-free variant for hot rerank loops: a deep-rerank query
+    * regenerates thousands of candidates, and one fresh 768-float array
+    * each (~23 MB of garbage per tuned-point query) was the GC-outlier
+    * source in the raw p99 — callers pass a per-task scratch buffer.
+    */
+  private[graft] def synthVec100mInto(id: Long, out: Array[Float],
       nGroups: Long = 5000L): Array[Float] = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
     def pmodL(x: Long, m: Long): Long = ((x % m) + m) % m
     val gid = pmodL(XXH64.hashLong(id, 42L), nGroups)
     val hg = XXH64.hashLong(gid, 42L)
     val hi = XXH64.hashLong(id, 42L)
-    val out = new Array[Float](d)
+    val d = out.length
     var t = 0
     while (t < d) {
       val a = pmodL(XXH64.hashInt(t, hg), 1000L)
@@ -646,11 +655,17 @@ object Bench {
               val until = math.min(cand.length, from + chunk)
               pool.submit(new java.util.concurrent.Callable[
                   Array[(Long, Double)]] {
-                override def call(): Array[(Long, Double)] =
+                override def call(): Array[(Long, Double)] = {
+                  // per-task scratch: the deep points regenerate
+                  // thousands of candidates — fresh arrays were ~23 MB
+                  // of garbage per query and the raw-p99 GC outlier
+                  val scratch = new Array[Float](d)
                   Array.tabulate(until - from) { i =>
                     val id = cand(from + i)._1
-                    (id, dotF(q, regen(id)))
+                    synthVec100mInto(id, scratch)
+                    (id, dotF(q, scratch))
                   }
+                }
               })
             }
             futs.flatMap(_.get()).toArray
