@@ -82,6 +82,28 @@ class TopKSpec extends SparkSpec {
     assert(ids.take(3).toSeq === Seq(1L, 3L, 5L))
   }
 
+  test("selectTopN adversarial patterns: pre-sorted both ways, constant, two-value, organ-pipe") {
+    // quickselect's classic worst cases — median-of-three must keep the
+    // partition balanced and the result identical to the reference sort
+    val n = 5000
+    val patterns: Seq[(String, Array[Double])] = Seq(
+      ("ascending", Array.tabulate(n)(_.toDouble)),
+      ("descending", Array.tabulate(n)(i => (n - i).toDouble)),
+      ("constant", Array.fill(n)(3.14)),
+      ("two-value", Array.tabulate(n)(i => (i % 2).toDouble)),
+      ("organ-pipe", Array.tabulate(n)(i => math.min(i, n - i).toDouble)))
+    for ((label, scores0) <- patterns; asc <- Seq(true, false);
+         want <- Seq(1, 37, 1000, n)) {
+      val ids = Array.tabulate(n)(i => ((i * 7919) % n).toLong)
+      val scores = scores0.clone()
+      val ref = (ids zip scores).toSeq
+        .sortBy { case (id, s) => (if (asc) s else -s, id) }.take(want)
+      val len = TopK.selectTopN(ids, scores, n, want, asc)
+      val got = (0 until len).map(i => (ids(i), scores(i)))
+      assert(got === ref, s"$label asc=$asc n=$want")
+    }
+  }
+
   test("selectTopN matches Bounded on the same stream (shared contract)") {
     val rnd = new Random(23)
     for (asc <- Seq(true, false)) {
