@@ -335,6 +335,14 @@ final class Graft private (
 
   @volatile private var pqTier:
       Option[(graft.index.PqServingIndex, graft.index.Pq.Codebook)] = None
+  // how the tier was admitted: Some(cb) = caller-pinned quantizer
+  // (tests/oracles), None = trained here — re-admission repeats the
+  // SAME policy (a pinned quantizer stays pinned; a trained one
+  // RETRAINS on the post-maintenance corpus, because a stale codebook
+  // cannot represent directions the corpus grew after its training —
+  // the reference's periodic rebuild retrains its quantizers too)
+  @volatile private var pqTierPinned:
+      Option[graft.index.Pq.Codebook] = None
 
   /** Stand up the distributed PQ cache tier over the CURRENT live
     * corpus (the reference's stable-tier admission pass, a
@@ -368,6 +376,7 @@ final class Graft private (
       config.servingLimits)
     pqTier.foreach(_._1.unpersist())
     pqTier = Some((tier, cb))
+    pqTierPinned = codebook
     tier.cachedLists
   }
 
@@ -549,6 +558,15 @@ final class Graft private (
       if (descs.isEmpty) None
       else centroidAgeReason(nowMs).orElse(layoutSkewReason())
     val rebuilt = rebuildReason.isDefined && rebuild().nonEmpty
+    // a warm PQ tier is a snapshot of (corpus, centroid layout): after
+    // maintenance rewrote either, the policy pass re-admits it under
+    // the SAME admission policy it was warmed with (pinned quantizer
+    // stays pinned; a trained one retrains on the current corpus — see
+    // [[pqTierPinned]]) so the stable-tier door keeps serving the
+    // post-maintenance world without a manual warm call. A cold tier
+    // stays cold: admission is the caller's explicit budget decision.
+    if ((compacted || rebuilt) && pqTier.isDefined)
+      warmPqTier(pqTierPinned)
     Graft.MaintenanceReport(
       compactReason.filter(_ => compacted),
       rebuildReason.filter(_ => rebuilt))

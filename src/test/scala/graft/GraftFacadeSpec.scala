@@ -435,6 +435,23 @@ class GraftFacadeSpec extends SparkSpec {
     g.delete(Seq("id-7").toDF("id"))
     assert(!g.searchPq(q7, 10).exists(_._1 === id7hash),
       "deleted row surfaced from the stale PQ tier")
+    // maintenance re-admission: rows upserted AFTER the warm are not in
+    // the tier's phase-1 codes (snapshot semantics) — but a maintain()
+    // pass that compacts must RE-WARM the tier with the same quantizer,
+    // and the new row becomes findable through the PQ door
+    val id999hash = Seq("id-999").toDF("id")
+      .select(graft.functions.VectorFunctions.hashId(col("id")))
+      .head().getLong(0)
+    (0 to g.config.segment.maxSegmentsPerLeaf).foreach { i =>
+      g.upsert(Seq((if (i == 0) "id-999" else s"id-$i",
+        vec(if (i == 0) 999 else i).toSeq)).toDF("id", "vec"))
+    }
+    val rep = g.maintain()
+    assert(rep.compacted.nonEmpty, rep.toString)
+    val hits999 = g.searchPq(vec(999).map(_.toFloat), 3)
+    assert(hits999.nonEmpty && hits999.head._1 === id999hash,
+      s"post-maintenance tier does not serve the re-admitted corpus: " +
+        hits999.take(3).mkString(","))
     g.close()
     Segments.deleteDir(base)
   }
