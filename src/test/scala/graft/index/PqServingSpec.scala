@@ -79,6 +79,24 @@ class PqServingSpec extends SparkSpec {
     } finally { fromFile.foreach(_.unpersist()); shuffled.unpersist() }
   }
 
+  test("fuzz: random (k, nprobe) draws — distributed == driver tier on every one") {
+    // spans both ranking regimes (k crosses the 256 quickselect switch)
+    // and every probe width; the two cache levels must be
+    // interchangeable on inputs nobody hand-picked
+    val dist = PqServingIndex.build(codes, cents, cb, wide)
+    val local = LocalPqIndex.build(codes, cents, cb, limits = wide)
+    val rnd = new scala.util.Random(77)
+    try {
+      (0 until 30).foreach { i =>
+        val (qid, qv) = qRows(rnd.nextInt(qRows.length))
+        val k = 1 + rnd.nextInt(600)
+        val np = 1 + rnd.nextInt(nlist)
+        assert(dist.searchAdc(qv, k, np).toSeq ===
+          local.searchAdc(qv, k, np).toSeq, s"draw=$i q=$qid k=$k np=$np")
+      }
+    } finally dist.unpersist()
+  }
+
   test("binary byte-packed codes build identically to array<int> codes") {
     val binCodes = Ivf.assign(emb, cents).select(col("vec_id"),
       col("centroid_id"), Pq.codesBinaryColumn(cb).as("codes"))
