@@ -226,6 +226,8 @@ object PqServingIndex {
           s"$path (${e.getMessage}) — falling back to the shuffle build")
         return None
     }
+    if (toc.isEmpty) return None // zero lists: nothing to serve from —
+                                 // and parallelize(…, 0) would throw
     val (cids, matrix) = Ivf.collectCentroids(centroids)
     // partition i serves toc(i)'s list; cids absent from the file
     // (empty lists) have no partition and never schedule a task
