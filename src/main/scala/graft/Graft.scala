@@ -364,9 +364,21 @@ final class Graft private (
     val dim = config.collection.dim
     val m = codebook.map(_.m).getOrElse(config.stable.pqM)
     require(dim % m == 0, s"collection.dim $dim not divisible by pq_m $m")
-    val live = liveView.filter(col("vec").isNotNull)
+    val metric = config.collection.metric
+    require(metric == "ip" || metric == "l2" || metric == "cosine",
+      s"unknown collection metric '$metric'")
+    val raw = liveView.filter(col("vec").isNotNull)
       .select(col("id_hash").as("vec_id"),
         col("vec").cast("array<double>").as("vec"))
+    // cosine collections encode NORMALIZED vectors (the reference's own
+    // contract — "Cosine via L2-norm at ingest", types.h:39): the ADC
+    // IP LUT over normalized codes ranks by cosine; over raw codes it
+    // would rank by cos·‖x‖, a biased pool for unnormalized corpora
+    val live =
+      if (metric == "cosine")
+        raw.withColumn("vec",
+          graft.functions.VectorFunctions.l2Normalize(col("vec")))
+      else raw
     val cb = codebook.getOrElse(graft.index.Pq.trainCodebookDriver(
       live.limit(16384), m, dim / m, 256, vecCol = "vec", maxIter = 8))
     val codes = Ivf.assign(live, centroids(), vecCol = "vec")
@@ -382,12 +394,21 @@ final class Graft private (
 
   /** Two-phase stable-tier search: phase 1 is the distributed PQ
     * tier's in-task ADC over only the probed lists
-    * (`index.stable.nprobe`), phase 2 re-scores the `rerank·k`
-    * candidates EXACTLY against the store through the zone-map/bloom-
-    * pruned point-lookup path ([[graft.segments.Segments
-    * .scanForIdHashes]]) with LWW resolution — the reference's
-    * `rerank_factor` contract (config.h:93). Refuses when the tier is
-    * cold ([[warmPqTier]] is the admission pass).
+    * (`index.stable.nprobe`) under the collection's METRIC
+    * ([[graft.index.Pq.lutForMetric]] — ip verbatim, l2 negated
+    * expanded-L2, cosine normalized-IP over the normalize-at-admission
+    * codes), with the UNCLAMPED rerank·k internal candidate budget
+    * (config.h:93 — an internal pool, not a client k). Phase 2
+    * re-scores candidates EXACTLY: buffered rows resolve against the
+    * streaming overlay snapshot (a buffered DELETE masks its candidate,
+    * a buffered upsert re-scores its current vector — deleted rows
+    * never surface, including deletes still inside the micro-batch
+    * window); the rest score EXECUTOR-SIDE against the store through
+    * the zone-map/bloom-pruned point-lookup path
+    * ([[graft.segments.Segments.scanForIdHashes]]) with LWW resolution,
+    * the shared codegen kernels, and an in-plan sort-limit — only the
+    * k winners ever reach the driver. Refuses when the tier is cold
+    * ([[warmPqTier]] is the admission pass).
     */
   def searchPq(q: Array[Float], k: Int,
       rerank: Int = config.stable.rerankFactor): Array[(Long, Double)] = {
@@ -395,22 +416,51 @@ final class Graft private (
       "PQ tier cold — warmPqTier() is the stable-tier admission pass"))
     val kk = math.min(k, config.servingLimits.maxK)
     if (kk <= 0) return Array.empty
-    val cand = tier.searchAdc(q, kk * rerank, config.stable.nprobe)
+    val metric = config.collection.metric
+    val asc = metric == "l2"
+    val cand = tier
+      .searchAdcUnclamped(q, kk * rerank, config.stable.nprobe, metric)
       .map(_._1)
     if (cand.isEmpty) return Array.empty
-    val metric = config.collection.metric
-    val fetched = Segments
-      .scanForIdHashes(spark, baseDir, cand.toIndexedSeq)
-      .map { df =>
-        graft.operators.Lww.latestBy(df, "id_hash", "epoch")
-          .filter(!col("deleted") && col("vec").isNotNull)
-          .select(col("id_hash"), col("vec").cast("array<double>"))
-          .collect()
-          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      }.getOrElse(Array.empty)
-    val topk = new graft.operators.TopK.Bounded(kk, asc = metric == "l2")
-    fetched.foreach { case (id, v) =>
-      topk.insert(graft.index.ServingIndex.scoreOne(q, v, metric), id)
+    val topk = new graft.operators.TopK.Bounded(kk, asc)
+    // overlay consultation: entries still buffered are NEWER than any
+    // published row for the same id (prune retains exactly the
+    // not-yet-published tail) — resolve them driver-side, memory-speed
+    val snap = overlay.snapshot
+    val storeCand = Array.newBuilder[Long]
+    cand.foreach { h =>
+      snap.get(h) match {
+        case Some(e) =>
+          if (!e.deleted && e.vec != null)
+            topk.insert(graft.index.ServingIndex.scoreOne(
+              q, e.vec.toArray, metric), h)
+        case None => storeCand += h
+      }
+    }
+    val sc = storeCand.result()
+    if (sc.nonEmpty) {
+      val qLit = typedlit(q.map(_.toDouble).toSeq)
+      Segments.scanForIdHashes(spark, baseDir, sc.toIndexedSeq)
+        .foreach { df =>
+          val vd = col("vec").cast("array<double>")
+          val score = metric match {
+            case "l2" => graft.functions.VectorFunctions.l2SqD(qLit, vd)
+            case "cosine" =>
+              graft.functions.VectorFunctions.cosineD(qLit, vd)
+            case _ => graft.functions.VectorFunctions.dotD(qLit, vd)
+          }
+          val scored = graft.operators.Lww.latestBy(df, "id_hash", "epoch")
+            .filter(!col("deleted") && col("vec").isNotNull)
+            .select(col("id_hash"), score.as("score"))
+          val ranked = scored.orderBy(
+            (if (asc) col("score").asc else col("score").desc),
+            col("id_hash").asc)
+          // in-plan top-k: TakeOrderedAndProject — the rerank pool is
+          // scored and cut on the executors; only kk rows come back
+          ranked.limit(kk).collect().foreach { r =>
+            topk.insert(r.getDouble(1), r.getLong(0))
+          }
+        }
     }
     topk.result()
   }
@@ -565,8 +615,21 @@ final class Graft private (
     // [[pqTierPinned]]) so the stable-tier door keeps serving the
     // post-maintenance world without a manual warm call. A cold tier
     // stays cold: admission is the caller's explicit budget decision.
+    // Fault-isolated: the re-warm is CACHE maintenance layered on top
+    // of maintenance that has already committed — a failed re-admission
+    // (e.g. the live corpus emptied since the warm, so codebook
+    // training has nothing to train on) demotes the tier to cold
+    // instead of losing the report for work that is already durable.
     if ((compacted || rebuilt) && pqTier.isDefined)
-      warmPqTier(pqTierPinned)
+      try warmPqTier(pqTierPinned)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          pqTier.foreach(_._1.unpersist())
+          pqTier = None
+          pqTierPinned = None
+          System.err.println("[graft] PQ tier re-admission failed " +
+            s"after maintenance — tier demoted to cold: ${e.getMessage}")
+      }
     Graft.MaintenanceReport(
       compactReason.filter(_ => compacted),
       rebuildReason.filter(_ => rebuilt))

@@ -57,6 +57,51 @@ object Pq {
     }
   }
 
+  /** Metric-appropriate ADC LUT — every variant is HIGHER-IS-BETTER so
+    * all scan kernels keep the one (score desc, id asc) ranking
+    * contract:
+    *  - `ip`: [[lutFor]] verbatim;
+    *  - `l2`: NEGATED expanded L2 per subspace, lut(j)(c) =
+    *    −‖q_j − cw‖² — the per-row sum is −‖q − x̃‖² of the PQ
+    *    reconstruction, so ranking equals L2-ascending on the
+    *    approximation (an IP LUT would select candidates by HIGHEST dot
+    *    product, a systematically wrong pool for an l2 collection);
+    *  - `cosine`: [[lutFor]] scaled by 1/‖q‖ — correct ONLY over codes
+    *    encoded from L2-NORMALIZED vectors (the reference's own
+    *    contract, "Cosine via L2-norm at ingest" types.h:39;
+    *    [[graft.Graft.warmPqTier]] normalizes at admission). The query
+    *    scaling never changes ranking (positive constant) but keeps the
+    *    approximate scores on the cosine scale the exact rerank uses.
+    */
+  def lutForMetric(cb: Codebook, q: Array[Float],
+      metric: String): Array[Array[Double]] = metric match {
+    case "ip" => lutFor(cb, q)
+    case "cosine" =>
+      var n = 0.0
+      var i = 0
+      while (i < q.length) { n += q(i).toDouble * q(i).toDouble; i += 1 }
+      val inv = if (n == 0.0) 0.0 else 1.0 / math.sqrt(n)
+      lutFor(cb, q).map(_.map(_ * inv))
+    case "l2" =>
+      val dsub = cb.dsub
+      Array.tabulate(cb.m) { j =>
+        val book = cb.codebooks(j)
+        val base = j * dsub
+        Array.tabulate(book.length) { c =>
+          val cw = book(c)
+          var s = 0.0
+          var d = 0
+          while (d < dsub) {
+            val diff = q(base + d).toDouble - cw(d); s += diff * diff
+            d += 1
+          }
+          -s
+        }
+      }
+    case other => throw new IllegalArgumentException(
+      s"unknown metric '$other' (ip | l2 | cosine)")
+  }
+
   /** Oracle-reproducible codebook: for subspace j (0-based), codewords are
     * `slice(embedding, j*dsub+1, dsub)` of rows with vec_id % every == 0,
     * in vec_id order.

@@ -56,13 +56,30 @@ final class PqServingIndex private (
     ServingIndex.capProbesWalk(probed,
       cid => listSizes.getOrElse(cid, 0L), limits.maxCandidates)
 
-  /** Phase 1 over the distributed tier: ADC top-n of the probed lists,
-    * one task per probed list, driver merge. `n` is the internal
-    * candidate budget (k × rerank), clamped by maxK like every tier.
+  /** Phase 1 over the distributed tier: ADC top-k of the probed lists,
+    * one task per probed list, driver merge. The CLIENT-facing entry —
+    * `k` is clamped by maxK like every tier's client k. `metric` picks
+    * the LUT ([[Pq.lutForMetric]] — ip verbatim, l2 negated expanded-L2,
+    * cosine normalized-IP over normalize-at-admission codes); every
+    * variant is higher-is-better so the scan kernels are unchanged.
     */
-  def searchAdc(q: Array[Float], k: Int,
-      nprobe: Int): Array[(Long, Double)] = {
-    val n = math.min(k, limits.maxK)
+  def searchAdc(q: Array[Float], k: Int, nprobe: Int,
+      metric: String = "ip"): Array[(Long, Double)] =
+    adcTopN(q, math.min(k, limits.maxK), nprobe, metric)
+
+  /** Internal phase-1 ranking for a TWO-PHASE caller: `n` is the rerank
+    * candidate budget (rerank · k) — an internal pool size, not a
+    * client k, so it is deliberately NOT clamped by maxK (mirroring
+    * [[LocalPqIndex]]'s adcTopN; the reference's rerank_factor contract
+    * config.h:93 — clamping here would silently shrink the rerank pool
+    * to rerank·k ≤ maxK and degrade recall at large k).
+    */
+  private[graft] def searchAdcUnclamped(q: Array[Float], n: Int,
+      nprobe: Int, metric: String = "ip"): Array[(Long, Double)] =
+    adcTopN(q, n, nprobe, metric)
+
+  private def adcTopN(q: Array[Float], n: Int, nprobe: Int,
+      metric: String): Array[(Long, Double)] = {
     if (n <= 0) return Array.empty
     val probed = capProbes(probe(q, nprobe))
     // coverage contract (same as the driver tier's): a probed list with
@@ -75,7 +92,7 @@ final class PqServingIndex private (
         "the declarative stored path")
     val parts = probed.flatMap(cidToPart.get).distinct.toArray
     if (parts.isEmpty) return Array.empty
-    val lut = Pq.lutFor(cb, q)
+    val lut = Pq.lutForMetric(cb, q, metric)
     val m = cb.m
     val partials: Array[Array[(Long, Double)]] =
       ServingIndex.withDeadline(blocks.sparkContext, limits.deadlineMs) {
@@ -170,10 +187,12 @@ object PqServingIndex {
     if (!java.nio.file.Files.exists(p)) return None
     val m = cb.m
     // ---- driver-side TOC scan (headers only) ----
+    var fileLen = -1L // captured for the partition readers' staleness gate
     val toc: Array[(Long, Long, Int)] = try { // (cid, dataOffset, n)
       val ch = java.nio.channels.FileChannel.open(p,
         java.nio.file.StandardOpenOption.READ)
       try {
+        fileLen = ch.size()
         def readFully(buf: java.nio.ByteBuffer): Unit = {
           while (buf.hasRemaining)
             if (ch.read(buf) < 0) throw new java.io.EOFException()
@@ -234,6 +253,7 @@ object PqServingIndex {
     val cidToPart = toc.iterator.zipWithIndex
       .map { case ((cid, _, _), i) => (cid, i) }.toMap
     val bcToc = spark.sparkContext.broadcast(toc)
+    val expectLen = fileLen
     val blocks = spark.sparkContext
       .parallelize(toc.indices, toc.length)
       .mapPartitionsWithIndex({ (pi, it) =>
@@ -244,6 +264,41 @@ object PqServingIndex {
             java.nio.file.Paths.get(path),
             java.nio.file.StandardOpenOption.READ)
           try {
+            // Staleness gate BEFORE any range read: this RDD recomputes
+            // an evicted/lost partition by re-reading the file at
+            // build-time TOC offsets — a file atomically REPLACED by a
+            // later savePacked since then would be range-read at stale
+            // offsets and serve torn ids/codes with no error. Recompute
+            // must fail loudly instead: re-validate magic + stamp +
+            // total length against what the TOC scan saw.
+            if (ch.size() != expectLen)
+              throw new java.io.IOException(
+                s"packed tier file $path changed since build " +
+                  s"(${ch.size()} bytes, expected $expectLen) — " +
+                  "stale TOC; rebuild the tier")
+            val magicLen = LocalPqIndex.FileMagic.length
+            val hb = java.nio.ByteBuffer.allocate(magicLen + 4)
+            while (hb.hasRemaining)
+              if (ch.read(hb) < 0) throw new java.io.EOFException()
+            hb.flip()
+            val gotMagic = new Array[Byte](magicLen)
+            hb.get(gotMagic)
+            val stampLen = hb.getInt
+            val stampBytes =
+              stamp.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val sb = java.nio.ByteBuffer.allocate(
+              math.max(0, math.min(stampLen, 65536)))
+            while (sb.hasRemaining)
+              if (ch.read(sb) < 0) throw new java.io.EOFException()
+            sb.flip()
+            val gotStamp = new Array[Byte](sb.limit())
+            sb.get(gotStamp)
+            if (!java.util.Arrays.equals(gotMagic, LocalPqIndex.FileMagic)
+                || stampLen != stampBytes.length
+                || !java.util.Arrays.equals(gotStamp, stampBytes))
+              throw new java.io.IOException(
+                s"packed tier file $path replaced since build " +
+                  "(magic/stamp mismatch) — stale TOC; rebuild the tier")
             ch.position(off)
             val idBuf = java.nio.ByteBuffer.allocate(n * 8)
             while (idBuf.hasRemaining)

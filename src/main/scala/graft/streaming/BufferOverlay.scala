@@ -60,6 +60,17 @@ final class BufferOverlay(val maxRows: Int = 65536) {
   /** Live entry count. */
   def size: Int = entries.size
 
+  /** Point-in-time winner map (id_hash → entry) — one volatile read of
+    * the immutable map, for serving paths that resolve candidates
+    * driver-side (e.g. [[graft.Graft.searchPq]]'s phase-2 overlay
+    * consultation: a buffered DELETE masks a stale PQ candidate, a
+    * buffered upsert re-scores its current vector). Entries here are
+    * by construction NEWER than anything catalog-published for the
+    * same id ([[prune]] retains exactly the not-yet-published tail
+    * under the ingest paths' monotone epochs).
+    */
+  def snapshot: Map[Long, Entry] = entries
+
   /** Publish a micro-batch's rows into the overlay (LWW per id_hash —
     * max epoch wins, ties keep the resident row, tombstones stay as
     * masked entries). Returns the max epoch made visible, or
