@@ -157,15 +157,16 @@ object SparkEntry {
   private object FacadePqFixture {
     private val cache = scala.collection.concurrent.TrieMap
       .empty[String, DataFrame]
-    def results(s: SparkSession, dir: String): DataFrame =
-      cache.getOrElseUpdate(dir, {
+    def results(s: SparkSession, dir: String,
+        metric: String = "ip"): DataFrame =
+      cache.getOrElseUpdate(s"$dir|$metric", {
         import org.apache.spark.sql.Row
         import org.apache.spark.sql.types._
         val base = java.nio.file.Files
           .createTempDirectory("graft-facade-pq-").toString
         val cfg0 = GraftConfig.default
         val cfg = cfg0.copy(
-          collection = cfg0.collection.copy(dim = 64),
+          collection = cfg0.collection.copy(dim = 64, metric = metric),
           stable = cfg0.stable.copy(pqM = 8, nprobe = 100000))
         val g = Graft.open(s, base, cfg)
         val log = MutationLog.deterministicLog(emb(s, dir))
@@ -740,6 +741,9 @@ object SparkEntry {
     "facade_live" -> ((s, dir) => FacadeFixture.live(s, dir)),
     "facade_stream_live" -> ((s, dir) => FacadeStreamFixture.live(s, dir)),
     "facade_pq" -> ((s, dir) => FacadePqFixture.results(s, dir)),
+    "facade_pq_l2" -> ((s, dir) => FacadePqFixture.results(s, dir, "l2")),
+    "facade_pq_cosine" ->
+      ((s, dir) => FacadePqFixture.results(s, dir, "cosine")),
     "point_lookup" -> ((s, dir) =>
       MutationLog.pointLookup(
         MutationLog.deterministicLog(emb(s, dir)), pointIds)),
@@ -1380,6 +1384,98 @@ object SparkEntry {
          |  WHERE rn <= 40),
          |exact AS (SELECT cand.query_id, cand.vec_id,
          |    list_dot_product(q.qv, live.vec) AS score
+         |  FROM cand JOIN q USING (query_id) JOIN live USING (vec_id))
+         |SELECT query_id, vec_id, score FROM (
+         |  SELECT exact.*, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rn
+         |  FROM exact) t
+         |WHERE rn <= 10""".stripMargin,
+    // the PQ door under metric l2: phase 1 ranks by NEGATED expanded-L2
+    // ADC (a dot-product pool would be systematically wrong for an l2
+    // collection), phase 2 is the exact squared distance — ascending
+    "facade_pq_l2" ->
+      s"""$MUTLOG,
+         |q AS (SELECT vec_id AS query_id, e AS qv FROM emb
+         |  WHERE vec_id % 25 = 0),
+         |cb AS (SELECT r.j, vec_id AS code_id,
+         |    e[r.j*8+1 : r.j*8+8] AS cw
+         |  FROM emb, range(8) r(j) WHERE vec_id % 50 = 0),
+         |sv AS (SELECT live.vec_id, r.j, vec[r.j*8+1 : r.j*8+8] AS s
+         |  FROM live, range(8) r(j)),
+         |codes AS (SELECT vec_id, j, code_id FROM (
+         |    SELECT sv.vec_id, sv.j, cb.code_id, row_number() OVER (
+         |      PARTITION BY sv.vec_id, sv.j ORDER BY
+         |        list_dot_product(sv.s, sv.s)
+         |          - 2 * list_dot_product(sv.s, cb.cw)
+         |          + list_dot_product(cb.cw, cb.cw) ASC, cb.code_id ASC) AS rn
+         |    FROM sv JOIN cb USING (j)) t
+         |  WHERE rn = 1),
+         |lut AS (SELECT q.query_id, cb.j, cb.code_id,
+         |    -list_sum(list_transform(range(1, 9), i ->
+         |      (q.qv[cb.j*8+i] - cb.cw[i]) * (q.qv[cb.j*8+i] - cb.cw[i])))
+         |      AS part
+         |  FROM q CROSS JOIN cb),
+         |adc AS (SELECT l.query_id, c.vec_id,
+         |    list_sum(list(l.part ORDER BY l.j)) AS approx_score
+         |  FROM codes c JOIN lut l ON c.j = l.j AND c.code_id = l.code_id
+         |  GROUP BY l.query_id, c.vec_id),
+         |cand AS (SELECT query_id, vec_id FROM (
+         |    SELECT adc.*, row_number() OVER (
+         |      PARTITION BY query_id
+         |      ORDER BY approx_score DESC, vec_id ASC) AS rn FROM adc) t
+         |  WHERE rn <= 40),
+         |exact AS (SELECT cand.query_id, cand.vec_id,
+         |    list_sum(list_transform(range(1, 65), i ->
+         |      (q.qv[i] - live.vec[i]) * (q.qv[i] - live.vec[i]))) AS score
+         |  FROM cand JOIN q USING (query_id) JOIN live USING (vec_id))
+         |SELECT query_id, vec_id, score FROM (
+         |  SELECT exact.*, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score ASC, vec_id ASC) AS rn
+         |  FROM exact) t
+         |WHERE rn <= 10""".stripMargin,
+    // the PQ door under metric cosine: codes encode L2-NORMALIZED live
+    // vectors (the admission pass normalizes — the reference's
+    // cosine-via-L2-norm-at-ingest contract), the LUT is the IP LUT
+    // over the query divided by its norm, and phase 2 is exact cosine
+    // against the RAW store
+    "facade_pq_cosine" ->
+      s"""$MUTLOG,
+         |q AS (SELECT vec_id AS query_id, e AS qv FROM emb
+         |  WHERE vec_id % 25 = 0),
+         |qn AS (SELECT query_id, qv,
+         |    sqrt(list_dot_product(qv, qv)) AS qnorm FROM q),
+         |nv AS (SELECT vec_id, list_transform(vec,
+         |    x -> x / sqrt(list_dot_product(vec, vec))) AS nvec FROM live),
+         |cb AS (SELECT r.j, vec_id AS code_id,
+         |    e[r.j*8+1 : r.j*8+8] AS cw
+         |  FROM emb, range(8) r(j) WHERE vec_id % 50 = 0),
+         |sv AS (SELECT nv.vec_id, r.j, nvec[r.j*8+1 : r.j*8+8] AS s
+         |  FROM nv, range(8) r(j)),
+         |codes AS (SELECT vec_id, j, code_id FROM (
+         |    SELECT sv.vec_id, sv.j, cb.code_id, row_number() OVER (
+         |      PARTITION BY sv.vec_id, sv.j ORDER BY
+         |        list_dot_product(sv.s, sv.s)
+         |          - 2 * list_dot_product(sv.s, cb.cw)
+         |          + list_dot_product(cb.cw, cb.cw) ASC, cb.code_id ASC) AS rn
+         |    FROM sv JOIN cb USING (j)) t
+         |  WHERE rn = 1),
+         |lut AS (SELECT qn.query_id, cb.j, cb.code_id,
+         |    list_dot_product(qn.qv[cb.j*8+1 : cb.j*8+8], cb.cw) / qn.qnorm
+         |      AS part
+         |  FROM qn CROSS JOIN cb),
+         |adc AS (SELECT l.query_id, c.vec_id,
+         |    list_sum(list(l.part ORDER BY l.j)) AS approx_score
+         |  FROM codes c JOIN lut l ON c.j = l.j AND c.code_id = l.code_id
+         |  GROUP BY l.query_id, c.vec_id),
+         |cand AS (SELECT query_id, vec_id FROM (
+         |    SELECT adc.*, row_number() OVER (
+         |      PARTITION BY query_id
+         |      ORDER BY approx_score DESC, vec_id ASC) AS rn FROM adc) t
+         |  WHERE rn <= 40),
+         |exact AS (SELECT cand.query_id, cand.vec_id,
+         |    list_dot_product(q.qv, live.vec)
+         |      / (sqrt(list_dot_product(q.qv, q.qv))
+         |         * sqrt(list_dot_product(live.vec, live.vec))) AS score
          |  FROM cand JOIN q USING (query_id) JOIN live USING (vec_id))
          |SELECT query_id, vec_id, score FROM (
          |  SELECT exact.*, row_number() OVER (

@@ -80,8 +80,12 @@ object Pq {
       var n = 0.0
       var i = 0
       while (i < q.length) { n += q(i).toDouble * q(i).toDouble; i += 1 }
-      val inv = if (n == 0.0) 0.0 else 1.0 / math.sqrt(n)
-      lutFor(cb, q).map(_.map(_ * inv))
+      val norm = math.sqrt(n)
+      // DIVISION, not multiply-by-reciprocal: the DuckDB oracle writes
+      // `part / qnorm`, and x/n vs x*(1/n) differ by ulps — enough to
+      // flip a candidate-pool boundary tie
+      if (norm == 0.0) lutFor(cb, q).map(_.map(_ => 0.0))
+      else lutFor(cb, q).map(_.map(_ / norm))
     case "l2" =>
       val dsub = cb.dsub
       Array.tabulate(cb.m) { j =>

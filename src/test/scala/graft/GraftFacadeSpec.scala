@@ -514,4 +514,146 @@ class GraftFacadeSpec extends SparkSpec {
     g2.close()
     Segments.deleteDir(base)
   }
+
+  // ---- PQ-door metric correctness ----
+  // Fixture (dim 64, q = e0): `near` sits almost ON the query (l2²≈1e-6,
+  // cos≈1) with the SMALLEST dot product in the corpus (1.0); 60 decoys
+  // all out-dot it (dot 2.0) while being farther (l2² ≥ 5) and less
+  // aligned (cos ≤ 0.71); `far` out-dots everything (4.05) at l2² 13.1 /
+  // cos 0.9. With a 20-candidate phase-1 pool, an inner-product LUT can
+  // therefore NEVER admit `near` — the metric-correct LUTs must rank it
+  // first under l2 and cosine.
+  private val mdim = 64
+  private def mq: Array[Float] = {
+    val a = new Array[Float](mdim); a(0) = 1f; a
+  }
+  private def metricBatch() = {
+    val near = ("near", Array.tabulate(mdim)(d =>
+      if (d == 0) 1.0 else if (d == 62) 0.001 else 0.0).toSeq)
+    val far = ("far", Array.tabulate(mdim)(d =>
+      if (d == 0) 4.05 else if (d == 63) 1.96 else 0.0).toSeq)
+    val decoys = (0 until 60).map { i =>
+      (s"decoy-$i", Array.tabulate(mdim)(d =>
+        if (d == 0) 2.0
+        else if (d == 1 + i) 2.0 + 0.01 * i else 0.0).toSeq)
+    }
+    (Seq(near, far) ++ decoys).toDF("id", "vec")
+  }
+  private def hashOf(id: String): Long = Seq(id).toDF("id")
+    .select(graft.functions.VectorFunctions.hashId(col("id")))
+    .head().getLong(0)
+  private def exactTop(g: Graft, q: Array[Float],
+      k: Int): Seq[(Long, Double)] = {
+    val metric = g.config.collection.metric
+    val rows = g.liveView.filter(col("vec").isNotNull)
+      .select(col("id_hash"), col("vec").cast("array<double>")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val topk = new graft.operators.TopK.Bounded(k, asc = metric == "l2")
+    rows.foreach { case (id, v) =>
+      topk.insert(graft.index.ServingIndex.scoreOne(q, v, metric), id)
+    }
+    topk.result().toSeq
+  }
+  private def metricCfg(metric: String): GraftConfig = {
+    val cfg0 = GraftConfig.default
+    cfg0.copy(
+      collection = cfg0.collection.copy(dim = mdim, metric = metric),
+      stable = cfg0.stable.copy(pqM = 8, nprobe = 100000))
+  }
+
+  test("PQ door under l2: negated-L2 phase-1 LUT admits the nearest row an IP pool would exclude") {
+    val base = tmp()
+    val g = Graft.open(spark, base, metricCfg("l2"))
+    g.upsert(metricBatch())
+    g.compact()
+    assert(g.warmPqTier() > 0)
+    val got = g.searchPq(mq, 5, rerank = 4).toSeq // pool 20 of 62 rows
+    val want = exactTop(g, mq, 5)
+    assert(got === want, s"got=$got want=$want")
+    assert(got.head._1 === hashOf("near"),
+      "phase-1 pool excluded the l2-nearest row")
+    g.close()
+    Segments.deleteDir(base)
+  }
+
+  test("PQ door under cosine: normalize-at-admission codes rank by angle, not magnitude") {
+    val base = tmp()
+    val g = Graft.open(spark, base, metricCfg("cosine"))
+    g.upsert(metricBatch())
+    g.compact()
+    assert(g.warmPqTier() > 0)
+    val got = g.searchPq(mq, 5, rerank = 4).toSeq
+    val want = exactTop(g, mq, 5)
+    assert(got === want, s"got=$got want=$want")
+    assert(got.head._1 === hashOf("near"),
+      "phase-1 pool excluded the best-aligned row")
+    assert(got(1)._1 === hashOf("far")) // cos 0.9 beats every decoy
+    g.close()
+    Segments.deleteDir(base)
+  }
+
+  test("PQ door phase 2 consults the streaming overlay: buffered DELETE masks, buffered upsert re-scores") {
+    val base = tmp()
+    val g = Graft.open(spark, base, metricCfg("ip"))
+    g.upsert(metricBatch())
+    g.compact()
+    assert(g.warmPqTier() > 0)
+    val hFar = hashOf("far")
+    assert(g.searchPq(mq, 3).head._1 === hFar) // ip: far out-dots all
+    // a DELETE admitted to the overlay but not yet catalog-published
+    // must mask its candidate inside the micro-batch window
+    import org.apache.spark.sql.functions.{col => c}
+    val delDf = Seq(("far", Array.fill(mdim)(0.0).toSeq, 50000L))
+      .toDF("id", "vec", "epoch")
+      .withColumn("op", lit("DELETE"))
+      .withColumn("id_hash", graft.functions.VectorFunctions.hashId(c("id")))
+      .withColumn("vec_id", c("id_hash"))
+      .withColumn("deleted", lit(true))
+      .withColumn("centroid_id", lit(0L))
+      .select("op", "vec_id", "id", "id_hash", "epoch", "deleted",
+        "centroid_id", "vec")
+    assert(g.overlay.publishBatch(delDf) === 50000L)
+    assert(!g.searchPq(mq, 10, rerank = 16).exists(_._1 === hFar),
+      "overlay-buffered DELETE surfaced through the PQ door")
+    // a buffered upsert that moves a row ONTO the query direction must
+    // be scored from the overlay's CURRENT vector, not the stale store
+    val movedVec = Array.tabulate(mdim)(d => if (d == 0) 9.0 else 0.0)
+    val upDf = Seq(("decoy-0", movedVec.toSeq, 50001L))
+      .toDF("id", "vec", "epoch")
+      .withColumn("op", lit("UPSERT"))
+      .withColumn("id_hash", graft.functions.VectorFunctions.hashId(c("id")))
+      .withColumn("vec_id", c("id_hash"))
+      .withColumn("deleted", lit(false))
+      .withColumn("centroid_id", lit(0L))
+      .select("op", "vec_id", "id", "id_hash", "epoch", "deleted",
+        "centroid_id", "vec")
+    assert(g.overlay.publishBatch(upDf) === 50001L)
+    // pool 48 ≥ corpus, so decoy-0 is a phase-1 candidate via its
+    // STALE codes; phase 2 must score its overlay vector (dot 9.0)
+    val top = g.searchPq(mq, 3, rerank = 16)
+    assert(top.head._1 === hashOf("decoy-0") &&
+      math.abs(top.head._2 - 9.0) < 1e-9, top.take(3).mkString(","))
+    g.close()
+    Segments.deleteDir(base)
+  }
+
+  test("maintain() demotes the PQ tier to cold when re-admission cannot retrain (corpus emptied)") {
+    val base = tmp()
+    val g = Graft.open(spark, base, metricCfg("ip"))
+    g.upsert(metricBatch())
+    g.compact()
+    assert(g.warmPqTier() > 0) // TRAINED admission → re-warm retrains
+    assert(g.searchPq(mq, 3).nonEmpty)
+    // delete every live row: the delta's tombstone ratio trips the
+    // compaction policy, and the re-warm's codebook training has
+    // nothing to train on — maintenance must still report, with the
+    // tier demoted to cold instead of an exception swallowing the
+    // committed compaction
+    g.delete(metricBatch().select("id"))
+    val rep = g.maintain()
+    assert(rep.compacted.nonEmpty, rep.toString)
+    intercept[IllegalStateException] { g.searchPq(mq, 3) }
+    g.close()
+    Segments.deleteDir(base)
+  }
 }

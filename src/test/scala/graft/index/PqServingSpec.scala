@@ -97,6 +97,92 @@ class PqServingSpec extends SparkSpec {
     } finally dist.unpersist()
   }
 
+  test("searchAdcUnclamped serves the full internal rerank budget past maxK; searchAdc clamps") {
+    val tight = ServingLimits(maxK = 10, maxCandidates = 100000)
+    val dist = PqServingIndex.build(codes, cents, cb, tight)
+    try {
+      val (_, qv) = qRows.head
+      val clamped = dist.searchAdc(qv, 50, nlist)
+      assert(clamped.length === 10, "client k must clamp to maxK")
+      // the TWO-PHASE caller's candidate budget is internal (the
+      // reference's rerank_factor contract, config.h:93) — clamping it
+      // to maxK would silently shrink the rerank pool at large k
+      val pool = dist.searchAdcUnclamped(qv, 50, nlist)
+      assert(pool.length === 50, s"internal budget clamped: ${pool.length}")
+      assert(pool.take(10).toSeq === clamped.toSeq,
+        "the two entries must share one ranking contract")
+    } finally dist.unpersist()
+  }
+
+  test("metric LUTs: with an exact codebook, ADC l2/cosine ranking equals brute force on the raw vectors") {
+    import graft.functions.VectorFunctions
+    // every row is its own codeword (every=1) → zero quantization error
+    // → the ADC approximation IS the exact metric, so the LUT shapes
+    // are value-checkable against scoreOne on the raw vectors. Corpus
+    // capped at 256 rows: packed codes are uint8 (the reference's own
+    // 8-bit code arrays), so an exact codebook must fit k ≤ 256.
+    val embS = emb.filter(col("vec_id") < 256)
+    val l2Cb = Pq.deterministicCodebook(embS, 8, 8, every = 1)
+    val l2Codes = Ivf.assign(embS, cents).select(col("vec_id"),
+      col("centroid_id"), Pq.codesColumn(l2Cb).as("codes"))
+    val l2Dist = PqServingIndex.build(l2Codes, cents, l2Cb, wide)
+    // cosine contract: codes encode L2-NORMALIZED vectors
+    val embN = embS.withColumn("embedding",
+      VectorFunctions.l2Normalize(col("embedding")))
+    val cosCb = Pq.deterministicCodebook(embN, 8, 8, every = 1)
+    val cosCodes = Ivf.assign(embN, cents).select(col("vec_id"),
+      col("centroid_id"), Pq.codesColumn(cosCb).as("codes"))
+    val cosDist = PqServingIndex.build(cosCodes, cents, cosCb, wide)
+    val raw = embS.select(col("vec_id"),
+        col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    try {
+      qRows.take(3).foreach { case (qid, qv) =>
+        val wantL2 = raw.map { case (id, v) =>
+          (id, ServingIndex.scoreOne(qv, v, "l2")) }
+          .sortBy { case (id, s) => (s, id) }.take(15).toSeq
+        val gotL2 = l2Dist.searchAdcUnclamped(qv, 15, nlist, "l2").toSeq
+        assert(gotL2.map(_._1) === wantL2.map(_._1), s"q=$qid l2 ids")
+        gotL2.zip(wantL2).foreach { case ((_, g), (_, w)) =>
+          assert(math.abs(-g - w) < 1e-9, s"q=$qid l2 score -$g vs $w") }
+
+        val wantCos = raw.map { case (id, v) =>
+          (id, ServingIndex.scoreOne(qv, v, "cosine")) }
+          .sortBy { case (id, s) => (-s, id) }.take(15).toSeq
+        val gotCos = cosDist
+          .searchAdcUnclamped(qv, 15, nlist, "cosine").toSeq
+        assert(gotCos.map(_._1) === wantCos.map(_._1), s"q=$qid cos ids")
+        gotCos.zip(wantCos).foreach { case ((_, g), (_, w)) =>
+          assert(math.abs(g - w) < 1e-9, s"q=$qid cos score $g vs $w") }
+      }
+    } finally { l2Dist.unpersist(); cosDist.unpersist() }
+  }
+
+  test("recompute of an evicted packed-tier partition refuses a replaced file instead of serving torn data") {
+    val local = LocalPqIndex.build(codes, cents, cb, limits = wide)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-pqsrv-stale-").toString
+    val path = s"$dir/tier.bin"
+    LocalPqIndex.savePacked(local, path, "v1")
+    val idx = PqServingIndex.buildFromPacked(spark, path, "v1",
+      cents, cb, wide).get
+    val (_, qv) = qRows.head
+    val before = idx.searchAdc(qv, 20, nlist).toSeq
+    // eviction + recompute with the file untouched: identical serve
+    idx.unpersist()
+    assert(idx.searchAdc(qv, 20, nlist).toSeq === before)
+    // the file atomically REPLACED by a later save (same length,
+    // different stamp): recompute must fail loudly, never range-read
+    // the new file at the old TOC offsets
+    idx.unpersist()
+    LocalPqIndex.savePacked(local, path, "v2")
+    val ex = intercept[Exception] { idx.searchAdc(qv, 20, nlist) }
+    def msgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs(ex).contains("stale TOC"), msgs(ex))
+  }
+
   test("binary byte-packed codes build identically to array<int> codes") {
     val binCodes = Ivf.assign(emb, cents).select(col("vec_id"),
       col("centroid_id"), Pq.codesBinaryColumn(cb).as("codes"))
