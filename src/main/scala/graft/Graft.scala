@@ -465,6 +465,84 @@ final class Graft private (
     topk.result()
   }
 
+  /** [[searchPq]] for a QUERY BATCH (Q12, ≤ `query.max_batch`,
+    * config.h:180): phase 1 is ONE scheduler job over the union of the
+    * batch's probed lists ([[graft.index.PqServingIndex
+    * .searchAdcBatch]] — the per-request dispatch floor is paid once
+    * per batch, not once per query), phase 2 is ONE store plan: the
+    * union of all store candidates fetches through the pruned
+    * point-lookup path once, scores EXECUTOR-SIDE against each query's
+    * own candidate set (broadcast pair/query relations — no shuffle of
+    * the fetched rows beyond the window cut), and returns k winners per
+    * query. Per-query results are IDENTICAL to [[searchPq]]
+    * (GraftFacadeSpec pins it); overlay consultation is per query,
+    * same as the single door.
+    */
+  def searchPqBatch(qs: Seq[Array[Float]], k: Int,
+      rerank: Int = config.stable.rerankFactor)
+      : IndexedSeq[Array[(Long, Double)]] = {
+    val (tier, _) = pqTier.getOrElse(throw new IllegalStateException(
+      "PQ tier cold — warmPqTier() is the stable-tier admission pass"))
+    val qArr = qs.toIndexedSeq
+    val kk = math.min(k, config.servingLimits.maxK)
+    if (kk <= 0 || qArr.isEmpty)
+      return IndexedSeq.fill(qArr.length)(Array.empty)
+    val metric = config.collection.metric
+    val asc = metric == "l2"
+    val pools = tier.searchAdcBatchUnclamped(qArr, kk * rerank,
+      config.stable.nprobe, metric)
+    val snap = overlay.snapshot
+    val topks = IndexedSeq.fill(qArr.length)(
+      new graft.operators.TopK.Bounded(kk, asc))
+    val storePairs =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    var qi = 0
+    while (qi < pools.length) {
+      pools(qi).foreach { case (h, _) =>
+        snap.get(h) match {
+          case Some(e) =>
+            if (!e.deleted && e.vec != null)
+              topks(qi).insert(graft.index.ServingIndex.scoreOne(
+                qArr(qi), e.vec.toArray, metric), h)
+          case None => storePairs += ((qi, h))
+        }
+      }
+      qi += 1
+    }
+    if (storePairs.nonEmpty) {
+      import spark.implicits._
+      val hashes = storePairs.iterator.map(_._2).toIndexedSeq.distinct
+      Segments.scanForIdHashes(spark, baseDir, hashes).foreach { df =>
+        val live = graft.operators.Lww.latestBy(df, "id_hash", "epoch")
+          .filter(!col("deleted") && col("vec").isNotNull)
+          .select(col("id_hash"),
+            col("vec").cast("array<double>").as("vec"))
+        val candDf = storePairs.toSeq.toDF("qi", "id_hash")
+        val qDf = qArr.zipWithIndex
+          .map { case (q, i) => (i, q.map(_.toDouble).toSeq) }
+          .toDF("qi", "qv")
+        val score = metric match {
+          case "l2" => VectorFunctions.l2SqD(col("qv"), col("vec"))
+          case "cosine" => VectorFunctions.cosineD(col("qv"), col("vec"))
+          case _ => VectorFunctions.dotD(col("qv"), col("vec"))
+        }
+        val w = Window.partitionBy(col("qi")).orderBy(
+          (if (asc) col("score").asc else col("score").desc),
+          col("id_hash").asc)
+        live.join(broadcast(candDf), "id_hash")
+          .join(broadcast(qDf), "qi")
+          .select(col("qi"), col("id_hash"), score.as("score"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= kk)
+          .select("qi", "id_hash", "score")
+          .collect()
+          .foreach(r =>
+            topks(r.getInt(0)).insert(r.getDouble(2), r.getLong(1)))
+      }
+    }
+    topks.map(_.result())
+  }
+
   /** Driver-resident buffer overlay for the streaming ingest path —
     * rows a [[startStream]] micro-batch has admitted but not yet
     * catalog-published serve reads from here (the reference's

@@ -157,9 +157,9 @@ object SparkEntry {
   private object FacadePqFixture {
     private val cache = scala.collection.concurrent.TrieMap
       .empty[String, DataFrame]
-    def results(s: SparkSession, dir: String,
-        metric: String = "ip"): DataFrame =
-      cache.getOrElseUpdate(s"$dir|$metric", {
+    def results(s: SparkSession, dir: String, metric: String = "ip",
+        batch: Boolean = false): DataFrame =
+      cache.getOrElseUpdate(s"$dir|$metric|$batch", {
         import org.apache.spark.sql.Row
         import org.apache.spark.sql.types._
         val base = java.nio.file.Files
@@ -181,10 +181,23 @@ object SparkEntry {
           .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
         val reqs = q(s, dir).collect().sortBy(_.getLong(0))
           .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-        val rows = reqs.toIndexedSeq.flatMap { case (qid, qv) =>
-          g.searchPq(qv, 10).map { case (idh, sc) =>
-            Row(qid, idMap(idh), sc) }
-        }
+        val rows =
+          if (batch)
+            // Q12 through the PQ door: one phase-1 job + one store plan
+            // per ≤max_batch chunk — values must equal the per-query
+            // door exactly (they share the oracle SQL verbatim)
+            reqs.toIndexedSeq
+              .grouped(g.config.servingLimits.maxBatch).toIndexedSeq
+              .flatMap { chunk =>
+                g.searchPqBatch(chunk.map(_._2), 10).zip(chunk)
+                  .flatMap { case (hits, (qid, _)) =>
+                    hits.map { case (idh, sc) => Row(qid, idMap(idh), sc) }
+                  }
+              }
+          else reqs.toIndexedSeq.flatMap { case (qid, qv) =>
+            g.searchPq(qv, 10).map { case (idh, sc) =>
+              Row(qid, idMap(idh), sc) }
+          }
         g.close()
         s.createDataFrame(
           s.sparkContext.parallelize(rows, 1),
@@ -744,6 +757,8 @@ object SparkEntry {
     "facade_pq_l2" -> ((s, dir) => FacadePqFixture.results(s, dir, "l2")),
     "facade_pq_cosine" ->
       ((s, dir) => FacadePqFixture.results(s, dir, "cosine")),
+    "facade_pq_batch" ->
+      ((s, dir) => FacadePqFixture.results(s, dir, batch = true)),
     "point_lookup" -> ((s, dir) =>
       MutationLog.pointLookup(
         MutationLog.deterministicLog(emb(s, dir)), pointIds)),
@@ -1339,57 +1354,68 @@ object SparkEntry {
     shared + "\n" + blocks.mkString("\nUNION ALL\n")
   }
 
+  /** The facade's stable-tier PQ door as DuckDB SQL: two-phase over the
+    * LIVE corpus (MUTLOG live CTE) with the deterministic codebook
+    * built from the RAW emb rows — the same adc/cand/exact pipeline as
+    * knn_pq2phase, corpus swapped for the facade's LWW-resolved live
+    * view. Shared verbatim by `facade_pq` and `facade_pq_batch` (the
+    * batch door is an execution shape, not a semantic).
+    */
+  private lazy val facadePqSql: String =
+    s"""$MUTLOG,
+       |q AS (SELECT vec_id AS query_id, e AS qv FROM emb
+       |  WHERE vec_id % 25 = 0),
+       |cb AS (SELECT r.j, vec_id AS code_id,
+       |    e[r.j*8+1 : r.j*8+8] AS cw
+       |  FROM emb, range(8) r(j) WHERE vec_id % 50 = 0),
+       |sv AS (SELECT live.vec_id, r.j, vec[r.j*8+1 : r.j*8+8] AS s
+       |  FROM live, range(8) r(j)),
+       |codes AS (SELECT vec_id, j, code_id FROM (
+       |    SELECT sv.vec_id, sv.j, cb.code_id, row_number() OVER (
+       |      PARTITION BY sv.vec_id, sv.j ORDER BY
+       |        list_dot_product(sv.s, sv.s)
+       |          - 2 * list_dot_product(sv.s, cb.cw)
+       |          + list_dot_product(cb.cw, cb.cw) ASC, cb.code_id ASC) AS rn
+       |    FROM sv JOIN cb USING (j)) t
+       |  WHERE rn = 1),
+       |lut AS (SELECT q.query_id, cb.j, cb.code_id,
+       |    list_dot_product(q.qv[cb.j*8+1 : cb.j*8+8], cb.cw) AS part
+       |  FROM q CROSS JOIN cb),
+       |adc AS (SELECT l.query_id, c.vec_id,
+       |    list_sum(list(l.part ORDER BY l.j)) AS approx_score
+       |  FROM codes c JOIN lut l ON c.j = l.j AND c.code_id = l.code_id
+       |  GROUP BY l.query_id, c.vec_id),
+       |cand AS (SELECT query_id, vec_id FROM (
+       |    SELECT adc.*, row_number() OVER (
+       |      PARTITION BY query_id
+       |      ORDER BY approx_score DESC, vec_id ASC) AS rn FROM adc) t
+       |  WHERE rn <= 40),
+       |exact AS (SELECT cand.query_id, cand.vec_id,
+       |    list_dot_product(q.qv, live.vec) AS score
+       |  FROM cand JOIN q USING (query_id) JOIN live USING (vec_id))
+       |SELECT query_id, vec_id, score FROM (
+       |  SELECT exact.*, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rn
+       |  FROM exact) t
+       |WHERE rn <= 10""".stripMargin
+
   def oracleSql: Map[String, String] = oracleSqlBase ++ Map(
     // tiers that must be VALUE-INVISIBLE share their twin's oracle
     // verbatim (resolved here so the long SQL exists once)
     "knn_pq_local" -> oracleSqlBase("knn_pq2phase"),
+    // the batched PQ door serves the SAME values as the per-query door
+    // (one phase-1 job + one store plan per chunk is an execution
+    // shape, not a semantic) — it shares the oracle verbatim
+    "facade_pq_batch" -> facadePqSql,
     // the distributed tier at DEEP fetch shares the two-phase oracle at
     // rerank 40 (the only difference is the candidate-pool cut rn<=400
     // instead of rn<=40 — one substitution keeps the two SQLs from
     // drifting apart)
     "knn_pq_deep" ->
       oracleSqlBase("knn_pq2phase").replace("rn <= 40)", "rn <= 400)"),
-    // the facade's stable-tier PQ door: two-phase over the LIVE corpus
-    // (MUTLOG live CTE) with the deterministic codebook built from the
-    // RAW emb rows — the same adc/cand/exact pipeline as knn_pq2phase,
-    // corpus swapped for the facade's LWW-resolved live view
-    "facade_pq" ->
-      s"""$MUTLOG,
-         |q AS (SELECT vec_id AS query_id, e AS qv FROM emb
-         |  WHERE vec_id % 25 = 0),
-         |cb AS (SELECT r.j, vec_id AS code_id,
-         |    e[r.j*8+1 : r.j*8+8] AS cw
-         |  FROM emb, range(8) r(j) WHERE vec_id % 50 = 0),
-         |sv AS (SELECT live.vec_id, r.j, vec[r.j*8+1 : r.j*8+8] AS s
-         |  FROM live, range(8) r(j)),
-         |codes AS (SELECT vec_id, j, code_id FROM (
-         |    SELECT sv.vec_id, sv.j, cb.code_id, row_number() OVER (
-         |      PARTITION BY sv.vec_id, sv.j ORDER BY
-         |        list_dot_product(sv.s, sv.s)
-         |          - 2 * list_dot_product(sv.s, cb.cw)
-         |          + list_dot_product(cb.cw, cb.cw) ASC, cb.code_id ASC) AS rn
-         |    FROM sv JOIN cb USING (j)) t
-         |  WHERE rn = 1),
-         |lut AS (SELECT q.query_id, cb.j, cb.code_id,
-         |    list_dot_product(q.qv[cb.j*8+1 : cb.j*8+8], cb.cw) AS part
-         |  FROM q CROSS JOIN cb),
-         |adc AS (SELECT l.query_id, c.vec_id,
-         |    list_sum(list(l.part ORDER BY l.j)) AS approx_score
-         |  FROM codes c JOIN lut l ON c.j = l.j AND c.code_id = l.code_id
-         |  GROUP BY l.query_id, c.vec_id),
-         |cand AS (SELECT query_id, vec_id FROM (
-         |    SELECT adc.*, row_number() OVER (
-         |      PARTITION BY query_id
-         |      ORDER BY approx_score DESC, vec_id ASC) AS rn FROM adc) t
-         |  WHERE rn <= 40),
-         |exact AS (SELECT cand.query_id, cand.vec_id,
-         |    list_dot_product(q.qv, live.vec) AS score
-         |  FROM cand JOIN q USING (query_id) JOIN live USING (vec_id))
-         |SELECT query_id, vec_id, score FROM (
-         |  SELECT exact.*, row_number() OVER (
-         |    PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rn
-         |  FROM exact) t
-         |WHERE rn <= 10""".stripMargin,
+    // the facade's stable-tier PQ door (SQL hoisted to [[facadePqSql]]
+    // — the batch door shares it verbatim)
+    "facade_pq" -> facadePqSql,
     // the PQ door under metric l2: phase 1 ranks by NEGATED expanded-L2
     // ADC (a dot-product pool would be systematically wrong for an l2
     // collection), phase 2 is the exact squared distance — ascending

@@ -117,6 +117,97 @@ final class PqServingIndex private (
     Array.tabulate(len)(i => (ids(i), scores(i)))
   }
 
+  /** Q12 batching over the distributed tier (config.h:180): ONE
+    * scheduler job serves the whole batch — each probed partition is
+    * scheduled once, and its task scans the packed list once per query
+    * that probed it — so the per-request job-dispatch floor (~14 ms on
+    * local[32], the dominant cost of a cache-tier request) is paid once
+    * per batch instead of once per query. Per-query LUTs ride a
+    * broadcast (batch × m × 256 doubles — ~20 MB at the reference
+    * geometry, too big for a task closure). Results are IDENTICAL to
+    * per-query [[searchAdc]]: same LUTs, same kernels, same
+    * (score best, id asc) merge (PqServingSpec pins it).
+    */
+  def searchAdcBatch(qs: Seq[Array[Float]], k: Int, nprobe: Int,
+      metric: String = "ip"): IndexedSeq[Array[(Long, Double)]] =
+    adcTopNBatch(qs, math.min(k, limits.maxK), nprobe, metric)
+
+  /** [[searchAdcBatch]] at the two-phase caller's INTERNAL candidate
+    * budget — unclamped like [[searchAdcUnclamped]].
+    */
+  private[graft] def searchAdcBatchUnclamped(qs: Seq[Array[Float]],
+      n: Int, nprobe: Int, metric: String = "ip")
+      : IndexedSeq[Array[(Long, Double)]] =
+    adcTopNBatch(qs, n, nprobe, metric)
+
+  private def adcTopNBatch(qs: Seq[Array[Float]], n: Int, nprobe: Int,
+      metric: String): IndexedSeq[Array[(Long, Double)]] = {
+    require(qs.size <= limits.maxBatch,
+      s"query batch ${qs.size} exceeds max_query_batch ${limits.maxBatch}")
+    val qArr = qs.toArray
+    if (n <= 0 || qArr.isEmpty)
+      return IndexedSeq.fill(qArr.length)(Array.empty)
+    val probedByQuery = qArr.map(q => capProbes(probe(q, nprobe)))
+    probedByQuery.foreach { probed =>
+      require(probed.forall(cid => cidToPart.contains(cid) ||
+          listSizes.getOrElse(cid, 0L) == 0L),
+        "probed list not resident in the distributed tier — serve via " +
+          "the declarative stored path")
+    }
+    val byPart = scala.collection.mutable.HashMap
+      .empty[Int, scala.collection.mutable.ArrayBuffer[Int]]
+    var qi = 0
+    while (qi < qArr.length) {
+      probedByQuery(qi).foreach { cid =>
+        cidToPart.get(cid).foreach { p =>
+          byPart.getOrElseUpdate(p,
+            scala.collection.mutable.ArrayBuffer.empty[Int]) += qi
+        }
+      }
+      qi += 1
+    }
+    if (byPart.isEmpty) return IndexedSeq.fill(qArr.length)(Array.empty)
+    val sc = blocks.sparkContext
+    val luts = qArr.map(q => Pq.lutForMetric(cb, q, metric))
+    val bcLuts = sc.broadcast(luts)
+    val partQueries = byPart.map { case (p, is) => (p, is.toArray) }.toMap
+    val parts = byPart.keys.toArray.sorted
+    val m = cb.m
+    val partials: Array[Array[(Int, Array[(Long, Double)])]] =
+      try ServingIndex.withDeadline(sc, limits.deadlineMs) {
+        sc.runJob(
+          blocks,
+          (ctx: org.apache.spark.TaskContext,
+              it: Iterator[PqListBlock]) => {
+            val mine = partQueries.getOrElse(ctx.partitionId(),
+              Array.emptyIntArray)
+            if (!it.hasNext || mine.isEmpty)
+              Array.empty[(Int, Array[(Long, Double)])]
+            else {
+              val block = it.next()
+              mine.map(i => (i,
+                PqServingIndex.adcScanBlockTopN(block,
+                  bcLuts.value(i), m, n)))
+            }
+          },
+          parts.toIndexedSeq)
+      } finally bcLuts.destroy()
+    // per-query driver merge under the shared contract
+    val acc = Array.fill(qArr.length)(
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Double)])
+    partials.foreach(_.foreach { case (i, hits) => acc(i) ++= hits })
+    acc.iterator.map { hits =>
+      val total = hits.length
+      val ids = new Array[Long](total)
+      val scores = new Array[Double](total)
+      var w = 0
+      hits.foreach { case (id, s) => ids(w) = id; scores(w) = s; w += 1 }
+      val len = graft.operators.TopK.selectTopN(ids, scores, total, n,
+        asc = false)
+      Array.tabulate(len)(i => (ids(i), scores(i)))
+    }.toIndexedSeq
+  }
+
   def unpersist(): Unit = { blocks.unpersist(); () }
 }
 
@@ -131,7 +222,12 @@ object PqServingIndex {
       lut: Array[Array[Double]], m: Int,
       n: Int): Array[(Long, Double)] = {
     if (!it.hasNext) return Array.empty
-    val block = it.next()
+    adcScanBlockTopN(it.next(), lut, m, n)
+  }
+
+  private[index] def adcScanBlockTopN(block: PqListBlock,
+      lut: Array[Array[Double]], m: Int,
+      n: Int): Array[(Long, Double)] = {
     val ids = block.ids
     val codes = block.codes
     if (n > 256) {

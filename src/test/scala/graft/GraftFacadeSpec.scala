@@ -637,6 +637,45 @@ class GraftFacadeSpec extends SparkSpec {
     Segments.deleteDir(base)
   }
 
+  test("searchPqBatch: one phase-1 job + one store plan, per-query results identical to searchPq") {
+    val base = tmp()
+    val g = Graft.open(spark, base, metricCfg("ip"))
+    g.upsert(metricBatch())
+    g.compact()
+    assert(g.warmPqTier() > 0)
+    val qsBatch: Seq[Array[Float]] = Seq(
+      mq,
+      Array.tabulate(mdim)(d => if (d == 5) 1f else 0f),
+      Array.tabulate(mdim)(d => if (d == 0) -1f else 0.1f))
+    val batch = g.searchPqBatch(qsBatch, 5)
+    assert(batch.length === 3)
+    qsBatch.zipWithIndex.foreach { case (q, i) =>
+      assert(batch(i).toSeq === g.searchPq(q, 5).toSeq, s"q#$i")
+    }
+    // overlay consultation holds per query inside the batch: a
+    // buffered DELETE of `far` masks it for every query it pools for
+    import org.apache.spark.sql.functions.{col => c}
+    val delDf = Seq(("far", Array.fill(mdim)(0.0).toSeq, 60000L))
+      .toDF("id", "vec", "epoch")
+      .withColumn("op", lit("DELETE"))
+      .withColumn("id_hash", graft.functions.VectorFunctions.hashId(c("id")))
+      .withColumn("vec_id", c("id_hash"))
+      .withColumn("deleted", lit(true))
+      .withColumn("centroid_id", lit(0L))
+      .select("op", "vec_id", "id", "id_hash", "epoch", "deleted",
+        "centroid_id", "vec")
+    assert(g.overlay.publishBatch(delDf) === 60000L)
+    val hFar = hashOf("far")
+    val batch2 = g.searchPqBatch(qsBatch, 10, rerank = 16)
+    qsBatch.zipWithIndex.foreach { case (q, i) =>
+      assert(!batch2(i).exists(_._1 === hFar), s"q#$i surfaced the delete")
+      assert(batch2(i).toSeq === g.searchPq(q, 10, rerank = 16).toSeq,
+        s"q#$i with overlay")
+    }
+    g.close()
+    Segments.deleteDir(base)
+  }
+
   test("maintain() demotes the PQ tier to cold when re-admission cannot retrain (corpus emptied)") {
     val base = tmp()
     val g = Graft.open(spark, base, metricCfg("ip"))

@@ -183,6 +183,29 @@ class PqServingSpec extends SparkSpec {
     assert(msgs(ex).contains("stale TOC"), msgs(ex))
   }
 
+  test("searchAdcBatch: one job serves the batch, per-query results identical to searchAdc") {
+    val dist = PqServingIndex.build(codes, cents, cb, wide)
+    try {
+      val qvs = qRows.take(8).map(_._2).toSeq
+      for ((k, np, metric) <- Seq((20, 3, "ip"), (300, nlist, "ip"),
+          (15, 4, "l2"), (15, nlist, "cosine"))) {
+        val batch = dist.searchAdcBatch(qvs, k, np, metric)
+        assert(batch.length === qvs.length)
+        qvs.zipWithIndex.foreach { case (qv, i) =>
+          assert(batch(i).toSeq === dist.searchAdc(qv, k, np, metric).toSeq,
+            s"q#$i k=$k np=$np metric=$metric")
+        }
+      }
+      // empty batch and the reference's max_query_batch rejection
+      assert(dist.searchAdcBatch(Seq.empty, 10, 3).isEmpty)
+      val tiny = ServingLimits(maxBatch = 2)
+      val small = PqServingIndex.build(codes, cents, cb, tiny)
+      try intercept[IllegalArgumentException] {
+        small.searchAdcBatch(qvs.take(3), 10, 3)
+      } finally small.unpersist()
+    } finally dist.unpersist()
+  }
+
   test("binary byte-packed codes build identically to array<int> codes") {
     val binCodes = Ivf.assign(emb, cents).select(col("vec_id"),
       col("centroid_id"), Pq.codesBinaryColumn(cb).as("codes"))
