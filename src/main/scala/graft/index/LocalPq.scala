@@ -27,9 +27,12 @@ import org.apache.spark.sql.functions._
   *
   * This tier is a CACHE: lists are admitted whole, in cid order, under
   * a byte budget. A request probing an uncached list throws — the
-  * uncovered path is the declarative stored IVF-PQ query
-  * (`Pq.twoPhaseSearch` over the segment layout), exactly as a
-  * reference cache miss falls to the store.
+  * uncovered path is the DISTRIBUTED codes tier ([[PqServingIndex]])
+  * when warm, and the declarative stored IVF-PQ query
+  * (`Pq.twoPhaseSearch` over the segment layout) only when both cache
+  * levels are cold. [[PqTieredServing]] is that routing, pre-checked
+  * via [[coversRequest]] so the refusal never surfaces to a routed
+  * caller.
   */
 final class LocalPqIndex private (
     cids: Array[Long],
@@ -67,17 +70,31 @@ final class LocalPqIndex private (
     probed.forall(cid =>
       lists.contains(cid) || listSizes.getOrElse(cid, 0L) == 0L)
 
-  /** Per-query LUT — THE shared definition ([[Pq.lutFor]]). */
-  private def lut(q: Array[Float]): Array[Array[Double]] =
-    Pq.lutFor(cb, q)
+  /** Would THIS request serve from the tier? — the router's pre-check
+    * ([[PqTieredServing]]): same probe ranking + max_candidates walk as
+    * the scan itself, so a `true` here never turns into the coverage
+    * refusal inside [[searchAdc]].
+    */
+  def coversRequest(q: Array[Float], nprobe: Int): Boolean =
+    coversProbes(capProbes(probe(q, nprobe)))
+
+  /** Per-query LUT — THE shared definition ([[Pq.lutForMetric]]: ip
+    * verbatim [[Pq.lutFor]], l2 negated expanded-L2, cosine
+    * normalized-IP; every variant is higher-is-better so the scan
+    * kernels are metric-blind).
+    */
+  private def lut(q: Array[Float], metric: String): Array[Array[Double]] =
+    Pq.lutForMetric(cb, q, metric)
 
   /** Phase 1: ADC top-k over the probed lists (approx score, higher =
-    * better — the PQ path is inner-product, config.h:84-94). Equals
-    * `Pq.adcScores` + the top-k aggregate on the same rows.
+    * better for every metric's LUT). Equals `Pq.adcScores` + the top-k
+    * aggregate on the same rows for ip (the PQ path default,
+    * config.h:84-94); `metric` picks the LUT exactly like the
+    * distributed tier's [[PqServingIndex.searchAdc]].
     */
-  def searchAdc(q: Array[Float], k: Int,
-      nprobe: Int): Array[(Long, Double)] =
-    adcTopN(q, math.min(k, limits.maxK), nprobe) // clamp (config.h:128)
+  def searchAdc(q: Array[Float], k: Int, nprobe: Int,
+      metric: String = "ip"): Array[(Long, Double)] =
+    adcTopN(q, math.min(k, limits.maxK), nprobe, metric) // clamp (config.h:128)
 
   /** Internal phase-1 ranking: `n` may exceed max_top_k — the rerank
     * candidate pool is rerank·k, an internal budget, not a client k.
@@ -94,13 +111,14 @@ final class LocalPqIndex private (
     */
   private val deepFetchThreshold = 256
 
-  private def adcTopN(q: Array[Float], n: Int,
-      nprobe: Int): Array[(Long, Double)] = {
+  private def adcTopN(q: Array[Float], n: Int, nprobe: Int,
+      metric: String = "ip"): Array[(Long, Double)] = {
     val probed = capProbes(probe(q, nprobe))
     require(coversProbes(probed),
-      "probed list not cached — serve via the declarative stored " +
-        "IVF-PQ path (cache miss falls to the store)")
-    val l = lut(q)
+      "probed list not cached — serve via the distributed PQ tier " +
+        "(PqTieredServing routes there when warm; the declarative " +
+        "stored IVF-PQ path is the cold fallback)")
+    val l = lut(q, metric)
     val m = cb.m
     if (n > deepFetchThreshold) {
       // deep fetch: score everything into primitive buffers, one
@@ -160,17 +178,20 @@ final class LocalPqIndex private (
     */
   def searchAdcParallel(q: Array[Float], k: Int, nprobe: Int,
       pool: java.util.concurrent.ExecutorService,
-      chunkRows: Int = 65536): Array[(Long, Double)] =
-    adcTopNParallel(q, math.min(k, limits.maxK), nprobe, pool, chunkRows)
+      chunkRows: Int = 65536,
+      metric: String = "ip"): Array[(Long, Double)] =
+    adcTopNParallel(q, math.min(k, limits.maxK), nprobe, pool, chunkRows,
+      metric)
 
   private def adcTopNParallel(q: Array[Float], n: Int, nprobe: Int,
       pool: java.util.concurrent.ExecutorService,
-      chunkRows: Int): Array[(Long, Double)] = {
+      chunkRows: Int, metric: String = "ip"): Array[(Long, Double)] = {
     val probed = capProbes(probe(q, nprobe))
     require(coversProbes(probed),
-      "probed list not cached — serve via the declarative stored " +
-        "IVF-PQ path (cache miss falls to the store)")
-    val l = lut(q)
+      "probed list not cached — serve via the distributed PQ tier " +
+        "(PqTieredServing routes there when warm; the declarative " +
+        "stored IVF-PQ path is the cold fallback)")
+    val l = lut(q, metric)
     val m = cb.m
     val units = probed.flatMap { cid =>
       val (ids, _) = lists.getOrElse(cid,

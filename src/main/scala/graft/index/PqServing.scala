@@ -56,6 +56,15 @@ final class PqServingIndex private (
     ServingIndex.capProbesWalk(probed,
       cid => listSizes.getOrElse(cid, 0L), limits.maxCandidates)
 
+  /** Would THIS request serve from the tier? — the router's pre-check
+    * ([[PqTieredServing]]): same probe ranking + max_candidates walk
+    * + residency rule as the scan itself, so a `true` here never turns
+    * into the coverage refusal inside [[searchAdc]].
+    */
+  def coversRequest(q: Array[Float], nprobe: Int): Boolean =
+    capProbes(probe(q, nprobe)).forall(cid =>
+      cidToPart.contains(cid) || listSizes.getOrElse(cid, 0L) == 0L)
+
   /** Phase 1 over the distributed tier: ADC top-k of the probed lists,
     * one task per probed list, driver merge. The CLIENT-facing entry —
     * `k` is clamped by maxK like every tier's client k. `metric` picks
@@ -356,9 +365,22 @@ object PqServingIndex {
         it.map { i =>
           require(i == pi, s"toc index $i landed on partition $pi")
           val (cid, off, n) = bcToc.value(i)
-          val ch = java.nio.channels.FileChannel.open(
-            java.nio.file.Paths.get(path),
-            java.nio.file.StandardOpenOption.READ)
+          val ch =
+            try java.nio.channels.FileChannel.open(
+              java.nio.file.Paths.get(path),
+              java.nio.file.StandardOpenOption.READ)
+            catch { case e: java.nio.file.NoSuchFileException =>
+              // on local[*] and shared filesystems the driver-validated
+              // path is visible here by construction; a per-task miss
+              // means executor-local disks — name the fix loudly
+              // instead of surfacing a bare NoSuchFileException per task
+              throw new java.io.IOException(
+                s"packed tier file $path not visible from this " +
+                  "executor — buildFromPacked range-reads the file " +
+                  "PER TASK, so on a multi-node cluster it must live " +
+                  "on storage shared by every executor (or use the " +
+                  "shuffle build over the codes relation instead)", e)
+            }
           try {
             // Staleness gate BEFORE any range read: this RDD recomputes
             // an evicted/lost partition by re-reading the file at

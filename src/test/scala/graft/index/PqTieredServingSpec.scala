@@ -1,0 +1,125 @@
+package graft.index
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** [[PqTieredServing]] — the L0 driver / L1 distributed / L2 stored
+  * routing for the stable PQ tier: route choice follows coverage, the
+  * serving VALUES are identical whichever level serves (the cache
+  * levels share one ADC contract), and the per-level counters account
+  * for every request.
+  */
+class PqTieredServingSpec extends SparkSpec {
+
+  private lazy val cents = Ivf.deterministicCentroids(emb, 50)
+  private lazy val cb = Pq.deterministicCodebook(emb, 8, 8, 50)
+  private lazy val codes = Ivf.assign(emb, cents).select(col("vec_id"),
+    col("centroid_id"), Pq.codesColumn(cb).as("codes")).cache()
+  private lazy val qRows = graft.operators.Knn.defaultQueries(emb)
+    .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    .sortBy(_._1)
+  private lazy val nlist = cents.count().toInt
+  private lazy val wide =
+    ServingLimits(maxK = 4096, maxCandidates = 100000)
+  private lazy val fullLocal =
+    LocalPqIndex.build(codes, cents, cb, limits = wide)
+
+  /** L2 stand-in with the SAME values as the cache levels (the real
+    * stored path is oracle-gated by `knn_pq_stored`); counters prove
+    * WHICH level the router picked, values prove it doesn't matter.
+    */
+  private def storedPath(q: Array[Float], k: Int, np: Int,
+      metric: String): Array[(Long, Double)] =
+    fullLocal.searchAdc(q, k, np, metric)
+
+  test("route choice: starved L0 serves covered probes, distributed L1 takes the rest, L2 only when both are cold") {
+    // ~half the lists admitted: 16 B/row fixture geometry, budget sized
+    // off the real corpus so the starved tier is neither empty nor full
+    val perRow = 8L + cb.m
+    val budget = emb.count() * perRow / 2
+    val starved = LocalPqIndex.build(codes, cents, cb,
+      maxBytes = budget, limits = wide)
+    assert(starved.cachedLists > 0 &&
+      starved.cachedLists < fullLocal.cachedLists,
+      s"fixture degenerate: starved=${starved.cachedLists} " +
+        s"full=${fullLocal.cachedLists}")
+    val dist = PqServingIndex.build(codes, cents, cb, wide)
+    try {
+      val np = 3
+      val covered = qRows.filter { case (_, qv) =>
+        starved.coversRequest(qv, np) }
+      val uncovered = qRows.filter { case (_, qv) =>
+        !starved.coversRequest(qv, np) }
+      assert(covered.nonEmpty && uncovered.nonEmpty,
+        s"fixture degenerate: covered=${covered.length} " +
+          s"uncovered=${uncovered.length}")
+
+      val router = new PqTieredServing(Some(starved), Some(dist),
+        storedPath)
+      (covered.take(3) ++ uncovered.take(3)).foreach { case (qid, qv) =>
+        val got = router.searchAdc(qv, 10, np).toSeq
+        assert(got === fullLocal.searchAdc(qv, 10, np).toSeq,
+          s"q=$qid: routed result must equal the full-coverage answer")
+      }
+      assert(router.localServes === math.min(3, covered.length))
+      assert(router.distServes === math.min(3, uncovered.length))
+      assert(router.storedServes === 0)
+
+      // L1 cold too → the store serves
+      val coldRouter = new PqTieredServing(Some(starved), None, storedPath)
+      uncovered.take(2).foreach { case (qid, qv) =>
+        assert(coldRouter.searchAdc(qv, 10, np).toSeq ===
+          fullLocal.searchAdc(qv, 10, np).toSeq, s"q=$qid")
+      }
+      assert(coldRouter.storedServes === math.min(2, uncovered.length))
+    } finally dist.unpersist()
+  }
+
+  test("route parity: L0, L1 and L2 return bit-identical results for the same request, every metric") {
+    val dist = PqServingIndex.build(codes, cents, cb, wide)
+    try {
+      val r0 = new PqTieredServing(Some(fullLocal), Some(dist), storedPath)
+      val r1 = new PqTieredServing(None, Some(dist), storedPath)
+      val r2 = new PqTieredServing(None, None, storedPath)
+      qRows.take(4).foreach { case (qid, qv) =>
+        for {
+          (k, np) <- Seq((10, 2), (300, nlist))
+          metric <- Seq("ip", "l2", "cosine")
+        } {
+          val a = r0.searchAdc(qv, k, np, metric).toSeq
+          val b = r1.searchAdc(qv, k, np, metric).toSeq
+          val c = r2.searchAdc(qv, k, np, metric).toSeq
+          assert(a === b, s"q=$qid k=$k np=$np $metric: L0 vs L1")
+          assert(b === c, s"q=$qid k=$k np=$np $metric: L1 vs L2")
+        }
+      }
+      assert(r0.localServes === 4 * 6 && r0.distServes === 0)
+      assert(r1.distServes === 4 * 6 && r1.localServes === 0)
+      assert(r2.storedServes === 4 * 6)
+    } finally dist.unpersist()
+  }
+
+  test("driver tier's metric LUTs equal the distributed tier's (l2 pool differs from ip on an unnormalized corpus)") {
+    val dist = PqServingIndex.build(codes, cents, cb, wide)
+    try {
+      qRows.take(5).foreach { case (qid, qv) =>
+        Seq("ip", "l2", "cosine").foreach { metric =>
+          assert(fullLocal.searchAdc(qv, 20, nlist, metric).toSeq ===
+            dist.searchAdc(qv, 20, nlist, metric).toSeq,
+            s"q=$qid $metric")
+        }
+      }
+      // the metric must actually matter: on this corpus (unnormalized
+      // synthetic embeddings) the l2 candidate pool and the ip pool
+      // disagree for at least one query — otherwise the parity above
+      // proves nothing about the l2 LUT
+      val differs = qRows.exists { case (_, qv) =>
+        fullLocal.searchAdc(qv, 10, nlist, "ip").map(_._1).toSeq !=
+          fullLocal.searchAdc(qv, 10, nlist, "l2").map(_._1).toSeq
+      }
+      assert(differs, "ip and l2 pools identical corpus-wide — fixture " +
+        "cannot distinguish the LUTs")
+    } finally dist.unpersist()
+  }
+}
