@@ -735,6 +735,44 @@ object Bench {
         val b = local.searchAdcParallel(qOut.head._2, 40, nprobe100,
           pool).toSeq
         extras("ivf_100m_dist_parity") = (a == b).toString
+        // ---- TIERED ROUTER (PqTieredServing): the fall-through order
+        // a request actually takes — driver tier when it covers the
+        // probes, THIS distributed tier when it doesn't, parquet store
+        // only when both cache levels are cold (p99 68.7 ms tier vs
+        // 1076 ms parquet twin on the same box — the route matters).
+        // Counters record which path served; the forced-cold-L0 twin
+        // proves the route choice is value-invisible. ----
+        val storedRoute = (qv: Array[Float], k: Int, np: Int,
+            metric: String) => {
+          require(metric == "ip", "bench stored route is the ip twin")
+          import spark.implicits._
+          val probed = local.probe(qv, np)
+          val qdf = Seq((0L, qv.toSeq)).toDF("query_id", "qv")
+          graft.index.Pq.adcScores(
+              spark.read.parquet(s"$dir100/codes")
+                .filter(col("centroid_id").isin(probed: _*)), cb, qdf)
+            .orderBy(col("approx_score").desc, col("vec_id").asc)
+            .limit(k).select(col("vec_id"), col("approx_score"))
+            .collect().map(r => (r.getLong(0), r.getDouble(1)))
+        }
+        val router = new graft.index.PqTieredServing(
+          Some(local), Some(dist), storedRoute)
+        val routed = qOut.take(25).map { case (_, qv) =>
+          router.searchAdc(qv, 10, nprobe100).toSeq
+        }
+        extras("ivf_100m_route_local_serves") = router.localServes.toString
+        extras("ivf_100m_route_dist_serves") = router.distServes.toString
+        extras("ivf_100m_route_stored_serves") =
+          router.storedServes.toString
+        val coldL0 = new graft.index.PqTieredServing(
+          None, Some(dist), storedRoute)
+        val fallParity = qOut.take(25).zip(routed).forall {
+          case ((_, qv), want) =>
+            coldL0.searchAdc(qv, 10, nprobe100).toSeq == want
+        }
+        extras("ivf_100m_route_fallthrough_dist_serves") =
+          coldL0.distServes.toString
+        extras("ivf_100m_route_fallthrough_parity") = fallParity.toString
         dist.unpersist()
         System.gc()
       } catch { case e: Throwable =>
@@ -1295,7 +1333,32 @@ object Bench {
         // it): BRACKETING dispatch-floor probes + per-pass times
         // published verbatim, and a sick-floor rerun (one extra pass).
         var ingFloorB = floorProbe(spark, 32)
+        // INTERLEAVED constant-work calibration twin (the serving
+        // sections' r11 discipline — serving_concurrent_ratio — applied
+        // to ingest, which swings hardest with box weather: r11 driver
+        // 122k vs builder 312k ops/s on the same code, same floors).
+        // One fixed ingest-SHAPED job (write 200k fixed rows as parquet
+        // into the same tmp filesystem, read-count back) timed around
+        // every ingest pass, so both see the same weather. The
+        // cross-round signal is ingest_calib_ratio = ops ingested per
+        // unit of constant-work capacity — compare THAT, not raw ops/s.
+        val calibN = 200000L
+        val calibSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
+        def ingestCalib(tag: String): Unit =
+          try {
+            val dir = s"$tmp/calib-$tag"
+            val t0 = System.nanoTime()
+            spark.range(calibN)
+              .select(col("id"), xxhash64(col("id")).as("h"))
+              .repartition(8).write.mode("overwrite").parquet(dir)
+            val n = spark.read.parquet(dir).count()
+            require(n == calibN, s"calib wrote $n of $calibN rows")
+            calibSecs += (System.nanoTime() - t0) / 1e9
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] ingest calib FAILED: ${e.getMessage}")
+          }
         def ingestPass(p: Int): (String, Double, Double, Seq[Long]) = {
+          ingestCalib(s"pre$p")
           val tree = s"$tmp/tree$p"; val ckpt = s"$tmp/ckpt$p"
           val t0 = System.nanoTime()
           val lags = IngestPipeline.runOnce(spark, src, tree, ckpt)
@@ -1306,6 +1369,7 @@ object Bench {
           (tree, ingSec, cSec, lags)
         }
         var passes = (0 until 2).map(ingestPass)
+        ingestCalib("post")
         var ingFloorA = floorProbe(spark, 32)
         if (ingFloorB > 15.0 || ingFloorA > 15.0) {
           System.err.println("[bench] ingest passes timed under a sick " +
@@ -1314,6 +1378,7 @@ object Bench {
           System.gc(); Thread.sleep(2000L)
           ingFloorB = floorProbe(spark, 32)
           passes = passes :+ ingestPass(2)
+          ingestCalib("post2")
           ingFloorA = floorProbe(spark, 32)
         }
         extras("ingest_floor_before_ms") = num(ingFloorB, 1)
@@ -1323,6 +1388,17 @@ object Bench {
         extras("compact_attempts_sec") =
           passes.map(p => num(p._3, 3)).mkString("[", ",", "]")
         val (tree, ingSec, cSec, lags) = passes.minBy(_._2)
+        // the twin brackets the BEST pass too (it ran before it), so the
+        // median calib time and the best pass share the same weather
+        // regime; ratio units: ops ingested per constant-work unit
+        if (calibSecs.nonEmpty) {
+          val calMed = calibSecs.sorted.apply(calibSecs.length / 2)
+          extras("ingest_calib_attempts_sec") =
+            calibSecs.map(num(_, 3)).mkString("[", ",", "]")
+          extras("ingest_calib_sec") = num(calMed, 3)
+          extras("ingest_calib_ratio") =
+            num((nOps / ingSec) * calMed, 1)
+        }
         val flushLagMs = if (lags.isEmpty) -1.0 else lags.max.toDouble
         // steady-state follow-up wave: ~2% of ids upserted after compaction
         val wave = spark.read.parquet(src)
@@ -2645,7 +2721,9 @@ object Bench {
         "ivf_100m_dist_p99_ms", "ivf_100m_dist_p99_steady_ms",
         "ivf_100m_dist_parity",
         "ivf_100m_stored_p50_ms", "ivf_100m_stored_p99_ms",
-        "serving_concurrent_calib_qps", "serving_concurrent_ratio")
+        "ivf_100m_route_fallthrough_parity",
+        "serving_concurrent_calib_qps", "serving_concurrent_ratio",
+        "ingest_calib_ratio")
       summaryExtras.foreach(k => extras.get(k).foreach(v => summary(k) = v))
       summary("queries_full") = "\"BENCH_FULL.json\""
       summary("sf") = "\"" + sfDirJson + "\""
