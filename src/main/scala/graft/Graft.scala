@@ -344,6 +344,15 @@ final class Graft private (
   @volatile private var pqTierPinned:
       Option[graft.index.Pq.Codebook] = None
 
+  /** The warm tier's quantizer (None when cold) — observability for
+    * the determinism contract (GraftFacadeSpec: two warms over the
+    * same corpus must admit bit-identical codebooks; phase 2's exact
+    * rerank makes a drifting codebook value-invisible, so the contract
+    * is pinned here, not on search results).
+    */
+  private[graft] def pqTierCodebook: Option[graft.index.Pq.Codebook] =
+    pqTier.map(_._2)
+
   /** Stand up the distributed PQ cache tier over the CURRENT live
     * corpus (the reference's stable-tier admission pass, a
     * maintenance-cadence operation like [[warmCache]]): assign live
@@ -379,8 +388,18 @@ final class Graft private (
         raw.withColumn("vec",
           graft.functions.VectorFunctions.l2Normalize(col("vec")))
       else raw
+    // DETERMINISTIC training sample: hash-ordered top-N, not a bare
+    // limit (whose row set AND order depend on scan/partition order —
+    // two warms over the same corpus could admit different codebooks,
+    // breaking the engine-wide reproducibility contract every other
+    // trainer honors). orderBy+limit compiles to TakeOrderedAndProject:
+    // per-partition top-N on the executors, driver merge — no full
+    // sort, the 100 TB shape. Hash order also makes the sample
+    // pseudo-random instead of storage-ordered; ties (hash collisions)
+    // break on the unique vec_id.
     val cb = codebook.getOrElse(graft.index.Pq.trainCodebookDriver(
-      live.limit(16384), m, dim / m, 256, vecCol = "vec", maxIter = 8))
+      live.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(16384),
+      m, dim / m, 256, vecCol = "vec", maxIter = 8))
     val codes = Ivf.assign(live, centroids(), vecCol = "vec")
       .select(col("vec_id"), col("centroid_id"),
         graft.index.Pq.codesColumn(cb, "vec").as("codes"))

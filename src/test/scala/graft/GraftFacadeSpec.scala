@@ -695,4 +695,93 @@ class GraftFacadeSpec extends SparkSpec {
     g.close()
     Segments.deleteDir(base)
   }
+
+  test("serve-under-mutation fuzz: searchPq stays exact across interleaved upserts/deletes/compacts/re-warms (snapshot contract)") {
+    // pins the semantics warmPqTier documents: phase-1 candidates are
+    // the WARM-TIME snapshot, phase 2 re-scores against the CURRENT
+    // store with LWW — so the servable set is (warm ids ∩ current
+    // live), deleted rows never surface, a re-upserted (resurrected)
+    // warm id serves its NEW vector, and rows born after the warm stay
+    // invisible until the next admission pass. nprobe from metricCfg
+    // probes every list and rerank 64 covers the fixture, so the model
+    // is the complete exact top-k over that servable set.
+    val base = tmp()
+    val g = Graft.open(spark, base, metricCfg("ip"))
+    val rnd = new scala.util.Random(4242)
+    def rvec(): Seq[Double] =
+      Seq.tabulate(mdim)(_ => rnd.nextDouble() * 2 - 1)
+    val live = scala.collection.mutable.Map.empty[String, Seq[Double]]
+    val hashes = scala.collection.mutable.Map.empty[String, Long]
+    def upsert(ids: Seq[String]): Unit = {
+      val rows = ids.map(id => (id, rvec()))
+      rows.foreach { case (id, v) => live(id) = v }
+      val df = rows.toDF("id", "vec")
+      df.select(col("id"),
+          graft.functions.VectorFunctions.hashId(col("id")).as("h"))
+        .collect().foreach(r => hashes(r.getString(0)) = r.getLong(1))
+      g.upsert(df)
+    }
+    upsert((0 until 40).map(i => s"r-$i"))
+    g.compact()
+    assert(g.warmPqTier() > 0)
+    var warmIds: Set[String] = live.keySet.toSet
+    def serveCheck(step: Int): Unit = {
+      val k = 1 + rnd.nextInt(8)
+      val qv = Array.tabulate(mdim)(_ => rnd.nextFloat() * 2 - 1)
+      val got = g.searchPq(qv, k, rerank = 64).toSeq
+      val topk = new graft.operators.TopK.Bounded(k, asc = false)
+      warmIds.iterator.filter(live.contains).foreach { id =>
+        topk.insert(graft.index.ServingIndex.scoreOne(
+          qv, live(id).toArray, "ip"), hashes(id))
+      }
+      assert(got === topk.result().toSeq, s"step=$step k=$k")
+    }
+    serveCheck(-1)
+    (0 until 25).foreach { step =>
+      rnd.nextInt(5) match {
+        case 0 =>
+          upsert(Seq.fill(1 + rnd.nextInt(4))(
+            s"r-${rnd.nextInt(60)}").distinct)
+        case 1 if live.size > 5 =>
+          val victims = rnd.shuffle(live.keys.toSeq.sorted)
+            .take(1 + rnd.nextInt(3))
+          victims.foreach(live.remove)
+          g.delete(victims.toDF("id"))
+        case 2 => g.compact()
+        case 3 if live.nonEmpty =>
+          assert(g.warmPqTier() > 0)
+          warmIds = live.keySet.toSet
+        case _ => ()
+      }
+      serveCheck(step)
+    }
+    g.close()
+    Segments.deleteDir(base)
+  }
+
+  test("warmPqTier trains a DETERMINISTIC codebook: repeated warms and a reopened store admit bit-identical quantizers") {
+    // phase 2 re-scores exactly, so a drifting codebook is
+    // value-invisible in searchPq results — the contract is pinned on
+    // the quantizer itself (hash-ordered sample → deterministic Lloyd;
+    // a bare limit() sample depends on scan/partition order)
+    def flat(cb: graft.index.Pq.Codebook): (Int, Int, Seq[Double]) =
+      (cb.m, cb.dsub, cb.codebooks.toSeq.flatMap(_.toSeq.flatMap(_.toSeq)))
+    val base = tmp()
+    val g = Graft.open(spark, base, metricCfg("ip"))
+    g.upsert(metricBatch())
+    g.compact()
+    assert(g.warmPqTier() > 0)
+    val cb1 = flat(g.pqTierCodebook.get)
+    assert(g.warmPqTier() > 0) // re-warm, same session
+    assert(flat(g.pqTierCodebook.get) === cb1,
+      "two warms over the same corpus trained different codebooks")
+    g.close()
+    // a fresh open (fresh plans, fresh scan order) must warm identically
+    val g2 = Graft.open(spark, base, metricCfg("ip"))
+    assert(g2.warmPqTier() > 0)
+    assert(flat(g2.pqTierCodebook.get) === cb1,
+      "a reopened store warmed a different codebook")
+    g2.close()
+    Segments.deleteDir(base)
+  }
 }
