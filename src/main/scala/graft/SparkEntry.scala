@@ -36,6 +36,14 @@ object SparkEntry {
 
   private val pointIds = Seq(0L, 1L, 5L, 10L, 55L, 123L, 499L, 9999L)
 
+  /** Where `knn_pq_opq_trained` persists its trained rotation for the
+    * DuckDB oracle to read back (the verify run writes it, the oracle
+    * replay — which always follows the verify run on the same sf —
+    * reads it; last writer wins across sf dirs by design). Gitignored
+    * scratch, never shipped state.
+    */
+  private val opqRotationPath = "/root/repo/.vtmp/opq_rotation_trained"
+
   /** Shared read-only stored segment tree per sfDir: the deterministic
     * mutation log assigned to deterministic centroids, flushed as two delta
     * segments split at epoch 2000 (inserts | upserts+deletes) — NEVER
@@ -717,6 +725,40 @@ object SparkEntry {
       import graft.index.Opq
       val e = emb(s, dir)
       val rot = Opq.fixedRotation(64)
+      val rotated = e.select(col("vec_id"),
+        Opq.rotate(rot, col("embedding")).as("embedding"))
+      val cb = Pq.deterministicCodebook(rotated, 8, 8, 50)
+      Opq.twoPhaseSearch(e, Opq.encode(e, rot, cb), rot, cb, q(s, dir),
+        10, 4)
+    }),
+    // ---- B3+OPQ with the TRAINED rotation, oracle-gated end to end:
+    // the parametric PCA + eigenvalue-allocation rotation is trained
+    // here, PERSISTED (one 64-row parquet at a fixed path), and DuckDB
+    // replays the whole downstream pipeline FROM that matrix — rotate
+    // (matrix multiply as one list_dot_product per output dim) →
+    // deterministic codebook in rotated space → ADC → exact rerank on
+    // RAW vectors. Training itself keeps its OpqSpec recall gates;
+    // what this pins is that the rotated two-phase pipeline computes
+    // exactly what it claims for the rotation the engine ACTUALLY
+    // trained (the fixed-rotation twin above can't see a broken
+    // trained-rotation apply/encode path). The iterative ck-means
+    // trainer shares this apply/encode/ADC path — only the R source
+    // differs — so the gate covers both trainers' serving arithmetic.
+    "knn_pq_opq_trained" -> ((s, dir) => {
+      import graft.index.Opq
+      import org.apache.spark.sql.types._
+      val e = emb(s, dir)
+      val rot = Opq.trainRotation(e, 8, 8)
+      // persist for the DuckDB replay: (i, rw) = output dim i's basis
+      // row, exact doubles through parquet
+      s.createDataFrame(s.sparkContext.parallelize(
+          rot.matrix.zipWithIndex.toIndexedSeq.map { case (rw, i) =>
+            org.apache.spark.sql.Row(i, rw.toSeq) }, 1),
+          StructType(Seq(
+            StructField("i", IntegerType, nullable = false),
+            StructField("rw", ArrayType(DoubleType, containsNull = false),
+              nullable = false))))
+        .write.mode("overwrite").parquet(opqRotationPath)
       val rotated = e.select(col("vec_id"),
         Opq.rotate(rot, col("embedding")).as("embedding"))
       val cb = Pq.deterministicCodebook(rotated, 8, 8, 50)
@@ -1775,6 +1817,55 @@ object SparkEntry {
          |    i -> (CASE WHEN i % 2 = 0 THEN 1.0 ELSE -1.0 END)
          |      * qv[((17 * i + 3) % 64) + 1]) AS qv
          |  FROM q),
+         |cb AS (SELECT r.j, vec_id AS code_id,
+         |    e[r.j*8+1 : r.j*8+8] AS cw
+         |  FROM remb, range(8) r(j) WHERE vec_id % 50 = 0),
+         |sv AS (SELECT remb.vec_id, r.j, e[r.j*8+1 : r.j*8+8] AS s
+         |  FROM remb, range(8) r(j)),
+         |codes AS (SELECT vec_id, j, code_id FROM (
+         |    SELECT sv.vec_id, sv.j, cb.code_id, row_number() OVER (
+         |      PARTITION BY sv.vec_id, sv.j ORDER BY
+         |        list_dot_product(sv.s, sv.s)
+         |          - 2 * list_dot_product(sv.s, cb.cw)
+         |          + list_dot_product(cb.cw, cb.cw) ASC, cb.code_id ASC) AS rn
+         |    FROM sv JOIN cb USING (j)) t
+         |  WHERE rn = 1),
+         |lut AS (SELECT rq.query_id, cb.j, cb.code_id,
+         |    list_dot_product(rq.qv[cb.j*8+1 : cb.j*8+8], cb.cw) AS part
+         |  FROM rq CROSS JOIN cb),
+         |adc AS (SELECT l.query_id, c.vec_id,
+         |    list_sum(list(l.part ORDER BY l.j)) AS approx_score
+         |  FROM codes c JOIN lut l ON c.j = l.j AND c.code_id = l.code_id
+         |  GROUP BY l.query_id, c.vec_id),
+         |cand AS (SELECT query_id, vec_id FROM (
+         |    SELECT adc.*, row_number() OVER (
+         |      PARTITION BY query_id
+         |      ORDER BY approx_score DESC, vec_id ASC) AS rn FROM adc) t
+         |  WHERE rn <= 40),
+         |exact AS (SELECT cand.query_id, cand.vec_id,
+         |    list_dot_product(q.qv, emb.e) AS score
+         |  FROM cand JOIN q USING (query_id) JOIN emb USING (vec_id))
+         |SELECT query_id, vec_id, score FROM (
+         |  SELECT exact.*, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rn
+         |  FROM exact) t
+         |WHERE rn <= 10""".stripMargin,
+    // the TRAINED rotation replay: identical pipeline to knn_pq_opq but
+    // the rotation comes from the parquet the Spark query persisted —
+    // rotate is one list_dot_product per output dim (sequential double
+    // accumulation, the same arithmetic as the engine's MatVec kernel)
+    "knn_pq_opq_trained" ->
+      s"""$EMB,
+         |rot AS (SELECT i, rw FROM
+         |  read_parquet('/root/repo/.vtmp/opq_rotation_trained/*.parquet')),
+         |remb AS (SELECT vec_id, list(dp ORDER BY i) AS e FROM (
+         |    SELECT emb.vec_id, r.i, list_dot_product(r.rw, emb.e) AS dp
+         |    FROM emb CROSS JOIN rot r) t
+         |  GROUP BY vec_id),
+         |rq AS (SELECT query_id, list(dp ORDER BY i) AS qv FROM (
+         |    SELECT q.query_id, r.i, list_dot_product(r.rw, q.qv) AS dp
+         |    FROM q CROSS JOIN rot r) t
+         |  GROUP BY query_id),
          |cb AS (SELECT r.j, vec_id AS code_id,
          |    e[r.j*8+1 : r.j*8+8] AS cw
          |  FROM remb, range(8) r(j) WHERE vec_id % 50 = 0),
