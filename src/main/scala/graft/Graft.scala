@@ -333,8 +333,23 @@ final class Graft private (
   // ---- Q7/Q8 at the facade: the reference's STABLE-tier IVF-PQ
   // serving shape (config.h:84-94) reachable from the public API ----
 
-  @volatile private var pqTier:
-      Option[(graft.index.PqServingIndex, graft.index.Pq.Codebook)] = None
+  /** The warm stable tier: distributed codes tier + (when the config
+    * budget admits anything) a driver-resident codes tier, composed by
+    * the cache-hierarchy router — phase 1 serves WITHOUT a scheduler
+    * job when the driver tier covers the probes (~14 ms dispatch floor
+    * saved per request at reference list sizes), from the distributed
+    * tier otherwise. The router's stored level never fires here: the
+    * distributed tier is built over the full corpus, so its coverage
+    * only fails on a probe bug — surfaced as the same cold-tier
+    * IllegalStateException rather than a silent store scan.
+    */
+  private final case class PqTierState(
+      dist: graft.index.PqServingIndex,
+      local: Option[graft.index.LocalPqIndex],
+      router: graft.index.PqTieredServing,
+      cb: graft.index.Pq.Codebook)
+
+  @volatile private var pqTier: Option[PqTierState] = None
   // how the tier was admitted: Some(cb) = caller-pinned quantizer
   // (tests/oracles), None = trained here — re-admission repeats the
   // SAME policy (a pinned quantizer stays pinned; a trained one
@@ -351,25 +366,46 @@ final class Graft private (
     * is pinned here, not on search results).
     */
   private[graft] def pqTierCodebook: Option[graft.index.Pq.Codebook] =
-    pqTier.map(_._2)
+    pqTier.map(_.cb)
 
-  /** Stand up the distributed PQ cache tier over the CURRENT live
+  /** Single-door phase-1 route counters (driver, distributed, stored)
+    * — observability for the cache hierarchy; the stored count stays 0
+    * by construction (see [[PqTierState]]).
+    */
+  def pqDoorRoutes: (Long, Long, Long) = pqTier match {
+    case Some(st) =>
+      (st.router.localServes, st.router.distServes, st.router.storedServes)
+    case None => (0L, 0L, 0L)
+  }
+
+  /** Stand up the stable PQ cache HIERARCHY over the CURRENT live
     * corpus (the reference's stable-tier admission pass, a
     * maintenance-cadence operation like [[warmCache]]): assign live
-    * rows to the serving centroid layout, PQ-encode them
+    * rows to the serving centroid layout, PQ-encode them ONCE
     * (`index.stable.pq_m` × 8 bits; pass `codebook` to pin a
-    * deterministic quantizer — tests and oracles do), and pack one
-    * inverted list per RDD partition in the block manager
-    * ([[graft.index.PqServingIndex]]). Codes cost `m` bytes a row vs
-    * `4·dim` for raw floats — the tier that still fits cluster memory
-    * when the raw corpus no longer does. Returns the packed list
-    * count. SNAPSHOT semantics: like every cache tier, the packed
-    * codes reflect the corpus at warm time; phase 2 re-scores against
-    * the CURRENT store, so deleted rows never surface, but rows
-    * upserted after the warm are served by [[search]]/[[liveView]]
-    * until the next admission pass re-warms.
+    * deterministic quantizer — tests and oracles do), then admit the
+    * codes into BOTH cache levels — every inverted list as one RDD
+    * partition in the block manager ([[graft.index.PqServingIndex]])
+    * and, under the `global.memory_cache_mb` byte budget, a
+    * driver-resident packed tier ([[graft.index.LocalPqIndex]]) that
+    * serves covered probes with zero scheduler dispatch. Codes cost
+    * `m` bytes a row vs `4·dim` for raw floats — the tiers that still
+    * fit memory when the raw corpus no longer does. Returns the
+    * distributed tier's packed list count. SNAPSHOT semantics: like
+    * every cache tier, the packed codes reflect the corpus at warm
+    * time; phase 2 re-scores against the CURRENT store, so deleted
+    * rows never surface, but rows upserted after the warm are served
+    * by [[search]]/[[liveView]] until the next admission pass
+    * re-warms.
     */
-  def warmPqTier(codebook: Option[graft.index.Pq.Codebook] = None): Int = {
+  /** `localBudgetBytes` overrides the driver tier's byte budget
+    * (default: the config's `global.memory_cache_mb`, the reference's
+    * memory-cache knob — codes cost `pq_m` bytes a row, so the budget
+    * that held the raw hot set holds ~`4·dim/pq_m`× the coded corpus);
+    * a post-maintenance re-admission always uses the config budget.
+    */
+  def warmPqTier(codebook: Option[graft.index.Pq.Codebook] = None,
+      localBudgetBytes: Long = -1L): Int = {
     val dim = config.collection.dim
     val m = codebook.map(_.m).getOrElse(config.stable.pqM)
     require(dim % m == 0, s"collection.dim $dim not divisible by pq_m $m")
@@ -400,20 +436,41 @@ final class Graft private (
     val cb = codebook.getOrElse(graft.index.Pq.trainCodebookDriver(
       live.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(16384),
       m, dim / m, 256, vecCol = "vec", maxIter = 8))
+    // cache the coded relation: the encode pass feeds BOTH cache levels
+    // (and the sizes aggregate) — one encode, three readers
     val codes = Ivf.assign(live, centroids(), vecCol = "vec")
       .select(col("vec_id"), col("centroid_id"),
         graft.index.Pq.codesColumn(cb, "vec").as("codes"))
-    val tier = graft.index.PqServingIndex.build(codes, centroids(), cb,
-      config.servingLimits)
-    pqTier.foreach(_._1.unpersist())
-    pqTier = Some((tier, cb))
-    pqTierPinned = codebook
-    tier.cachedLists
+      .cache()
+    try {
+      val sizes = codes
+        .groupBy(col("centroid_id").cast("long").as("centroid_id"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val dist = graft.index.PqServingIndex.build(codes, centroids(), cb,
+        config.servingLimits, Some(sizes))
+      val budget =
+        if (localBudgetBytes >= 0L) localBudgetBytes
+        else config.global.memoryCacheBytes
+      val local0 = graft.index.LocalPqIndex.build(codes, centroids(), cb,
+        maxBytes = budget, limits = config.servingLimits,
+        knownSizes = Some(sizes))
+      val local = if (local0.cachedLists > 0) Some(local0) else None
+      val router = new graft.index.PqTieredServing(local, Some(dist),
+        (_, _, _, _) => throw new IllegalStateException(
+          "PQ tier cold — warmPqTier() is the stable-tier admission pass"))
+      pqTier.foreach(_.dist.unpersist())
+      pqTier = Some(PqTierState(dist, local, router, cb))
+      pqTierPinned = codebook
+      dist.cachedLists
+    } finally codes.unpersist(blocking = false)
   }
 
-  /** Two-phase stable-tier search: phase 1 is the distributed PQ
-    * tier's in-task ADC over only the probed lists
-    * (`index.stable.nprobe`) under the collection's METRIC
+  /** Two-phase stable-tier search: phase 1 is the cache hierarchy's
+    * ADC over only the probed lists (`index.stable.nprobe`) — the
+    * driver tier at memory speed when it covers the probes, the
+    * distributed tier's in-task scan otherwise
+    * ([[graft.index.PqTieredServing]]) — under the collection's METRIC
     * ([[graft.index.Pq.lutForMetric]] — ip verbatim, l2 negated
     * expanded-L2, cosine normalized-IP over the normalize-at-admission
     * codes), with the UNCLAMPED rerank·k internal candidate budget
@@ -431,13 +488,17 @@ final class Graft private (
     */
   def searchPq(q: Array[Float], k: Int,
       rerank: Int = config.stable.rerankFactor): Array[(Long, Double)] = {
-    val (tier, _) = pqTier.getOrElse(throw new IllegalStateException(
+    val st = pqTier.getOrElse(throw new IllegalStateException(
       "PQ tier cold — warmPqTier() is the stable-tier admission pass"))
     val kk = math.min(k, config.servingLimits.maxK)
     if (kk <= 0) return Array.empty
     val metric = config.collection.metric
     val asc = metric == "l2"
-    val cand = tier
+    // phase 1 through the cache-hierarchy router: the driver tier
+    // serves covered probes with ZERO scheduler dispatch, the
+    // distributed tier takes the rest — values identical either way
+    // (PqTieredServingSpec pins per-metric parity)
+    val cand = st.router
       .searchAdcUnclamped(q, kk * rerank, config.stable.nprobe, metric)
       .map(_._1)
     if (cand.isEmpty) return Array.empty
@@ -500,7 +561,7 @@ final class Graft private (
   def searchPqBatch(qs: Seq[Array[Float]], k: Int,
       rerank: Int = config.stable.rerankFactor)
       : IndexedSeq[Array[(Long, Double)]] = {
-    val (tier, _) = pqTier.getOrElse(throw new IllegalStateException(
+    val st = pqTier.getOrElse(throw new IllegalStateException(
       "PQ tier cold — warmPqTier() is the stable-tier admission pass"))
     val qArr = qs.toIndexedSeq
     val kk = math.min(k, config.servingLimits.maxK)
@@ -508,8 +569,33 @@ final class Graft private (
       return IndexedSeq.fill(qArr.length)(Array.empty)
     val metric = config.collection.metric
     val asc = metric == "l2"
-    val pools = tier.searchAdcBatchUnclamped(qArr, kk * rerank,
-      config.stable.nprobe, metric)
+    // phase 1 routed per query: driver-tier-covered queries serve at
+    // memory speed (zero dispatch), the rest share ONE scheduler job
+    // through the batch door — so a batch pays at most one dispatch
+    // floor, and none at all when the driver tier covers every query
+    val nBudget = kk * rerank
+    val pools = new Array[Array[(Long, Double)]](qArr.length)
+    val uncovered = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var pi = 0
+    while (pi < qArr.length) {
+      st.local.filter(_.coversRequest(qArr(pi), config.stable.nprobe)) match {
+        case Some(l) =>
+          pools(pi) = l.searchAdcUnclamped(qArr(pi), nBudget,
+            config.stable.nprobe, metric)
+        case None => uncovered += pi
+      }
+      pi += 1
+    }
+    if (uncovered.nonEmpty) {
+      val sub = st.dist.searchAdcBatchUnclamped(
+        uncovered.map(qArr(_)).toIndexedSeq, nBudget,
+        config.stable.nprobe, metric)
+      var si = 0
+      while (si < uncovered.length) {
+        pools(uncovered(si)) = sub(si)
+        si += 1
+      }
+    }
     val snap = overlay.snapshot
     val topks = IndexedSeq.fill(qArr.length)(
       new graft.operators.TopK.Bounded(kk, asc))
@@ -721,7 +807,7 @@ final class Graft private (
       try warmPqTier(pqTierPinned)
       catch {
         case scala.util.control.NonFatal(e) =>
-          pqTier.foreach(_._1.unpersist())
+          pqTier.foreach(_.dist.unpersist())
           pqTier = None
           pqTierPinned = None
           System.err.println("[graft] PQ tier re-admission failed " +
@@ -847,6 +933,8 @@ final class Graft private (
   def close(): Unit = {
     servingCache.foreach(_ => ())
     invalidateServing()
+    pqTier.foreach(_.dist.unpersist())
+    pqTier = None
   }
 
   // ---- recovery (T8/W3) --------------------------------------------

@@ -96,6 +96,16 @@ final class LocalPqIndex private (
       metric: String = "ip"): Array[(Long, Double)] =
     adcTopN(q, math.min(k, limits.maxK), nprobe, metric) // clamp (config.h:128)
 
+  /** Internal phase-1 ranking for a TWO-PHASE caller: `n` is the
+    * rerank·k candidate budget — an internal pool size, not a client k,
+    * so deliberately NOT clamped by maxK (the reference rerank_factor
+    * contract, config.h:93; the distributed tier's
+    * [[PqServingIndex.searchAdcUnclamped]] twin).
+    */
+  private[graft] def searchAdcUnclamped(q: Array[Float], n: Int,
+      nprobe: Int, metric: String = "ip"): Array[(Long, Double)] =
+    adcTopN(q, n, nprobe, metric)
+
   /** Internal phase-1 ranking: `n` may exceed max_top_k — the rerank
     * candidate pool is rerank·k, an internal budget, not a client k.
     */

@@ -62,18 +62,39 @@ final class PqTieredServing(
     */
   def searchAdc(q: Array[Float], k: Int, nprobe: Int,
       metric: String = "ip"): Array[(Long, Double)] =
+    route(q, nprobe,
+      t => t.searchAdc(q, k, nprobe, metric),
+      t => t.searchAdc(q, k, nprobe, metric),
+      () => stored(q, k, nprobe, metric))
+
+  /** Phase-1 ranking at a two-phase caller's INTERNAL rerank·k budget
+    * — unclamped on both cache levels (their `searchAdcUnclamped`
+    * twins); the `stored` closure receives `n` as its k and must
+    * treat it as an internal budget too.
+    */
+  private[graft] def searchAdcUnclamped(q: Array[Float], n: Int,
+      nprobe: Int, metric: String = "ip"): Array[(Long, Double)] =
+    route(q, nprobe,
+      t => t.searchAdcUnclamped(q, n, nprobe, metric),
+      t => t.searchAdcUnclamped(q, n, nprobe, metric),
+      () => stored(q, n, nprobe, metric))
+
+  private def route(q: Array[Float], nprobe: Int,
+      viaLocal: LocalPqIndex => Array[(Long, Double)],
+      viaDist: PqServingIndex => Array[(Long, Double)],
+      viaStored: () => Array[(Long, Double)]): Array[(Long, Double)] =
     local.filter(_.coversRequest(q, nprobe)) match {
       case Some(t) =>
         localN.incrementAndGet()
-        t.searchAdc(q, k, nprobe, metric)
+        viaLocal(t)
       case None =>
         dist.filter(_.coversRequest(q, nprobe)) match {
           case Some(t) =>
             distN.incrementAndGet()
-            t.searchAdc(q, k, nprobe, metric)
+            viaDist(t)
           case None =>
             storedN.incrementAndGet()
-            stored(q, k, nprobe, metric)
+            viaStored()
         }
     }
 }

@@ -759,6 +759,36 @@ class GraftFacadeSpec extends SparkSpec {
     Segments.deleteDir(base)
   }
 
+  test("PQ door cache hierarchy: default budget serves phase 1 driver-side; a starved budget falls through to the distributed tier with identical results") {
+    val base = tmp()
+    val g = Graft.open(spark, base, metricCfg("ip"))
+    g.upsert(metricBatch())
+    g.compact()
+    // default budget (512 MiB) covers this corpus — the door must pay
+    // ZERO scheduler dispatch on phase 1 (driver-tier route)
+    assert(g.warmPqTier() > 0)
+    val full = (1 to 3).map(_ => g.searchPq(mq, 5).toSeq)
+    val fullBatch = g.searchPqBatch(Seq(mq, mq), 5).map(_.toSeq)
+    val (loc1, dist1, stored1) = g.pqDoorRoutes
+    assert(loc1 >= 3 && dist1 === 0 && stored1 === 0,
+      s"expected driver-tier routes, got ($loc1, $dist1, $stored1)")
+    assert(full.head === exactTop(g, mq, 5))
+    // a budget that admits nothing: phase 1 must fall through to the
+    // distributed tier — same values, route counter proves the path
+    assert(g.warmPqTier(localBudgetBytes = 0L) > 0)
+    val starved = g.searchPq(mq, 5).toSeq
+    val starvedBatch = g.searchPqBatch(Seq(mq, mq), 5).map(_.toSeq)
+    val (_, dist2, stored2) = g.pqDoorRoutes
+    assert(dist2 >= 1 && stored2 === 0,
+      s"expected a distributed-tier route, got dist=$dist2 stored=$stored2")
+    assert(starved === full.head,
+      "route choice changed the door's values")
+    assert(starvedBatch === fullBatch,
+      "route choice changed the batch door's values")
+    g.close()
+    Segments.deleteDir(base)
+  }
+
   test("warmPqTier trains a DETERMINISTIC codebook: repeated warms and a reopened store admit bit-identical quantizers") {
     // phase 2 re-scores exactly, so a drifting codebook is
     // value-invisible in searchPq results — the contract is pinned on
