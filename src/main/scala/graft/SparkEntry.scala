@@ -37,12 +37,15 @@ object SparkEntry {
   private val pointIds = Seq(0L, 1L, 5L, 10L, 55L, 123L, 499L, 9999L)
 
   /** Where `knn_pq_opq_trained` persists its trained rotation for the
-    * DuckDB oracle to read back (the verify run writes it, the oracle
-    * replay — which always follows the verify run on the same sf —
-    * reads it; last writer wins across sf dirs by design). Gitignored
+    * DuckDB oracle to read back. Keyed by the sf dir's NAME so a bench
+    * battery at another scale factor running between a verify dump and
+    * its oracle replay can never clobber the matrix the oracle needs;
+    * the oracle SQL carries the `{GRAFT_SF}` placeholder and
+    * [[Verify]] substitutes the concrete name at dump time. Gitignored
     * scratch, never shipped state.
     */
-  private val opqRotationPath = "/root/repo/.vtmp/opq_rotation_trained"
+  private def opqRotationPath(dir: String): String =
+    s"/root/repo/.vtmp/opq_rotation_trained_${new java.io.File(dir).getName}"
 
   /** Shared read-only stored segment tree per sfDir: the deterministic
     * mutation log assigned to deterministic centroids, flushed as two delta
@@ -758,7 +761,7 @@ object SparkEntry {
             StructField("i", IntegerType, nullable = false),
             StructField("rw", ArrayType(DoubleType, containsNull = false),
               nullable = false))))
-        .write.mode("overwrite").parquet(opqRotationPath)
+        .write.mode("overwrite").parquet(opqRotationPath(dir))
       val rotated = e.select(col("vec_id"),
         Opq.rotate(rot, col("embedding")).as("embedding"))
       val cb = Pq.deterministicCodebook(rotated, 8, 8, 50)
@@ -1856,8 +1859,8 @@ object SparkEntry {
     // accumulation, the same arithmetic as the engine's MatVec kernel)
     "knn_pq_opq_trained" ->
       s"""$EMB,
-         |rot AS (SELECT i, rw FROM
-         |  read_parquet('/root/repo/.vtmp/opq_rotation_trained/*.parquet')),
+         |rot AS (SELECT i, rw FROM read_parquet(
+         |  '/root/repo/.vtmp/opq_rotation_trained_{GRAFT_SF}/*.parquet')),
          |remb AS (SELECT vec_id, list(dp ORDER BY i) AS e FROM (
          |    SELECT emb.vec_id, r.i, list_dot_product(r.rw, emb.e) AS dp
          |    FROM emb CROSS JOIN rot r) t

@@ -56,8 +56,15 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // {GRAFT_SF} → this dump's sf-dir name: side-artifact paths (the
+    // trained-OPQ rotation) are keyed per scale factor so a battery at
+    // another sf running between this dump and its DuckDB replay can't
+    // clobber what the oracle reads
+    val sfName = new java.io.File(sfDir).getName
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace("{GRAFT_SF}", sfName))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
