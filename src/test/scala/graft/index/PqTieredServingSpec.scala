@@ -100,6 +100,32 @@ class PqTieredServingSpec extends SparkSpec {
     } finally dist.unpersist()
   }
 
+  test("L2 through a REAL stored closure: the declarative ADC plan behind a fully cold router equals the cache tiers") {
+    // the bench's router never reaches L2 (both cache levels warm by
+    // construction), so the stored level's end-to-end shape is pinned
+    // here with the actual declarative path: probe-restricted codes
+    // relation → Pq.adcScores → in-plan TakeOrderedAndProject
+    val stored = (q: Array[Float], k: Int, np: Int, metric: String) => {
+      require(metric == "ip", "spec stored closure is the ip twin")
+      val probed = fullLocal.probe(q, np)
+      val qid = qRows.find(_._2.sameElements(q)).get._1
+      val oneQ = graft.operators.Knn.defaultQueries(emb)
+        .filter(col("query_id") === qid)
+      Pq.adcScores(
+          codes.filter(col("centroid_id").isin(probed: _*)), cb, oneQ)
+        .orderBy(col("approx_score").desc, col("vec_id").asc)
+        .limit(k).select(col("vec_id"), col("approx_score"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    }
+    val r = new PqTieredServing(None, None, stored)
+    qRows.take(3).foreach { case (qid, qv) =>
+      assert(r.searchAdc(qv, 10, 3).toSeq ===
+        fullLocal.searchAdc(qv, 10, 3).toSeq, s"q=$qid")
+    }
+    assert(r.storedServes === 3 && r.localServes === 0 &&
+      r.distServes === 0)
+  }
+
   test("driver tier's metric LUTs equal the distributed tier's (l2 pool differs from ip on an unnormalized corpus)") {
     val dist = PqServingIndex.build(codes, cents, cb, wide)
     try {
