@@ -452,10 +452,17 @@ final class Graft private (
       val budget =
         if (localBudgetBytes >= 0L) localBudgetBytes
         else config.global.memoryCacheBytes
-      val local0 = graft.index.LocalPqIndex.build(codes, centroids(), cb,
-        maxBytes = budget, limits = config.servingLimits,
-        knownSizes = Some(sizes))
-      val local = if (local0.cachedLists > 0) Some(local0) else None
+      // if the driver-tier admission fails past this point, the FRESH
+      // distributed tier's blocks (10 GB at the 100M geometry) must
+      // not sit orphaned in the block manager until GC notices the
+      // unreachable RDD — unpersist before propagating
+      val local =
+        try {
+          val local0 = graft.index.LocalPqIndex.build(codes, centroids(),
+            cb, maxBytes = budget, limits = config.servingLimits,
+            knownSizes = Some(sizes))
+          if (local0.cachedLists > 0) Some(local0) else None
+        } catch { case e: Throwable => dist.unpersist(); throw e }
       val router = new graft.index.PqTieredServing(local, Some(dist),
         (_, _, _, _) => throw new IllegalStateException(
           "PQ tier cold — warmPqTier() is the stable-tier admission pass"))
@@ -564,6 +571,12 @@ final class Graft private (
     val st = pqTier.getOrElse(throw new IllegalStateException(
       "PQ tier cold — warmPqTier() is the stable-tier admission pass"))
     val qArr = qs.toIndexedSeq
+    // the Q12 guardrail is a CLIENT contract (config.h:180) — enforced
+    // at the door, before routing, so behavior can never depend on
+    // which cache level would have served
+    require(qArr.length <= config.servingLimits.maxBatch,
+      s"query batch ${qArr.length} exceeds max_query_batch " +
+        s"${config.servingLimits.maxBatch}")
     val kk = math.min(k, config.servingLimits.maxK)
     if (kk <= 0 || qArr.isEmpty)
       return IndexedSeq.fill(qArr.length)(Array.empty)
@@ -572,27 +585,33 @@ final class Graft private (
     // phase 1 routed per query: driver-tier-covered queries serve at
     // memory speed (zero dispatch), the rest share ONE scheduler job
     // through the batch door — so a batch pays at most one dispatch
-    // floor, and none at all when the driver tier covers every query
+    // floor, and none at all when the driver tier covers every query.
+    // Each query's metric-aware probe set is ranked ONCE and shared by
+    // the coverage check and whichever tier scans it.
     val nBudget = kk * rerank
     val pools = new Array[Array[(Long, Double)]](qArr.length)
-    val uncovered = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val probeTier: Array[Float] => Seq[Long] = q =>
+      st.local.map(_.probeFor(q, config.stable.nprobe, metric))
+        .getOrElse(st.dist.probeFor(q, config.stable.nprobe, metric))
+    val uncovered = scala.collection.mutable.ArrayBuffer.empty[(Int, Seq[Long])]
     var pi = 0
     while (pi < qArr.length) {
-      st.local.filter(_.coversRequest(qArr(pi), config.stable.nprobe)) match {
+      val probed = probeTier(qArr(pi))
+      st.local.filter(_.coversProbes(probed)) match {
         case Some(l) =>
-          pools(pi) = l.searchAdcUnclamped(qArr(pi), nBudget,
-            config.stable.nprobe, metric)
-        case None => uncovered += pi
+          pools(pi) = l.searchAdcOnProbed(probed, qArr(pi), nBudget, metric)
+        case None => uncovered += ((pi, probed))
       }
       pi += 1
     }
     if (uncovered.nonEmpty) {
       val sub = st.dist.searchAdcBatchUnclamped(
-        uncovered.map(qArr(_)).toIndexedSeq, nBudget,
-        config.stable.nprobe, metric)
+        uncovered.map { case (i, _) => qArr(i) }.toIndexedSeq, nBudget,
+        config.stable.nprobe, metric,
+        knownProbes = Some(uncovered.map(_._2).toIndexedSeq))
       var si = 0
       while (si < uncovered.length) {
-        pools(uncovered(si)) = sub(si)
+        pools(uncovered(si)._1) = sub(si)
         si += 1
       }
     }

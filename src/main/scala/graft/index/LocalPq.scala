@@ -70,13 +70,25 @@ final class LocalPqIndex private (
     probed.forall(cid =>
       lists.contains(cid) || listSizes.getOrElse(cid, 0L) == 0L)
 
+  /** The request's capped, METRIC-AWARE probe set ([[Pq.probeQuery]]:
+    * cosine probes with the normalized query, matching the
+    * normalize-at-admission list membership) — computed ONCE per
+    * request and shared by the coverage pre-check and the scan
+    * ([[PqTieredServing]] passes it through, so routing never pays the
+    * O(nlist·dim) centroid ranking twice).
+    */
+  private[graft] def probeFor(q: Array[Float], nprobe: Int,
+      metric: String = "ip"): Seq[Long] =
+    capProbes(probe(Pq.probeQuery(q, metric), nprobe))
+
   /** Would THIS request serve from the tier? — the router's pre-check
     * ([[PqTieredServing]]): same probe ranking + max_candidates walk as
     * the scan itself, so a `true` here never turns into the coverage
     * refusal inside [[searchAdc]].
     */
-  def coversRequest(q: Array[Float], nprobe: Int): Boolean =
-    coversProbes(capProbes(probe(q, nprobe)))
+  def coversRequest(q: Array[Float], nprobe: Int,
+      metric: String = "ip"): Boolean =
+    coversProbes(probeFor(q, nprobe, metric))
 
   /** Per-query LUT — THE shared definition ([[Pq.lutForMetric]]: ip
     * verbatim [[Pq.lutFor]], l2 negated expanded-L2, cosine
@@ -106,6 +118,14 @@ final class LocalPqIndex private (
       nprobe: Int, metric: String = "ip"): Array[(Long, Double)] =
     adcTopN(q, n, nprobe, metric)
 
+  /** [[searchAdcUnclamped]] on a probe set the caller already computed
+    * via [[probeFor]] — the router's entry (one probe per request).
+    */
+  private[graft] def searchAdcOnProbed(probed: Seq[Long],
+      q: Array[Float], n: Int,
+      metric: String = "ip"): Array[(Long, Double)] =
+    adcTopNOnProbed(probed, q, n, metric)
+
   /** Internal phase-1 ranking: `n` may exceed max_top_k — the rerank
     * candidate pool is rerank·k, an internal budget, not a client k.
     */
@@ -122,8 +142,11 @@ final class LocalPqIndex private (
   private val deepFetchThreshold = 256
 
   private def adcTopN(q: Array[Float], n: Int, nprobe: Int,
-      metric: String = "ip"): Array[(Long, Double)] = {
-    val probed = capProbes(probe(q, nprobe))
+      metric: String = "ip"): Array[(Long, Double)] =
+    adcTopNOnProbed(probeFor(q, nprobe, metric), q, n, metric)
+
+  private def adcTopNOnProbed(probed: Seq[Long], q: Array[Float],
+      n: Int, metric: String): Array[(Long, Double)] = {
     require(coversProbes(probed),
       "probed list not cached — serve via the distributed PQ tier " +
         "(PqTieredServing routes there when warm; the declarative " +
@@ -196,7 +219,7 @@ final class LocalPqIndex private (
   private def adcTopNParallel(q: Array[Float], n: Int, nprobe: Int,
       pool: java.util.concurrent.ExecutorService,
       chunkRows: Int, metric: String = "ip"): Array[(Long, Double)] = {
-    val probed = capProbes(probe(q, nprobe))
+    val probed = probeFor(q, nprobe, metric)
     require(coversProbes(probed),
       "probed list not cached — serve via the distributed PQ tier " +
         "(PqTieredServing routes there when warm; the declarative " +

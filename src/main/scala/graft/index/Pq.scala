@@ -73,6 +73,31 @@ object Pq {
     *    scaling never changes ranking (positive constant) but keeps the
     *    approximate scores on the cosine scale the exact rerank uses.
     */
+  /** The query the COARSE PROBE must rank centroids with, per metric:
+    * a cosine tier assigns L2-NORMALIZED rows to lists, so the probe
+    * must see the normalized query too — the expanded-L2 centroid
+    * ranking (‖q‖² − 2q·c + ‖c‖²) is magnitude-DEPENDENT across
+    * centroids (only the cross term scales with ‖q‖), so a raw-q probe
+    * order changes with query magnitude and misaligns with list
+    * membership at nprobe < nlist (the best-aligned row's list can
+    * rank below probe range for a long query). ip/l2 probe raw.
+    */
+  def probeQuery(q: Array[Float], metric: String): Array[Float] =
+    if (metric != "cosine") q
+    else {
+      var n = 0.0
+      var i = 0
+      while (i < q.length) { n += q(i).toDouble * q(i).toDouble; i += 1 }
+      val norm = math.sqrt(n)
+      if (norm == 0.0) q
+      else {
+        val out = new Array[Float](q.length)
+        i = 0
+        while (i < q.length) { out(i) = (q(i) / norm).toFloat; i += 1 }
+        out
+      }
+    }
+
   def lutForMetric(cb: Codebook, q: Array[Float],
       metric: String): Array[Array[Double]] = metric match {
     case "ip" => lutFor(cb, q)

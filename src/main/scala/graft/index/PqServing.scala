@@ -56,14 +56,30 @@ final class PqServingIndex private (
     ServingIndex.capProbesWalk(probed,
       cid => listSizes.getOrElse(cid, 0L), limits.maxCandidates)
 
+  /** The request's capped, METRIC-AWARE probe set ([[Pq.probeQuery]]:
+    * cosine probes with the normalized query, matching the
+    * normalize-at-admission list membership) — computed ONCE and
+    * shared by the coverage pre-check and the scan.
+    */
+  private[graft] def probeFor(q: Array[Float], nprobe: Int,
+      metric: String = "ip"): Seq[Long] =
+    capProbes(probe(Pq.probeQuery(q, metric), nprobe))
+
+  /** A probed list is covered when a partition holds it OR it is empty
+    * (no partition exists for an empty list by construction).
+    */
+  def coversProbes(probed: Seq[Long]): Boolean =
+    probed.forall(cid =>
+      cidToPart.contains(cid) || listSizes.getOrElse(cid, 0L) == 0L)
+
   /** Would THIS request serve from the tier? — the router's pre-check
     * ([[PqTieredServing]]): same probe ranking + max_candidates walk
     * + residency rule as the scan itself, so a `true` here never turns
     * into the coverage refusal inside [[searchAdc]].
     */
-  def coversRequest(q: Array[Float], nprobe: Int): Boolean =
-    capProbes(probe(q, nprobe)).forall(cid =>
-      cidToPart.contains(cid) || listSizes.getOrElse(cid, 0L) == 0L)
+  def coversRequest(q: Array[Float], nprobe: Int,
+      metric: String = "ip"): Boolean =
+    coversProbes(probeFor(q, nprobe, metric))
 
   /** Phase 1 over the distributed tier: ADC top-k of the probed lists,
     * one task per probed list, driver merge. The CLIENT-facing entry —
@@ -87,16 +103,26 @@ final class PqServingIndex private (
       nprobe: Int, metric: String = "ip"): Array[(Long, Double)] =
     adcTopN(q, n, nprobe, metric)
 
+  /** [[searchAdcUnclamped]] on a probe set the caller already computed
+    * via [[probeFor]] — the router's entry (one probe per request).
+    */
+  private[graft] def searchAdcOnProbed(probed: Seq[Long],
+      q: Array[Float], n: Int,
+      metric: String = "ip"): Array[(Long, Double)] =
+    adcTopNOnProbed(probed, q, n, metric)
+
   private def adcTopN(q: Array[Float], n: Int, nprobe: Int,
-      metric: String): Array[(Long, Double)] = {
+      metric: String): Array[(Long, Double)] =
+    adcTopNOnProbed(probeFor(q, nprobe, metric), q, n, metric)
+
+  private def adcTopNOnProbed(probed: Seq[Long], q: Array[Float],
+      n: Int, metric: String): Array[(Long, Double)] = {
     if (n <= 0) return Array.empty
-    val probed = capProbes(probe(q, nprobe))
     // coverage contract (same as the driver tier's): a probed list with
     // rows but no resident partition must REFUSE, never silently drop
     // its candidates from the top-k (a partial packed file could
     // otherwise serve subtly wrong results); empty lists are covered
-    require(probed.forall(cid => cidToPart.contains(cid) ||
-        listSizes.getOrElse(cid, 0L) == 0L),
+    require(coversProbes(probed),
       "probed list not resident in the distributed tier — serve via " +
         "the declarative stored path")
     val parts = probed.flatMap(cidToPart.get).distinct.toArray
@@ -145,21 +171,29 @@ final class PqServingIndex private (
     * budget — unclamped like [[searchAdcUnclamped]].
     */
   private[graft] def searchAdcBatchUnclamped(qs: Seq[Array[Float]],
-      n: Int, nprobe: Int, metric: String = "ip")
+      n: Int, nprobe: Int, metric: String = "ip",
+      knownProbes: Option[IndexedSeq[Seq[Long]]] = None)
       : IndexedSeq[Array[(Long, Double)]] =
-    adcTopNBatch(qs, n, nprobe, metric)
+    adcTopNBatch(qs, n, nprobe, metric, knownProbes)
 
   private def adcTopNBatch(qs: Seq[Array[Float]], n: Int, nprobe: Int,
-      metric: String): IndexedSeq[Array[(Long, Double)]] = {
+      metric: String,
+      knownProbes: Option[IndexedSeq[Seq[Long]]] = None)
+      : IndexedSeq[Array[(Long, Double)]] = {
     require(qs.size <= limits.maxBatch,
       s"query batch ${qs.size} exceeds max_query_batch ${limits.maxBatch}")
     val qArr = qs.toArray
     if (n <= 0 || qArr.isEmpty)
       return IndexedSeq.fill(qArr.length)(Array.empty)
-    val probedByQuery = qArr.map(q => capProbes(probe(q, nprobe)))
+    // per-query probe sets: a routing caller that already ranked the
+    // centroids passes them through (one probe per query per request)
+    val probedByQuery = knownProbes
+      .map(_.toArray)
+      .getOrElse(qArr.map(q => probeFor(q, nprobe, metric)))
+    require(probedByQuery.length == qArr.length,
+      "knownProbes length != batch size")
     probedByQuery.foreach { probed =>
-      require(probed.forall(cid => cidToPart.contains(cid) ||
-          listSizes.getOrElse(cid, 0L) == 0L),
+      require(coversProbes(probed),
         "probed list not resident in the distributed tier — serve via " +
           "the declarative stored path")
     }

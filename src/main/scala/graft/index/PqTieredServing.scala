@@ -61,40 +61,34 @@ final class PqTieredServing(
     * the caller's k unchanged and must clamp itself if it cares).
     */
   def searchAdc(q: Array[Float], k: Int, nprobe: Int,
-      metric: String = "ip"): Array[(Long, Double)] =
-    route(q, nprobe,
-      t => t.searchAdc(q, k, nprobe, metric),
-      t => t.searchAdc(q, k, nprobe, metric),
-      () => stored(q, k, nprobe, metric))
+      metric: String = "ip"): Array[(Long, Double)] = {
+    val kk = Seq(local.map(_.limits.maxK), dist.map(_.limits.maxK))
+      .flatten.foldLeft(k)(math.min)
+    searchAdcUnclamped(q, kk, nprobe, metric)
+  }
 
   /** Phase-1 ranking at a two-phase caller's INTERNAL rerank·k budget
-    * — unclamped on both cache levels (their `searchAdcUnclamped`
-    * twins); the `stored` closure receives `n` as its k and must
-    * treat it as an internal budget too.
+    * — unclamped on both cache levels; the `stored` closure receives
+    * `n` as its k and must treat it as an internal budget too. The
+    * centroid ranking + max_candidates walk runs ONCE here and the
+    * probe set is passed through to the serving tier (the tiers share
+    * one layout by the router's construction contract), so routing
+    * costs one probe, not two or three.
     */
   private[graft] def searchAdcUnclamped(q: Array[Float], n: Int,
-      nprobe: Int, metric: String = "ip"): Array[(Long, Double)] =
-    route(q, nprobe,
-      t => t.searchAdcUnclamped(q, n, nprobe, metric),
-      t => t.searchAdcUnclamped(q, n, nprobe, metric),
-      () => stored(q, n, nprobe, metric))
-
-  private def route(q: Array[Float], nprobe: Int,
-      viaLocal: LocalPqIndex => Array[(Long, Double)],
-      viaDist: PqServingIndex => Array[(Long, Double)],
-      viaStored: () => Array[(Long, Double)]): Array[(Long, Double)] =
-    local.filter(_.coversRequest(q, nprobe)) match {
-      case Some(t) =>
+      nprobe: Int, metric: String = "ip"): Array[(Long, Double)] = {
+    val probed = local.map(_.probeFor(q, nprobe, metric))
+      .orElse(dist.map(_.probeFor(q, nprobe, metric)))
+    probed match {
+      case Some(p) if local.exists(_.coversProbes(p)) =>
         localN.incrementAndGet()
-        viaLocal(t)
-      case None =>
-        dist.filter(_.coversRequest(q, nprobe)) match {
-          case Some(t) =>
-            distN.incrementAndGet()
-            viaDist(t)
-          case None =>
-            storedN.incrementAndGet()
-            viaStored()
-        }
+        local.get.searchAdcOnProbed(p, q, n, metric)
+      case Some(p) if dist.exists(_.coversProbes(p)) =>
+        distN.incrementAndGet()
+        dist.get.searchAdcOnProbed(p, q, n, metric)
+      case _ =>
+        storedN.incrementAndGet()
+        stored(q, n, nprobe, metric)
     }
+  }
 }

@@ -785,6 +785,14 @@ class GraftFacadeSpec extends SparkSpec {
       "route choice changed the door's values")
     assert(starvedBatch === fullBatch,
       "route choice changed the batch door's values")
+    // the Q12 guardrail is enforced AT THE DOOR (config.h:180), so an
+    // oversized batch is rejected identically whichever cache level
+    // would have served it — never a silent serve on one route and an
+    // exception on the other
+    val oversized = Seq.fill(g.config.servingLimits.maxBatch + 1)(mq)
+    intercept[IllegalArgumentException] { g.searchPqBatch(oversized, 3) }
+    assert(g.warmPqTier() > 0) // back to the covering budget
+    intercept[IllegalArgumentException] { g.searchPqBatch(oversized, 3) }
     g.close()
     Segments.deleteDir(base)
   }

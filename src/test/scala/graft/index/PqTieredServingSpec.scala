@@ -126,6 +126,52 @@ class PqTieredServingSpec extends SparkSpec {
       r.distServes === 0)
   }
 
+  test("cosine probes with the NORMALIZED query: magnitude-dependent raw probing would miss the aligned row's list entirely") {
+    import spark.implicits._
+    // surgical layout: c1 has a big norm, so for a LONG raw query the
+    // magnitude-dependent expanded-L2 ranking (‖c‖² − 2q·c) puts c1
+    // first — but normalize-at-admission rows all sit near the unit
+    // sphere, so c1's list is EMPTY and the best-aligned row (in c2's
+    // list) would never be scanned at nprobe=1
+    val cents = Seq(
+      (1L, Seq(10.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0, 0.0))).toDF("cid", "cv")
+    val (cids, matrix) = Ivf.collectCentroids(cents)
+    def norm(v: Seq[Double]): Seq[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val rows = Seq(
+      (7L, norm(Seq(100.0, 1.0, 0.0, 0.0))), // aligned with the query
+      (3L, Seq(0.0, 1.0, 0.0, 0.0))          // orthogonal-ish decoy
+    ).toDF("vec_id", "embedding")
+    val cb = Pq.Codebook(2, 2, Array(0L, 1L),
+      Array(Array(Array(1.0, 0.0), Array(0.0, 1.0)),
+        Array(Array(0.0, 0.0))))
+    val codesDf = Ivf.assign(rows, cents)
+      .select(col("vec_id"), col("centroid_id"),
+        Pq.codesColumn(cb).as("codes"))
+    val localT = LocalPqIndex.build(codesDf, cents, cb, limits = wide)
+    val distT = PqServingIndex.build(codesDf, cents, cb, wide)
+    try {
+      val q = Array(100f, 1f, 0f, 0f)
+      // fixture sharpness: the RAW ranking really does pick the empty
+      // big-norm list first — without query normalization this request
+      // scans nothing
+      assert(Ivf.probePick(q, cids, matrix, 1).head === 1L,
+        "fixture lost its raw-probe misranking")
+      assert(localT.probeFor(q, 1, "cosine").head === 2L)
+      val got = localT.searchAdc(q, 2, 1, "cosine")
+      assert(got.map(_._1).toSeq === Seq(7L, 3L),
+        s"aligned row missing or misranked in the cosine pool: ${got.toSeq}")
+      assert(distT.searchAdc(q, 2, 1, "cosine").toSeq === got.toSeq)
+      // cosine is an ANGLE metric: query magnitude must not change
+      // which lists are probed or which ids come back
+      val scaled = q.map(_ * 0.01f)
+      assert(localT.searchAdc(scaled, 2, 1, "cosine").map(_._1).toSeq ===
+        got.map(_._1).toSeq, "query magnitude changed the result set")
+    } finally distT.unpersist()
+  }
+
   test("driver tier's metric LUTs equal the distributed tier's (l2 pool differs from ip on an unnormalized corpus)") {
     val dist = PqServingIndex.build(codes, cents, cb, wide)
     try {
