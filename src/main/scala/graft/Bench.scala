@@ -674,6 +674,21 @@ object Bench {
       }
       def twoPhase(q: Array[Float], k: Int): Array[(Long, Double)] =
         twoPhaseAt(q, k, nprobe100, rerank100)
+      // COLD-OPEN → FIRST ANSWERED QUERY (r12 verdict stretch #7): the
+      // end-to-end wall time from standing up the stable tier
+      // (quantizer load, catalog sizes, packed-tier load-or-rebuild,
+      // query generation) to the first two-phase query RETURNING — the
+      // wait an operator pays after a process start before the door
+      // serves. The first query itself (cold plan/JIT) is disclosed
+      // separately; the tier source (file vs rebuild) is already in
+      // ivf_100m_local_tier_source.
+      val tFq0 = System.nanoTime()
+      require(twoPhase(qOut.head._2, 10).nonEmpty,
+        "first query returned nothing")
+      extras("ivf_100m_first_query_sec") =
+        num((System.nanoTime() - tFq0) / 1e9, 3)
+      extras("ivf_100m_cold_open_to_serve_sec") =
+        num((System.nanoTime() - tL0) / 1e9, 1)
       // ---- the DISTRIBUTED CACHE tier (PqServingIndex): the cluster-
       // shape answer to a cache miss — every packed list lives in the
       // block manager, one list per partition, and a request is
@@ -756,7 +771,7 @@ object Bench {
             .collect().map(r => (r.getLong(0), r.getDouble(1)))
         }
         val router = new graft.index.PqTieredServing(
-          Some(local), Some(dist), storedRoute)
+          Some(local), Some(dist), storedRoute, limits100)
         val routed = qOut.take(25).map { case (_, qv) =>
           router.searchAdc(qv, 10, nprobe100).toSeq
         }
@@ -765,7 +780,7 @@ object Bench {
         extras("ivf_100m_route_stored_serves") =
           router.storedServes.toString
         val coldL0 = new graft.index.PqTieredServing(
-          None, Some(dist), storedRoute)
+          None, Some(dist), storedRoute, limits100)
         val fallParity = qOut.take(25).zip(routed).forall {
           case ((_, qv), want) =>
             coldL0.searchAdc(qv, 10, nprobe100).toSeq == want
@@ -773,6 +788,42 @@ object Bench {
         extras("ivf_100m_route_fallthrough_dist_serves") =
           coldL0.distServes.toString
         extras("ivf_100m_route_fallthrough_parity") = fallParity.toString
+        // MIXED-serve twin at the 100M geometry: a STARVED driver tier
+        // (half the full tier's byte budget, built from the same packed
+        // file via the budget-capped admission walk) serves resident
+        // probed lists driver-side and the distributed tier takes only
+        // the misses — the per-probe split that keeps L0 earning its
+        // bytes when the driver budget holds a fraction of the corpus
+        // (the r12 verdict's L0-dead-weight caveat). Parity proves the
+        // split is value-invisible.
+        try {
+          val tMx0 = System.nanoTime()
+          val starved = graft.index.LocalPqIndex.build(
+            spark.read.parquet(s"$dir100/codes"), cents, cb,
+            maxBytes = local.cachedBytes / 2, limits = limits100,
+            knownSizes = knownSizes)
+          extras("ivf_100m_mixed_starved_build_sec") =
+            num((System.nanoTime() - tMx0) / 1e9, 1)
+          extras("ivf_100m_mixed_starved_lists") =
+            starved.cachedLists.toString
+          val mixedRouter = new graft.index.PqTieredServing(
+            Some(starved), Some(dist), storedRoute, limits100)
+          val mixedParity = qOut.take(25).zip(routed).forall {
+            case ((_, qv), want) =>
+              mixedRouter.searchAdc(qv, 10, nprobe100).toSeq == want
+          }
+          extras("ivf_100m_route_mixed_serves") =
+            mixedRouter.mixedServes.toString
+          extras("ivf_100m_route_mixed_local_serves") =
+            mixedRouter.localServes.toString
+          extras("ivf_100m_route_mixed_dist_serves") =
+            mixedRouter.distServes.toString
+          extras("ivf_100m_route_mixed_parity") = mixedParity.toString
+        } catch { case e: Throwable =>
+          System.err.println(
+            s"[bench] 100M mixed-serve twin FAILED: ${e.getMessage}")
+          extras("ivf_100m_route_mixed_serves") = "-1"
+        }
         dist.unpersist()
         System.gc()
       } catch { case e: Throwable =>
@@ -987,8 +1038,17 @@ object Bench {
         extras("ivf_100m_floor_after_tuned_ms") =
           num(floorProbe(spark, cpus), 1)
       }
-      // the DISTRIBUTED twin: stored-codes ADC as a partition-pruned
-      // Spark job over the probed lists (the path a cache miss takes)
+      // the STORED twin: stored-codes ADC as a partition-pruned Spark
+      // job over the probed lists (the true cold path below both cache
+      // levels). SELF-ADJUDICATING since r13 (verdict item #3 — this
+      // number moved 1076→2474→4873 across same-code runs with no
+      // bracket of its own): bracketing dispatch floors, plus an
+      // interleaved constant-work SCAN calib — the SAME partition-
+      // pruned parquet read (vec_id + codes columns of one fixed probe
+      // set) minus the ADC arithmetic — so parquet-read weather (page
+      // cache, fs contention) and a real plan regression separate:
+      // weather moves scan calib and the twin together (ratio stable),
+      // a regression moves only the twin (ratio up).
       val codesDf = spark.read.parquet(s"$dir100/codes")
       def storedAdc(qv: Array[Float]): Long = {
         import spark.implicits._
@@ -1003,16 +1063,39 @@ object Bench {
         scored.orderBy(col("approx_score").desc, col("vec_id").asc)
           .limit(10).count()
       }
+      val fixedProbes = local.probe(qOut.head._2, nprobe100)
+      def storedScanCalib(): Double = {
+        val t0 = System.nanoTime()
+        codesDf.filter(col("centroid_id").isin(fixedProbes: _*))
+          .agg(sum(length(col("codes"))), sum(xxhash64(col("vec_id"))))
+          .head()
+        (System.nanoTime() - t0) / 1e6
+      }
+      extras("ivf_100m_stored_floor_before_ms") =
+        num(floorProbe(spark, cpus), 1)
       storedAdc(qOut.head._2) // warm (plan + file index)
+      storedScanCalib()
+      val storedCal = scala.collection.mutable.ArrayBuffer.empty[Double]
+      (0 until 3).foreach(_ => storedCal += storedScanCalib())
       val storedLat = (0 until 2).flatMap { _ =>
-        qOut.take(10).map { case (_, qv) =>
+        val ws = qOut.take(10).map { case (_, qv) =>
           val t0 = System.nanoTime()
           storedAdc(qv)
           (System.nanoTime() - t0) / 1e6
         }
+        (0 until 2).foreach(_ => storedCal += storedScanCalib())
+        ws
       }.sorted
+      extras("ivf_100m_stored_floor_after_ms") =
+        num(floorProbe(spark, cpus), 1)
+      val storedCalMed = storedCal.sorted.apply(storedCal.length / 2)
+      extras("ivf_100m_stored_scan_calib_attempts_ms") =
+        storedCal.map(num(_, 1)).mkString("[", ",", "]")
+      extras("ivf_100m_stored_scan_calib_ms") = num(storedCalMed, 1)
       extras("ivf_100m_stored_p50_ms") = num(pctl(storedLat, 50), 1)
       extras("ivf_100m_stored_p99_ms") = num(pctl(storedLat, 99), 1)
+      extras("ivf_100m_stored_ratio_p50_over_calib") =
+        num(pctl(storedLat, 50) / math.max(1e-9, storedCalMed), 2)
       pool.shutdown()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] 100M stable tier FAILED: ${e.getMessage}")
@@ -1337,22 +1420,26 @@ object Bench {
         // sections' r11 discipline — serving_concurrent_ratio — applied
         // to ingest, which swings hardest with box weather: r11 driver
         // 122k vs builder 312k ops/s on the same code, same floors).
-        // One fixed ingest-SHAPED job (write 200k fixed rows as parquet
-        // into the same tmp filesystem, read-count back) timed around
-        // every ingest pass, so both see the same weather. The
-        // cross-round signal is ingest_calib_ratio = ops ingested per
-        // unit of constant-work capacity — compare THAT, not raw ops/s.
-        val calibN = 200000L
+        // CPU/DISPATCH-BOUND by design (r12 verdict item #2): the r12
+        // probe wrote parquet and inherited page-cache/filesystem
+        // weather — it swung 0.296→3.02 s WITHIN one run (6×) against a
+        // 1.4× swing in the throughput it was built to normalize. What
+        // moves ingest ops/s between boxes and rounds is mostly CPU
+        // capacity under shared-container contention; this probe is a
+        // fixed xxhash64 fold over a constant range (whole-stage
+        // codegen, one 32-task job, zero filesystem), so it sees
+        // exactly that. Timed around every ingest pass; the cross-round
+        // signal is ingest_calib_ratio = ops ingested per unit of
+        // constant-work capacity — compare THAT, not raw ops/s.
+        val calibN = 1L << 31 // ~2.1B hashes ≈ 0.5-1 s on 32 healthy cores
         val calibSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
         def ingestCalib(tag: String): Unit =
           try {
-            val dir = s"$tmp/calib-$tag"
             val t0 = System.nanoTime()
-            spark.range(calibN)
-              .select(col("id"), xxhash64(col("id")).as("h"))
-              .repartition(8).write.mode("overwrite").parquet(dir)
-            val n = spark.read.parquet(dir).count()
-            require(n == calibN, s"calib wrote $n of $calibN rows")
+            val s = spark.range(0L, calibN, 1L, 32)
+              .select(sum(xxhash64(col("id"))).as("s"))
+              .head().getLong(0)
+            require(s != 0L, "degenerate calib fold")
             calibSecs += (System.nanoTime() - t0) / 1e9
           } catch { case e: Throwable =>
             System.err.println(s"[bench] ingest calib FAILED: ${e.getMessage}")
@@ -1390,11 +1477,25 @@ object Bench {
         val (tree, ingSec, cSec, lags) = passes.minBy(_._2)
         // the twin brackets the BEST pass too (it ran before it), so the
         // median calib time and the best pass share the same weather
-        // regime; ratio units: ops ingested per constant-work unit
+        // regime; ratio units: ops ingested per constant-work unit.
+        // In-run spread gate: if the probe itself swings >2× the twin
+        // cannot adjudicate — take more interleaved attempts (median
+        // over 3+extras is the reported unit) and DISCLOSE the spread.
+        var extraCal = 0
+        while (calibSecs.nonEmpty &&
+            calibSecs.max > 2.0 * calibSecs.min && extraCal < 3) {
+          System.err.println(s"[bench] ingest calib spread " +
+            s"${num(calibSecs.max, 3)}/${num(calibSecs.min, 3)} s — " +
+            "extra attempt")
+          ingestCalib(s"extra$extraCal")
+          extraCal += 1
+        }
         if (calibSecs.nonEmpty) {
           val calMed = calibSecs.sorted.apply(calibSecs.length / 2)
           extras("ingest_calib_attempts_sec") =
             calibSecs.map(num(_, 3)).mkString("[", ",", "]")
+          extras("ingest_calib_spread") =
+            num(calibSecs.max / math.max(1e-9, calibSecs.min), 2)
           extras("ingest_calib_sec") = num(calMed, 3)
           extras("ingest_calib_ratio") =
             num((nOps / ingSec) * calMed, 1)
@@ -2721,9 +2822,14 @@ object Bench {
         "ivf_100m_dist_p99_ms", "ivf_100m_dist_p99_steady_ms",
         "ivf_100m_dist_parity",
         "ivf_100m_stored_p50_ms", "ivf_100m_stored_p99_ms",
+        "ivf_100m_stored_scan_calib_ms",
+        "ivf_100m_stored_ratio_p50_over_calib",
+        "ivf_100m_stored_floor_before_ms", "ivf_100m_stored_floor_after_ms",
         "ivf_100m_route_fallthrough_parity",
+        "ivf_100m_route_mixed_serves", "ivf_100m_route_mixed_parity",
+        "ivf_100m_cold_open_to_serve_sec", "ivf_100m_first_query_sec",
         "serving_concurrent_calib_qps", "serving_concurrent_ratio",
-        "ingest_calib_ratio")
+        "ingest_calib_ratio", "ingest_calib_spread")
       summaryExtras.foreach(k => extras.get(k).foreach(v => summary(k) = v))
       summary("queries_full") = "\"BENCH_FULL.json\""
       summary("sf") = "\"" + sfDirJson + "\""

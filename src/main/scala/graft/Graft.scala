@@ -338,15 +338,18 @@ final class Graft private (
     * the cache-hierarchy router — phase 1 serves WITHOUT a scheduler
     * job when the driver tier covers the probes (~14 ms dispatch floor
     * saved per request at reference list sizes), from the distributed
-    * tier otherwise. The router's stored level never fires here: the
-    * distributed tier is built over the full corpus, so its coverage
-    * only fails on a probe bug — surfaced as the same cold-tier
-    * IllegalStateException rather than a silent store scan.
+    * tier otherwise, and from the DURABLE codes tree (`stored`, the
+    * partition-pruned declarative ADC plan over `$baseDir/pqcodes`)
+    * when the distributed tier has been evicted — the router DEGRADES
+    * to the slow exact-contract answer instead of throwing
+    * (VERDICT r12 finding #1: an eviction must not turn a query into
+    * an exception).
     */
   private final case class PqTierState(
       dist: graft.index.PqServingIndex,
       local: Option[graft.index.LocalPqIndex],
       router: graft.index.PqTieredServing,
+      stored: (Array[Float], Int, Int, String) => Array[(Long, Double)],
       cb: graft.index.Pq.Codebook)
 
   @volatile private var pqTier: Option[PqTierState] = None
@@ -368,15 +371,31 @@ final class Graft private (
   private[graft] def pqTierCodebook: Option[graft.index.Pq.Codebook] =
     pqTier.map(_.cb)
 
-  /** Single-door phase-1 route counters (driver, distributed, stored)
-    * — observability for the cache hierarchy; the stored count stays 0
-    * by construction (see [[PqTierState]]).
+  /** PQ-door phase-1 route counters (driver, distributed, stored) —
+    * observability for the cache hierarchy. Covers BOTH doors: the
+    * batch door accounts its per-query routes here too (mixed L0/L1
+    * serves count under `localServes` via [[pqDoorMixedServes]]).
     */
   def pqDoorRoutes: (Long, Long, Long) = pqTier match {
     case Some(st) =>
-      (st.router.localServes, st.router.distServes, st.router.storedServes)
+      (st.router.localServes + st.router.mixedServes,
+        st.router.distServes, st.router.storedServes)
     case None => (0L, 0L, 0L)
   }
+
+  /** Requests the single door served part-L0/part-L1 (split probe set,
+    * merged pools — [[graft.index.PqTieredServing]] mixed serving).
+    */
+  def pqDoorMixedServes: Long = pqTier.map(_.router.mixedServes).getOrElse(0L)
+
+  /** Drop the distributed PQ tier's block-manager residency WITHOUT
+    * demoting the door to cold: subsequent requests route past L1 to
+    * the durable codes tree (the stored L2 plan) until the next
+    * [[warmPqTier]]. The operator-facing "give the memory back now"
+    * action — and the eviction stand-in GraftFacadeSpec pins the L2
+    * fall-through with.
+    */
+  def releasePqDistTier(): Unit = pqTier.foreach(_.dist.unpersist())
 
   /** Stand up the stable PQ cache HIERARCHY over the CURRENT live
     * corpus (the reference's stable-tier admission pass, a
@@ -436,18 +455,32 @@ final class Graft private (
     val cb = codebook.getOrElse(graft.index.Pq.trainCodebookDriver(
       live.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(16384),
       m, dim / m, 256, vecCol = "vec", maxIter = 8))
-    // cache the coded relation: the encode pass feeds BOTH cache levels
-    // (and the sizes aggregate) — one encode, three readers
-    val codes = Ivf.assign(live, centroids(), vecCol = "vec")
+    val cents = centroids()
+    // cache the coded relation: the encode pass feeds both cache levels,
+    // the sizes aggregate AND the durable codes tree — one encode, four
+    // readers. BYTE-PACKED codes (the reference's own 8-bit code arrays,
+    // config.h:87): every consumer dispatches on the stored type, and
+    // the packed layout quarters the codes tree's bytes on disk and on
+    // every cold-path read.
+    val codes = Ivf.assign(live, cents, vecCol = "vec")
       .select(col("vec_id"), col("centroid_id"),
-        graft.index.Pq.codesColumn(cb, "vec").as("codes"))
+        graft.index.Pq.codesBinaryColumn(cb, "vec").as("codes"))
       .cache()
     try {
       val sizes = codes
         .groupBy(col("centroid_id").cast("long").as("centroid_id"))
         .agg(count(lit(1)).as("n")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toMap
-      val dist = graft.index.PqServingIndex.build(codes, centroids(), cb,
+      // the DURABLE stable-tier index tree (the reference's stable
+      // segments carry PQ codes, config.h:84-94): hive-partitioned one
+      // file per inverted list, so the L2 fall-through below is a
+      // partition-PRUNED scan of ~nprobe lists, never a corpus read —
+      // the 100 TB shape (an executor count divides the scan on a real
+      // cluster)
+      codes.repartition(col("centroid_id"))
+        .write.mode("overwrite").partitionBy("centroid_id")
+        .parquet(pqCodesPath)
+      val dist = graft.index.PqServingIndex.build(codes, cents, cb,
         config.servingLimits, Some(sizes))
       val budget =
         if (localBudgetBytes >= 0L) localBudgetBytes
@@ -458,19 +491,71 @@ final class Graft private (
       // unreachable RDD — unpersist before propagating
       val local =
         try {
-          val local0 = graft.index.LocalPqIndex.build(codes, centroids(),
+          val local0 = graft.index.LocalPqIndex.build(codes, cents,
             cb, maxBytes = budget, limits = config.servingLimits,
             knownSizes = Some(sizes))
           if (local0.cachedLists > 0) Some(local0) else None
         } catch { case e: Throwable => dist.unpersist(); throw e }
+      val stored = storedAdcClosure(cents, cb, sizes)
       val router = new graft.index.PqTieredServing(local, Some(dist),
-        (_, _, _, _) => throw new IllegalStateException(
-          "PQ tier cold — warmPqTier() is the stable-tier admission pass"))
+        stored, config.servingLimits)
       pqTier.foreach(_.dist.unpersist())
-      pqTier = Some(PqTierState(dist, local, router, cb))
+      pqTier = Some(PqTierState(dist, local, router, stored, cb))
       pqTierPinned = codebook
       dist.cachedLists
     } finally codes.unpersist(blocking = false)
+  }
+
+  private def pqCodesPath: String = s"$baseDir/pqcodes"
+
+  /** The router's L2: the REAL declarative stored ADC plan over the
+    * codes tree [[warmPqTier]] persisted — the path a request takes
+    * when the distributed tier's blocks have been evicted
+    * ([[releasePqDistTier]], memory pressure). Metric-correct and
+    * value-identical to the cache levels by construction: the probe
+    * set is the same metric-aware ranking + max_candidates walk, the
+    * per-query LUT is THE shared [[graft.index.Pq.lutForMetric]]
+    * (injected as a literal — m×256 doubles, a cold-path single-query
+    * plan), the scan is the shared byte-code lookup-sum kernel with
+    * sequential double accumulation, and the top-n is an in-plan
+    * TakeOrderedAndProject under the (score desc, id asc) contract —
+    * only n (id, score) pairs reach the driver. Slow by design
+    * (parquet decode per request, ~0.5-5 s at the 100M geometry on
+    * local[32]); the architecture's promise is DEGRADE, not refuse.
+    */
+  private def storedAdcClosure(cents: DataFrame,
+      cb: graft.index.Pq.Codebook, sizes: Map[Long, Long])
+      : (Array[Float], Int, Int, String) => Array[(Long, Double)] = {
+    val (cids, matrix) = Ivf.collectCentroids(cents)
+    val lim = config.servingLimits
+    val storedCodes = spark.read.parquet(pqCodesPath)
+    // hive partition-value inference types centroid_id as INT — the
+    // probe filter's literals must match it exactly, or Catalyst wraps
+    // the PARTITION column in a cast and directory-level pruning is at
+    // the planner's mercy (a full-tree scan on the cold path would be
+    // the one thing this layout exists to avoid)
+    val cidIsLong = storedCodes.schema("centroid_id").dataType ==
+      org.apache.spark.sql.types.LongType
+    (q: Array[Float], n: Int, nprobe: Int, metric: String) => {
+      val probed = graft.index.ServingIndex.capProbesWalk(
+        Ivf.probePick(graft.index.Pq.probeQuery(q, metric), cids,
+          matrix, nprobe),
+        cid => sizes.getOrElse(cid, 0L), lim.maxCandidates)
+      if (n <= 0 || probed.isEmpty) Array.empty
+      else {
+        val lut = graft.index.Pq.lutForMetric(cb, q, metric)
+        val lutCol = typedlit(lut.map(_.toSeq).toSeq)
+        val inVals: Seq[Any] =
+          if (cidIsLong) probed else probed.map(_.toInt)
+        storedCodes.filter(col("centroid_id").isin(inVals: _*))
+          .select(col("vec_id"),
+            graft.functions.expr.IndexExpressions
+              .pqAdcSumBytes(col("codes"), lutCol).as("approx_score"))
+          .orderBy(col("approx_score").desc, col("vec_id").asc)
+          .limit(n)
+          .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      }
+    }
   }
 
   /** Two-phase stable-tier search: phase 1 is the cache hierarchy's
@@ -491,7 +576,9 @@ final class Graft private (
     * ([[graft.segments.Segments.scanForIdHashes]]) with LWW resolution,
     * the shared codegen kernels, and an in-plan sort-limit — only the
     * k winners ever reach the driver. Refuses when the tier is cold
-    * ([[warmPqTier]] is the admission pass).
+    * ([[warmPqTier]] is the admission pass); an EVICTED distributed
+    * tier is not cold — the router degrades phase 1 to the durable
+    * codes tree ([[storedAdcClosure]]) with identical values.
     */
   def searchPq(q: Array[Float], k: Int,
       rerank: Int = config.stable.rerankFactor): Array[(Long, Double)] = {
@@ -556,14 +643,18 @@ final class Graft private (
     * config.h:180): phase 1 is ONE scheduler job over the union of the
     * batch's probed lists ([[graft.index.PqServingIndex
     * .searchAdcBatch]] — the per-request dispatch floor is paid once
-    * per batch, not once per query), phase 2 is ONE store plan: the
-    * union of all store candidates fetches through the pruned
-    * point-lookup path once, scores EXECUTOR-SIDE against each query's
-    * own candidate set (broadcast pair/query relations — no shuffle of
-    * the fetched rows beyond the window cut), and returns k winners per
-    * query. Per-query results are IDENTICAL to [[searchPq]]
-    * (GraftFacadeSpec pins it); overlay consultation is per query,
-    * same as the single door.
+    * per batch, not once per query; an EVICTED distributed tier
+    * degrades per query to the durable codes tree like the single
+    * door), phase 2 is one store plan PER BOUNDED PAIR CHUNK: store
+    * candidates fetch through the pruned point-lookup path, score
+    * EXECUTOR-SIDE against each query's own candidate set (broadcast
+    * pair/query relations — no shuffle of the fetched rows beyond the
+    * window cut, and the broadcast pair relation is chunked so the
+    * adversarial knob product can never balloon the driver), and k
+    * winners per query come back. Per-query results are IDENTICAL to
+    * [[searchPq]] (GraftFacadeSpec pins it); overlay consultation is
+    * per query, same as the single door. Every request is accounted in
+    * [[pqDoorRoutes]] (the batch door bumps the router's counters).
     */
   def searchPqBatch(qs: Seq[Array[Float]], k: Int,
       rerank: Int = config.stable.rerankFactor)
@@ -599,8 +690,17 @@ final class Graft private (
       val probed = probeTier(qArr(pi))
       st.local.filter(_.coversProbes(probed)) match {
         case Some(l) =>
+          st.router.noteLocalServe()
           pools(pi) = l.searchAdcOnProbed(probed, qArr(pi), nBudget, metric)
-        case None => uncovered += ((pi, probed))
+        case None if st.dist.resident && st.dist.coversProbes(probed) =>
+          uncovered += ((pi, probed))
+        case None =>
+          // distributed tier evicted ([[releasePqDistTier]] / memory
+          // pressure): DEGRADE to the durable codes tree per query —
+          // same L2 plan, same values, slow by design
+          st.router.noteStoredServe()
+          pools(pi) = st.stored(qArr(pi), nBudget,
+            config.stable.nprobe, metric)
       }
       pi += 1
     }
@@ -611,6 +711,7 @@ final class Graft private (
         knownProbes = Some(uncovered.map(_._2).toIndexedSeq))
       var si = 0
       while (si < uncovered.length) {
+        st.router.noteDistServe()
         pools(uncovered(si)._1) = sub(si)
         si += 1
       }
@@ -635,33 +736,50 @@ final class Graft private (
     }
     if (storePairs.nonEmpty) {
       import spark.implicits._
-      val hashes = storePairs.iterator.map(_._2).toIndexedSeq.distinct
-      Segments.scanForIdHashes(spark, baseDir, hashes).foreach { df =>
-        val live = graft.operators.Lww.latestBy(df, "id_hash", "epoch")
-          .filter(!col("deleted") && col("vec").isNotNull)
-          .select(col("id_hash"),
-            col("vec").cast("array<double>").as("vec"))
-        val candDf = storePairs.toSeq.toDF("qi", "id_hash")
-        val qDf = qArr.zipWithIndex
-          .map { case (q, i) => (i, q.map(_.toDouble).toSeq) }
-          .toDF("qi", "qv")
-        val score = metric match {
-          case "l2" => VectorFunctions.l2SqD(col("qv"), col("vec"))
-          case "cosine" => VectorFunctions.cosineD(col("qv"), col("vec"))
-          case _ => VectorFunctions.dotD(col("qv"), col("vec"))
+      val qDf = qArr.zipWithIndex
+        .map { case (q, i) => (i, q.map(_.toDouble).toSeq) }
+        .toDF("qi", "qv")
+      // phase-2 DRIVER-MATERIALIZATION BOUND (the reference's request-
+      // size discipline, config.h:178-185): the (qi, id_hash) pair
+      // relation is chunked before the toDF + broadcast, so the config's
+      // adversarial knob product — maxBatch × maxK × a deep rerank
+      // (100 × 100 × 768 ≈ 7.7M pairs) — can never demand an unbounded
+      // driver buffer and a ~100 MB broadcast in one piece. The cap is
+      // limits-derived (maxBatch single requests at the maxCandidates
+      // ceiling), clamped to ~1M pairs (~16 MB on the wire); per-chunk
+      // window cuts stay correct because the global per-query top-k is
+      // a subset of the union of per-chunk top-ks. Test hook:
+      // -Dgraft.pq.batch.pairChunk.
+      val pairChunk = math.max(1, Integer.getInteger(
+        "graft.pq.batch.pairChunk",
+        math.min(1L * config.servingLimits.maxBatch *
+          config.servingLimits.maxCandidates, 1L << 20).toInt).intValue)
+      storePairs.grouped(pairChunk).foreach { chunk =>
+        val hashes = chunk.iterator.map(_._2).toIndexedSeq.distinct
+        Segments.scanForIdHashes(spark, baseDir, hashes).foreach { df =>
+          val live = graft.operators.Lww.latestBy(df, "id_hash", "epoch")
+            .filter(!col("deleted") && col("vec").isNotNull)
+            .select(col("id_hash"),
+              col("vec").cast("array<double>").as("vec"))
+          val candDf = chunk.toSeq.toDF("qi", "id_hash")
+          val score = metric match {
+            case "l2" => VectorFunctions.l2SqD(col("qv"), col("vec"))
+            case "cosine" => VectorFunctions.cosineD(col("qv"), col("vec"))
+            case _ => VectorFunctions.dotD(col("qv"), col("vec"))
+          }
+          val w = Window.partitionBy(col("qi")).orderBy(
+            (if (asc) col("score").asc else col("score").desc),
+            col("id_hash").asc)
+          live.join(broadcast(candDf), "id_hash")
+            .join(broadcast(qDf), "qi")
+            .select(col("qi"), col("id_hash"), score.as("score"))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") <= kk)
+            .select("qi", "id_hash", "score")
+            .collect()
+            .foreach(r =>
+              topks(r.getInt(0)).insert(r.getDouble(2), r.getLong(1)))
         }
-        val w = Window.partitionBy(col("qi")).orderBy(
-          (if (asc) col("score").asc else col("score").desc),
-          col("id_hash").asc)
-        live.join(broadcast(candDf), "id_hash")
-          .join(broadcast(qDf), "qi")
-          .select(col("qi"), col("id_hash"), score.as("score"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= kk)
-          .select("qi", "id_hash", "score")
-          .collect()
-          .foreach(r =>
-            topks(r.getInt(0)).insert(r.getDouble(2), r.getLong(1)))
       }
     }
     topks.map(_.result())

@@ -36,16 +36,26 @@ object SparkEntry {
 
   private val pointIds = Seq(0L, 1L, 5L, 10L, 55L, 123L, 499L, 9999L)
 
+  /** Scratch root shared by the Spark side AND the oracle SQL template
+    * (the SQL reads the same files back in DuckDB, so both sides MUST
+    * derive the path from the one knob): `-Dgraft.scratch.dir`, else
+    * `$GRAFT_SCRATCH_DIR`, else `.vtmp` under the working directory.
+    * Gitignored scratch, never shipped state.
+    */
+  private def scratchRoot: String =
+    sys.props.get("graft.scratch.dir")
+      .orElse(sys.env.get("GRAFT_SCRATCH_DIR"))
+      .getOrElse(s"${sys.props.getOrElse("user.dir", ".")}/.vtmp")
+
   /** Where `knn_pq_opq_trained` persists its trained rotation for the
     * DuckDB oracle to read back. Keyed by the sf dir's NAME so a bench
     * battery at another scale factor running between a verify dump and
     * its oracle replay can never clobber the matrix the oracle needs;
     * the oracle SQL carries the `{GRAFT_SF}` placeholder and
-    * [[Verify]] substitutes the concrete name at dump time. Gitignored
-    * scratch, never shipped state.
+    * [[Verify]] substitutes the concrete name at dump time.
     */
   private def opqRotationPath(dir: String): String =
-    s"/root/repo/.vtmp/opq_rotation_trained_${new java.io.File(dir).getName}"
+    s"$scratchRoot/opq_rotation_trained_${new java.io.File(dir).getName}"
 
   /** Shared read-only stored segment tree per sfDir: the deterministic
     * mutation log assigned to deterministic centroids, flushed as two delta
@@ -1860,7 +1870,7 @@ object SparkEntry {
     "knn_pq_opq_trained" ->
       s"""$EMB,
          |rot AS (SELECT i, rw FROM read_parquet(
-         |  '/root/repo/.vtmp/opq_rotation_trained_{GRAFT_SF}/*.parquet')),
+         |  '$scratchRoot/opq_rotation_trained_{GRAFT_SF}/*.parquet')),
          |remb AS (SELECT vec_id, list(dp ORDER BY i) AS e FROM (
          |    SELECT emb.vec_id, r.i, list_dot_product(r.rw, emb.e) AS dp
          |    FROM emb CROSS JOIN rot r) t

@@ -70,6 +70,17 @@ final class LocalPqIndex private (
     probed.forall(cid =>
       lists.contains(cid) || listSizes.getOrElse(cid, 0L) == 0L)
 
+  /** Split a probe set into (lists this tier actually holds rows for,
+    * everything else) — the router's MIXED-serve split
+    * ([[PqTieredServing]]): resident lists scan here at driver memory
+    * speed, the misses go to the distributed tier, and the pools merge
+    * under the shared ranking contract. Empty lists land on the miss
+    * side (they scan nothing wherever they route).
+    */
+  private[graft] def partitionResident(probed: Seq[Long])
+      : (Seq[Long], Seq[Long]) =
+    probed.partition(lists.contains)
+
   /** The request's capped, METRIC-AWARE probe set ([[Pq.probeQuery]]:
     * cosine probes with the normalized query, matching the
     * normalize-at-admission list membership) — computed ONCE per

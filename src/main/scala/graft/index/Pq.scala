@@ -57,22 +57,6 @@ object Pq {
     }
   }
 
-  /** Metric-appropriate ADC LUT — every variant is HIGHER-IS-BETTER so
-    * all scan kernels keep the one (score desc, id asc) ranking
-    * contract:
-    *  - `ip`: [[lutFor]] verbatim;
-    *  - `l2`: NEGATED expanded L2 per subspace, lut(j)(c) =
-    *    −‖q_j − cw‖² — the per-row sum is −‖q − x̃‖² of the PQ
-    *    reconstruction, so ranking equals L2-ascending on the
-    *    approximation (an IP LUT would select candidates by HIGHEST dot
-    *    product, a systematically wrong pool for an l2 collection);
-    *  - `cosine`: [[lutFor]] scaled by 1/‖q‖ — correct ONLY over codes
-    *    encoded from L2-NORMALIZED vectors (the reference's own
-    *    contract, "Cosine via L2-norm at ingest" types.h:39;
-    *    [[graft.Graft.warmPqTier]] normalizes at admission). The query
-    *    scaling never changes ranking (positive constant) but keeps the
-    *    approximate scores on the cosine scale the exact rerank uses.
-    */
   /** The query the COARSE PROBE must rank centroids with, per metric:
     * a cosine tier assigns L2-NORMALIZED rows to lists, so the probe
     * must see the normalized query too — the expanded-L2 centroid
@@ -98,6 +82,22 @@ object Pq {
       }
     }
 
+  /** Metric-appropriate ADC LUT — every variant is HIGHER-IS-BETTER so
+    * all scan kernels keep the one (score desc, id asc) ranking
+    * contract:
+    *  - `ip`: [[lutFor]] verbatim;
+    *  - `l2`: NEGATED expanded L2 per subspace, lut(j)(c) =
+    *    −‖q_j − cw‖² — the per-row sum is −‖q − x̃‖² of the PQ
+    *    reconstruction, so ranking equals L2-ascending on the
+    *    approximation (an IP LUT would select candidates by HIGHEST dot
+    *    product, a systematically wrong pool for an l2 collection);
+    *  - `cosine`: [[lutFor]] scaled by 1/‖q‖ — correct ONLY over codes
+    *    encoded from L2-NORMALIZED vectors (the reference's own
+    *    contract, "Cosine via L2-norm at ingest" types.h:39;
+    *    [[graft.Graft.warmPqTier]] normalizes at admission). The query
+    *    scaling never changes ranking (positive constant) but keeps the
+    *    approximate scores on the cosine scale the exact rerank uses.
+    */
   def lutForMetric(cb: Codebook, q: Array[Float],
       metric: String): Array[Array[Double]] = metric match {
     case "ip" => lutFor(cb, q)

@@ -65,6 +65,22 @@ final class PqServingIndex private (
       metric: String = "ip"): Seq[Long] =
     capProbes(probe(Pq.probeQuery(q, metric), nprobe))
 
+  /** Whether the tier's blocks are still marked persisted in the block
+    * manager: [[unpersist]] — the facade's mid-session demotion, or an
+    * operator dropping the cache under memory pressure — flips this to
+    * false, and the ROUTER ([[PqTieredServing]]) routes past this level
+    * to the stored path instead of silently recomputing the whole build
+    * lineage inside a latency-budgeted request. Deliberately NOT part
+    * of [[coversProbes]]: a DIRECT call on a non-resident tier still
+    * serves via RDD lineage recompute (correct, slow — and the
+    * recompute fails loudly on the packed file's staleness gate if the
+    * file moved on, PqServingSpec pins it); residency is a routing
+    * concern, coverage is a correctness one. Partition-granular loss is
+    * not visible here (MEMORY_AND_DISK spills rather than drops).
+    */
+  def resident: Boolean =
+    blocks.getStorageLevel != StorageLevel.NONE
+
   /** A probed list is covered when a partition holds it OR it is empty
     * (no partition exists for an empty list by construction).
     */

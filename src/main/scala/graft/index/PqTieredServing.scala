@@ -12,30 +12,44 @@ import java.util.concurrent.atomic.AtomicLong
   *                            cover every list.
   *   L1  [[PqServingIndex]]   distributed block-manager codes tier —
   *                            nprobe in-memory tasks per request
-  *                            (measured steady p99 68.7 ms at the 100M
+  *                            (measured steady p99 59.7 ms at the 100M
   *                            geometry); covers the whole corpus when
-  *                            warm.
+  *                            warm, and reports itself non-[[
+  *                            PqServingIndex.resident]] after an
+  *                            unpersist so eviction DEGRADES to L2
+  *                            instead of throwing.
   *   L2  `stored`             the declarative stored path (partition-
   *                            pruned parquet ADC) — the true COLD
-  *                            layer (measured p99 ~1076 ms at 100M on
+  *                            layer (measured p99 ~1-5 s at 100M on
   *                            local[32]; an executor count divides it
-  *                            on a real cluster).
+  *                            on a real cluster). Never a throw: this
+  *                            closure must ANSWER ([[graft.Graft
+  *                            .warmPqTier]] wires the real codes-tree
+  *                            plan).
   *
   * A request serves from the SHALLOWEST level that covers every probed
-  * list ([[LocalPqIndex.coversRequest]] / [[PqServingIndex
-  * .coversRequest]] — the same probe ranking + max_candidates walk the
+  * list ([[LocalPqIndex.coversProbes]] / [[PqServingIndex
+  * .coversProbes]] — the same probe ranking + max_candidates walk the
   * scans themselves run, so routing never turns into a coverage
-  * refusal mid-serve). All three levels share the ADC contract
-  * ([[Pq.lutForMetric]] LUT, sequential double accumulation,
-  * (score desc, id asc) ranking), so WHICH level serves is invisible
-  * in the values — PqTieredServingSpec pins route-choice parity — and
-  * only visible in latency and in the per-level counters below
-  * (bench observability: `ivf_100m_route_*`).
+  * refusal mid-serve). When L0 holds only SOME of the probed lists, the
+  * request serves MIXED: resident lists scan driver-side, the misses
+  * scan as L1 tasks, and the two pools merge under the shared
+  * (score desc, id asc) contract — at a scale where the driver budget
+  * holds a fraction of the lists, L0 keeps earning its bytes instead
+  * of going dead weight behind an all-or-nothing coverage check.
+  * All levels share the ADC contract ([[Pq.lutForMetric]] LUT,
+  * sequential double accumulation, (score desc, id asc) ranking), so
+  * WHICH level serves is invisible in the values — PqTieredServingSpec
+  * pins route-choice and mixed-serve parity — and only visible in
+  * latency and in the per-level counters below (bench observability:
+  * `ivf_100m_route_*`).
   *
   * The levels must be built over the SAME corpus snapshot, codebook,
   * and serving limits — the router routes, it does not reconcile
   * generations (that is the admission passes' job, like every cache
-  * pair in the engine).
+  * pair in the engine). `limits` is the ONE client-k clamp applied at
+  * the door regardless of which level serves (route-invisible
+  * clamping; the tiers' own maxK fields never see the client k).
   *
   * Thread-safe: routing reads immutable tier state; counters are
   * atomics.
@@ -43,37 +57,48 @@ import java.util.concurrent.atomic.AtomicLong
 final class PqTieredServing(
     local: Option[LocalPqIndex],
     dist: Option[PqServingIndex],
-    stored: (Array[Float], Int, Int, String) => Array[(Long, Double)]) {
+    stored: (Array[Float], Int, Int, String) => Array[(Long, Double)],
+    limits: ServingLimits) {
 
   private val localN = new AtomicLong(0L)
+  private val mixedN = new AtomicLong(0L)
   private val distN = new AtomicLong(0L)
   private val storedN = new AtomicLong(0L)
 
-  /** Requests served by the driver tier. */
+  /** Requests served wholly by the driver tier. */
   def localServes: Long = localN.get()
-  /** Requests that fell through to the distributed tier. */
+  /** Requests served part-L0/part-L1 (split probe set, merged pools). */
+  def mixedServes: Long = mixedN.get()
+  /** Requests that fell through to the distributed tier alone. */
   def distServes: Long = distN.get()
   /** Requests that fell through past both cache levels to the store. */
   def storedServes: Long = storedN.get()
 
-  /** Phase-1 ADC top-k through the hierarchy (client-facing — each
-    * tier applies its own maxK clamp; the `stored` closure receives
-    * the caller's k unchanged and must clamp itself if it cares).
+  // the batch door ([[graft.Graft.searchPqBatch]]) routes per query but
+  // scans the L1 subset as ONE job — it accounts its requests here so
+  // the counters cover EVERY request through the hierarchy, not just
+  // the single-query door
+  private[graft] def noteLocalServe(): Unit = { localN.incrementAndGet(); () }
+  private[graft] def noteDistServe(): Unit = { distN.incrementAndGet(); () }
+  private[graft] def noteStoredServe(): Unit = { storedN.incrementAndGet(); () }
+
+  /** Phase-1 ADC top-k through the hierarchy (client-facing). The
+    * client k clamps against the ROUTER's limits — one clamp, every
+    * route, so the stored fall-through can never see a larger k than
+    * the cache levels would have (route-invisible behavior).
     */
   def searchAdc(q: Array[Float], k: Int, nprobe: Int,
-      metric: String = "ip"): Array[(Long, Double)] = {
-    val kk = Seq(local.map(_.limits.maxK), dist.map(_.limits.maxK))
-      .flatten.foldLeft(k)(math.min)
-    searchAdcUnclamped(q, kk, nprobe, metric)
-  }
+      metric: String = "ip"): Array[(Long, Double)] =
+    searchAdcUnclamped(q, math.min(k, limits.maxK), nprobe, metric)
 
   /** Phase-1 ranking at a two-phase caller's INTERNAL rerank·k budget
-    * — unclamped on both cache levels; the `stored` closure receives
-    * `n` as its k and must treat it as an internal budget too. The
-    * centroid ranking + max_candidates walk runs ONCE here and the
-    * probe set is passed through to the serving tier (the tiers share
-    * one layout by the router's construction contract), so routing
-    * costs one probe, not two or three.
+    * — unclamped on every level (`n` is a candidate-pool size, not a
+    * client k; the `stored` closure receives it as its k and must
+    * treat it as an internal budget too). The centroid ranking +
+    * max_candidates walk runs ONCE here and the probe set is passed
+    * through to the serving tier (the tiers share one layout by the
+    * router's construction contract), so routing costs one probe, not
+    * two or three.
     */
   private[graft] def searchAdcUnclamped(q: Array[Float], n: Int,
       nprobe: Int, metric: String = "ip"): Array[(Long, Double)] = {
@@ -83,12 +108,46 @@ final class PqTieredServing(
       case Some(p) if local.exists(_.coversProbes(p)) =>
         localN.incrementAndGet()
         local.get.searchAdcOnProbed(p, q, n, metric)
-      case Some(p) if dist.exists(_.coversProbes(p)) =>
-        distN.incrementAndGet()
-        dist.get.searchAdcOnProbed(p, q, n, metric)
+      case Some(p) if dist.exists(d => d.resident && d.coversProbes(p)) =>
+        // per-probe MIXED serve: L0's resident lists scan at driver
+        // memory speed, only the misses pay L1 tasks — the pools merge
+        // under the one ranking contract, so values equal a pure-L1
+        // scan of the full probe set (top-n of a union == top-n of the
+        // per-part top-ns)
+        local.map(l => (l, l.partitionResident(p))) match {
+          case Some((l, (res, miss))) if res.nonEmpty =>
+            mixedN.incrementAndGet()
+            PqTieredServing.mergeTopN(
+              l.searchAdcOnProbed(res, q, n, metric),
+              dist.get.searchAdcOnProbed(miss, q, n, metric), n)
+          case _ =>
+            distN.incrementAndGet()
+            dist.get.searchAdcOnProbed(p, q, n, metric)
+        }
       case _ =>
         storedN.incrementAndGet()
         stored(q, n, nprobe, metric)
     }
+  }
+}
+
+object PqTieredServing {
+
+  /** Merge two per-level phase-1 pools into the request's top-n under
+    * the engine-wide (score desc, id asc) contract — the same
+    * quickselect kernel the deep-fetch scans use, so a mixed serve
+    * ranks bit-identically to a single-level scan of the union.
+    */
+  private[index] def mergeTopN(a: Array[(Long, Double)],
+      b: Array[(Long, Double)], n: Int): Array[(Long, Double)] = {
+    val total = a.length + b.length
+    val ids = new Array[Long](total)
+    val scores = new Array[Double](total)
+    var w = 0
+    a.foreach { case (id, s) => ids(w) = id; scores(w) = s; w += 1 }
+    b.foreach { case (id, s) => ids(w) = id; scores(w) = s; w += 1 }
+    val len = graft.operators.TopK.selectTopN(ids, scores, total, n,
+      asc = false)
+    Array.tabulate(len)(i => (ids(i), scores(i)))
   }
 }

@@ -1366,7 +1366,7 @@ object ServingIndex {
     * order while the cumulative candidate pool stays within budget,
     * always at least one probe.
     */
-  private[index] def capProbesWalk(probed: Seq[Long], sizeOf: Long => Long,
+  private[graft] def capProbesWalk(probed: Seq[Long], sizeOf: Long => Long,
       maxCandidates: Int): Seq[Long] = {
     if (maxCandidates == Int.MaxValue) return probed
     var cum = 0L

@@ -572,6 +572,14 @@ class GraftFacadeSpec extends SparkSpec {
     assert(got === want, s"got=$got want=$want")
     assert(got.head._1 === hashOf("near"),
       "phase-1 pool excluded the l2-nearest row")
+    // evicted distributed tier (no L0 to hide behind): the stored L2
+    // plan replays the same negated-L2 LUT — values identical through
+    // the fall-through
+    assert(g.warmPqTier(localBudgetBytes = 0L) > 0)
+    g.releasePqDistTier()
+    assert(g.searchPq(mq, 5, rerank = 4).toSeq === want,
+      "L2 stored fall-through diverged under l2")
+    assert(g.pqDoorRoutes._3 >= 1, "expected a stored serve")
     g.close()
     Segments.deleteDir(base)
   }
@@ -588,6 +596,13 @@ class GraftFacadeSpec extends SparkSpec {
     assert(got.head._1 === hashOf("near"),
       "phase-1 pool excluded the best-aligned row")
     assert(got(1)._1 === hashOf("far")) // cos 0.9 beats every decoy
+    // stored L2 under cosine: normalized-IP LUT + normalized-query
+    // probing replay identically through the fall-through
+    assert(g.warmPqTier(localBudgetBytes = 0L) > 0)
+    g.releasePqDistTier()
+    assert(g.searchPq(mq, 5, rerank = 4).toSeq === want,
+      "L2 stored fall-through diverged under cosine")
+    assert(g.pqDoorRoutes._3 >= 1, "expected a stored serve")
     g.close()
     Segments.deleteDir(base)
   }
@@ -672,6 +687,35 @@ class GraftFacadeSpec extends SparkSpec {
       assert(batch2(i).toSeq === g.searchPq(q, 10, rerank = 16).toSeq,
         s"q#$i with overlay")
     }
+    g.close()
+    Segments.deleteDir(base)
+  }
+
+  test("searchPqBatch chunks its phase-2 pair relation: a pair budget far below the batch's pool changes nothing but the plan count") {
+    // the adversarial knob product (maxBatch × maxK × deep rerank ≈
+    // 7.7M pairs at reference limits) must never driver-materialize in
+    // one piece — the chunk bound forces MANY store plans here (pair
+    // budget 7 against a ~hundreds-of-pairs batch) and the values must
+    // equal the single door exactly, chunk boundaries splitting one
+    // query's candidates notwithstanding
+    val base = tmp()
+    val g = Graft.open(spark, base, metricCfg("ip"))
+    g.upsert(metricBatch())
+    g.compact()
+    assert(g.warmPqTier() > 0)
+    val qsBatch: Seq[Array[Float]] = Seq(
+      mq,
+      Array.tabulate(mdim)(d => if (d == 5) 1f else 0f),
+      Array.tabulate(mdim)(d => if (d == 0) -1f else 0.1f))
+    val single = qsBatch.map(q => g.searchPq(q, 10, rerank = 64).toSeq)
+    sys.props("graft.pq.batch.pairChunk") = "7"
+    try {
+      val chunked = g.searchPqBatch(qsBatch, 10, rerank = 64)
+      qsBatch.indices.foreach { i =>
+        assert(chunked(i).toSeq === single(i),
+          s"q#$i diverged under a 7-pair phase-2 chunk")
+      }
+    } finally sys.props -= "graft.pq.batch.pairChunk"
     g.close()
     Segments.deleteDir(base)
   }
@@ -793,6 +837,38 @@ class GraftFacadeSpec extends SparkSpec {
     intercept[IllegalArgumentException] { g.searchPqBatch(oversized, 3) }
     assert(g.warmPqTier() > 0) // back to the covering budget
     intercept[IllegalArgumentException] { g.searchPqBatch(oversized, 3) }
+    g.close()
+    Segments.deleteDir(base)
+  }
+
+  test("PQ door L2: an evicted distributed tier DEGRADES to the durable codes tree — same values, stored-serve counters, both doors") {
+    val base = tmp()
+    val g = Graft.open(spark, base, metricCfg("ip"))
+    g.upsert(metricBatch())
+    g.compact()
+    // no L0 (starved budget): every request routes to the distributed
+    // tier, so the eviction below leaves only the stored path
+    assert(g.warmPqTier(localBudgetBytes = 0L) > 0)
+    val q2 = Array.tabulate(mdim)(d => if (d == 5) 1f else 0f)
+    val want = g.searchPq(mq, 5).toSeq
+    val wantBatch = g.searchPqBatch(Seq(mq, q2), 5).map(_.toSeq)
+    val (_, d1, s1) = g.pqDoorRoutes
+    assert(d1 >= 1 && s1 === 0, s"expected L1 routes, got ($d1, $s1)")
+    g.releasePqDistTier() // block-manager eviction stand-in
+    // the r12 verdict's finding #1: this used to THROW ("PQ tier cold")
+    // — the architecture says DEGRADE, and the stored plan must answer
+    // with the exact same values
+    assert(g.searchPq(mq, 5).toSeq === want,
+      "stored fall-through changed the door's values")
+    assert(g.searchPq(mq, 5).toSeq === exactTop(g, mq, 5))
+    assert(g.searchPqBatch(Seq(mq, q2), 5).map(_.toSeq) === wantBatch,
+      "batch door diverged through the stored path")
+    val (_, _, s2) = g.pqDoorRoutes
+    assert(s2 >= 4, s"expected stored serves, got $s2")
+    // a re-warm restores the cache levels; only a never-warmed door
+    // refuses
+    assert(g.warmPqTier() > 0)
+    assert(g.searchPq(mq, 5).toSeq === want)
     g.close()
     Segments.deleteDir(base)
   }

@@ -56,18 +56,24 @@ class PqTieredServingSpec extends SparkSpec {
           s"uncovered=${uncovered.length}")
 
       val router = new PqTieredServing(Some(starved), Some(dist),
-        storedPath)
+        storedPath, wide)
       (covered.take(3) ++ uncovered.take(3)).foreach { case (qid, qv) =>
         val got = router.searchAdc(qv, 10, np).toSeq
         assert(got === fullLocal.searchAdc(qv, 10, np).toSeq,
           s"q=$qid: routed result must equal the full-coverage answer")
       }
       assert(router.localServes === math.min(3, covered.length))
-      assert(router.distServes === math.min(3, uncovered.length))
+      // an uncovered request serves MIXED when the starved tier holds
+      // any of its probed lists, from L1 alone otherwise — either way
+      // it never reaches the store while L1 is warm
+      assert(router.mixedServes + router.distServes ===
+        math.min(3, uncovered.length),
+        s"mixed=${router.mixedServes} dist=${router.distServes}")
       assert(router.storedServes === 0)
 
       // L1 cold too → the store serves
-      val coldRouter = new PqTieredServing(Some(starved), None, storedPath)
+      val coldRouter =
+        new PqTieredServing(Some(starved), None, storedPath, wide)
       uncovered.take(2).foreach { case (qid, qv) =>
         assert(coldRouter.searchAdc(qv, 10, np).toSeq ===
           fullLocal.searchAdc(qv, 10, np).toSeq, s"q=$qid")
@@ -79,9 +85,10 @@ class PqTieredServingSpec extends SparkSpec {
   test("route parity: L0, L1 and L2 return bit-identical results for the same request, every metric") {
     val dist = PqServingIndex.build(codes, cents, cb, wide)
     try {
-      val r0 = new PqTieredServing(Some(fullLocal), Some(dist), storedPath)
-      val r1 = new PqTieredServing(None, Some(dist), storedPath)
-      val r2 = new PqTieredServing(None, None, storedPath)
+      val r0 = new PqTieredServing(Some(fullLocal), Some(dist),
+        storedPath, wide)
+      val r1 = new PqTieredServing(None, Some(dist), storedPath, wide)
+      val r2 = new PqTieredServing(None, None, storedPath, wide)
       qRows.take(4).foreach { case (qid, qv) =>
         for {
           (k, np) <- Seq((10, 2), (300, nlist))
@@ -117,7 +124,7 @@ class PqTieredServingSpec extends SparkSpec {
         .limit(k).select(col("vec_id"), col("approx_score"))
         .collect().map(r => (r.getLong(0), r.getDouble(1)))
     }
-    val r = new PqTieredServing(None, None, stored)
+    val r = new PqTieredServing(None, None, stored, wide)
     qRows.take(3).foreach { case (qid, qv) =>
       assert(r.searchAdc(qv, 10, 3).toSeq ===
         fullLocal.searchAdc(qv, 10, 3).toSeq, s"q=$qid")
@@ -193,5 +200,56 @@ class PqTieredServingSpec extends SparkSpec {
       assert(differs, "ip and l2 pools identical corpus-wide — fixture " +
         "cannot distinguish the LUTs")
     } finally dist.unpersist()
+  }
+
+  test("mixed L0/L1 serve: a starved driver tier scans its resident probed lists, L1 takes only the misses — identical values, mixed counter") {
+    val perRow = 8L + cb.m
+    val budget = emb.count() * perRow / 2
+    val starved = LocalPqIndex.build(codes, cents, cb,
+      maxBytes = budget, limits = wide)
+    val dist = PqServingIndex.build(codes, cents, cb, wide)
+    try {
+      val np = math.max(3, nlist / 4)
+      // fixture sharpness: at least one request must split — probing
+      // some lists the starved tier holds and some it doesn't
+      val splitQs = qRows.filter { case (_, qv) =>
+        val p = starved.probeFor(qv, np)
+        !starved.coversProbes(p) && starved.partitionResident(p)._1.nonEmpty
+      }
+      assert(splitQs.nonEmpty, "fixture degenerate: no split request")
+      val pureL1 = new PqTieredServing(None, Some(dist), storedPath, wide)
+      val mixed = new PqTieredServing(Some(starved), Some(dist),
+        storedPath, wide)
+      splitQs.take(4).foreach { case (qid, qv) =>
+        for ((k, metric) <- Seq((10, "ip"), (300, "l2"), (25, "cosine")))
+          assert(mixed.searchAdc(qv, k, np, metric).toSeq ===
+            pureL1.searchAdc(qv, k, np, metric).toSeq,
+            s"q=$qid k=$k $metric: mixed serve diverged from pure L1")
+      }
+      // the ip requests split by construction; cosine/l2 probe sets may
+      // land fully resident or fully missing (metric-aware probing) —
+      // every request is accounted by exactly one cache-level counter
+      val total = math.min(4, splitQs.length) * 3
+      assert(mixed.mixedServes >= math.min(4, splitQs.length),
+        s"mixed=${mixed.mixedServes} local=${mixed.localServes} " +
+          s"dist=${mixed.distServes}")
+      assert(mixed.mixedServes + mixed.localServes + mixed.distServes ===
+        total)
+      assert(mixed.storedServes === 0)
+    } finally dist.unpersist()
+  }
+
+  test("eviction degrades to L2: an unpersisted distributed tier routes to the stored closure, never an exception") {
+    val dist = PqServingIndex.build(codes, cents, cb, wide)
+    val r = new PqTieredServing(None, Some(dist), storedPath, wide)
+    val (qid, qv) = qRows.head
+    val want = r.searchAdc(qv, 10, 3).toSeq
+    assert(r.distServes === 1 && r.storedServes === 0)
+    dist.unpersist() // mid-session demotion (memory-pressure stand-in)
+    assert(!dist.resident)
+    assert(r.searchAdc(qv, 10, 3).toSeq === want,
+      s"q=$qid: stored fall-through changed the values")
+    assert(r.storedServes === 1,
+      s"expected a stored serve after eviction, got ${r.storedServes}")
   }
 }
