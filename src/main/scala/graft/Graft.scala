@@ -349,7 +349,7 @@ final class Graft private (
       dist: graft.index.PqServingIndex,
       local: Option[graft.index.LocalPqIndex],
       router: graft.index.PqTieredServing,
-      stored: (Array[Float], Int, Int, String) => Array[(Long, Double)],
+      stored: StoredAdc,
       cb: graft.index.Pq.Codebook)
 
   @volatile private var pqTier: Option[PqTierState] = None
@@ -373,8 +373,11 @@ final class Graft private (
 
   /** PQ-door phase-1 route counters (driver, distributed, stored) —
     * observability for the cache hierarchy. Covers BOTH doors: the
-    * batch door accounts its per-query routes here too (mixed L0/L1
-    * serves count under `localServes` via [[pqDoorMixedServes]]).
+    * batch door accounts its per-query routes here too. Mixed L0/L1
+    * serves ([[pqDoorMixedServes]]) count under the driver column —
+    * they exist only on the SINGLE door; the batch door routes a query
+    * to L0 all-or-nothing (its L1 work amortizes into one job, so a
+    * per-probe split would fragment that job for marginal gain).
     */
   def pqDoorRoutes: (Long, Long, Long) = pqTier match {
     case Some(st) =>
@@ -385,6 +388,7 @@ final class Graft private (
 
   /** Requests the single door served part-L0/part-L1 (split probe set,
     * merged pools — [[graft.index.PqTieredServing]] mixed serving).
+    * Always 0 for batch-door traffic (see [[pqDoorRoutes]]).
     */
   def pqDoorMixedServes: Long = pqTier.map(_.router.mixedServes).getOrElse(0L)
 
@@ -476,85 +480,166 @@ final class Graft private (
       // file per inverted list, so the L2 fall-through below is a
       // partition-PRUNED scan of ~nprobe lists, never a corpus read —
       // the 100 TB shape (an executor count divides the scan on a real
-      // cluster)
-      codes.repartition(col("centroid_id"))
-        .write.mode("overwrite").partitionBy("centroid_id")
-        .parquet(pqCodesPath)
-      val dist = graft.index.PqServingIndex.build(codes, cents, cb,
-        config.servingLimits, Some(sizes))
-      val budget =
-        if (localBudgetBytes >= 0L) localBudgetBytes
-        else config.global.memoryCacheBytes
-      // if the driver-tier admission fails past this point, the FRESH
-      // distributed tier's blocks (10 GB at the 100M geometry) must
-      // not sit orphaned in the block manager until GC notices the
-      // unreachable RDD — unpersist before propagating
-      val local =
-        try {
-          val local0 = graft.index.LocalPqIndex.build(codes, cents,
-            cb, maxBytes = budget, limits = config.servingLimits,
-            knownSizes = Some(sizes))
-          if (local0.cachedLists > 0) Some(local0) else None
-        } catch { case e: Throwable => dist.unpersist(); throw e }
-      val stored = storedAdcClosure(cents, cb, sizes)
-      val router = new graft.index.PqTieredServing(local, Some(dist),
-        stored, config.servingLimits)
-      pqTier.foreach(_.dist.unpersist())
-      pqTier = Some(PqTierState(dist, local, router, stored, cb))
-      pqTierPinned = codebook
-      dist.cachedLists
+      // cluster). A FRESH generation dir per warm: see [[pqCodesGen]] —
+      // a failed warm past this point deletes it and leaves the OLD
+      // tier (and its own tree) fully serving.
+      val codesPath = s"$baseDir/pqcodes_g${pqCodesGen.getAndIncrement()}"
+      try {
+        codes.repartition(col("centroid_id"))
+          .write.mode("overwrite").partitionBy("centroid_id")
+          .parquet(codesPath)
+        val dist = graft.index.PqServingIndex.build(codes, cents, cb,
+          config.servingLimits, Some(sizes))
+        val budget =
+          if (localBudgetBytes >= 0L) localBudgetBytes
+          else config.global.memoryCacheBytes
+        // if the driver-tier admission fails past this point, the FRESH
+        // distributed tier's blocks (10 GB at the 100M geometry) must
+        // not sit orphaned in the block manager until GC notices the
+        // unreachable RDD — unpersist before propagating
+        val local =
+          try {
+            val local0 = graft.index.LocalPqIndex.build(codes, cents,
+              cb, maxBytes = budget, limits = config.servingLimits,
+              knownSizes = Some(sizes))
+            if (local0.cachedLists > 0) Some(local0) else None
+          } catch { case e: Throwable => dist.unpersist(); throw e }
+        val stored = new StoredAdc(codesPath, cents, cb, sizes)
+        val router = new graft.index.PqTieredServing(local, Some(dist),
+          stored.search, config.servingLimits)
+        pqTier.foreach(_.dist.unpersist())
+        pqTier = Some(PqTierState(dist, local, router, stored, cb))
+        pqTierPinned = codebook
+        // retire the GRANDPARENT generation only — the just-replaced
+        // tree stays on disk until the next successful warm, so
+        // requests in flight across this swap finish against the files
+        // their closure captured
+        pqCodesPrev.foreach(p => fs.delete(new HPath(p), true))
+        pqCodesPrev = pqCodesLive
+        pqCodesLive = Some(codesPath)
+        dist.cachedLists
+      } catch {
+        case e: Throwable =>
+          fs.delete(new HPath(codesPath), true)
+          throw e
+      }
     } finally codes.unpersist(blocking = false)
   }
 
-  private def pqCodesPath: String = s"$baseDir/pqcodes"
+  // GENERATION-STAMPED codes trees: each warm writes a FRESH directory
+  // (pqcodes_g<n>) and the previous generation is deleted only after
+  // the new tier state is installed — overwriting one fixed path in
+  // place would delete the files the LIVE stored closure reads, so a
+  // re-warm that fails mid-build (executor OOM, disk full) would leave
+  // the old tier installed with a broken L2 (exactly the
+  // degrade-not-throw contract this layer exists for). One stale
+  // generation is kept until the next successful warm so requests
+  // in flight across the swap finish against their own files;
+  // [[recoverOnOpen]] sweeps all generations at open (the tier is cold
+  // then by definition) and [[close]] removes the session's trees.
+  private val pqCodesGen = new AtomicLong(0L)
+  @volatile private var pqCodesLive: Option[String] = None
+  @volatile private var pqCodesPrev: Option[String] = None
 
-  /** The router's L2: the REAL declarative stored ADC plan over the
-    * codes tree [[warmPqTier]] persisted — the path a request takes
+  /** The router's L2 bundle: the REAL declarative stored ADC plans over
+    * the codes tree [[warmPqTier]] persisted — the path requests take
     * when the distributed tier's blocks have been evicted
     * ([[releasePqDistTier]], memory pressure). Metric-correct and
     * value-identical to the cache levels by construction: the probe
     * set is the same metric-aware ranking + max_candidates walk, the
     * per-query LUT is THE shared [[graft.index.Pq.lutForMetric]]
-    * (injected as a literal — m×256 doubles, a cold-path single-query
-    * plan), the scan is the shared byte-code lookup-sum kernel with
-    * sequential double accumulation, and the top-n is an in-plan
-    * TakeOrderedAndProject under the (score desc, id asc) contract —
-    * only n (id, score) pairs reach the driver. Slow by design
-    * (parquet decode per request, ~0.5-5 s at the 100M geometry on
+    * (carried as exact doubles — a plan literal on the single door, a
+    * broadcast relation on the batch door), the scan is the shared
+    * byte-code lookup-sum kernel with sequential double accumulation,
+    * and the top-n keeps the (score desc, id asc) contract — only n
+    * (id, score) pairs per query reach the driver. Slow by design
+    * (parquet decode per request, ~0.3-5 s at the 100M geometry on
     * local[32]); the architecture's promise is DEGRADE, not refuse.
     */
-  private def storedAdcClosure(cents: DataFrame,
-      cb: graft.index.Pq.Codebook, sizes: Map[Long, Long])
-      : (Array[Float], Int, Int, String) => Array[(Long, Double)] = {
-    val (cids, matrix) = Ivf.collectCentroids(cents)
-    val lim = config.servingLimits
-    val storedCodes = spark.read.parquet(pqCodesPath)
+  private final class StoredAdc(codesPath: String, cents: DataFrame,
+      cb: graft.index.Pq.Codebook, sizes: Map[Long, Long]) {
+    private val (cids, matrix) = Ivf.collectCentroids(cents)
+    private val lim = config.servingLimits
+    private val storedCodes = spark.read.parquet(codesPath)
     // hive partition-value inference types centroid_id as INT — the
     // probe filter's literals must match it exactly, or Catalyst wraps
     // the PARTITION column in a cast and directory-level pruning is at
     // the planner's mercy (a full-tree scan on the cold path would be
     // the one thing this layout exists to avoid)
-    val cidIsLong = storedCodes.schema("centroid_id").dataType ==
+    private val cidIsLong = storedCodes.schema("centroid_id").dataType ==
       org.apache.spark.sql.types.LongType
-    (q: Array[Float], n: Int, nprobe: Int, metric: String) => {
-      val probed = graft.index.ServingIndex.capProbesWalk(
+    private def cidVals(probed: Seq[Long]): Seq[Any] =
+      if (cidIsLong) probed else probed.map(_.toInt)
+
+    def probeFor(q: Array[Float], nprobe: Int,
+        metric: String): Seq[Long] =
+      graft.index.ServingIndex.capProbesWalk(
         Ivf.probePick(graft.index.Pq.probeQuery(q, metric), cids,
           matrix, nprobe),
         cid => sizes.getOrElse(cid, 0L), lim.maxCandidates)
-      if (n <= 0 || probed.isEmpty) Array.empty
-      else {
-        val lut = graft.index.Pq.lutForMetric(cb, q, metric)
-        val lutCol = typedlit(lut.map(_.toSeq).toSeq)
-        val inVals: Seq[Any] =
-          if (cidIsLong) probed else probed.map(_.toInt)
-        storedCodes.filter(col("centroid_id").isin(inVals: _*))
-          .select(col("vec_id"),
-            graft.functions.expr.IndexExpressions
-              .pqAdcSumBytes(col("codes"), lutCol).as("approx_score"))
-          .orderBy(col("approx_score").desc, col("vec_id").asc)
-          .limit(n)
-          .collect().map(r => (r.getLong(0), r.getDouble(1)))
-      }
+
+    /** Single-request L2: partition-pruned scan + literal LUT + in-plan
+      * TakeOrderedAndProject (ONE stage for a point request).
+      */
+    def search(q: Array[Float], n: Int, nprobe: Int,
+        metric: String): Array[(Long, Double)] = {
+      val probed = probeFor(q, nprobe, metric)
+      if (n <= 0 || probed.isEmpty) return Array.empty
+      val lut = graft.index.Pq.lutForMetric(cb, q, metric)
+      val lutCol = typedlit(lut.map(_.toSeq).toSeq)
+      storedCodes.filter(col("centroid_id").isin(cidVals(probed): _*))
+        .select(col("vec_id"),
+          graft.functions.expr.IndexExpressions
+            .pqAdcSumBytes(col("codes"), lutCol).as("approx_score"))
+        .orderBy(col("approx_score").desc, col("vec_id").asc)
+        .limit(n)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    }
+
+    /** Batched L2 (the evicted-tier batch door): ONE plan serves every
+      * uncovered query — the scan statically prunes to the UNION of
+      * the batch's probed lists, a broadcast (qi, centroid_id) pair
+      * relation restricts each query to its own lists, per-query LUTs
+      * ride a broadcast relation as exact doubles, and the map-side-
+      * combined top-k aggregator cuts to n per query before anything
+      * reaches the driver. Per-query values equal [[search]] exactly
+      * (same LUT doubles, same kernel, same ranking contract) — a
+      * sequential per-query fall-back here would pay the full parquet
+      * plan per query (~0.3-5 s × batch at the 100M geometry).
+      */
+    def searchBatch(queries: IndexedSeq[(Int, Array[Float], Seq[Long])],
+        n: Int, metric: String): Map[Int, Array[(Long, Double)]] = {
+      import spark.implicits._
+      val live = queries.filter(_._3.nonEmpty)
+      if (n <= 0 || live.isEmpty) return Map.empty
+      val union = live.flatMap(_._3).distinct
+      val pairs0 = live.flatMap { case (qi, _, probed) =>
+        probed.map(cid => (qi, cid)) }.toDF("qi", "centroid_id")
+      val pairs =
+        if (cidIsLong) pairs0
+        else pairs0.withColumn("centroid_id",
+          col("centroid_id").cast("int"))
+      val luts = live.map { case (qi, q, _) =>
+        (qi, graft.index.Pq.lutForMetric(cb, q, metric)
+          .map(_.toSeq).toSeq)
+      }.toDF("qi", "__lut")
+      val scored = storedCodes
+        .filter(col("centroid_id").isin(cidVals(union): _*))
+        .join(broadcast(pairs), "centroid_id")
+        .join(broadcast(luts), "qi")
+        .select(col("qi"), col("vec_id"),
+          graft.functions.expr.IndexExpressions
+            .pqAdcSumBytes(col("codes"), col("__lut"))
+            .as("approx_score"))
+      graft.operators.TopK
+        .viaAggregator(scored, "qi", "vec_id", "approx_score", n)
+        .collect()
+        .groupBy(_.getLong(0).toInt)
+        .map { case (qi, rows) =>
+          (qi, rows.map(r => (r.getLong(1), r.getDouble(2)))
+            .sortBy { case (id, s) => (s, id) }(Ordering.Tuple2(
+              Ordering[Double].reverse, Ordering[Long])))
+        }
     }
   }
 
@@ -685,6 +770,8 @@ final class Graft private (
       st.local.map(_.probeFor(q, config.stable.nprobe, metric))
         .getOrElse(st.dist.probeFor(q, config.stable.nprobe, metric))
     val uncovered = scala.collection.mutable.ArrayBuffer.empty[(Int, Seq[Long])]
+    val storedQs = scala.collection.mutable
+      .ArrayBuffer.empty[(Int, Array[Float], Seq[Long])]
     var pi = 0
     while (pi < qArr.length) {
       val probed = probeTier(qArr(pi))
@@ -696,11 +783,14 @@ final class Graft private (
           uncovered += ((pi, probed))
         case None =>
           // distributed tier evicted ([[releasePqDistTier]] / memory
-          // pressure): DEGRADE to the durable codes tree per query —
-          // same L2 plan, same values, slow by design
-          st.router.noteStoredServe()
-          pools(pi) = st.stored(qArr(pi), nBudget,
-            config.stable.nprobe, metric)
+          // pressure): DEGRADE to the durable codes tree — gathered
+          // and served as ONE batched stored plan below (a sequential
+          // per-query plan here would pay the full parquet scan cost
+          // times the batch size). The cache tiers and the stored
+          // bundle share the probe contract (same centroid ranking,
+          // same max_candidates walk over the same catalog sizes), so
+          // the probe set already in hand is THE probe set.
+          storedQs += ((pi, qArr(pi), probed))
       }
       pi += 1
     }
@@ -714,6 +804,14 @@ final class Graft private (
         st.router.noteDistServe()
         pools(uncovered(si)._1) = sub(si)
         si += 1
+      }
+    }
+    if (storedQs.nonEmpty) {
+      val sub = st.stored.searchBatch(storedQs.toIndexedSeq, nBudget,
+        metric)
+      storedQs.foreach { case (qi, _, _) =>
+        st.router.noteStoredServe()
+        pools(qi) = sub.getOrElse(qi, Array.empty)
       }
     }
     val snap = overlay.snapshot
@@ -1072,6 +1170,13 @@ final class Graft private (
     invalidateServing()
     pqTier.foreach(_.dist.unpersist())
     pqTier = None
+    // the codes trees are session-scoped cache artifacts (a reopen must
+    // re-warm anyway) — reclaim the disk; a crash skips this and the
+    // next open's sweep catches the leftovers
+    (pqCodesLive.toSeq ++ pqCodesPrev.toSeq)
+      .foreach(p => fs.delete(new HPath(p), true))
+    pqCodesLive = None
+    pqCodesPrev = None
   }
 
   // ---- recovery (T8/W3) --------------------------------------------
@@ -1094,6 +1199,13 @@ final class Graft private (
         else fs.delete(st.getPath, true)
       }
     }
+    // stale PQ codes trees from a crashed prior session: the tier is
+    // cold at open by definition (warmPqTier is the admission pass), so
+    // every pqcodes_g* generation on disk is an orphan — sweep them
+    // like the centroids_next_* staging above
+    Option(fs.globStatus(new HPath(s"$baseDir/pqcodes_g*")))
+      .getOrElse(Array.empty)
+      .foreach(st => fs.delete(st.getPath, true))
     // frontier: everything at or below it is already in segments
     flushedFrontier =
       if (fs.exists(frontierPath)) {

@@ -81,6 +81,32 @@ final class LocalPqIndex private (
       : (Seq[Long], Seq[Long]) =
     probed.partition(lists.contains)
 
+  /** A budget-capped VIEW of this tier: the SAME admission walk
+    * [[LocalPqIndex.build]] runs (cid-ascending, whole lists, priced at
+    * 8 B id + m B codes a row) over the same catalog sizes, sharing the
+    * packed arrays of the admitted lists — zero copy, zero Spark jobs.
+    * Lets a bench twin carve a starved tier out of a full one without a
+    * second multi-GB build+collect (which OOM'd a 48 GB heap at the
+    * 100M geometry); values on covered probes are identical by
+    * construction (same arrays). Only lists THIS tier holds are
+    * admitted — on a full tier that equals the fresh-build admission
+    * exactly.
+    */
+  private[graft] def restrictToBudget(maxBytes: Long): LocalPqIndex = {
+    val perRow = 8L + cb.m.toLong
+    var bytes = 0L
+    val newLists = scala.collection.mutable.LongMap
+      .empty[(Array[Long], Array[Byte])]
+    cids.sorted.foreach { cid =>
+      val b = listSizes.getOrElse(cid, 0L) * perRow
+      if (bytes + b <= maxBytes && lists.contains(cid)) {
+        newLists(cid) = lists(cid)
+        bytes += b
+      }
+    }
+    new LocalPqIndex(cids, matrix, cb, newLists, listSizes, limits, bytes)
+  }
+
   /** The request's capped, METRIC-AWARE probe set ([[Pq.probeQuery]]:
     * cosine probes with the normalized query, matching the
     * normalize-at-admission list membership) — computed ONCE per

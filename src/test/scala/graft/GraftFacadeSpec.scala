@@ -873,6 +873,39 @@ class GraftFacadeSpec extends SparkSpec {
     Segments.deleteDir(base)
   }
 
+  test("pqcodes generations: re-warms never break the live stored path, the grandparent tree retires, close/open reclaim") {
+    // each warm writes a FRESH pqcodes_g<n> tree; overwriting one fixed
+    // path in place would delete the files the LIVE stored closure
+    // reads — a failed re-warm would then leave the old tier installed
+    // with a broken L2 (the degrade-not-throw contract inverted)
+    val base = tmp()
+    val g = Graft.open(spark, base, metricCfg("ip"))
+    g.upsert(metricBatch())
+    g.compact()
+    def gens(): Set[String] =
+      Option(new java.io.File(base).listFiles()).getOrElse(Array.empty)
+        .map(_.getName).filter(_.startsWith("pqcodes_g")).toSet
+    assert(g.warmPqTier(localBudgetBytes = 0L) > 0) // g0
+    g.releasePqDistTier()
+    val want = g.searchPq(mq, 5).toSeq // stored serve against g0
+    assert(g.warmPqTier(localBudgetBytes = 0L) > 0) // g1; g0 retained
+    assert(gens() === Set("pqcodes_g0", "pqcodes_g1"), gens().toString)
+    g.releasePqDistTier()
+    assert(g.searchPq(mq, 5).toSeq === want,
+      "stored serve against the new generation diverged")
+    assert(g.warmPqTier(localBudgetBytes = 0L) > 0) // g2; g0 retired
+    assert(gens() === Set("pqcodes_g1", "pqcodes_g2"), gens().toString)
+    g.close()
+    assert(gens().isEmpty, "close() must reclaim the session's codes trees")
+    // crash stand-in: a leftover generation sweeps at the next open
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$base/pqcodes_g9"))
+    val g2 = Graft.open(spark, base, metricCfg("ip"))
+    assert(gens().isEmpty, "open must sweep stale pqcodes generations")
+    g2.close()
+    Segments.deleteDir(base)
+  }
+
   test("warmPqTier trains a DETERMINISTIC codebook: repeated warms and a reopened store admit bit-identical quantizers") {
     // phase 2 re-scores exactly, so a drifting codebook is
     // value-invisible in searchPq results — the contract is pinned on
