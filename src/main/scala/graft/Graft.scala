@@ -392,6 +392,13 @@ final class Graft private (
     */
   def pqDoorMixedServes: Long = pqTier.map(_.router.mixedServes).getOrElse(0L)
 
+  /** Test hook: the stored L2 plan for one request, unexecuted — the
+    * pruning spec asserts its scan node carries a PartitionFilter.
+    */
+  private[graft] def pqStoredPlanForTest(q: Array[Float], n: Int,
+      nprobe: Int, metric: String): Option[DataFrame] =
+    pqTier.flatMap(_.stored.plan(q, n, nprobe, metric))
+
   /** Drop the distributed PQ tier's block-manager residency WITHOUT
     * demoting the door to cold: subsequent requests route past L1 to
     * the durable codes tree (the stored L2 plan) until the next
@@ -578,23 +585,36 @@ final class Graft private (
           matrix, nprobe),
         cid => sizes.getOrElse(cid, 0L), lim.maxCandidates)
 
-    /** Single-request L2: partition-pruned scan + literal LUT + in-plan
-      * TakeOrderedAndProject (ONE stage for a point request).
+    /** The single-request L2 plan, unexecuted — separated from
+      * [[search]] so the partition-pruning spec can assert the scan
+      * carries a real PartitionFilter (a literal-type regression would
+      * silently turn the cold path into a full-tree read).
       */
-    def search(q: Array[Float], n: Int, nprobe: Int,
-        metric: String): Array[(Long, Double)] = {
+    private[graft] def plan(q: Array[Float], n: Int, nprobe: Int,
+        metric: String): Option[DataFrame] = {
       val probed = probeFor(q, nprobe, metric)
-      if (n <= 0 || probed.isEmpty) return Array.empty
+      if (n <= 0 || probed.isEmpty) return None
       val lut = graft.index.Pq.lutForMetric(cb, q, metric)
       val lutCol = typedlit(lut.map(_.toSeq).toSeq)
-      storedCodes.filter(col("centroid_id").isin(cidVals(probed): _*))
+      Some(storedCodes
+        .filter(col("centroid_id").isin(cidVals(probed): _*))
         .select(col("vec_id"),
           graft.functions.expr.IndexExpressions
             .pqAdcSumBytes(col("codes"), lutCol).as("approx_score"))
         .orderBy(col("approx_score").desc, col("vec_id").asc)
-        .limit(n)
-        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+        .limit(n))
     }
+
+    /** Single-request L2: partition-pruned scan + literal LUT + in-plan
+      * TakeOrderedAndProject (ONE stage for a point request).
+      */
+    def search(q: Array[Float], n: Int, nprobe: Int,
+        metric: String): Array[(Long, Double)] =
+      plan(q, n, nprobe, metric) match {
+        case None => Array.empty
+        case Some(df) =>
+          df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      }
 
     /** Batched L2 (the evicted-tier batch door): ONE plan serves every
       * uncovered query — the scan statically prunes to the UNION of

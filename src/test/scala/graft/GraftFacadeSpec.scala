@@ -873,6 +873,36 @@ class GraftFacadeSpec extends SparkSpec {
     Segments.deleteDir(base)
   }
 
+  test("stored L2 plan partition-prunes: the codes-tree scan carries a real PartitionFilter, never a full-tree read") {
+    // the cold path's whole layout promise is that a request reads
+    // ~nprobe list directories out of nlist — if the probe filter's
+    // literal type ever stops matching the inferred partition column
+    // (hive inference types centroid_id as INT), Catalyst wraps the
+    // PARTITION column in a cast and directory pruning is at the
+    // planner's mercy; this pins the scan node itself
+    val base = tmp()
+    val g = Graft.open(spark, base, metricCfg("ip"))
+    g.upsert(metricBatch())
+    g.compact()
+    assert(g.warmPqTier(localBudgetBytes = 0L) > 0)
+    val plan = g.pqStoredPlanForTest(mq, 5, nprobe = 1, metric = "ip")
+      .getOrElse(fail("no stored plan for a warm tier"))
+    val scans = plan.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "no file scan in the stored L2 plan")
+    assert(scans.head.partitionFilters.nonEmpty,
+      "stored L2 scan lost its partition filter — full-tree read:\n" +
+        plan.queryExecution.executedPlan.toString)
+    // and the filter is NOT cast-wrapped on the partition column (a
+    // cast can demote static directory pruning)
+    val pf = scans.head.partitionFilters.map(_.sql).mkString(";")
+    assert(!pf.toLowerCase.contains("cast(centroid_id"),
+      s"partition filter casts the partition column: $pf")
+    g.close()
+    Segments.deleteDir(base)
+  }
+
   test("pqcodes generations: re-warms never break the live stored path, the grandparent tree retires, close/open reclaim") {
     // each warm writes a FRESH pqcodes_g<n> tree; overwriting one fixed
     // path in place would delete the files the LIVE stored closure
