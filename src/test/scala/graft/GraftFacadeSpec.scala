@@ -782,7 +782,7 @@ class GraftFacadeSpec extends SparkSpec {
     }
     serveCheck(-1)
     (0 until 25).foreach { step =>
-      rnd.nextInt(5) match {
+      rnd.nextInt(7) match {
         case 0 =>
           upsert(Seq.fill(1 + rnd.nextInt(4))(
             s"r-${rnd.nextInt(60)}").distinct)
@@ -795,9 +795,29 @@ class GraftFacadeSpec extends SparkSpec {
         case 3 if live.nonEmpty =>
           assert(g.warmPqTier() > 0)
           warmIds = live.keySet.toSet
+        case 4 if live.nonEmpty =>
+          // starved re-warm: no L0, so a later eviction (case 5) pushes
+          // serves all the way to the stored codes tree
+          assert(g.warmPqTier(localBudgetBytes = 0L) > 0)
+          warmIds = live.keySet.toSet
+        case 5 =>
+          // mid-session block-manager eviction: route-invisible — the
+          // model does NOT change, the door must keep answering exactly
+          // (from L0 if it covers, from the durable codes tree if not)
+          g.releasePqDistTier()
         case _ => ()
       }
       serveCheck(step)
+    }
+    // deterministic coda: whatever the walk drew, end with a starved
+    // warm + eviction so the STORED path is model-checked at least once
+    if (live.nonEmpty) {
+      assert(g.warmPqTier(localBudgetBytes = 0L) > 0)
+      warmIds = live.keySet.toSet
+      g.releasePqDistTier()
+      serveCheck(99)
+      assert(g.pqDoorRoutes._3 > 0,
+        s"stored path never served: ${g.pqDoorRoutes}")
     }
     g.close()
     Segments.deleteDir(base)
