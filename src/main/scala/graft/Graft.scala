@@ -382,7 +382,8 @@ final class Graft private (
   def pqDoorRoutes: (Long, Long, Long) = pqTier match {
     case Some(st) =>
       (st.router.localServes + st.router.mixedServes,
-        st.router.distServes, st.router.storedServes)
+        st.router.distServes,
+        st.router.storedServes + st.router.mixedStoredServes)
     case None => (0L, 0L, 0L)
   }
 
@@ -391,6 +392,23 @@ final class Graft private (
     * Always 0 for batch-door traffic (see [[pqDoorRoutes]]).
     */
   def pqDoorMixedServes: Long = pqTier.map(_.router.mixedServes).getOrElse(0L)
+
+  /** Requests the single door served part-L0/part-STORED (distributed
+    * tier evicted, driver tier holding some probed lists): resident
+    * lists scan at driver speed, only the misses pay the parquet plan.
+    * Counted under the stored column of [[pqDoorRoutes]].
+    */
+  def pqDoorMixedStoredServes: Long =
+    pqTier.map(_.router.mixedStoredServes).getOrElse(0L)
+
+  /** Resident-but-uncovered distributed-tier routes — a probe-contract
+    * ANOMALY (the tiers are built over one layout, so a warm resident
+    * tier covering less than the probe walk is a coverage regression),
+    * distinct from legitimate eviction fall-throughs; surfaces as a
+    * counter + one warn instead of mysterious multi-second latency.
+    */
+  def pqDoorAnomalousRoutes: Long =
+    pqTier.map(_.router.anomalousResidentRoutes).getOrElse(0L)
 
   /** Test hook: the stored L2 plan for one request, unexecuted — the
     * pruning spec asserts its scan node carries a PartitionFilter.
@@ -472,8 +490,13 @@ final class Graft private (
     // readers. BYTE-PACKED codes (the reference's own 8-bit code arrays,
     // config.h:87): every consumer dispatches on the stored type, and
     // the packed layout quarters the codes tree's bytes on disk and on
-    // every cold-path read.
-    val codes = Ivf.assign(live, cents, vecCol = "vec")
+    // every cold-path read. Assignment takes the GEMM bulk path (the
+    // same one [[rebuild]] uses — spec-pinned assignment-identical to
+    // the codegen kernel, IvfPqSpec): a warm is a bulk build by
+    // definition, and at the reference geometry (nlist 4096 × dim 768)
+    // the row-at-a-time kernel would make admission ~10× slower for
+    // the exact same assignments.
+    val codes = Ivf.assignBulkGemm(live, cents, vecCol = "vec")
       .select(col("vec_id"), col("centroid_id"),
         graft.index.Pq.codesBinaryColumn(cb, "vec").as("codes"))
       .cache()
@@ -487,66 +510,148 @@ final class Graft private (
       // file per inverted list, so the L2 fall-through below is a
       // partition-PRUNED scan of ~nprobe lists, never a corpus read —
       // the 100 TB shape (an executor count divides the scan on a real
-      // cluster). A FRESH generation dir per warm: see [[pqCodesGen]] —
-      // a failed warm past this point deletes it and leaves the OLD
-      // tier (and its own tree) fully serving.
-      val codesPath = s"$baseDir/pqcodes_g${pqCodesGen.getAndIncrement()}"
-      try {
-        codes.repartition(col("centroid_id"))
-          .write.mode("overwrite").partitionBy("centroid_id")
-          .parquet(codesPath)
-        val dist = graft.index.PqServingIndex.build(codes, cents, cb,
-          config.servingLimits, Some(sizes))
-        val budget =
-          if (localBudgetBytes >= 0L) localBudgetBytes
-          else config.global.memoryCacheBytes
-        // if the driver-tier admission fails past this point, the FRESH
-        // distributed tier's blocks (10 GB at the 100M geometry) must
-        // not sit orphaned in the block manager until GC notices the
-        // unreachable RDD — unpersist before propagating
-        val local =
+      // cluster). STAMP-GATED: when the live tree's recorded inputs
+      // (corpus snapshot, codebook, centroid layout, metric) match this
+      // warm's, the tree bytes would be bit-identical — reuse the live
+      // generation instead of rewriting ~10 GB at the 100M geometry
+      // (the [[graft.index.LocalPqIndex.savePacked]] stamp discipline
+      // applied to the tree; a maintain()-triggered no-op re-admission
+      // is the common caller). Otherwise a FRESH generation dir per
+      // warm: see [[pqCodesGen]] — a failed warm past this point
+      // deletes only its own tree and leaves the OLD tier (and the
+      // trees it reads) fully serving.
+      val treeStamp = pqTreeStamp(cb, cents, metric)
+      val reuse = pqCodesLive.isDefined &&
+        pqCodesLiveStamp.contains(treeStamp) &&
+        fs.exists(new HPath(pqCodesLive.get))
+      val codesPath =
+        if (reuse) pqCodesLive.get
+        else s"$baseDir/pqcodes_g${pqCodesGen.getAndIncrement()}"
+      val built =
+        try {
+          if (!reuse)
+            codes.repartition(col("centroid_id"))
+              .write.mode("overwrite").partitionBy("centroid_id")
+              .parquet(codesPath)
+          val dist = graft.index.PqServingIndex.build(codes, cents, cb,
+            config.servingLimits, Some(sizes))
+          val budget =
+            if (localBudgetBytes >= 0L) localBudgetBytes
+            else config.global.memoryCacheBytes
+          // if anything past this point fails — driver-tier admission,
+          // the stored bundle's plan setup, router construction — the
+          // FRESH distributed tier's blocks (10 GB at the 100M
+          // geometry) must not sit orphaned in the block manager until
+          // GC notices the unreachable RDD: unpersist before
+          // propagating (ADVICE r13: the old guard covered only the
+          // LocalPqIndex build)
           try {
-            val local0 = graft.index.LocalPqIndex.build(codes, cents,
-              cb, maxBytes = budget, limits = config.servingLimits,
-              knownSizes = Some(sizes))
-            if (local0.cachedLists > 0) Some(local0) else None
+            val local = {
+              val local0 = graft.index.LocalPqIndex.build(codes, cents,
+                cb, maxBytes = budget, limits = config.servingLimits,
+                knownSizes = Some(sizes))
+              if (local0.cachedLists > 0) Some(local0) else None
+            }
+            val stored = new StoredAdc(codesPath, cents, cb, sizes)
+            val router = new graft.index.PqTieredServing(local,
+              Some(dist), stored.search, config.servingLimits,
+              storedOnProbed = Some(stored.searchOnProbed))
+            PqTierState(dist, local, router, stored, cb)
           } catch { case e: Throwable => dist.unpersist(); throw e }
-        val stored = new StoredAdc(codesPath, cents, cb, sizes)
-        val router = new graft.index.PqTieredServing(local, Some(dist),
-          stored.search, config.servingLimits)
-        pqTier.foreach(_.dist.unpersist())
-        pqTier = Some(PqTierState(dist, local, router, stored, cb))
-        pqTierPinned = codebook
-        // retire the GRANDPARENT generation only — the just-replaced
-        // tree stays on disk until the next successful warm, so
-        // requests in flight across this swap finish against the files
-        // their closure captured
-        pqCodesPrev.foreach(p => fs.delete(new HPath(p), true))
-        pqCodesPrev = pqCodesLive
+        } catch {
+          case e: Throwable =>
+            // delete only a tree THIS warm wrote — a reused live tree
+            // is what the still-installed old tier serves from
+            if (!reuse)
+              scala.util.Try(fs.delete(new HPath(codesPath), true))
+            throw e
+        }
+      // INSTALL + generation bookkeeping, PAST the failure window: from
+      // here nothing throws in a way that leaves the tier state
+      // referencing deleted files (ADVICE r13: a grandparent-delete
+      // failure inside the old try deleted codesPath — the tree the
+      // just-installed tier reads — inverting degrade-not-throw)
+      pqTier.foreach(_.dist.unpersist())
+      pqTier = Some(built)
+      pqTierPinned = codebook
+      if (!reuse) {
+        pqCodesLive.foreach(p => pqCodesRetired = p :: pqCodesRetired)
         pqCodesLive = Some(codesPath)
-        dist.cachedLists
-      } catch {
-        case e: Throwable =>
-          fs.delete(new HPath(codesPath), true)
-          throw e
+        pqCodesLiveStamp = Some(treeStamp)
+        // RING retirement (keep the 2 newest retired generations, not
+        // 1): stored L2 plans run 0.3-5 s at the 100M geometry, so two
+        // back-to-back warms under single-generation retention could
+        // delete files a live scan is mid-read (ADVICE r13). Deletes
+        // are best-effort — a failed delete is a disk leak the next
+        // warm/close/open sweep reclaims, never a broken serving tier.
+        val (keep, drop) = pqCodesRetired.splitAt(2)
+        pqCodesRetired = keep
+        drop.foreach(p => scala.util.Try(fs.delete(new HPath(p), true))
+          .failed.foreach(t => System.err.println(
+            s"[graft] best-effort retire of stale codes tree $p " +
+              s"failed: ${t.getMessage}")))
       }
+      built.dist.cachedLists
     } finally codes.unpersist(blocking = false)
   }
 
-  // GENERATION-STAMPED codes trees: each warm writes a FRESH directory
-  // (pqcodes_g<n>) and the previous generation is deleted only after
-  // the new tier state is installed — overwriting one fixed path in
-  // place would delete the files the LIVE stored closure reads, so a
-  // re-warm that fails mid-build (executor OOM, disk full) would leave
-  // the old tier installed with a broken L2 (exactly the
-  // degrade-not-throw contract this layer exists for). One stale
-  // generation is kept until the next successful warm so requests
-  // in flight across the swap finish against their own files;
-  // [[recoverOnOpen]] sweeps all generations at open (the tier is cold
-  // then by definition) and [[close]] removes the session's trees.
+  /** The codes tree's input stamp: corpus snapshot (live catalog
+    * descriptors + the streaming overlay's not-yet-published tail),
+    * quantizer bytes, centroid layout, metric (cosine normalizes at
+    * admission, so the same corpus encodes different bytes). Two warms
+    * with equal stamps write bit-identical trees — the reuse gate in
+    * [[warmPqTier]]. Driver-cheap: the descriptors are catalog
+    * metadata, the overlay is the bounded in-memory buffer, and the
+    * centroid collect is nlist rows (the warm collects them again for
+    * the stored bundle regardless).
+    */
+  private def pqTreeStamp(cb: graft.index.Pq.Codebook,
+      cents: DataFrame, metric: String): String = {
+    val corpusFp = Segments.catalogDescriptors(spark, baseDir)
+      .sortBy(_.segment_id).foldLeft(17L) { (h, d) =>
+        ((h * 31 + d.segment_id.hashCode) * 31 + d.num_vectors) * 31 +
+          d.min_epoch * 1000003L + d.max_epoch
+      }
+    val overlayFp = overlay.snapshot.toSeq.sortBy(_._1)
+      .foldLeft(17L) { case (h, (idHash, e)) =>
+        (h * 31 + idHash * 1000003L + e.epoch) * 31 +
+          (if (e.deleted) 1L else 0L)
+      }
+    val cbFp = cb.codebooks.foldLeft(17L)((h, book) =>
+      book.foldLeft(h)((h2, cw) => cw.foldLeft(h2)((h3, v) =>
+        h3 * 31 + java.lang.Double.doubleToLongBits(v))))
+    val (cids, matrix) = Ivf.collectCentroids(cents)
+    val centFp = cids.zip(matrix).foldLeft(17L) { case (h, (cid, row)) =>
+      row.foldLeft(h * 31 + cid)((h2, v) =>
+        h2 * 31 + java.lang.Double.doubleToLongBits(v))
+    }
+    s"v1 metric=$metric m=${cb.m} corpus=$corpusFp overlay=$overlayFp " +
+      s"cb=$cbFp cents=$centFp"
+  }
+
+  // GENERATION-STAMPED codes trees: each tree-writing warm creates a
+  // FRESH directory (pqcodes_g<n>) and replaced generations are deleted
+  // only after the new tier state is installed — overwriting one fixed
+  // path in place would delete the files the LIVE stored closure reads,
+  // so a re-warm that fails mid-build (executor OOM, disk full) would
+  // leave the old tier installed with a broken L2 (exactly the
+  // degrade-not-throw contract this layer exists for). A warm whose
+  // input stamp matches the live tree's REUSES the live generation
+  // (no write, no retire). The 2 newest retired generations are kept
+  // (a ring, not single retention: stored scans run seconds at the
+  // 100M geometry, and requests in flight across back-to-back swaps
+  // must finish against their own files); [[recoverOnOpen]] sweeps all
+  // generations at open (the tier is cold then by definition) and
+  // [[close]] removes the session's trees.
   private val pqCodesGen = new AtomicLong(0L)
   @volatile private var pqCodesLive: Option[String] = None
-  @volatile private var pqCodesPrev: Option[String] = None
+  @volatile private var pqCodesLiveStamp: Option[String] = None
+  @volatile private var pqCodesRetired: List[String] = Nil
+
+  /** Test hook: the live codes tree's directory (stamp-gate evidence —
+    * a no-op re-warm must keep it, a corpus-mutating one must roll it).
+    */
+  private[graft] def pqCodesLiveDir: Option[String] = pqCodesLive
 
   /** The router's L2 bundle: the REAL declarative stored ADC plans over
     * the codes tree [[warmPqTier]] persisted — the path requests take
@@ -591,26 +696,51 @@ final class Graft private (
       * silently turn the cold path into a full-tree read).
       */
     private[graft] def plan(q: Array[Float], n: Int, nprobe: Int,
-        metric: String): Option[DataFrame] = {
-      val probed = probeFor(q, nprobe, metric)
+        metric: String): Option[DataFrame] =
+      planOnProbed(q, probeFor(q, nprobe, metric), n, metric)
+
+    private def planOnProbed(q: Array[Float], probed: Seq[Long],
+        n: Int, metric: String): Option[DataFrame] = {
       if (n <= 0 || probed.isEmpty) return None
+      import spark.implicits._
       val lut = graft.index.Pq.lutForMetric(cb, q, metric)
-      val lutCol = typedlit(lut.map(_.toSeq).toSeq)
+      // the per-query LUT rides a one-row BROADCAST relation (the batch
+      // door's shape) instead of an m×256-double plan literal — the
+      // literal paid its value conversion at every plan build on the
+      // cold path; the relation is a LocalTableScan the broadcast
+      // materializes without a scheduler job. Per-row ADC cost is
+      // identical either way (the kernel reads the LUT as ArrayData).
+      val lutDf = Seq(Tuple1(lut.map(_.toSeq).toSeq)).toDF("__lut")
       Some(storedCodes
         .filter(col("centroid_id").isin(cidVals(probed): _*))
+        .crossJoin(broadcast(lutDf))
         .select(col("vec_id"),
           graft.functions.expr.IndexExpressions
-            .pqAdcSumBytes(col("codes"), lutCol).as("approx_score"))
+            .pqAdcSumBytes(col("codes"), col("__lut"))
+            .as("approx_score"))
         .orderBy(col("approx_score").desc, col("vec_id").asc)
         .limit(n))
     }
 
-    /** Single-request L2: partition-pruned scan + literal LUT + in-plan
-      * TakeOrderedAndProject (ONE stage for a point request).
+    /** Single-request L2: partition-pruned scan + broadcast LUT +
+      * in-plan TakeOrderedAndProject (ONE stage for a point request).
       */
     def search(q: Array[Float], n: Int, nprobe: Int,
         metric: String): Array[(Long, Double)] =
-      plan(q, n, nprobe, metric) match {
+      exec(plan(q, n, nprobe, metric))
+
+    /** L2 restricted to a probe SUBSET the router already partitioned
+      * (the mixed L0/stored serve: resident lists scan driver-side,
+      * only these misses pay the parquet plan). Same plan shape as
+      * [[search]] — the union of the two pools ranks identically to a
+      * full stored scan because the per-list top-n contract is shared.
+      */
+    def searchOnProbed(q: Array[Float], probed: Seq[Long], n: Int,
+        metric: String): Array[(Long, Double)] =
+      exec(planOnProbed(q, probed, n, metric))
+
+    private def exec(p: Option[DataFrame]): Array[(Long, Double)] =
+      p match {
         case None => Array.empty
         case Some(df) =>
           df.collect().map(r => (r.getLong(0), r.getDouble(1)))
@@ -683,7 +813,8 @@ final class Graft private (
     * k winners ever reach the driver. Refuses when the tier is cold
     * ([[warmPqTier]] is the admission pass); an EVICTED distributed
     * tier is not cold — the router degrades phase 1 to the durable
-    * codes tree ([[storedAdcClosure]]) with identical values.
+    * codes tree (the [[StoredAdc]] bundle in [[PqTierState]]) with
+    * identical values.
     */
   def searchPq(q: Array[Float], k: Int,
       rerank: Int = config.stable.rerankFactor): Array[(Long, Double)] = {
@@ -1193,10 +1324,11 @@ final class Graft private (
     // the codes trees are session-scoped cache artifacts (a reopen must
     // re-warm anyway) — reclaim the disk; a crash skips this and the
     // next open's sweep catches the leftovers
-    (pqCodesLive.toSeq ++ pqCodesPrev.toSeq)
+    (pqCodesLive.toSeq ++ pqCodesRetired)
       .foreach(p => fs.delete(new HPath(p), true))
     pqCodesLive = None
-    pqCodesPrev = None
+    pqCodesLiveStamp = None
+    pqCodesRetired = Nil
   }
 
   // ---- recovery (T8/W3) --------------------------------------------

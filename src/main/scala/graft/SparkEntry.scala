@@ -179,8 +179,8 @@ object SparkEntry {
     private val cache = scala.collection.concurrent.TrieMap
       .empty[String, DataFrame]
     def results(s: SparkSession, dir: String, metric: String = "ip",
-        batch: Boolean = false): DataFrame =
-      cache.getOrElseUpdate(s"$dir|$metric|$batch", {
+        batch: Boolean = false, stored: Boolean = false): DataFrame =
+      cache.getOrElseUpdate(s"$dir|$metric|$batch|$stored", {
         import org.apache.spark.sql.Row
         import org.apache.spark.sql.types._
         val base = java.nio.file.Files
@@ -196,7 +196,13 @@ object SparkEntry {
           g.upsert(log.filter(col("op") === op))
         }
         g.compact()
-        g.warmPqTier(Some(Pq.deterministicCodebook(emb(s, dir), 8, 8, 50)))
+        // stored = the L2 route twin: NO driver tier, the distributed
+        // tier evicted right after the warm — every phase-1 serve must
+        // come from the durable codes tree (asserted on the router's
+        // counters below), sharing the warm doors' oracle VERBATIM
+        g.warmPqTier(Some(Pq.deterministicCodebook(emb(s, dir), 8, 8, 50)),
+          localBudgetBytes = if (stored) 0L else -1L)
+        if (stored) g.releasePqDistTier()
         val idMap = g.liveView.select(col("id_hash"),
             expr("CAST(substring(id, 5) AS LONG)").as("vec_id"))
           .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
@@ -219,6 +225,15 @@ object SparkEntry {
             g.searchPq(qv, 10).map { case (idh, sc) =>
               Row(qid, idMap(idh), sc) }
           }
+        if (stored) {
+          // the entry itself pins the route: every request fell through
+          // past both cache levels to the stored plan (a silently
+          // resident tier would make this twin vacuous)
+          val (l, d, st) = g.pqDoorRoutes
+          require(l == 0 && d == 0 && st == reqs.length,
+            s"facade_pq stored twin did not serve from the codes tree: " +
+              s"local=$l dist=$d stored=$st of ${reqs.length}")
+        }
         g.close()
         s.createDataFrame(
           s.sparkContext.parallelize(rows, 1),
@@ -814,6 +829,13 @@ object SparkEntry {
       ((s, dir) => FacadePqFixture.results(s, dir, "cosine")),
     "facade_pq_batch" ->
       ((s, dir) => FacadePqFixture.results(s, dir, batch = true)),
+    // the stored L2 ROUTE under the DuckDB oracle (r13 verdict #1): no
+    // driver tier + an evicted distributed tier, so every phase-1 serve
+    // is the partition-pruned codes-tree plan (the fixture asserts the
+    // router's stored counter saw every request) — value-identical to
+    // the warm doors by construction, sharing facade_pq's oracle
+    "facade_pq_stored" ->
+      ((s, dir) => FacadePqFixture.results(s, dir, stored = true)),
     "point_lookup" -> ((s, dir) =>
       MutationLog.pointLookup(
         MutationLog.deterministicLog(emb(s, dir)), pointIds)),
@@ -1471,6 +1493,11 @@ object SparkEntry {
     // the facade's stable-tier PQ door (SQL hoisted to [[facadePqSql]]
     // — the batch door shares it verbatim)
     "facade_pq" -> facadePqSql,
+    // the stored L2 route is VALUE-IDENTICAL to the cache levels by
+    // construction (same probe walk, same LUT doubles, same kernel,
+    // same ranking contract) — it shares the oracle verbatim; the
+    // fixture separately asserts every request actually routed stored
+    "facade_pq_stored" -> facadePqSql,
     // the PQ door under metric l2: phase 1 ranks by NEGATED expanded-L2
     // ADC (a dot-product pool would be systematically wrong for an l2
     // collection), phase 2 is the exact squared distance — ascending

@@ -36,7 +36,11 @@ import java.util.concurrent.atomic.AtomicLong
   * scan as L1 tasks, and the two pools merge under the shared
   * (score desc, id asc) contract — at a scale where the driver budget
   * holds a fraction of the lists, L0 keeps earning its bytes instead
-  * of going dead weight behind an all-or-nothing coverage check.
+  * of going dead weight behind an all-or-nothing coverage check. The
+  * same split applies against L2 (`storedOnProbed`, when wired): with
+  * the distributed tier EVICTED, L0's resident lists still scan
+  * driver-side and only the misses pay the parquet plan — the coldest
+  * path is exactly where driver-memory lists help most.
   * All levels share the ADC contract ([[Pq.lutForMetric]] LUT,
   * sequential double accumulation, (score desc, id asc) ranking), so
   * WHICH level serves is invisible in the values — PqTieredServingSpec
@@ -58,12 +62,16 @@ final class PqTieredServing(
     local: Option[LocalPqIndex],
     dist: Option[PqServingIndex],
     stored: (Array[Float], Int, Int, String) => Array[(Long, Double)],
-    limits: ServingLimits) {
+    limits: ServingLimits,
+    storedOnProbed: Option[(Array[Float], Seq[Long], Int, String) =>
+      Array[(Long, Double)]] = None) {
 
   private val localN = new AtomicLong(0L)
   private val mixedN = new AtomicLong(0L)
   private val distN = new AtomicLong(0L)
   private val storedN = new AtomicLong(0L)
+  private val mixedStoredN = new AtomicLong(0L)
+  private val anomalousN = new AtomicLong(0L)
 
   /** Requests served wholly by the driver tier. */
   def localServes: Long = localN.get()
@@ -73,6 +81,19 @@ final class PqTieredServing(
   def distServes: Long = distN.get()
   /** Requests that fell through past both cache levels to the store. */
   def storedServes: Long = storedN.get()
+  /** Requests served part-L0/part-STORED (L1 evicted, driver tier
+    * holding some probed lists — resident lists at driver speed, only
+    * the misses pay the parquet plan). Requires the `storedOnProbed`
+    * closure; without it such requests serve pure-stored.
+    */
+  def mixedStoredServes: Long = mixedStoredN.get()
+  /** Stored routes taken while the distributed tier WAS resident — a
+    * probe-contract anomaly (the tiers share one layout, so a warm
+    * resident tier covering less than the probe walk is a coverage
+    * regression, not an eviction). Counted apart + warned once so a
+    * probe bug surfaces as a signal, not as mysterious latency.
+    */
+  def anomalousResidentRoutes: Long = anomalousN.get()
 
   // the batch door ([[graft.Graft.searchPqBatch]]) routes per query but
   // scans the L1 subset as ONE job — it accounts its requests here so
@@ -124,7 +145,31 @@ final class PqTieredServing(
             distN.incrementAndGet()
             dist.get.searchAdcOnProbed(p, q, n, metric)
         }
-      case _ =>
+      case Some(p) =>
+        // a RESIDENT tier landing here means the probe walk asked for
+        // lists the tier doesn't hold — not an eviction, a coverage
+        // regression (the tiers are built over one layout)
+        if (dist.exists(_.resident) &&
+            anomalousN.getAndIncrement() == 0L)
+          System.err.println("[graft] PQ router: resident distributed " +
+            "tier does not cover the probe walk — serving from the " +
+            "store; see anomalousResidentRoutes")
+        // MIXED L0/stored serve (the coldest path is exactly where
+        // driver-memory lists help most): resident lists scan
+        // driver-side, only the misses pay the parquet plan — same
+        // merge contract as the L0/L1 mixed serve above
+        (local.map(l => (l, l.partitionResident(p))), storedOnProbed) match {
+          case (Some((l, (res, miss))), Some(sp)) if res.nonEmpty =>
+            mixedStoredN.incrementAndGet()
+            PqTieredServing.mergeTopN(
+              l.searchAdcOnProbed(res, q, n, metric),
+              if (miss.isEmpty) Array.empty[(Long, Double)]
+              else sp(q, miss, n, metric), n)
+          case _ =>
+            storedN.incrementAndGet()
+            stored(q, n, nprobe, metric)
+        }
+      case None =>
         storedN.incrementAndGet()
         stored(q, n, nprobe, metric)
     }

@@ -769,6 +769,24 @@ class GraftFacadeSpec extends SparkSpec {
     g.compact()
     assert(g.warmPqTier() > 0)
     var warmIds: Set[String] = live.keySet.toSet
+    // stamp-gate model: the tree stamp folds the catalog + overlay, so
+    // a warm ROLLS the generation iff the catalog changed since the
+    // last warm (upsert/delete/actual compact) — a clean re-warm must
+    // REUSE the live tree (budget is not a stamp input)
+    var catalogDirty = false
+    def warmArm(budget: Long): Unit = {
+      val before = g.pqCodesLiveDir
+      assert((if (budget < 0) g.warmPqTier()
+              else g.warmPqTier(localBudgetBytes = budget)) > 0)
+      warmIds = live.keySet.toSet
+      if (catalogDirty)
+        assert(g.pqCodesLiveDir !== before,
+          s"dirty-catalog re-warm reused the stale tree $before")
+      else
+        assert(g.pqCodesLiveDir === before,
+          "clean re-warm rolled the generation (stamp regression)")
+      catalogDirty = false
+    }
     def serveCheck(step: Int): Unit = {
       val k = 1 + rnd.nextInt(8)
       val qv = Array.tabulate(mdim)(_ => rnd.nextFloat() * 2 - 1)
@@ -786,24 +804,28 @@ class GraftFacadeSpec extends SparkSpec {
         case 0 =>
           upsert(Seq.fill(1 + rnd.nextInt(4))(
             s"r-${rnd.nextInt(60)}").distinct)
+          catalogDirty = true
         case 1 if live.size > 5 =>
           val victims = rnd.shuffle(live.keys.toSeq.sorted)
             .take(1 + rnd.nextInt(3))
           victims.foreach(live.remove)
           g.delete(victims.toDF("id"))
-        case 2 => g.compact()
+          catalogDirty = true
+        case 2 =>
+          // an idle compact (no deltas) publishes nothing — the stamp
+          // must not roll for it
+          if (g.compact().nonEmpty) catalogDirty = true
         case 3 if live.nonEmpty =>
-          assert(g.warmPqTier() > 0)
-          warmIds = live.keySet.toSet
+          warmArm(-1L)
         case 4 if live.nonEmpty =>
           // starved re-warm: no L0, so a later eviction (case 5) pushes
           // serves all the way to the stored codes tree
-          assert(g.warmPqTier(localBudgetBytes = 0L) > 0)
-          warmIds = live.keySet.toSet
+          warmArm(0L)
         case 5 =>
           // mid-session block-manager eviction: route-invisible — the
           // model does NOT change, the door must keep answering exactly
-          // (from L0 if it covers, from the durable codes tree if not)
+          // (from L0 if it covers, mixed L0/stored or pure stored
+          // otherwise)
           g.releasePqDistTier()
         case _ => ()
       }
@@ -812,8 +834,7 @@ class GraftFacadeSpec extends SparkSpec {
     // deterministic coda: whatever the walk drew, end with a starved
     // warm + eviction so the STORED path is model-checked at least once
     if (live.nonEmpty) {
-      assert(g.warmPqTier(localBudgetBytes = 0L) > 0)
-      warmIds = live.keySet.toSet
+      warmArm(0L)
       g.releasePqDistTier()
       serveCheck(99)
       assert(g.pqDoorRoutes._3 > 0,
@@ -907,7 +928,10 @@ class GraftFacadeSpec extends SparkSpec {
     assert(g.warmPqTier(localBudgetBytes = 0L) > 0)
     val plan = g.pqStoredPlanForTest(mq, 5, nprobe = 1, metric = "ip")
       .getOrElse(fail("no stored plan for a warm tier"))
-    val scans = plan.queryExecution.executedPlan.collect {
+    // sparkPlan, not executedPlan: the broadcast-LUT join makes the
+    // plan adaptive, and AdaptiveSparkPlanExec hides its subtree from
+    // collect until execution — partition filters are set before AQE
+    val scans = plan.queryExecution.sparkPlan.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f
     }
     assert(scans.nonEmpty, "no file scan in the stored L2 plan")
@@ -923,11 +947,14 @@ class GraftFacadeSpec extends SparkSpec {
     Segments.deleteDir(base)
   }
 
-  test("pqcodes generations: re-warms never break the live stored path, the grandparent tree retires, close/open reclaim") {
-    // each warm writes a FRESH pqcodes_g<n> tree; overwriting one fixed
-    // path in place would delete the files the LIVE stored closure
-    // reads — a failed re-warm would then leave the old tier installed
-    // with a broken L2 (the degrade-not-throw contract inverted)
+  test("pqcodes generations: a stamp-matched re-warm REUSES the live tree, mutations roll it, the ring retires, close/open reclaim") {
+    // each TREE-WRITING warm creates a fresh pqcodes_g<n>; overwriting
+    // one fixed path in place would delete the files the LIVE stored
+    // closure reads — a failed re-warm would then leave the old tier
+    // installed with a broken L2 (the degrade-not-throw contract
+    // inverted). A warm whose inputs (corpus, codebook, layout, metric)
+    // match the live tree's stamp REUSES it — a maintain()-triggered
+    // no-op re-admission must not rewrite ~10 GB at the 100M geometry.
     val base = tmp()
     val g = Graft.open(spark, base, metricCfg("ip"))
     g.upsert(metricBatch())
@@ -935,16 +962,46 @@ class GraftFacadeSpec extends SparkSpec {
     def gens(): Set[String] =
       Option(new java.io.File(base).listFiles()).getOrElse(Array.empty)
         .map(_.getName).filter(_.startsWith("pqcodes_g")).toSet
+    def mutate(id: String): Unit = {
+      g.upsert(Seq((id, Array.tabulate(mdim)(d =>
+        if (d == 2) 0.5 else 0.0).toSeq)).toDF("id", "vec"))
+      g.compact()
+    }
     assert(g.warmPqTier(localBudgetBytes = 0L) > 0) // g0
+    assert(gens() === Set("pqcodes_g0"), gens().toString)
+    val live0 = g.pqCodesLiveDir.get
+    // NO-OP re-warm: same corpus, deterministic trainer → same
+    // codebook, same layout — the stamp matches, the live generation
+    // is reused, nothing new on disk
+    assert(g.warmPqTier(localBudgetBytes = 0L) > 0)
+    assert(g.pqCodesLiveDir.get === live0,
+      "stamp-matched re-warm rolled the generation")
+    assert(gens() === Set("pqcodes_g0"),
+      s"no-op re-warm wrote a tree: ${gens()}")
     g.releasePqDistTier()
     val want = g.searchPq(mq, 5).toSeq // stored serve against g0
-    assert(g.warmPqTier(localBudgetBytes = 0L) > 0) // g1; g0 retained
+    assert(want === exactTop(g, mq, 5))
+    // corpus mutation → new stamp → fresh generation; g0 retained so
+    // requests in flight across the swap finish against their files
+    mutate("ring-a")
+    assert(g.warmPqTier(localBudgetBytes = 0L) > 0) // g1
+    assert(g.pqCodesLiveDir.get !== live0,
+      "corpus-mutating re-warm did not roll the generation")
     assert(gens() === Set("pqcodes_g0", "pqcodes_g1"), gens().toString)
     g.releasePqDistTier()
-    assert(g.searchPq(mq, 5).toSeq === want,
+    assert(g.searchPq(mq, 5).toSeq === exactTop(g, mq, 5),
       "stored serve against the new generation diverged")
-    assert(g.warmPqTier(localBudgetBytes = 0L) > 0) // g2; g0 retired
-    assert(gens() === Set("pqcodes_g1", "pqcodes_g2"), gens().toString)
+    // ring retention: the 2 newest retired generations are kept (a
+    // stored scan in flight across TWO back-to-back swaps still finds
+    // its files); the third swap retires the oldest
+    mutate("ring-b")
+    assert(g.warmPqTier(localBudgetBytes = 0L) > 0) // g2
+    assert(gens() === Set("pqcodes_g0", "pqcodes_g1", "pqcodes_g2"),
+      gens().toString)
+    mutate("ring-c")
+    assert(g.warmPqTier(localBudgetBytes = 0L) > 0) // g3; g0 retires
+    assert(gens() === Set("pqcodes_g1", "pqcodes_g2", "pqcodes_g3"),
+      gens().toString)
     g.close()
     assert(gens().isEmpty, "close() must reclaim the session's codes trees")
     // crash stand-in: a leftover generation sweeps at the next open
@@ -953,6 +1010,34 @@ class GraftFacadeSpec extends SparkSpec {
     val g2 = Graft.open(spark, base, metricCfg("ip"))
     assert(gens().isEmpty, "open must sweep stale pqcodes generations")
     g2.close()
+    Segments.deleteDir(base)
+  }
+
+  test("mixed L0/stored serve: with L1 evicted, a starved driver tier scans its resident lists and only the misses pay the parquet plan") {
+    val base = tmp()
+    val g = Graft.open(spark, base, metricCfg("ip"))
+    g.upsert(metricBatch())
+    g.compact()
+    // budget for roughly half the coded corpus: the driver tier admits
+    // SOME lists (nprobe covers every list, so each request both hits
+    // and misses L0 — the split shape)
+    val rows = g.liveView.count()
+    val half = rows * (8L + 8L) / 2
+    assert(g.warmPqTier(localBudgetBytes = half) > 0)
+    val q2 = Array.tabulate(mdim)(d => if (d == 5) 1f else 0f)
+    val want = Seq(mq, q2).map(q => g.searchPq(q, 5).toSeq)
+    g.releasePqDistTier() // L1 gone: L0 + stored must compose
+    val got = Seq(mq, q2).map(q => g.searchPq(q, 5).toSeq)
+    assert(got === want, "mixed L0/stored serve diverged from the warm answer")
+    assert(got.head === exactTop(g, mq, 5))
+    assert(g.pqDoorMixedStoredServes >= 1,
+      s"expected mixed L0/stored serves, got routes=${g.pqDoorRoutes} " +
+        s"mixedStored=${g.pqDoorMixedStoredServes}")
+    // the mixed-stored serves are accounted under the stored column
+    assert(g.pqDoorRoutes._3 >= g.pqDoorMixedStoredServes)
+    assert(g.pqDoorAnomalousRoutes === 0L,
+      "eviction fall-through must not count as a coverage anomaly")
+    g.close()
     Segments.deleteDir(base)
   }
 

@@ -239,6 +239,83 @@ class PqTieredServingSpec extends SparkSpec {
     } finally dist.unpersist()
   }
 
+  test("mixed L0/stored serve: with L1 evicted, resident lists scan driver-side and only the misses hit the stored closure") {
+    val perRow = 8L + cb.m
+    val budget = emb.count() * perRow / 2
+    val starved = LocalPqIndex.build(codes, cents, cb,
+      maxBytes = budget, limits = wide)
+    val dist = PqServingIndex.build(codes, cents, cb, wide)
+    try {
+      val np = math.max(3, nlist / 4)
+      val splitQs = qRows.filter { case (_, qv) =>
+        val p = starved.probeFor(qv, np)
+        !starved.coversProbes(p) && starved.partitionResident(p)._1.nonEmpty
+      }
+      assert(splitQs.nonEmpty, "fixture degenerate: no split request")
+      // the stored closure records the lists it is asked to scan — the
+      // split contract is that NO resident list ever pays the cold path
+      val askedLists = scala.collection.mutable.Set.empty[Long]
+      val storedSub = (q: Array[Float], probed: Seq[Long], n: Int,
+          metric: String) => {
+        askedLists ++= probed
+        fullLocal.searchAdcOnProbed(probed, q, n, metric)
+      }
+      val pureStored = new PqTieredServing(None, None, storedPath, wide)
+      val mixed = new PqTieredServing(Some(starved), Some(dist),
+        storedPath, wide, storedOnProbed = Some(storedSub))
+      dist.unpersist() // L1 evicted mid-session
+      splitQs.take(4).foreach { case (qid, qv) =>
+        for ((k, metric) <- Seq((10, "ip"), (300, "l2"), (25, "cosine")))
+          assert(mixed.searchAdc(qv, k, np, metric).toSeq ===
+            pureStored.searchAdc(qv, k, np, metric).toSeq,
+            s"q=$qid k=$k $metric: mixed L0/stored diverged from pure stored")
+      }
+      assert(mixed.mixedStoredServes >= math.min(4, splitQs.length),
+        s"mixedStored=${mixed.mixedStoredServes} " +
+          s"stored=${mixed.storedServes} local=${mixed.localServes}")
+      assert(mixed.mixedStoredServes + mixed.storedServes +
+        mixed.localServes === math.min(4, splitQs.length) * 3)
+      askedLists.foreach { cid =>
+        assert(!starved.partitionResident(Seq(cid))._1.contains(cid),
+          s"resident list $cid paid the stored path")
+      }
+      // an eviction fall-through is NOT a coverage anomaly
+      assert(mixed.anomalousResidentRoutes === 0)
+    } finally dist.unpersist()
+  }
+
+  test("resident-but-uncovered distributed tier counts as a coverage ANOMALY, apart from eviction fall-throughs") {
+    // a tier violating the construction contract (built over a
+    // TRUNCATED layout while the catalog sizes say the missing lists
+    // hold rows — the one way a resident tier can fail coverage): the
+    // route still degrades to the store, but the anomaly counter — not
+    // plain eviction semantics — is what surfaces the probe bug
+    val fullSizes = codes.groupBy(col("centroid_id").cast("long"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val heldCids = fullSizes.keys.toSeq.sorted.take(fullSizes.size / 2)
+    val centsHalf = cents.filter(col("cid").isin(heldCids: _*))
+    val partial = codes.filter(col("centroid_id").isin(heldCids: _*))
+    val dist = PqServingIndex.build(partial, centsHalf, cb, wide,
+      Some(fullSizes))
+    // a zero-budget driver tier: covers nothing, but carries the FULL
+    // layout — the probe provider whose walk exposes the truncation
+    val zeroLocal = LocalPqIndex.build(codes, cents, cb, maxBytes = 0L,
+      limits = wide)
+    assert(zeroLocal.cachedLists === 0)
+    try {
+      assert(dist.resident)
+      val r = new PqTieredServing(Some(zeroLocal), Some(dist),
+        storedPath, wide)
+      val (qid, qv) = qRows.head
+      assert(r.searchAdc(qv, 10, nlist).toSeq ===
+        fullLocal.searchAdc(qv, 10, nlist).toSeq, s"q=$qid")
+      assert(r.storedServes === 1 && r.anomalousResidentRoutes === 1,
+        s"stored=${r.storedServes} anomalous=${r.anomalousResidentRoutes}")
+    } finally dist.unpersist()
+  }
+
   test("eviction degrades to L2: an unpersisted distributed tier routes to the stored closure, never an exception") {
     val dist = PqServingIndex.build(codes, cents, cb, wide)
     val r = new PqTieredServing(None, Some(dist), storedPath, wide)
