@@ -547,10 +547,8 @@ object Bench {
       // the exact hazard the facade's StoredAdc guards and
       // GraftFacadeSpec pins)
       val codesDf = spark.read.parquet(s"$dir100/codes")
-      val cidIsLong = codesDf.schema("centroid_id").dataType ==
-        org.apache.spark.sql.types.LongType
       def cidVals(probed: Seq[Long]): Seq[Any] =
-        if (cidIsLong) probed else probed.map(_.toInt)
+        Ivf.cidLiterals(codesDf, probed)
       val tL0 = System.nanoTime()
       val sizesPath = java.nio.file.Paths.get(s"$dir100/sizes.tsv")
       val knownSizes =
@@ -571,12 +569,11 @@ object Bench {
       val tierStamp = knownSizes.map { szs =>
         val fp = szs.toSeq.sorted
           .foldLeft(17L) { case (h, (c, n)) => h * 31 + c * 1000003 + n }
-        // codebook fingerprint: a retrained PQ with unchanged list
-        // sizes must invalidate the packed codes (stale codes against a
-        // new codebook would ADC-score silently wrong)
-        val cbFp = cb.codebooks.foldLeft(17L)((h, book) =>
-          book.foldLeft(h)((h2, cw) => cw.foldLeft(h2)((h3, v) =>
-            h3 * 31 + java.lang.Double.doubleToLongBits(v))))
+        // codebook fingerprint (the shared stamp-gate fold): a
+        // retrained PQ with unchanged list sizes must invalidate the
+        // packed codes (stale codes against a new codebook would
+        // ADC-score silently wrong)
+        val cbFp = graft.index.Pq.codebookFingerprint(cb)
         s"v1 rows=$metaRows m=$m maxBytes=$tierBudget sizes=$fp cb=$cbFp"
       }
       val loaded = tierStamp.flatMap(st =>
@@ -1140,20 +1137,26 @@ object Bench {
       // the box cannot host end-to-end (a 100M raw-vector segment store
       // is ~600 GB); the REAL end-to-end warm is measured through the
       // actual facade at the 1M geometry (facade_warm_1m_*).
-      try {
+      locally {
         val scratch = s"$dir100/treewrite_scratch"
-        val tW0 = System.nanoTime()
-        codesDf.repartition(col("centroid_id"))
-          .write.mode("overwrite").partitionBy("centroid_id")
-          .parquet(scratch)
-        extras("ivf_100m_tree_write_sec") =
-          num((System.nanoTime() - tW0) / 1e9, 1)
-        org.apache.commons.io.FileUtils
-          .deleteDirectory(new java.io.File(scratch))
-      } catch { case e: Throwable =>
-        System.err.println(
-          s"[bench] 100M tree-write twin FAILED: ${e.getMessage}")
-        extras("ivf_100m_tree_write_sec") = "-1"
+        try {
+          val tW0 = System.nanoTime()
+          codesDf.repartition(col("centroid_id"))
+            .write.mode("overwrite").partitionBy("centroid_id")
+            .parquet(scratch)
+          extras("ivf_100m_tree_write_sec") =
+            num((System.nanoTime() - tW0) / 1e9, 1)
+        } catch { case e: Throwable =>
+          System.err.println(
+            s"[bench] 100M tree-write twin FAILED: ${e.getMessage}")
+          extras("ivf_100m_tree_write_sec") = "-1"
+        } finally
+          // a failed write (disk-full is the realistic mode on this
+          // box) must not strand a partial multi-GB scratch for the
+          // sections and rounds after it
+          try org.apache.commons.io.FileUtils
+            .deleteDirectory(new java.io.File(scratch))
+          catch { case _: Exception => }
       }
       pool.shutdown()
     } catch { case e: Throwable =>
@@ -1252,7 +1255,11 @@ object Bench {
     } finally g.close()
   } catch { case e: Throwable =>
     System.err.println(s"[bench] facade-warm twin FAILED: ${e.getMessage}")
-    extras("facade_warm_1m_sec") = "-1"
+    // backfill only what never got measured — a failure in the re-warm
+    // or the serve checks must not erase a warm that DID run and time
+    Seq("facade_warm_1m_sec", "facade_warm_1m_rewarm_sec",
+      "facade_warm_1m_tree_reused")
+      .foreach(k => if (!extras.contains(k)) extras(k) = "-1")
   }
 
   def main(args: Array[String]): Unit = {

@@ -393,10 +393,13 @@ final class Graft private (
     */
   def pqDoorMixedServes: Long = pqTier.map(_.router.mixedServes).getOrElse(0L)
 
-  /** Requests the single door served part-L0/part-STORED (distributed
-    * tier evicted, driver tier holding some probed lists): resident
-    * lists scan at driver speed, only the misses pay the parquet plan.
-    * Counted under the stored column of [[pqDoorRoutes]].
+  /** Requests served part-L0/part-STORED (distributed tier evicted,
+    * driver tier holding some probed lists): resident lists scan at
+    * driver speed, only the misses pay the parquet plan. BOTH doors —
+    * the batch door scans its queries' resident lists driver-side and
+    * sends only the misses into the one batched stored plan, merging
+    * per query after the job. Counted under the stored column of
+    * [[pqDoorRoutes]].
     */
   def pqDoorMixedStoredServes: Long =
     pqTier.map(_.router.mixedStoredServes).getOrElse(0L)
@@ -485,6 +488,14 @@ final class Graft private (
       live.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(16384),
       m, dim / m, 256, vecCol = "vec", maxIter = 8))
     val cents = centroids()
+    // the tree stamp is computed BEFORE the coded relation materializes:
+    // a mutation racing the warm (a streaming micro-batch publishing
+    // mid-encode) then leaves the tree carrying a stamp OLDER than its
+    // bytes, so the NEXT warm's stamp differs and rolls the generation —
+    // the safe direction. Stamping after materialization would invert
+    // it: a new-corpus stamp on an old-corpus tree, and the reuse gate
+    // would pin the stale tree forever.
+    val treeStamp = pqTreeStamp(cb, cents, metric)
     // cache the coded relation: the encode pass feeds both cache levels,
     // the sizes aggregate AND the durable codes tree — one encode, four
     // readers. BYTE-PACKED codes (the reference's own 8-bit code arrays,
@@ -520,7 +531,6 @@ final class Graft private (
       // warm: see [[pqCodesGen]] — a failed warm past this point
       // deletes only its own tree and leaves the OLD tier (and the
       // trees it reads) fully serving.
-      val treeStamp = pqTreeStamp(cb, cents, metric)
       val reuse = pqCodesLive.isDefined &&
         pqCodesLiveStamp.contains(treeStamp) &&
         fs.exists(new HPath(pqCodesLive.get))
@@ -617,9 +627,7 @@ final class Graft private (
         (h * 31 + idHash * 1000003L + e.epoch) * 31 +
           (if (e.deleted) 1L else 0L)
       }
-    val cbFp = cb.codebooks.foldLeft(17L)((h, book) =>
-      book.foldLeft(h)((h2, cw) => cw.foldLeft(h2)((h3, v) =>
-        h3 * 31 + java.lang.Double.doubleToLongBits(v))))
+    val cbFp = graft.index.Pq.codebookFingerprint(cb)
     val (cids, matrix) = Ivf.collectCentroids(cents)
     val centFp = cids.zip(matrix).foldLeft(17L) { case (h, (cid, row)) =>
       row.foldLeft(h * 31 + cid)((h2, v) =>
@@ -677,11 +685,12 @@ final class Graft private (
     // probe filter's literals must match it exactly, or Catalyst wraps
     // the PARTITION column in a cast and directory-level pruning is at
     // the planner's mercy (a full-tree scan on the cold path would be
-    // the one thing this layout exists to avoid)
+    // the one thing this layout exists to avoid); [[Ivf.cidLiterals]]
+    // is the one shared guard
     private val cidIsLong = storedCodes.schema("centroid_id").dataType ==
       org.apache.spark.sql.types.LongType
     private def cidVals(probed: Seq[Long]): Seq[Any] =
-      if (cidIsLong) probed else probed.map(_.toInt)
+      Ivf.cidLiterals(storedCodes, probed)
 
     def probeFor(q: Array[Float], nprobe: Int,
         metric: String): Seq[Long] =
@@ -923,6 +932,11 @@ final class Graft private (
     val uncovered = scala.collection.mutable.ArrayBuffer.empty[(Int, Seq[Long])]
     val storedQs = scala.collection.mutable
       .ArrayBuffer.empty[(Int, Array[Float], Seq[Long])]
+    // per-query L0 partial pools for MIXED L0/stored serves (the batch
+    // door's analogue of the single door's split): resident lists scan
+    // driver-side here, the misses join the ONE batched stored plan,
+    // and the pools merge after that job returns
+    val l0Pools = new Array[Array[(Long, Double)]](qArr.length)
     var pi = 0
     while (pi < qArr.length) {
       val probed = probeTier(qArr(pi))
@@ -940,8 +954,22 @@ final class Graft private (
           // times the batch size). The cache tiers and the stored
           // bundle share the probe contract (same centroid ranking,
           // same max_candidates walk over the same catalog sizes), so
-          // the probe set already in hand is THE probe set.
-          storedQs += ((pi, qArr(pi), probed))
+          // the probe set already in hand is THE probe set. A RESIDENT
+          // tier landing here is a coverage regression, not an
+          // eviction — counted apart, same as the single door.
+          if (st.dist.resident) st.router.noteAnomalousResidentRoute()
+          st.local.map(l => (l, l.partitionResident(probed))) match {
+            case Some((l, (res, miss))) if res.nonEmpty =>
+              l0Pools(pi) =
+                l.searchAdcOnProbed(res, qArr(pi), nBudget, metric)
+              if (miss.nonEmpty) storedQs += ((pi, qArr(pi), miss))
+              else {
+                st.router.noteMixedStoredServe()
+                pools(pi) = l0Pools(pi)
+              }
+            case _ =>
+              storedQs += ((pi, qArr(pi), probed))
+          }
       }
       pi += 1
     }
@@ -961,8 +989,19 @@ final class Graft private (
       val sub = st.stored.searchBatch(storedQs.toIndexedSeq, nBudget,
         metric)
       storedQs.foreach { case (qi, _, _) =>
-        st.router.noteStoredServe()
-        pools(qi) = sub.getOrElse(qi, Array.empty)
+        val storedPool =
+          sub.getOrElse(qi, Array.empty[(Long, Double)])
+        pools(qi) = l0Pools(qi) match {
+          case null =>
+            st.router.noteStoredServe()
+            storedPool
+          case l0 =>
+            // mixed L0/stored: merge under the shared ranking contract
+            // — top-n of the union equals top-n of the full probe set
+            st.router.noteMixedStoredServe()
+            graft.index.PqTieredServing.mergeTopN(l0, storedPool,
+              nBudget)
+        }
       }
     }
     val snap = overlay.snapshot

@@ -49,6 +49,18 @@ object Ivf {
     (rows.map(_._1), rows.map(_._2))
   }
 
+  /** Probe literals typed to a codes relation's `centroid_id` column:
+    * hive partition-value inference types it INT, and a Long literal
+    * cast-wraps the PARTITION column, demoting static directory
+    * pruning — the cold path's whole layout promise. ONE helper so the
+    * facade's stored plans and the bench twins cannot drift
+    * (GraftFacadeSpec pins the resulting plan shape).
+    */
+  def cidLiterals(codes: DataFrame, probed: Seq[Long]): Seq[Any] =
+    if (codes.schema("centroid_id").dataType ==
+        org.apache.spark.sql.types.LongType) probed
+    else probed.map(_.toInt)
+
   /** W14/B2: assign each vector to its nearest centroid — a single map-side
     * projection (no join, no shuffle, no row explosion).
     */

@@ -36,6 +36,18 @@ object Pq {
   final case class Codebook(m: Int, dsub: Int, codeIds: Array[Long],
       codebooks: Array[Array[Array[Double]]])
 
+  /** Order-sensitive 64-bit fold over a codebook's exact double bits —
+    * THE quantizer fingerprint every stamp gate shares (the facade's
+    * codes-tree stamp, the bench's packed-tier stamp): a retrained
+    * quantizer with unchanged list sizes must invalidate stamped
+    * artifacts, because stale codes against a new codebook ADC-score
+    * silently wrong. One definition so the gates cannot drift apart.
+    */
+  def codebookFingerprint(cb: Codebook): Long =
+    cb.codebooks.foldLeft(17L)((h, book) =>
+      book.foldLeft(h)((h2, cw) => cw.foldLeft(h2)((h3, v) =>
+        h3 * 31 + java.lang.Double.doubleToLongBits(v))))
+
   /** Per-query ADC lookup table: lut(j)(c) = dot(q_j, codeword(j)(c)),
     * sequential double accumulation per codeword —
     * `IndexExpressions.pqLut`'s arithmetic exactly. ONE definition

@@ -102,6 +102,15 @@ final class PqTieredServing(
   private[graft] def noteLocalServe(): Unit = { localN.incrementAndGet(); () }
   private[graft] def noteDistServe(): Unit = { distN.incrementAndGet(); () }
   private[graft] def noteStoredServe(): Unit = { storedN.incrementAndGet(); () }
+  private[graft] def noteMixedStoredServe(): Unit = {
+    mixedStoredN.incrementAndGet(); ()
+  }
+  private[graft] def noteAnomalousResidentRoute(): Unit = {
+    if (anomalousN.getAndIncrement() == 0L)
+      System.err.println("[graft] PQ router: resident distributed " +
+        "tier does not cover the probe walk — serving from the " +
+        "store; see anomalousResidentRoutes")
+  }
 
   /** Phase-1 ADC top-k through the hierarchy (client-facing). The
     * client k clamps against the ROUTER's limits — one clamp, every
@@ -149,15 +158,15 @@ final class PqTieredServing(
         // a RESIDENT tier landing here means the probe walk asked for
         // lists the tier doesn't hold — not an eviction, a coverage
         // regression (the tiers are built over one layout)
-        if (dist.exists(_.resident) &&
-            anomalousN.getAndIncrement() == 0L)
-          System.err.println("[graft] PQ router: resident distributed " +
-            "tier does not cover the probe walk — serving from the " +
-            "store; see anomalousResidentRoutes")
+        if (dist.exists(_.resident)) noteAnomalousResidentRoute()
         // MIXED L0/stored serve (the coldest path is exactly where
         // driver-memory lists help most): resident lists scan
         // driver-side, only the misses pay the parquet plan — same
-        // merge contract as the L0/L1 mixed serve above
+        // merge contract as the L0/L1 mixed serve above. A pure-stored
+        // serve with the probed closure wired reuses the probe set
+        // already in hand (one probe per request, even on the cold
+        // path); only a closure-less router re-derives it inside
+        // `stored`.
         (local.map(l => (l, l.partitionResident(p))), storedOnProbed) match {
           case (Some((l, (res, miss))), Some(sp)) if res.nonEmpty =>
             mixedStoredN.incrementAndGet()
@@ -165,6 +174,9 @@ final class PqTieredServing(
               l.searchAdcOnProbed(res, q, n, metric),
               if (miss.isEmpty) Array.empty[(Long, Double)]
               else sp(q, miss, n, metric), n)
+          case (_, Some(sp)) =>
+            storedN.incrementAndGet()
+            sp(q, p, n, metric)
           case _ =>
             storedN.incrementAndGet()
             stored(q, n, nprobe, metric)
@@ -183,7 +195,7 @@ object PqTieredServing {
     * quickselect kernel the deep-fetch scans use, so a mixed serve
     * ranks bit-identically to a single-level scan of the union.
     */
-  private[index] def mergeTopN(a: Array[(Long, Double)],
+  private[graft] def mergeTopN(a: Array[(Long, Double)],
       b: Array[(Long, Double)], n: Int): Array[(Long, Double)] = {
     val total = a.length + b.length
     val ids = new Array[Long](total)

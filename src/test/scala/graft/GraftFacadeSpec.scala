@@ -1030,9 +1030,18 @@ class GraftFacadeSpec extends SparkSpec {
     val got = Seq(mq, q2).map(q => g.searchPq(q, 5).toSeq)
     assert(got === want, "mixed L0/stored serve diverged from the warm answer")
     assert(got.head === exactTop(g, mq, 5))
-    assert(g.pqDoorMixedStoredServes >= 1,
+    assert(g.pqDoorMixedStoredServes >= 2,
       s"expected mixed L0/stored serves, got routes=${g.pqDoorRoutes} " +
         s"mixedStored=${g.pqDoorMixedStoredServes}")
+    // the BATCH door splits the same way: resident lists driver-side,
+    // only the misses join the one batched stored plan, pools merged
+    // per query — values identical to the single door
+    val before = g.pqDoorMixedStoredServes
+    val gotBatch = g.searchPqBatch(Seq(mq, q2), 5).map(_.toSeq)
+    assert(gotBatch === want, "batch-door mixed L0/stored diverged")
+    assert(g.pqDoorMixedStoredServes >= before + 2,
+      s"batch door did not serve mixed: before=$before " +
+        s"after=${g.pqDoorMixedStoredServes}")
     // the mixed-stored serves are accounted under the stored column
     assert(g.pqDoorRoutes._3 >= g.pqDoorMixedStoredServes)
     assert(g.pqDoorAnomalousRoutes === 0L,
