@@ -1361,10 +1361,15 @@ final class Graft private (
     pqTier.foreach(_.dist.unpersist())
     pqTier = None
     // the codes trees are session-scoped cache artifacts (a reopen must
-    // re-warm anyway) — reclaim the disk; a crash skips this and the
-    // next open's sweep catches the leftovers
+    // re-warm anyway) — reclaim the disk BEST-EFFORT: teardown must not
+    // throw for a cleanup failure (a crash skips this entirely and the
+    // next open's sweep catches the leftovers, so a failed delete here
+    // is the same already-handled state)
     (pqCodesLive.toSeq ++ pqCodesRetired)
-      .foreach(p => fs.delete(new HPath(p), true))
+      .foreach(p => scala.util.Try(fs.delete(new HPath(p), true))
+        .failed.foreach(t => System.err.println(
+          s"[graft] close: codes-tree delete failed for $p " +
+            s"(open() sweeps it): ${t.getMessage}")))
     pqCodesLive = None
     pqCodesLiveStamp = None
     pqCodesRetired = Nil
