@@ -828,6 +828,51 @@ object Bench {
           extras("ivf_100m_route_mixed_dist_serves") =
             mixedRouter.distServes.toString
           extras("ivf_100m_route_mixed_parity") = mixedParity.toString
+          // MIXED L0/STORED at this geometry (r14): same starved tier,
+          // distributed tier ABSENT — resident lists serve driver-side
+          // and only the misses pay the parquet plan. Parity against
+          // the warm-route answers proves the split is value-invisible
+          // on the coldest path too; the p50 delta vs the pure-stored
+          // twin below is the latency the driver budget buys there.
+          val storedOnProbed = (qv: Array[Float], probed: Seq[Long],
+              k: Int, metric: String) => {
+            require(metric == "ip", "bench stored route is the ip twin")
+            import spark.implicits._
+            val qdf = Seq((0L, qv.toSeq)).toDF("query_id", "qv")
+            graft.index.Pq.adcScores(
+                codesDf.filter(
+                  col("centroid_id").isin(cidVals(probed): _*)), cb, qdf)
+              .orderBy(col("approx_score").desc, col("vec_id").asc)
+              .limit(k).select(col("vec_id"), col("approx_score"))
+              .collect().map(r => (r.getLong(0), r.getDouble(1)))
+          }
+          val mixedStoredRouter = new graft.index.PqTieredServing(
+            Some(starved), None, storedRoute, limits100,
+            storedOnProbed = Some(storedOnProbed))
+          val pureStoredRouter = new graft.index.PqTieredServing(
+            None, None, storedRoute, limits100)
+          mixedStoredRouter.searchAdc(qOut.head._2, 10, nprobe100) // warm
+          pureStoredRouter.searchAdc(qOut.head._2, 10, nprobe100)
+          val msLat = scala.collection.mutable.ArrayBuffer.empty[Double]
+          val psLat = scala.collection.mutable.ArrayBuffer.empty[Double]
+          val msParity = qOut.take(10).zip(routed.take(10)).forall {
+            case ((_, qv), want) =>
+              val tM0 = System.nanoTime()
+              val got = mixedStoredRouter.searchAdc(qv, 10, nprobe100)
+              msLat += (System.nanoTime() - tM0) / 1e6
+              val tP0 = System.nanoTime()
+              pureStoredRouter.searchAdc(qv, 10, nprobe100)
+              psLat += (System.nanoTime() - tP0) / 1e6
+              got.toSeq == want
+          }
+          extras("ivf_100m_route_mixed_stored_serves") =
+            mixedStoredRouter.mixedStoredServes.toString
+          extras("ivf_100m_route_mixed_stored_parity") =
+            msParity.toString
+          extras("ivf_100m_route_mixed_stored_p50_ms") =
+            num(pctl(msLat.sorted.toSeq, 50), 1)
+          extras("ivf_100m_route_pure_stored_p50_ms") =
+            num(pctl(psLat.sorted.toSeq, 50), 1)
         } catch { case e: Throwable =>
           System.err.println(
             s"[bench] 100M mixed-serve twin FAILED: ${e.getMessage}")
@@ -2988,6 +3033,10 @@ object Bench {
         "ivf_100m_stored_floor_before_ms", "ivf_100m_stored_floor_after_ms",
         "ivf_100m_route_fallthrough_parity",
         "ivf_100m_route_mixed_serves", "ivf_100m_route_mixed_parity",
+        "ivf_100m_route_mixed_stored_serves",
+        "ivf_100m_route_mixed_stored_parity",
+        "ivf_100m_route_mixed_stored_p50_ms",
+        "ivf_100m_route_pure_stored_p50_ms",
         "ivf_100m_cold_open_to_serve_sec", "ivf_100m_first_query_sec",
         "ivf_100m_tree_write_sec", "facade_warm_1m_sec",
         "facade_warm_1m_rewarm_sec", "facade_warm_1m_tree_reused",

@@ -526,8 +526,11 @@ final class Graft private (
       // warm's, the tree bytes would be bit-identical — reuse the live
       // generation instead of rewriting ~10 GB at the 100M geometry
       // (the [[graft.index.LocalPqIndex.savePacked]] stamp discipline
-      // applied to the tree; a maintain()-triggered no-op re-admission
-      // is the common caller). Otherwise a FRESH generation dir per
+      // applied to the tree; the common callers are the re-warm that
+      // restores an evicted distributed tier and a driver-budget
+      // resize — same corpus, same tree. A maintain()-triggered
+      // re-admission always follows a catalog change, so its stamp
+      // rolls by construction). Otherwise a FRESH generation dir per
       // warm: see [[pqCodesGen]] — a failed warm past this point
       // deletes only its own tree and leaves the OLD tier (and the
       // trees it reads) fully serving.
