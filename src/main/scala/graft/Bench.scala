@@ -1297,6 +1297,31 @@ object Bench {
         (gen0.isDefined && g.pqCodesLiveDir == gen0).toString
       require(g.searchPq(qv, 10).nonEmpty,
         "facade 1M door served nothing after the re-warm")
+      // the REAL StoredAdc door at this geometry: a starved stamp-
+      // matched re-warm (tree and codebook reused, tiers rebuilt from
+      // the tree read) leaves no L0, then eviction forces every
+      // request through the broadcast-LUT partition-pruned plan plus
+      // the exact phase-2 rerank. At a ~96 MB tree the phase-1 scan is
+      // negligible, so this p50 is dominated by the stored request's
+      // FIXED cost (plan build + broadcast + dispatch + point-lookup
+      // rerank) — the number that adjudicates the single-door LUT
+      // shape (r13 verdict #5).
+      val tS0 = System.nanoTime()
+      g.warmPqTier(localBudgetBytes = 0L)
+      extras("facade_warm_1m_starved_rewarm_sec") =
+        num((System.nanoTime() - tS0) / 1e9, 1)
+      g.releasePqDistTier()
+      require(g.searchPq(qv, 10).nonEmpty) // cold plan/JIT pass
+      val sLat = (0 until 10).map { i =>
+        val q2 = synthVec100m(n + 13 + i, d)
+        val t0 = System.nanoTime()
+        require(g.searchPq(q2, 10).nonEmpty,
+          "stored facade door served nothing")
+        (System.nanoTime() - t0) / 1e6
+      }.sorted
+      extras("facade_stored_1m_p50_ms") = num(pctl(sLat, 50), 1)
+      extras("facade_stored_1m_p99_ms") = num(pctl(sLat, 99), 1)
+      extras("facade_stored_1m_serves") = g.pqDoorRoutes._3.toString
     } finally g.close()
   } catch { case e: Throwable =>
     System.err.println(s"[bench] facade-warm twin FAILED: ${e.getMessage}")
@@ -3040,6 +3065,7 @@ object Bench {
         "ivf_100m_cold_open_to_serve_sec", "ivf_100m_first_query_sec",
         "ivf_100m_tree_write_sec", "facade_warm_1m_sec",
         "facade_warm_1m_rewarm_sec", "facade_warm_1m_tree_reused",
+        "facade_stored_1m_p50_ms", "facade_stored_1m_p99_ms",
         "serving_concurrent_calib_qps", "serving_concurrent_ratio",
         "ingest_calib_ratio", "ingest_calib_spread")
       summaryExtras.foreach(k => extras.get(k).foreach(v => summary(k) = v))

@@ -441,7 +441,14 @@ final class Graft private (
     * driver-resident packed tier ([[graft.index.LocalPqIndex]]) that
     * serves covered probes with zero scheduler dispatch. Codes cost
     * `m` bytes a row vs `4·dim` for raw floats — the tiers that still
-    * fit memory when the raw corpus no longer does. Returns the
+    * fit memory when the raw corpus no longer does. STAMP-GATED
+    * re-admission: when the warm's inputs (corpus snapshot, layout,
+    * metric, quantizer — see [[pqTreeBaseStamp]]) match the live codes
+    * tree's, the warm skips the codebook sample pass, reads the coded
+    * relation back FROM the tree instead of re-encoding the corpus,
+    * and reuses the tree's generation — restoring an evicted
+    * distributed tier or resizing the driver budget costs a tree read,
+    * not a corpus pass. Returns the
     * distributed tier's packed list count. SNAPSHOT semantics: like
     * every cache tier, the packed codes reflect the corpus at warm
     * time; phase 2 re-scores against the CURRENT store, so deleted
@@ -475,6 +482,15 @@ final class Graft private (
         raw.withColumn("vec",
           graft.functions.VectorFunctions.l2Normalize(col("vec")))
       else raw
+    val cents = centroids()
+    // the stamps are computed BEFORE anything materializes: a mutation
+    // racing the warm (a streaming micro-batch publishing mid-encode)
+    // then leaves the tree carrying a stamp OLDER than its bytes, so
+    // the NEXT warm's stamp differs and rolls the generation — the
+    // safe direction. Stamping after materialization would invert it:
+    // a new-corpus stamp on an old-corpus tree, and the reuse gate
+    // would pin the stale tree forever.
+    val baseStamp = pqTreeBaseStamp(cents, metric, m)
     // DETERMINISTIC training sample: hash-ordered top-N, not a bare
     // limit (whose row set AND order depend on scan/partition order —
     // two warms over the same corpus could admit different codebooks,
@@ -483,63 +499,77 @@ final class Graft private (
     // per-partition top-N on the executors, driver merge — no full
     // sort, the 100 TB shape. Hash order also makes the sample
     // pseudo-random instead of storage-ordered; ties (hash collisions)
-    // break on the unique vec_id.
-    val cb = codebook.getOrElse(graft.index.Pq.trainCodebookDriver(
-      live.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(16384),
-      m, dim / m, 256, vecCol = "vec", maxIter = 8))
-    val cents = centroids()
-    // the tree stamp is computed BEFORE the coded relation materializes:
-    // a mutation racing the warm (a streaming micro-batch publishing
-    // mid-encode) then leaves the tree carrying a stamp OLDER than its
-    // bytes, so the NEXT warm's stamp differs and rolls the generation —
-    // the safe direction. Stamping after materialization would invert
-    // it: a new-corpus stamp on an old-corpus tree, and the reuse gate
-    // would pin the stale tree forever.
-    val treeStamp = pqTreeStamp(cb, cents, metric)
-    // cache the coded relation: the encode pass feeds both cache levels,
-    // the sizes aggregate AND the durable codes tree — one encode, four
-    // readers. BYTE-PACKED codes (the reference's own 8-bit code arrays,
-    // config.h:87): every consumer dispatches on the stored type, and
-    // the packed layout quarters the codes tree's bytes on disk and on
-    // every cold-path read. Assignment takes the GEMM bulk path (the
-    // same one [[rebuild]] uses — spec-pinned assignment-identical to
-    // the codegen kernel, IvfPqSpec): a warm is a bulk build by
-    // definition, and at the reference geometry (nlist 4096 × dim 768)
-    // the row-at-a-time kernel would make admission ~10× slower for
-    // the exact same assignments.
-    val codes = Ivf.assignBulkGemm(live, cents, vecCol = "vec")
-      .select(col("vec_id"), col("centroid_id"),
-        graft.index.Pq.codesBinaryColumn(cb, "vec").as("codes"))
-      .cache()
+    // break on the unique vec_id. SKIPPED when the base stamp matches
+    // the live tier's trained admission: the trainer is deterministic
+    // in (corpus, layout, metric, m) — the determinism spec pins it —
+    // so a retrain would reproduce the resident quantizer bit for bit
+    // while paying a full corpus pass for the sample at scale.
+    val cb = codebook.getOrElse {
+      pqTier
+        .filter(_ => pqTierPinned.isEmpty &&
+          pqCodesLiveBase.contains(baseStamp))
+        .map(_.cb).filter(_.m == m)
+        .getOrElse(graft.index.Pq.trainCodebookDriver(
+          live.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+            .limit(16384),
+          m, dim / m, 256, vecCol = "vec", maxIter = 8))
+    }
+    val treeStamp =
+      baseStamp + s" cb=${graft.index.Pq.codebookFingerprint(cb)}"
+    // STAMP-GATED admission source (the reference's stable segments
+    // carry PQ codes, config.h:84-94): when the live tree's recorded
+    // inputs (corpus snapshot, codebook, centroid layout, metric)
+    // match this warm's, the tree's bytes ARE this warm's encode —
+    // read the coded relation back from the tree instead of
+    // re-encoding the corpus, and reuse the generation instead of
+    // rewriting it. At the 100M geometry that turns the common
+    // re-warms (restore an evicted distributed tier; resize the
+    // driver budget) from a full regenerate+assign+encode pass
+    // (~ivf_100m_build_sec, an hour) into a ~10 GB tree read — and
+    // skips the ~10 GB rewrite (the [[graft.index.LocalPqIndex
+    // .savePacked]] stamp discipline applied to the tree). A
+    // maintain()-triggered re-admission always follows a catalog
+    // change, so its stamp rolls by construction and takes the
+    // fresh-encode path below.
+    val reuse = pqCodesLive.isDefined &&
+      pqCodesLiveStamp.contains(treeStamp) &&
+      fs.exists(new HPath(pqCodesLive.get))
+    val codesPath =
+      if (reuse) pqCodesLive.get
+      else s"$baseDir/pqcodes_g${pqCodesGen.getAndIncrement()}"
+    // fresh path: ONE encode feeds both cache levels, the sizes
+    // aggregate AND the durable codes tree. BYTE-PACKED codes (the
+    // reference's own 8-bit code arrays, config.h:87): every consumer
+    // dispatches on the stored type, and the packed layout quarters
+    // the tree's bytes on disk and on every cold-path read. Assignment
+    // takes the GEMM bulk path (the same one [[rebuild]] uses —
+    // spec-pinned assignment-identical to the codegen kernel,
+    // IvfPqSpec): a warm is a bulk build by definition, and at the
+    // reference geometry (nlist 4096 × dim 768) the row-at-a-time
+    // kernel would make admission ~10× slower for the same
+    // assignments.
+    // cached either way: the relation feeds both cache-level builds
+    // (plus, on the fresh path, the sizes aggregate and the tree
+    // write) — one encode or one tree read, never two
+    val codes =
+      (if (reuse) spark.read.parquet(codesPath)
+        .select(col("vec_id"), col("centroid_id"), col("codes"))
+      else Ivf.assignBulkGemm(live, cents, vecCol = "vec")
+        .select(col("vec_id"), col("centroid_id"),
+          graft.index.Pq.codesBinaryColumn(cb, "vec").as("codes")))
+        .cache()
     try {
+      // the sizes aggregate doubles as the cache materialization: on
+      // the fresh path it runs the encode once; on the reuse path it
+      // pulls the tree into the block manager for the two tier builds
       val sizes = codes
         .groupBy(col("centroid_id").cast("long").as("centroid_id"))
         .agg(count(lit(1)).as("n")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toMap
-      // the DURABLE stable-tier index tree (the reference's stable
-      // segments carry PQ codes, config.h:84-94): hive-partitioned one
-      // file per inverted list, so the L2 fall-through below is a
-      // partition-PRUNED scan of ~nprobe lists, never a corpus read —
-      // the 100 TB shape (an executor count divides the scan on a real
-      // cluster). STAMP-GATED: when the live tree's recorded inputs
-      // (corpus snapshot, codebook, centroid layout, metric) match this
-      // warm's, the tree bytes would be bit-identical — reuse the live
-      // generation instead of rewriting ~10 GB at the 100M geometry
-      // (the [[graft.index.LocalPqIndex.savePacked]] stamp discipline
-      // applied to the tree; the common callers are the re-warm that
-      // restores an evicted distributed tier and a driver-budget
-      // resize — same corpus, same tree. A maintain()-triggered
-      // re-admission always follows a catalog change, so its stamp
-      // rolls by construction). Otherwise a FRESH generation dir per
-      // warm: see [[pqCodesGen]] — a failed warm past this point
-      // deletes only its own tree and leaves the OLD tier (and the
-      // trees it reads) fully serving.
-      val reuse = pqCodesLive.isDefined &&
-        pqCodesLiveStamp.contains(treeStamp) &&
-        fs.exists(new HPath(pqCodesLive.get))
-      val codesPath =
-        if (reuse) pqCodesLive.get
-        else s"$baseDir/pqcodes_g${pqCodesGen.getAndIncrement()}"
+      // a FRESH generation dir per tree-writing warm: see
+      // [[pqCodesGen]] — a failed warm past this point deletes only
+      // its own tree and leaves the OLD tier (and the trees it reads)
+      // fully serving.
       val built =
         try {
           if (!reuse)
@@ -591,6 +621,7 @@ final class Graft private (
         pqCodesLive.foreach(p => pqCodesRetired = p :: pqCodesRetired)
         pqCodesLive = Some(codesPath)
         pqCodesLiveStamp = Some(treeStamp)
+        pqCodesLiveBase = Some(baseStamp)
         // RING retirement (keep the 2 newest retired generations, not
         // 1): stored L2 plans run 0.3-5 s at the 100M geometry, so two
         // back-to-back warms under single-generation retention could
@@ -608,18 +639,21 @@ final class Graft private (
     } finally codes.unpersist(blocking = false)
   }
 
-  /** The codes tree's input stamp: corpus snapshot (live catalog
-    * descriptors + the streaming overlay's not-yet-published tail),
-    * quantizer bytes, centroid layout, metric (cosine normalizes at
-    * admission, so the same corpus encodes different bytes). Two warms
-    * with equal stamps write bit-identical trees — the reuse gate in
-    * [[warmPqTier]]. Driver-cheap: the descriptors are catalog
-    * metadata, the overlay is the bounded in-memory buffer, and the
-    * centroid collect is nlist rows (the warm collects them again for
-    * the stored bundle regardless).
+  /** The codes tree's CODEBOOK-FREE input stamp: corpus snapshot (live
+    * catalog descriptors + the streaming overlay's not-yet-published
+    * tail), centroid layout, metric (cosine normalizes at admission,
+    * so the same corpus encodes different bytes), pq_m. The full tree
+    * stamp appends [[graft.index.Pq.codebookFingerprint]]; the base is
+    * kept separately so a trained re-admission can prove "the trainer
+    * inputs are unchanged" BEFORE training (and skip the sample pass —
+    * see [[warmPqTier]]). Two warms with equal full stamps write
+    * bit-identical trees — the reuse gate. Driver-cheap: the
+    * descriptors are catalog metadata, the overlay is the bounded
+    * in-memory buffer, and the centroid collect is nlist rows (the
+    * warm collects them again for the stored bundle regardless).
     */
-  private def pqTreeStamp(cb: graft.index.Pq.Codebook,
-      cents: DataFrame, metric: String): String = {
+  private def pqTreeBaseStamp(cents: DataFrame, metric: String,
+      m: Int): String = {
     val corpusFp = Segments.catalogDescriptors(spark, baseDir)
       .sortBy(_.segment_id).foldLeft(17L) { (h, d) =>
         ((h * 31 + d.segment_id.hashCode) * 31 + d.num_vectors) * 31 +
@@ -630,14 +664,13 @@ final class Graft private (
         (h * 31 + idHash * 1000003L + e.epoch) * 31 +
           (if (e.deleted) 1L else 0L)
       }
-    val cbFp = graft.index.Pq.codebookFingerprint(cb)
     val (cids, matrix) = Ivf.collectCentroids(cents)
     val centFp = cids.zip(matrix).foldLeft(17L) { case (h, (cid, row)) =>
       row.foldLeft(h * 31 + cid)((h2, v) =>
         h2 * 31 + java.lang.Double.doubleToLongBits(v))
     }
-    s"v1 metric=$metric m=${cb.m} corpus=$corpusFp overlay=$overlayFp " +
-      s"cb=$cbFp cents=$centFp"
+    s"v1 metric=$metric m=$m corpus=$corpusFp overlay=$overlayFp " +
+      s"cents=$centFp"
   }
 
   // GENERATION-STAMPED codes trees: each tree-writing warm creates a
@@ -657,6 +690,7 @@ final class Graft private (
   private val pqCodesGen = new AtomicLong(0L)
   @volatile private var pqCodesLive: Option[String] = None
   @volatile private var pqCodesLiveStamp: Option[String] = None
+  @volatile private var pqCodesLiveBase: Option[String] = None
   @volatile private var pqCodesRetired: List[String] = Nil
 
   /** Test hook: the live codes tree's directory (stamp-gate evidence —
@@ -1375,6 +1409,7 @@ final class Graft private (
             s"(open() sweeps it): ${t.getMessage}")))
     pqCodesLive = None
     pqCodesLiveStamp = None
+    pqCodesLiveBase = None
     pqCodesRetired = Nil
   }
 

@@ -970,12 +970,18 @@ class GraftFacadeSpec extends SparkSpec {
     assert(g.warmPqTier(localBudgetBytes = 0L) > 0) // g0
     assert(gens() === Set("pqcodes_g0"), gens().toString)
     val live0 = g.pqCodesLiveDir.get
-    // NO-OP re-warm: same corpus, deterministic trainer → same
-    // codebook, same layout — the stamp matches, the live generation
-    // is reused, nothing new on disk
+    val cb0 = g.pqTierCodebook.get
+    // NO-OP re-warm: same corpus, same layout — the BASE stamp matches
+    // so the trained quantizer is reused (not retrained: the trainer
+    // is deterministic in those inputs, a retrain would reproduce it
+    // bit for bit while paying the sample pass), the full stamp
+    // matches so the live generation is reused, the tiers rebuild from
+    // the TREE read — nothing new on disk, no corpus pass
     assert(g.warmPqTier(localBudgetBytes = 0L) > 0)
     assert(g.pqCodesLiveDir.get === live0,
       "stamp-matched re-warm rolled the generation")
+    assert(g.pqTierCodebook.get eq cb0,
+      "stamp-matched re-warm retrained the codebook")
     assert(gens() === Set("pqcodes_g0"),
       s"no-op re-warm wrote a tree: ${gens()}")
     g.releasePqDistTier()
