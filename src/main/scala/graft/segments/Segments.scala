@@ -96,10 +96,43 @@ object Segments {
     else df
   }
 
+  // FILE-LISTING cache for multi-path segment scans: segments are
+  // IMMUTABLE once published (compaction retires paths instead of
+  // rewriting them, and any catalog change yields a DIFFERENT path set
+  // and therefore a different key), so a scan's eagerly-built file
+  // index stays valid for as long as that exact path set is requested.
+  // Without it every point-lookup request re-listed the whole store —
+  // at nlist=4096 the per-request listing sweep dominated the facade's
+  // stored-door phase 2 (measured ~11.6 s/request over a 3960-file 1M
+  // store). The one same-path rewrite in the engine (the idempotent
+  // recovery segment) invalidates explicitly from [[writeSegment]].
+  // Bounded: catalog churn changes keys naturally; a hard clear at 64
+  // entries keeps retired listings from accumulating.
+  private val listingCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, Seq[String]), DataFrame]
+
+  /** Drop cached listings that include `path` — called by the writers
+    * that can REWRITE an existing segment path in place (recovery's
+    * idempotent replay); append-shaped catalog changes never need it
+    * (a new segment changes the requested path set, hence the key).
+    */
+  private[graft] def invalidateListings(path: String): Unit =
+    listingCache.keys
+      .filter(_._2.exists(p => p.startsWith(path) || path.startsWith(p)))
+      .foreach(listingCache.remove)
+
   private[graft] def readPaths(spark: SparkSession,
       paths: Seq[String]): DataFrame =
     if (paths.isEmpty) spark.emptyDataFrame
     else {
+      if (listingCache.size > 64) listingCache.clear()
+      listingCache.getOrElseUpdate((spark, paths.sorted),
+        readPathsUncached(spark, paths))
+    }
+
+  private def readPathsUncached(spark: SparkSession,
+      paths: Seq[String]): DataFrame =
+    {
       // Spark refuses multiple partitioned roots unless they sit under
       // ONE basePath with only key=value components in between — which
       // the store layout guarantees (`store/segment_id=S/centroid_id=K`).
@@ -214,6 +247,10 @@ object Segments {
       .option("parquet.bloom.filter.expected.ndv#id_hash",
         expectedNdvPerFile.toString)
       .parquet(path)
+    // the one writer that can REWRITE an existing segment path in place
+    // (the recovery segment's idempotent replay) — stale cached
+    // listings over the old files must not survive it
+    invalidateListings(path)
     val m = obs.get
     def longOr(k: String, d: Long): Long =
       Option(m(k)).map(_.asInstanceOf[Long]).getOrElse(d)
