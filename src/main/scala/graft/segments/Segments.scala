@@ -104,30 +104,70 @@ object Segments {
   // Without it every point-lookup request re-listed the whole store —
   // at nlist=4096 the per-request listing sweep dominated the facade's
   // stored-door phase 2 (measured ~11.6 s/request over a 3960-file 1M
-  // store). The one same-path rewrite in the engine (the idempotent
-  // recovery segment) invalidates explicitly from [[writeSegment]].
-  // Bounded: catalog churn changes keys naturally; a hard clear at 64
-  // entries keeps retired listings from accumulating.
-  private val listingCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, Seq[String]), DataFrame]
+  // store). Rewrites and DELETES invalidate through the primitives
+  // themselves ([[writeSegment]]'s idempotent recovery replay,
+  // [[deleteDir]]) — the invariant is enforced where paths change, not
+  // by call-site discipline. Keyed by `sessionUUID`, not the session
+  // object (a stopped session's entries age out of the LRU instead of
+  // pinning the session JVM-wide), and bounded by LRU eviction of the
+  // oldest-accessed entry — never a blunt clear that would evict the
+  // live store's hot listing along with the retired ones.
+  private val listingCache =
+    new java.util.LinkedHashMap[(String, Seq[String]), DataFrame](
+        16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Seq[String]), DataFrame])
+          : Boolean = size() > 64
+    }
 
-  /** Drop cached listings that include `path` — called by the writers
-    * that can REWRITE an existing segment path in place (recovery's
-    * idempotent replay); append-shaped catalog changes never need it
+  /** Drop cached listings (and cached per-file blooms) under `path` —
+    * called by the primitives that REWRITE or DELETE a previously
+    * published path ([[writeSegment]]'s idempotent recovery replay,
+    * [[deleteDir]]); append-shaped catalog changes never need it
     * (a new segment changes the requested path set, hence the key).
     */
-  private[graft] def invalidateListings(path: String): Unit =
-    listingCache.keys
-      .filter(_._2.exists(p => p.startsWith(path) || path.startsWith(p)))
-      .foreach(listingCache.remove)
+  private[graft] def invalidateListings(path: String): Unit = {
+    listingCache.synchronized {
+      val it = listingCache.keySet.iterator()
+      while (it.hasNext) {
+        val k = it.next()
+        if (k._2.exists(p => p.startsWith(path) || path.startsWith(p)))
+          it.remove()
+      }
+    }
+    invalidateBlooms(path)
+  }
+
+  // the stable per-session cache-key string: assigned once per session
+  // through a WEAK map, so the cache key never holds the session object
+  // itself (a stopped session's DataFrame entries then age out of the
+  // LRU instead of being pinned by their own key) and two sessions can
+  // never alias (unlike an identity hash, which can recycle after GC)
+  private val sessionKeys = new java.util.WeakHashMap[SparkSession, String]()
+  private def sessionKey(spark: SparkSession): String =
+    sessionKeys.synchronized {
+      var k = sessionKeys.get(spark)
+      if (k == null) {
+        k = java.util.UUID.randomUUID().toString
+        sessionKeys.put(spark, k)
+      }
+      k
+    }
 
   private[graft] def readPaths(spark: SparkSession,
       paths: Seq[String]): DataFrame =
     if (paths.isEmpty) spark.emptyDataFrame
     else {
-      if (listingCache.size > 64) listingCache.clear()
-      listingCache.getOrElseUpdate((spark, paths.sorted),
-        readPathsUncached(spark, paths))
+      val key = (sessionKey(spark), paths.sorted)
+      Option(listingCache.synchronized(listingCache.get(key)))
+        .getOrElse {
+          // built outside the lock (the eager listing does IO); a
+          // concurrent double-build is harmless — both values are
+          // valid for the immutable path set, last insert wins
+          val df = readPathsUncached(spark, paths)
+          listingCache.synchronized(listingCache.put(key, df))
+          df
+        }
     }
 
   private def readPathsUncached(spark: SparkSession,
@@ -197,6 +237,247 @@ object Segments {
         }
       }
     }
+
+  // ---- per-FILE id_hash BLOOM cache (Q5/W8 at the file level) ------
+  // Hash-uniform point lookups defeat file-level zone maps: a
+  // segment's [min_id_hash, max_id_hash] spans ~the whole Long space
+  // after a few rows, so the catalog prune keeps every segment and the
+  // scan's only remaining pruning is parquet's OWN per-row-group
+  // id_hash bloom — which lives in each file's footer, so consulting
+  // it costs a footer+bloom-page read of EVERY candidate file on EVERY
+  // request (the measured ~2.3 s/request sweep over a 3,960-file 1M
+  // store behind facade_stored_1m_p50_ms). The reference instead holds
+  // segment id blooms RESIDENT under a bounded cache
+  // (src/cpp/core/config.h:117-125 — bloom fpp 0.01, 1 GiB
+  // bitmap/bloom cache). This cache is that design over parquet's own
+  // blooms: read each immutable file's blooms ONCE, answer membership
+  // driver-side, and hand the scan only the ~k files whose blooms
+  // match — the per-request cost becomes O(matching files), not
+  // O(store files).
+  //
+  // SOUNDNESS (the listing cache's argument, enforced by the same
+  // primitives): files are immutable once published; the one same-path
+  // rewrite ([[writeSegment]]'s idempotent recovery replay) and every
+  // delete ([[deleteDir]]) invalidate through [[invalidateListings]].
+  // A bloom can only SKIP a file it proves hashless — false positives
+  // cost a wasted scan, false negatives are impossible — and a file
+  // whose footer carries no bloom (foreign writer, disabled option)
+  // caches as ALWAYS-MATCH, so pruning degrades to the unpruned scan,
+  // never to a wrong answer.
+  /** One row group's membership evidence: the writer's bloom when it
+    * wrote one, or the EXACT dictionary page when the id_hash chunk is
+    * fully dictionary-encoded (parquet-mr drops the bloom there — the
+    * dictionary already answers membership exactly, which is the
+    * common shape for the store's small per-list files).
+    */
+  private sealed trait RgEvidence {
+    def mayContain(h: Long): Boolean
+    def bytes: Long
+  }
+  private final case class RgBloom(
+      b: org.apache.parquet.column.values.bloomfilter.BloomFilter)
+      extends RgEvidence {
+    def mayContain(h: Long): Boolean = b.findHash(b.hash(h))
+    def bytes: Long = b.getBitsetSize.toLong
+  }
+  private final case class RgDict(sorted: Array[Long])
+      extends RgEvidence {
+    def mayContain(h: Long): Boolean =
+      java.util.Arrays.binarySearch(sorted, h) >= 0
+    def bytes: Long = 8L * sorted.length
+  }
+
+  private final case class FileBlooms(evidence: IndexedSeq[RgEvidence],
+      conservative: Boolean, bytes: Long) {
+    def mayContainAny(hashes: Seq[Long]): Boolean =
+      conservative ||
+        hashes.exists(h => evidence.exists(_.mayContain(h)))
+  }
+
+  /** Byte budget for the resident blooms (reference: 1 GiB bloom/bitmap
+    * cache, config.h:117-125). Eviction is LRU by access; a store whose
+    * blooms exceed the budget keeps serving correctly — evicted files
+    * re-read their footer on the next lookup (disclosed once below, so
+    * a silently thrashing cache can't masquerade as the warm path).
+    */
+  private val BloomCacheMaxBytes: Long =
+    java.lang.Long.getLong("graft.bloom.cache.bytes", 1L << 30)
+
+  /** Above this many (file × hash) membership probes the driver-side
+    * bloom walk would rival the sweep it replaces — and a batch chunk
+    * carrying ~100k candidate hashes matches ~every file anyway
+    * (birthday bound), so pruning buys nothing there. The caller falls
+    * back to the unpruned scan, whose per-file blooms parquet still
+    * consults row-group-locally inside the tasks.
+    */
+  private val BloomMaxProbePairs = 4000000L
+
+  private val bloomCache =
+    new java.util.LinkedHashMap[String, FileBlooms](64, 0.75f, true)
+  private var bloomCacheBytes = 0L
+  private var bloomEvictWarned = false
+
+  private[graft] def invalidateBlooms(path: String): Unit =
+    bloomCache.synchronized {
+      val it = bloomCache.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey.startsWith(path) || path.startsWith(e.getKey)) {
+          bloomCacheBytes -= e.getValue.bytes
+          it.remove()
+        }
+      }
+    }
+
+  private def admitBloom(file: String, e: FileBlooms): Unit =
+    bloomCache.synchronized {
+      val prev = bloomCache.put(file, e)
+      bloomCacheBytes += e.bytes - Option(prev).map(_.bytes).getOrElse(0L)
+      if (bloomCacheBytes > BloomCacheMaxBytes) {
+        if (!bloomEvictWarned) {
+          bloomEvictWarned = true
+          System.err.println(s"[graft] id_hash bloom cache exceeds its " +
+            s"$BloomCacheMaxBytes-byte budget — evicting LRU; point " +
+            "lookups touching evicted files re-read their footers " +
+            "(set -Dgraft.bloom.cache.bytes to resize)")
+        }
+        // accessOrder=true iterates least-recently-accessed first
+        val it = bloomCache.entrySet().iterator()
+        while (bloomCacheBytes > BloomCacheMaxBytes && it.hasNext) {
+          val old = it.next()
+          if (old.getKey != file) {
+            bloomCacheBytes -= old.getValue.bytes
+            it.remove()
+          }
+        }
+      }
+    }
+
+  private def readFileBlooms(spark: SparkSession,
+      file: String): FileBlooms = {
+    import scala.jdk.CollectionConverters._
+    try {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new HPath(file), spark.sessionState.newHadoopConf())
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val colDesc = rd.getFileMetaData.getSchema
+          .getColumnDescription(Array("id_hash"))
+        val perGroup = rd.getRowGroups.asScala.toIndexedSeq.map { bg =>
+          bg.getColumns.asScala
+            .find(_.getPath.toDotString == "id_hash")
+            .map { cc =>
+              val bloom =
+                rd.getBloomFilterDataReader(bg).readBloomFilter(cc)
+              if (bloom != null) RgBloom(bloom)
+              else if (Option(cc.getEncodingStats)
+                  .exists(!_.hasNonDictionaryEncodedPages)) {
+                // fully dictionary-encoded chunk: parquet-mr omits the
+                // bloom because the dictionary IS the exact value set
+                // — decode it once and answer membership exactly
+                // upcast: DictionaryPageReader is package-private, its
+                // public face is the DictionaryPageReadStore interface
+                val page = (rd.getDictionaryReader(bg):
+                  org.apache.parquet.column.page.DictionaryPageReadStore)
+                  .readDictionaryPage(colDesc)
+                val dict = page.getEncoding.initDictionary(colDesc, page)
+                val vals = Array.tabulate(dict.getMaxId + 1)(
+                  dict.decodeToLong)
+                java.util.Arrays.sort(vals)
+                RgDict(vals)
+              } else null
+            }.orNull
+        }
+        // a single evidence-less row group makes the FILE unprunable,
+        // so the finer per-group bookkeeping would never skip anything
+        if (perGroup.isEmpty || perGroup.exists(_ == null))
+          FileBlooms(IndexedSeq.empty, conservative = true, bytes = 64L)
+        else FileBlooms(perGroup, conservative = false,
+          bytes = 64L + perGroup.map(_.bytes).sum)
+      } finally rd.close()
+    } catch {
+      case scala.util.control.NonFatal(t) =>
+        System.err.println(s"[graft] id_hash bloom read failed for " +
+          s"$file — caching as always-match: ${t.getMessage}")
+        FileBlooms(IndexedSeq.empty, conservative = true, bytes = 64L)
+    }
+  }
+
+  /** Restrict a point lookup's candidate files to those whose id_hash
+    * blooms may contain ANY of `hashes`. `None` = pruning declined
+    * (probe budget exceeded) — the caller scans unpruned. An empty
+    * result is EXACT absence (blooms have no false negatives).
+    */
+  private[graft] def bloomPruneFiles(spark: SparkSession,
+      files: Seq[String], hashes: Seq[Long]): Option[Seq[String]] = {
+    if (files.isEmpty || hashes.isEmpty) return None
+    if (files.length.toLong * hashes.length > BloomMaxProbePairs)
+      return None
+    Some(files.filter { f =>
+      val e = Option(bloomCache.synchronized(bloomCache.get(f)))
+        .getOrElse {
+          val built = readFileBlooms(spark, f)
+          admitBloom(f, built)
+          built
+        }
+      e.mayContainAny(hashes)
+    })
+  }
+
+  /** Stores whose total id_hash payload fits this budget warm EXACT
+    * per-file id sets instead of blooms: 8 B/row is the same order as
+    * the bloom bitsets parquet wrote (ndv-hint-sized), and exactness
+    * matters compounded — a rerank pool of ~40 candidate hashes probed
+    * against fpp-0.01-class blooms false-positives ~1-(1-fpp)^40 ≈ a
+    * third of the store's files per request (measured: 389 of 3,960
+    * matched for 40 hashes at the 1M geometry, ~350 of them false),
+    * while exact sets match only the ~40 true files. Past the budget
+    * the warm falls back to the footer blooms — disclosed cap, never a
+    * wrong answer (blooms only ADD files).
+    */
+  private val ExactIdSetBudgetBytes: Long =
+    java.lang.Long.getLong("graft.bloom.exact.bytes", 1L << 30)
+
+  /** Pre-load id_hash membership evidence for every live catalog file
+    * — the admission-pass analogue of the reference loading segment
+    * blooms at open: after it, no serving request pays a cold footer
+    * read. Under [[ExactIdSetBudgetBytes]] this is ONE distributed job
+    * building exact per-file id sets (column-pruned scan of id_hash
+    * only); past it, a sequential footer-bloom sweep. Returns the
+    * number of files actually loaded (cache misses).
+    */
+  def warmIdBlooms(spark: SparkSession, baseDir: String): Int = {
+    val descs = catalogDescriptors(spark, baseDir)
+    if (descs.isEmpty) return 0
+    val paths = descs.map(_.file_path)
+    val missing = readPaths(spark, paths).inputFiles
+      .filter(f => bloomCache.synchronized(bloomCache.get(f)) == null)
+    if (missing.isEmpty) return 0
+    val totalBytes = descs.map(_.num_vectors).sum * 8L
+    if (totalBytes <= ExactIdSetBudgetBytes) {
+      val missSet = missing.toSet
+      readPaths(spark, paths)
+        .select(input_file_name().as("f"), col("id_hash"))
+        .groupBy("f").agg(collect_list(col("id_hash")).as("hs"))
+        .collect()
+        .foreach { r =>
+          val f = r.getString(0)
+          if (missSet(f)) {
+            val arr = r.getSeq[Long](1).toArray
+            java.util.Arrays.sort(arr)
+            admitBloom(f, FileBlooms(IndexedSeq(RgDict(arr)),
+              conservative = false, bytes = 64L + 8L * arr.length))
+          }
+        }
+    } else {
+      System.err.println(s"[graft] store id payload $totalBytes B " +
+        s"exceeds the exact-set budget $ExactIdSetBudgetBytes B — " +
+        "warming footer blooms instead (set -Dgraft.bloom.exact.bytes " +
+        "to raise)")
+      missing.foreach(f => admitBloom(f, readFileBlooms(spark, f)))
+    }
+    missing.length
+  }
 
   /** W4: write one immutable segment from rows carrying
     * (id_hash, epoch, deleted, centroid_id, ...) and append its descriptor.
@@ -563,21 +844,22 @@ object Segments {
 
   /** Zone-map pruned scan: read only segments whose [min,max] id_hash range
     * can contain `idHash` (types.h:98-99). File list comes from the
-    * catalog — unmatched segments are never opened.
+    * catalog — unmatched segments are never opened. Bloom-pruned at the
+    * file level like [[scanForIdHashes]].
     */
   def scanForIdHash(spark: SparkSession, baseDir: String,
-      idHash: Long): DataFrame = {
-    val paths = catalogDescriptors(spark, baseDir)
-      .filter(d => d.min_id_hash <= idHash && d.max_id_hash >= idHash)
-      .map(_.file_path)
-    if (paths.isEmpty) spark.emptyDataFrame
-    else readPaths(spark, paths).filter(col("id_hash") === idHash)
-  }
+      idHash: Long): DataFrame =
+    scanForIdHashes(spark, baseDir, Seq(idHash))
+      .getOrElse(spark.emptyDataFrame)
 
-  /** Batched point lookup (W8 over the stored tree): zone-map prune at the
-    * catalog, then one IN-filtered scan — the IN list pushes down to
-    * Parquet row-group stats and the id_hash bloom filter (Q5/B4), so
-    * unmatched row groups are skipped without decoding.
+  /** Batched point lookup (W8 over the stored tree): zone-map prune at
+    * the catalog, then the RESIDENT per-file id_hash blooms cut the
+    * candidate files to the ~k that can contain the hashes (hash-
+    * uniform ids make the zone maps vacuous past the first prune —
+    * see the bloom cache above), then one IN-filtered scan over just
+    * those files — the IN list still pushes down to Parquet row-group
+    * stats and blooms inside them (Q5/B4), so unmatched row groups are
+    * skipped without decoding.
     */
   def scanForIdHashes(spark: SparkSession, baseDir: String,
       idHashes: Seq[Long]): Option[DataFrame] = {
@@ -585,8 +867,33 @@ object Segments {
       .filter(d => idHashes.exists(h => d.min_id_hash <= h && h <= d.max_id_hash))
       .map(_.file_path)
     if (paths.isEmpty) None
-    else Some(readPaths(spark, paths)
-      .filter(col("id_hash").isin(idHashes: _*)))
+    else {
+      val full = readPaths(spark, paths)
+      val pred = col("id_hash").isin(idHashes: _*)
+      val all = full.inputFiles.toIndexedSeq
+      // inputFiles come back as URIs (file:///…); compare against the
+      // store root scheme-lessly so the basePath guard matches the
+      // same filesystem path however it is spelled
+      def fsPath(s: String): String =
+        if (s.contains(":/")) new java.net.URI(s).getPath else s
+      val storeBase = fsPath(s"$baseDir/$StoreDir") + "/"
+      bloomPruneFiles(spark, all, idHashes) match {
+        case Some(matching) if matching.isEmpty =>
+          // every candidate file's bloom PROVES the hashes absent —
+          // exact, not approximate (no false negatives)
+          None
+        case Some(matching) if matching.length < all.length &&
+            matching.forall(f => fsPath(f).startsWith(storeBase)) =>
+          // leaf-file read under the one store basePath, so
+          // segment_id/centroid_id still materialize as partition
+          // columns; a foreign layout (files outside the store tree)
+          // falls back to the unpruned scan — correctness over plan
+          // shape for the exotic case
+          Some(readInferenceOff(spark, s"$baseDir/$StoreDir", matching)
+            .filter(pred))
+        case _ => Some(full.filter(pred))
+      }
+    }
   }
 
   /** Read the union of live segments (optionally only one tier). Each
@@ -890,6 +1197,11 @@ object Segments {
 
   /** Remove a segment tree from disk (test helper / GC). */
   def deleteDir(path: String): Unit = {
+    // the deletion primitive enforces the cache invariant itself —
+    // any flow that deletes and re-creates a previously-listed path
+    // must not serve stale listings or stale blooms (ADVICE r14: by
+    // convention at the call sites is not an invariant)
+    invalidateListings(path)
     val p = Paths.get(path)
     if (Files.exists(p)) {
       Files.walk(p).sorted(java.util.Comparator.reverseOrder())

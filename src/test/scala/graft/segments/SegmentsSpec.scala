@@ -256,6 +256,107 @@ class SegmentsSpec extends SparkSpec {
     Segments.deleteDir(base)
   }
 
+  test("bloom pruning: point lookups read ONLY bloom-matching files, values unchanged") {
+    val base = tmpBase()
+    val rows = segmentRows.cache()
+    Segments.writeSegment(rows.filter(col("id_hash") < 0), base, "neg", false)
+    Segments.writeSegment(rows.filter(col("id_hash") >= 0), base, "pos", false)
+    val hs = rows.filter(col("vec_id").isin(7L, 20L, 33L))
+      .select("id_hash").distinct().as[Long].collect().toIndexedSeq
+    val allFiles = Segments
+      .readPaths(spark, Segments.catalogDescriptors(spark, base)
+        .map(_.file_path)).inputFiles.toSet
+    val pruned = Segments.scanForIdHashes(spark, base, hs).get
+    val prunedFiles = pruned.inputFiles.toSet
+    // the scan's file set is exactly the bloom-matching subset — a
+    // uniform-hash store defeats zone maps, so this is the pruning
+    // that holds at scale (3 hashes over ~100 files must not open
+    // anywhere near all of them; fpp 0.01 bounds the false positives)
+    val matching = Segments
+      .bloomPruneFiles(spark, allFiles.toIndexedSeq, hs).get.toSet
+    assert(prunedFiles === matching, "scan reads non-bloom-matched files")
+    assert(prunedFiles.size < allFiles.size / 2,
+      s"bloom pruning vacuous: ${prunedFiles.size} of ${allFiles.size}")
+    // bloom false positives (extra files) are harmless by construction;
+    // here: pruned values == the unpruned scan's values exactly
+    val full = Segments
+      .readPaths(spark, Segments.catalogDescriptors(spark, base)
+        .map(_.file_path))
+      .filter(col("id_hash").isin(hs: _*))
+      .select("id_hash", "epoch", "deleted", "vec_id")
+      .as[(Long, Long, Boolean, Long)].collect().sorted.toSeq
+    val got = pruned.select("id_hash", "epoch", "deleted", "vec_id")
+      .as[(Long, Long, Boolean, Long)].collect().sorted.toSeq
+    assert(got === full)
+    // an absent hash inside every zone map: blooms prove absence (no
+    // false negatives), so the lookup answers without opening any file
+    val absent = Segments.scanForIdHashes(spark, base, Seq(12345L))
+    assert(absent.forall(_.count() === 0L))
+    Segments.deleteDir(base)
+  }
+
+  test("bloom + listing invalidation: a same-path rewrite serves the NEW files (no stale bloom false negatives)") {
+    val base = tmpBase()
+    def seg(hs: Seq[Long]) = hs.map(h => (h, 100L + h, h, false, 0L))
+      .toDF("id_hash", "epoch", "vec_id", "deleted", "centroid_id")
+    Segments.writeSegment(seg(Seq(10L, 1000L)), base, "r0", false)
+    // this lookup WARMS the listing + bloom caches for r0's files and
+    // proves 500 absent (bloom-pruned to nothing inside the zone map)
+    assert(Segments.scanForIdHashes(spark, base, Seq(500L))
+      .forall(_.count() === 0L))
+    // the idempotent recovery replay's shape: REWRITE the same segment
+    // path with different contents — served through writeSegment, the
+    // one in-place writer, whose invalidation must beat both caches
+    Segments.writeSegment(seg(Seq(10L, 500L, 1000L)), base, "r0", false)
+    val got = Segments.scanForIdHashes(spark, base, Seq(500L))
+      .map(_.select("vec_id").as[Long].collect().toSeq)
+    assert(got === Some(Seq(500L)),
+      s"stale bloom/listing served after the rewrite: $got")
+    // and a DELETE through the primitive invalidates too: deleting the
+    // store then re-creating the same path must not serve ghosts
+    Segments.deleteDir(s"$base/${Segments.StoreDir}/segment_id=r0")
+    Segments.writeSegment(seg(Seq(77L)), base, "r0", false)
+    val after = Segments.scanForIdHashes(spark, base, Seq(500L, 77L))
+      .map(_.select("vec_id").as[Long].collect().toSeq)
+    assert(after === Some(Seq(77L)), s"stale state after delete: $after")
+    Segments.deleteDir(base)
+  }
+
+  test("listing cache: catalog churn rotates the key; compaction interleaved with point lookups stays current") {
+    val base = tmpBase()
+    def seg(hs: Seq[Long], epoch0: Long) =
+      hs.map(h => (h, epoch0 + h, h, false, h % 3))
+        .toDF("id_hash", "epoch", "vec_id", "deleted", "centroid_id")
+    // the model the store must track through churn
+    val model = scala.collection.mutable.Map.empty[Long, Long]
+    var gen = 0
+    (1 to 4).foreach { round =>
+      val hs = (round * 10L until round * 10L + 5L)
+      Segments.writeSegment(seg(hs, 1000L * round), base, s"d$gen", false)
+      gen += 1
+      hs.foreach(h => model(h) = 1000L * round + h)
+      // catalog changed → new path set → new key: the lookup must see
+      // the fresh segment through the cache, not a stale entry
+      val probe = hs.head
+      val got = Segments.scanForIdHashes(spark, base, Seq(probe)).map(
+        df => graft.operators.Lww.latestBy(df, "id_hash", "epoch")
+          .select("epoch").as[Long].head())
+      assert(got === Some(model(probe)), s"round $round pre-compact")
+      if (round % 2 == 0) {
+        Segments.compact(spark, base, s"s$round")
+        // post-compaction the old delta paths are retired; every model
+        // key must still resolve to its latest epoch through the cache
+        model.foreach { case (h, e) =>
+          val after = Segments.scanForIdHashes(spark, base, Seq(h)).map(
+            df => graft.operators.Lww.latestBy(df, "id_hash", "epoch")
+              .select("epoch").as[Long].head())
+          assert(after === Some(e), s"round $round post-compact h=$h")
+        }
+      }
+    }
+    Segments.deleteDir(base)
+  }
+
   test("IVF probe over segment layout is partition pruning, not a scan") {
     val base = tmpBase()
     val cents = Ivf.deterministicCentroids(emb, 50)
