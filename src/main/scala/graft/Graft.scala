@@ -345,8 +345,14 @@ final class Graft private (
     * (VERDICT r12 finding #1: an eviction must not turn a query into
     * an exception).
     */
+  /** `dist` is None only for a tier ADOPTED at open from a restart-
+    * durable codes tree ([[recoverOnOpen]]): the stored L2 plan serves
+    * every request until the next [[warmPqTier]] admits the cache
+    * levels — the first post-restart cache miss DEGRADES to the tree
+    * instead of refusing until a full re-warm.
+    */
   private final case class PqTierState(
-      dist: graft.index.PqServingIndex,
+      dist: Option[graft.index.PqServingIndex],
       local: Option[graft.index.LocalPqIndex],
       router: graft.index.PqTieredServing,
       stored: StoredAdc,
@@ -427,7 +433,8 @@ final class Graft private (
     * action — and the eviction stand-in GraftFacadeSpec pins the L2
     * fall-through with.
     */
-  def releasePqDistTier(): Unit = pqTier.foreach(_.dist.unpersist())
+  def releasePqDistTier(): Unit =
+    pqTier.foreach(_.dist.foreach(_.unpersist()))
 
   /** Stand up the stable PQ cache HIERARCHY over the CURRENT live
     * corpus (the reference's stable-tier admission pass, a
@@ -463,7 +470,20 @@ final class Graft private (
     * a post-maintenance re-admission always uses the config budget.
     */
   def warmPqTier(codebook: Option[graft.index.Pq.Codebook] = None,
-      localBudgetBytes: Long = -1L): Int = {
+      localBudgetBytes: Long = -1L): Int =
+    // SINGLE-THREADED WARM contract (ADVICE r14): the generation
+    // bookkeeping mutates four fields read-modify-write — two
+    // interleaved warms could lose a retired path (disk leak) or pair
+    // a stamp with a mismatched live path during the reuse check.
+    // Warms are maintenance-cadence operations, so serializing them IS
+    // the contract, not a bottleneck; serving never takes this lock.
+    warmLock.synchronized(warmPqTierUnlocked(codebook, localBudgetBytes))
+
+  private val warmLock = new Object
+
+  private def warmPqTierUnlocked(
+      codebook: Option[graft.index.Pq.Codebook],
+      localBudgetBytes: Long): Int = {
     val dim = config.collection.dim
     val m = codebook.map(_.m).getOrElse(config.stable.pqM)
     require(dim % m == 0, s"collection.dim $dim not divisible by pq_m $m")
@@ -514,8 +534,14 @@ final class Graft private (
             .limit(16384),
           m, dim / m, 256, vecCol = "vec", maxIter = 8))
     }
-    val treeStamp =
-      baseStamp + s" cb=${graft.index.Pq.codebookFingerprint(cb)}"
+    // `src` records HOW the quantizer was admitted: an adopted tree's
+    // codebook may only short-circuit a later unpinned warm's training
+    // when it was itself TRAINED (training is deterministic in the base
+    // inputs, so the adopted codebook IS the retrain result) — a pinned
+    // codebook proves nothing about what training would produce
+    val treeStamp = baseStamp +
+      s" cb=${graft.index.Pq.codebookFingerprint(cb)}" +
+      s" src=${if (codebook.isDefined) "pinned" else "trained"}"
     // STAMP-GATED admission source (the reference's stable segments
     // carry PQ codes, config.h:84-94): when the live tree's recorded
     // inputs (corpus snapshot, codebook, centroid layout, metric)
@@ -572,10 +598,21 @@ final class Graft private (
       // fully serving.
       val built =
         try {
-          if (!reuse)
+          if (!reuse) {
             codes.repartition(col("centroid_id"))
               .write.mode("overwrite").partitionBy("centroid_id")
               .parquet(codesPath)
+            // RESTART-DURABLE sidecars (underscore-named, so the
+            // parquet reads above never see them): stamp + codebook +
+            // list sizes, each temp+rename — [[recoverOnOpen]] ADOPTS
+            // a tree whose recorded inputs match the reopened store
+            // instead of sweeping it, and serves from it with no
+            // re-encode (the reference reloads stable segments' codes
+            // at restart, it does not re-encode them). A crash between
+            // the tree write and the sidecars leaves a stampless tree
+            // → swept at open, the safe direction.
+            writeTreeSidecars(codesPath, treeStamp, cb, sizes)
+          }
           val dist = graft.index.PqServingIndex.build(codes, cents, cb,
             config.servingLimits, Some(sizes))
           val budget =
@@ -599,7 +636,7 @@ final class Graft private (
             val router = new graft.index.PqTieredServing(local,
               Some(dist), stored.search, config.servingLimits,
               storedOnProbed = Some(stored.searchOnProbed))
-            PqTierState(dist, local, router, stored, cb)
+            PqTierState(Some(dist), local, router, stored, cb)
           } catch { case e: Throwable => dist.unpersist(); throw e }
         } catch {
           case e: Throwable =>
@@ -614,7 +651,7 @@ final class Graft private (
       // referencing deleted files (ADVICE r13: a grandparent-delete
       // failure inside the old try deleted codesPath — the tree the
       // just-installed tier reads — inverting degrade-not-throw)
-      pqTier.foreach(_.dist.unpersist())
+      pqTier.foreach(_.dist.foreach(_.unpersist()))
       pqTier = Some(built)
       pqTierPinned = codebook
       if (!reuse) {
@@ -635,7 +672,14 @@ final class Graft private (
             s"[graft] best-effort retire of stale codes tree $p " +
               s"failed: ${t.getMessage}")))
       }
-      built.dist.cachedLists
+      // resident per-file id_hash blooms for phase 2 (the reference
+      // loads segment blooms into its 1 GiB cache at open,
+      // config.h:117-125): the admission pass pays the one-time footer
+      // sweep over the store so no serving request ever does — without
+      // it the FIRST point lookups after a warm re-read ~every store
+      // file's footer inside their own latency
+      Segments.warmIdBlooms(spark, baseDir)
+      built.dist.fold(0)(_.cachedLists)
     } finally codes.unpersist(blocking = false)
   }
 
@@ -697,6 +741,77 @@ final class Graft private (
     * a no-op re-warm must keep it, a corpus-mutating one must roll it).
     */
   private[graft] def pqCodesLiveDir: Option[String] = pqCodesLive
+
+  // ---- codes-tree sidecars (restart durability, F1pq-rt) -----------
+  // Underscore-named files inside the tree dir, invisible to the
+  // parquet scans over it: the full tree stamp, the exact quantizer,
+  // and the per-list sizes — everything [[recoverOnOpen]] needs to
+  // ADOPT the tree after a restart and serve from it without a corpus
+  // pass (the reference reloads stable segments' codes at restart,
+  // src/cpp/core/config.h:84-94; re-encoding a bit-identical corpus
+  // was this engine's last re-encode-what-you-persisted path).
+  private val TreeStampFile = "_graft_stamp"
+  private val TreeCodebookFile = "_graft_codebook"
+  private val TreeSizesFile = "_graft_sizes"
+
+  private def writeSidecar(dir: String, name: String)(
+      w: java.io.DataOutputStream => Unit): Unit = {
+    // temp+rename, the engine's publish discipline: a crash mid-write
+    // leaves only a .tmp the adoption scan never reads
+    val tmp = new HPath(dir, s".tmp.$name")
+    val out = new java.io.DataOutputStream(fs.create(tmp, true))
+    try w(out) finally out.close()
+    val dst = new HPath(dir, name)
+    if (fs.exists(dst)) fs.delete(dst, false)
+    fs.rename(tmp, dst)
+  }
+
+  private def writeTreeSidecars(dir: String, stamp: String,
+      cb: graft.index.Pq.Codebook, sizes: Map[Long, Long]): Unit = {
+    writeSidecar(dir, TreeStampFile)(o =>
+      o.write(stamp.getBytes(StandardCharsets.UTF_8)))
+    writeSidecar(dir, TreeCodebookFile)(o =>
+      graft.index.Pq.writeCodebook(o, cb))
+    writeSidecar(dir, TreeSizesFile) { o =>
+      val sb = new StringBuilder
+      sizes.toSeq.sortBy(_._1).foreach { case (cid, n) =>
+        sb.append(cid).append('\t').append(n).append('\n')
+      }
+      o.write(sb.toString.getBytes(StandardCharsets.UTF_8))
+    }
+  }
+
+  private def readSidecarBytes(dir: String, name: String): Option[Array[Byte]] = {
+    val p = new HPath(dir, name)
+    if (!fs.exists(p)) None
+    else scala.util.Try {
+      val in = fs.open(p)
+      try org.apache.commons.io.IOUtils.toByteArray(in)
+      finally in.close()
+    }.toOption
+  }
+
+  private def readTreeStamp(dir: String): Option[String] =
+    readSidecarBytes(dir, TreeStampFile)
+      .map(new String(_, StandardCharsets.UTF_8).trim)
+
+  private def readTreeCodebook(dir: String): Option[graft.index.Pq.Codebook] =
+    readSidecarBytes(dir, TreeCodebookFile).flatMap { bytes =>
+      scala.util.Try(graft.index.Pq.readCodebook(
+        new java.io.DataInputStream(
+          new java.io.ByteArrayInputStream(bytes)))).toOption
+    }
+
+  private def readTreeSizes(dir: String): Option[Map[Long, Long]] =
+    readSidecarBytes(dir, TreeSizesFile).flatMap { bytes =>
+      scala.util.Try {
+        new String(bytes, StandardCharsets.UTF_8).split("\n")
+          .iterator.map(_.trim).filter(_.nonEmpty).map { line =>
+            val f = line.split("\t")
+            (f(0).toLong, f(1).toLong)
+          }.toMap
+      }.toOption
+    }
 
   /** The router's L2 bundle: the REAL declarative stored ADC plans over
     * the codes tree [[warmPqTier]] persisted — the path requests take
@@ -965,7 +1080,8 @@ final class Graft private (
     val pools = new Array[Array[(Long, Double)]](qArr.length)
     val probeTier: Array[Float] => Seq[Long] = q =>
       st.local.map(_.probeFor(q, config.stable.nprobe, metric))
-        .getOrElse(st.dist.probeFor(q, config.stable.nprobe, metric))
+        .orElse(st.dist.map(_.probeFor(q, config.stable.nprobe, metric)))
+        .getOrElse(st.stored.probeFor(q, config.stable.nprobe, metric))
     val uncovered = scala.collection.mutable.ArrayBuffer.empty[(Int, Seq[Long])]
     val storedQs = scala.collection.mutable
       .ArrayBuffer.empty[(Int, Array[Float], Seq[Long])]
@@ -981,7 +1097,8 @@ final class Graft private (
         case Some(l) =>
           st.router.noteLocalServe()
           pools(pi) = l.searchAdcOnProbed(probed, qArr(pi), nBudget, metric)
-        case None if st.dist.resident && st.dist.coversProbes(probed) =>
+        case None if st.dist.exists(d =>
+            d.resident && d.coversProbes(probed)) =>
           uncovered += ((pi, probed))
         case None =>
           // distributed tier evicted ([[releasePqDistTier]] / memory
@@ -994,14 +1111,21 @@ final class Graft private (
           // the probe set already in hand is THE probe set. A RESIDENT
           // tier landing here is a coverage regression, not an
           // eviction — counted apart, same as the single door.
-          if (st.dist.resident) st.router.noteAnomalousResidentRoute()
+          if (st.dist.exists(_.resident))
+            st.router.noteAnomalousResidentRoute()
           st.local.map(l => (l, l.partitionResident(probed))) match {
             case Some((l, (res, miss))) if res.nonEmpty =>
               l0Pools(pi) =
                 l.searchAdcOnProbed(res, qArr(pi), nBudget, metric)
               if (miss.nonEmpty) storedQs += ((pi, qArr(pi), miss))
               else {
-                st.router.noteMixedStoredServe()
+                // defensively unreachable: miss.isEmpty implies
+                // coversProbes, which served as a LOCAL hit above — if
+                // coverage semantics ever diverge, a fully-resident
+                // serve is still a local serve, so count it as one
+                // (ADVICE r14: a mixedStored count here would desync
+                // the route counters' meanings from the single door)
+                st.router.noteLocalServe()
                 pools(pi) = l0Pools(pi)
               }
             case _ =>
@@ -1011,7 +1135,9 @@ final class Graft private (
       pi += 1
     }
     if (uncovered.nonEmpty) {
-      val sub = st.dist.searchAdcBatchUnclamped(
+      // uncovered is only populated when the distributed tier is
+      // resident and covers the probes — .get is total here
+      val sub = st.dist.get.searchAdcBatchUnclamped(
         uncovered.map { case (i, _) => qArr(i) }.toIndexedSeq, nBudget,
         config.stable.nprobe, metric,
         knownProbes = Some(uncovered.map(_._2).toIndexedSeq))
@@ -1269,7 +1395,7 @@ final class Graft private (
       try warmPqTier(pqTierPinned)
       catch {
         case scala.util.control.NonFatal(e) =>
-          pqTier.foreach(_.dist.unpersist())
+          pqTier.foreach(_.dist.foreach(_.unpersist()))
           pqTier = None
           pqTierPinned = None
           System.err.println("[graft] PQ tier re-admission failed " +
@@ -1395,14 +1521,17 @@ final class Graft private (
   def close(): Unit = {
     servingCache.foreach(_ => ())
     invalidateServing()
-    pqTier.foreach(_.dist.unpersist())
+    pqTier.foreach(_.dist.foreach(_.unpersist()))
     pqTier = None
-    // the codes trees are session-scoped cache artifacts (a reopen must
-    // re-warm anyway) — reclaim the disk BEST-EFFORT: teardown must not
-    // throw for a cleanup failure (a crash skips this entirely and the
-    // next open's sweep catches the leftovers, so a failed delete here
-    // is the same already-handled state)
-    (pqCodesLive.toSeq ++ pqCodesRetired)
+    // RETIRED codes trees are session-scoped garbage — reclaim the
+    // disk BEST-EFFORT (teardown must not throw for a cleanup failure;
+    // a crash skips this entirely and the next open's sweep catches
+    // the leftovers). The LIVE tree is KEPT: it is restart-durable —
+    // its stamp/codebook/sizes sidecars let the next open ADOPT it and
+    // serve without re-encoding a bit-identical corpus
+    // ([[recoverOnOpen]]); a store mutated before that open fails the
+    // stamp match and the tree sweeps then.
+    pqCodesRetired
       .foreach(p => scala.util.Try(fs.delete(new HPath(p), true))
         .failed.foreach(t => System.err.println(
           s"[graft] close: codes-tree delete failed for $p " +
@@ -1433,13 +1562,8 @@ final class Graft private (
         else fs.delete(st.getPath, true)
       }
     }
-    // stale PQ codes trees from a crashed prior session: the tier is
-    // cold at open by definition (warmPqTier is the admission pass), so
-    // every pqcodes_g* generation on disk is an orphan — sweep them
-    // like the centroids_next_* staging above
-    Option(fs.globStatus(new HPath(s"$baseDir/pqcodes_g*")))
-      .getOrElse(Array.empty)
-      .foreach(st => fs.delete(st.getPath, true))
+    // (codes trees are handled at the END of recovery — adoption needs
+    // the FINAL catalog, which the WAL replay below may still change)
     // frontier: everything at or below it is already in segments
     flushedFrontier =
       if (fs.exists(frontierPath)) {
@@ -1488,6 +1612,10 @@ final class Graft private (
             !knownIds.contains(nm.stripPrefix("segment_id="))) {
           System.err.println(s"[graft] sweeping orphan segment dir " +
             s"${st.getPath} (no catalog row references it)")
+          // the fs-level delete must honor the same cache invariant as
+          // [[Segments.deleteDir]]: no stale listing/bloom may survive
+          // a path removal
+          Segments.invalidateListings(st.getPath.toString)
           fs.delete(st.getPath, true)
         }
       }
@@ -1506,6 +1634,83 @@ final class Graft private (
       case counterId(n) => n.toLong
     }.toSeq
     nextBatch.set(if (used.isEmpty) 0L else used.max + 1L)
+    // RESTART-DURABLE codes tree (F1pq-rt — the reference reloads
+    // stable segments' codes at restart rather than re-encoding them):
+    // with the catalog now FINAL (WAL tail replayed, orphans swept),
+    // adopt the one stamped generation whose recorded inputs match
+    // this store exactly; sweep the rest (stampless = crashed before
+    // its sidecars landed; mismatched = the store moved on — both take
+    // the pre-r15 sweep, the safe direction). Adoption installs a
+    // STORED-ONLY serving tier from the sidecars, so the first
+    // post-restart cache miss DEGRADES to the tree instead of refusing
+    // until a full re-warm, and the next [[warmPqTier]] reuses the
+    // tree's bytes (stamp gate) and its trained quantizer (base gate)
+    // without a corpus pass.
+    locally {
+      val treeDirs = Option(fs.globStatus(new HPath(s"$baseDir/pqcodes_g*")))
+        .getOrElse(Array.empty).map(_.getPath)
+      if (treeDirs.nonEmpty) {
+        val cents =
+          if (fs.exists(new HPath(centroidsPath))) Some(centroids())
+          else None
+        val baseStamp = cents.flatMap(c => scala.util.Try(
+          pqTreeBaseStamp(c, config.collection.metric,
+            config.stable.pqM)).toOption)
+        val parsed = treeDirs.flatMap { dir =>
+          for {
+            stamp <- readTreeStamp(dir.toString)
+            gen <- dir.getName.stripPrefix("pqcodes_g").toLongOption
+          } yield (dir, stamp, gen)
+        }
+        val adopted = baseStamp.flatMap(bs =>
+          parsed.filter(_._2.startsWith(bs + " cb="))
+            .sortBy(_._3).lastOption)
+        treeDirs.foreach { dir =>
+          if (!adopted.exists(_._1 == dir)) fs.delete(dir, true)
+        }
+        adopted.foreach { case (dir, stamp, gen) =>
+          // normalize to the warm-time spelling (globStatus returns the
+          // scheme-qualified path; the reuse gate and test hooks compare
+          // strings)
+          val dirStr = s"$baseDir/${dir.getName}"
+          val install = scala.util.Try {
+            pqCodesGen.set(gen + 1)
+            pqCodesLive = Some(dirStr)
+            pqCodesLiveStamp = Some(stamp)
+            pqCodesLiveBase = baseStamp
+            (readTreeCodebook(dirStr), readTreeSizes(dirStr)) match {
+              case (Some(cb), Some(sizes)) =>
+                val stored = new StoredAdc(dirStr, cents.get, cb,
+                  sizes)
+                val router = new graft.index.PqTieredServing(None, None,
+                  stored.search, config.servingLimits,
+                  storedOnProbed = Some(stored.searchOnProbed))
+                pqTier = Some(PqTierState(None, None, router, stored, cb))
+                // reproduce the prior session's admission policy: a
+                // pinned quantizer stays pinned (its codebook must
+                // never short-circuit an unpinned warm's training)
+                if (stamp.endsWith(" src=pinned")) pqTierPinned = Some(cb)
+              case _ =>
+                // codebook/sizes sidecar missing: the tree's BYTES are
+                // still reusable through the warm's stamp gate —
+                // serving just stays cold until that warm
+                ()
+            }
+          }
+          install.failed.foreach { t =>
+            // a tree that cannot stand up a serving tier must not fail
+            // open() OR linger for the warm's reuse gate to trip over
+            System.err.println(s"[graft] codes-tree adoption failed " +
+              s"for $dir — sweeping it: ${t.getMessage}")
+            scala.util.Try(fs.delete(dir, true))
+            pqTier = None
+            pqCodesLive = None
+            pqCodesLiveStamp = None
+            pqCodesLiveBase = None
+          }
+        }
+      }
+    }
   }
 }
 

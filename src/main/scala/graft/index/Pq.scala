@@ -48,6 +48,42 @@ object Pq {
       book.foldLeft(h)((h2, cw) => cw.foldLeft(h2)((h3, v) =>
         h3 * 31 + java.lang.Double.doubleToLongBits(v))))
 
+  /** Exact binary (de)serialization of a codebook — the restart-durable
+    * codes tree persists its quantizer beside its stamp, so a reopened
+    * store can ADOPT the tree and serve without retraining (the
+    * reference reloads stable segments' codes at restart rather than
+    * re-encoding them). Raw double bits, so the round trip is
+    * bit-identical and [[codebookFingerprint]] is invariant under it.
+    */
+  def writeCodebook(out: java.io.DataOutputStream, cb: Codebook): Unit = {
+    out.writeInt(0x47434231) // "GCB1"
+    out.writeInt(cb.m)
+    out.writeInt(cb.dsub)
+    out.writeInt(cb.codeIds.length)
+    cb.codeIds.foreach(out.writeLong)
+    out.writeInt(cb.codebooks.length)
+    cb.codebooks.foreach { book =>
+      out.writeInt(book.length)
+      book.foreach { cw =>
+        out.writeInt(cw.length)
+        cw.foreach(out.writeDouble)
+      }
+    }
+  }
+
+  def readCodebook(in: java.io.DataInputStream): Codebook = {
+    require(in.readInt() == 0x47434231, "not a graft codebook file")
+    val m = in.readInt()
+    val dsub = in.readInt()
+    val codeIds = Array.fill(in.readInt())(in.readLong())
+    val codebooks = Array.fill(in.readInt()) {
+      Array.fill(in.readInt()) {
+        Array.fill(in.readInt())(in.readDouble())
+      }
+    }
+    Codebook(m, dsub, codeIds, codebooks)
+  }
+
   /** Per-query ADC lookup table: lut(j)(c) = dot(q_j, codeword(j)(c)),
     * sequential double accumulation per codeword —
     * `IndexExpressions.pqLut`'s arithmetic exactly. ONE definition

@@ -750,7 +750,7 @@ class GraftFacadeSpec extends SparkSpec {
     // probes every list and rerank 64 covers the fixture, so the model
     // is the complete exact top-k over that servable set.
     val base = tmp()
-    val g = Graft.open(spark, base, metricCfg("ip"))
+    var g = Graft.open(spark, base, metricCfg("ip"))
     val rnd = new scala.util.Random(4242)
     def rvec(): Seq[Double] =
       Seq.tabulate(mdim)(_ => rnd.nextDouble() * 2 - 1)
@@ -827,6 +827,25 @@ class GraftFacadeSpec extends SparkSpec {
           // (from L0 if it covers, mixed L0/stored or pure stored
           // otherwise)
           g.releasePqDistTier()
+        case 6 =>
+          // REOPEN arm (restart durability): a clean catalog must
+          // ADOPT the stamped tree — the door keeps serving the SAME
+          // warm snapshot, stored-route, with no warm call; a dirty
+          // catalog must SWEEP it — the door refuses until the next
+          // warm (never a stale-codes serve)
+          g.close()
+          g = Graft.open(spark, base, metricCfg("ip"))
+          if (catalogDirty) {
+            assert(g.pqCodesLiveDir.isEmpty,
+              s"step=$step dirty-catalog reopen adopted a stale tree")
+            intercept[IllegalStateException](g.searchPq(mq, 1))
+            warmArm(0L) // warmArm asserts the generation rolls (None→Some)
+          } else {
+            assert(g.pqCodesLiveDir.nonEmpty,
+              s"step=$step clean reopen failed to adopt the tree")
+            // warmIds unchanged: the adopted tier serves the same
+            // snapshot the pre-restart warm admitted
+          }
         case _ => ()
       }
       serveCheck(step)
@@ -1008,13 +1027,122 @@ class GraftFacadeSpec extends SparkSpec {
     assert(g.warmPqTier(localBudgetBytes = 0L) > 0) // g3; g0 retires
     assert(gens() === Set("pqcodes_g1", "pqcodes_g2", "pqcodes_g3"),
       gens().toString)
+    val liveAtClose = g.pqCodesLiveDir.get
     g.close()
-    assert(gens().isEmpty, "close() must reclaim the session's codes trees")
-    // crash stand-in: a leftover generation sweeps at the next open
+    // close() reclaims the RETIRED generations but keeps the LIVE tree:
+    // it is restart-durable (stamp/codebook/sizes sidecars) — deleting
+    // it would re-pay assign+encode+tree-write (~an hour at 100M) for a
+    // bit-identical corpus at the next warm
+    assert(gens() === Set("pqcodes_g3"),
+      s"close must keep the live tree, reclaim retired: ${gens()}")
+    // crash stand-in: a STAMPLESS leftover generation sweeps at the
+    // next open; the stamped live tree is ADOPTED, not swept
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(s"$base/pqcodes_g9"))
     val g2 = Graft.open(spark, base, metricCfg("ip"))
-    assert(gens().isEmpty, "open must sweep stale pqcodes generations")
+    assert(gens() === Set("pqcodes_g3"),
+      s"open must sweep stampless generations, adopt the live one: ${gens()}")
+    assert(g2.pqCodesLiveDir.contains(liveAtClose),
+      s"reopen did not adopt the stamped tree: ${g2.pqCodesLiveDir}")
+    g2.close()
+    Segments.deleteDir(base)
+  }
+
+  test("restart-durable codes tree: reopen ADOPTS a stamp-matched tree and serves STORED with no re-warm; a mutated store rolls it") {
+    val base = tmp()
+    def gens(): Set[String] =
+      Option(new java.io.File(base).listFiles()).getOrElse(Array.empty)
+        .map(_.getName).filter(_.startsWith("pqcodes_g")).toSet
+    val g = Graft.open(spark, base, metricCfg("ip"))
+    g.upsert(metricBatch())
+    g.compact()
+    assert(g.warmPqTier(localBudgetBytes = 0L) > 0) // trained, g0
+    g.releasePqDistTier()
+    val want = g.searchPq(mq, 5).toSeq
+    val fp0 = graft.index.Pq.codebookFingerprint(g.pqTierCodebook.get)
+    val live0 = g.pqCodesLiveDir.get
+    g.close()
+
+    // reopen over the UNCHANGED store: the tree is adopted from its
+    // sidecars and the door serves from it IMMEDIATELY — no warm call,
+    // no corpus pass, no retrain; the first post-restart cache miss
+    // degrades to the tree instead of refusing
+    val g2 = Graft.open(spark, base, metricCfg("ip"))
+    assert(g2.pqCodesLiveDir.contains(live0),
+      s"reopen did not adopt the tree: ${g2.pqCodesLiveDir}")
+    val got = g2.searchPq(mq, 5).toSeq
+    assert(got === want, s"adopted stored tier diverged: $got vs $want")
+    assert(g2.pqDoorRoutes === ((0L, 0L, 1L)),
+      s"adopted tier must serve STORED: ${g2.pqDoorRoutes}")
+    assert(graft.index.Pq.codebookFingerprint(g2.pqTierCodebook.get)
+      === fp0, "adopted codebook not bit-identical")
+    // ...and the next warm REUSES the adopted tree: same generation
+    // dir (no tree write), same quantizer (no retrain — the adopted
+    // codebook was TRAINED, so it IS what training would produce)
+    assert(g2.warmPqTier(localBudgetBytes = 0L) > 0)
+    assert(g2.pqCodesLiveDir.contains(live0),
+      "post-adoption warm rolled the generation")
+    assert(gens() === Set(new java.io.File(live0).getName),
+      s"post-adoption warm wrote a tree: ${gens()}")
+    assert(graft.index.Pq.codebookFingerprint(g2.pqTierCodebook.get)
+      === fp0, "post-adoption warm retrained")
+    g2.releasePqDistTier()
+    assert(g2.searchPq(mq, 5).toSeq === want)
+    g2.close()
+
+    // mutate the store BETWEEN sessions: the reopened base stamp no
+    // longer matches — the tree must SWEEP, the door is cold until a
+    // fresh warm (never a stale-codes serve)
+    val g3 = Graft.open(spark, base, metricCfg("ip"))
+    g3.upsert(Seq(("mutant", Array.tabulate(mdim)(d =>
+      if (d == 3) 0.7 else 0.0).toSeq)).toDF("id", "vec"))
+    g3.compact()
+    g3.close()
+    val g4 = Graft.open(spark, base, metricCfg("ip"))
+    assert(g4.pqCodesLiveDir.isEmpty,
+      s"mutated store adopted a stale tree: ${g4.pqCodesLiveDir}")
+    assert(gens().isEmpty, s"stale tree survived the open sweep: ${gens()}")
+    intercept[IllegalStateException](g4.searchPq(mq, 5))
+    assert(g4.warmPqTier(localBudgetBytes = 0L) > 0)
+    g4.releasePqDistTier()
+    assert(g4.searchPq(mq, 5).toSeq === exactTop(g4, mq, 5))
+    g4.close()
+    Segments.deleteDir(base)
+  }
+
+  test("adopted PINNED tree: reopen serves stored, and an unpinned re-warm must NOT reuse the pinned quantizer as if trained") {
+    val base = tmp()
+    val g = Graft.open(spark, base, metricCfg("ip"))
+    g.upsert(metricBatch())
+    g.compact()
+    // pin a quantizer that training would NOT produce (trained uses the
+    // hash-ordered sample; this one is the deterministic fixture)
+    val pinned = graft.index.Pq.deterministicCodebook(
+      g.liveView.filter(col("vec").isNotNull)
+        .select(abs(col("id_hash")).as("vec_id"),
+          col("vec").as("embedding")),
+      8, 8, every = 7)
+    assert(g.warmPqTier(Some(pinned), localBudgetBytes = 0L) > 0)
+    g.releasePqDistTier()
+    val want = g.searchPq(mq, 5).toSeq
+    val live0 = g.pqCodesLiveDir.get
+    g.close()
+    val g2 = Graft.open(spark, base, metricCfg("ip"))
+    // adopted and serving (the codes+codebook pair is value-correct
+    // regardless of how the quantizer was admitted)
+    assert(g2.pqCodesLiveDir.contains(live0))
+    assert(g2.searchPq(mq, 5).toSeq === want)
+    // an UNPINNED warm retrains (the adoption restored the pinned
+    // policy): the trained quantizer differs from the pinned fixture,
+    // so the stamp rolls and a fresh generation lands
+    assert(g2.warmPqTier(localBudgetBytes = 0L) > 0)
+    assert(!g2.pqCodesLiveDir.contains(live0),
+      "unpinned re-warm reused the pinned tree (training short-circuited)")
+    assert(graft.index.Pq.codebookFingerprint(g2.pqTierCodebook.get)
+      !== graft.index.Pq.codebookFingerprint(pinned),
+      "unpinned re-warm kept the pinned quantizer")
+    g2.releasePqDistTier()
+    assert(g2.searchPq(mq, 5).toSeq === exactTop(g2, mq, 5))
     g2.close()
     Segments.deleteDir(base)
   }
