@@ -855,7 +855,11 @@ object Bench {
           pureStoredRouter.searchAdc(qOut.head._2, 10, nprobe100)
           val msLat = scala.collection.mutable.ArrayBuffer.empty[Double]
           val psLat = scala.collection.mutable.ArrayBuffer.empty[Double]
-          val msParity = qOut.take(10).zip(routed.take(10)).forall {
+          // map THEN forall (ADVICE r14): a short-circuiting forall
+          // with timing side effects would truncate the latency sample
+          // sets at the first parity failure while still reporting
+          // them as p50s over the full set
+          val msParity = qOut.take(10).zip(routed.take(10)).map {
             case ((_, qv), want) =>
               val tM0 = System.nanoTime()
               val got = mixedStoredRouter.searchAdc(qv, 10, nprobe100)
@@ -864,7 +868,7 @@ object Bench {
               pureStoredRouter.searchAdc(qv, 10, nprobe100)
               psLat += (System.nanoTime() - tP0) / 1e6
               got.toSeq == want
-          }
+          }.forall(identity)
           extras("ivf_100m_route_mixed_stored_serves") =
             mixedStoredRouter.mixedStoredServes.toString
           extras("ivf_100m_route_mixed_stored_parity") =
@@ -1278,6 +1282,14 @@ object Bench {
     val cfg = cfg0.copy(
       collection = cfg0.collection.copy(dim = d, metric = "ip"),
       stable = cfg0.stable.copy(pqM = 96))
+    // the live codes tree is restart-durable (r15): a tree left by a
+    // prior round's run would make open() ADOPT it and turn this
+    // FRESH-warm measurement into a reuse warm — sweep generations
+    // first so the metric keeps its meaning (the adoption path gets
+    // its own twin below)
+    Option(new java.io.File(base).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("pqcodes_g"))
+      .foreach(f => org.apache.commons.io.FileUtils.deleteDirectory(f))
     val g = Graft.open(spark, base, cfg)
     try {
       val tW0 = System.nanoTime()
@@ -1322,6 +1334,23 @@ object Bench {
       extras("facade_stored_1m_p50_ms") = num(pctl(sLat, 50), 1)
       extras("facade_stored_1m_p99_ms") = num(pctl(sLat, 99), 1)
       extras("facade_stored_1m_serves") = g.pqDoorRoutes._3.toString
+      // RESTART-DURABILITY twin (r15): close() keeps the stamped live
+      // tree; a reopen must ADOPT it from its sidecars and serve a
+      // stored request with NO warm call — cold-open now includes L2,
+      // so the first post-restart cache miss degrades to the tree
+      // instead of refusing until a full re-warm (at the 100M geometry
+      // the warm this skips is ~an hour of assign+encode+tree-write)
+      g.close()
+      val tA0 = System.nanoTime()
+      val g2 = Graft.open(spark, base, cfg)
+      val adopted = g2.pqCodesLiveDir.isDefined
+      try {
+        require(g2.searchPq(qv, 10).nonEmpty,
+          "adopted facade door served nothing after reopen")
+        extras("facade_reopen_first_serve_ms") =
+          num((System.nanoTime() - tA0) / 1e6, 1)
+        extras("facade_reopen_adopted") = adopted.toString
+      } finally g2.close()
     } finally g.close()
   } catch { case e: Throwable =>
     System.err.println(s"[bench] facade-warm twin FAILED: ${e.getMessage}")
@@ -3066,6 +3095,7 @@ object Bench {
         "ivf_100m_tree_write_sec", "facade_warm_1m_sec",
         "facade_warm_1m_rewarm_sec", "facade_warm_1m_tree_reused",
         "facade_stored_1m_p50_ms", "facade_stored_1m_p99_ms",
+        "facade_reopen_adopted", "facade_reopen_first_serve_ms",
         "serving_concurrent_calib_qps", "serving_concurrent_ratio",
         "ingest_calib_ratio", "ingest_calib_spread")
       summaryExtras.foreach(k => extras.get(k).foreach(v => summary(k) = v))

@@ -179,8 +179,9 @@ object SparkEntry {
     private val cache = scala.collection.concurrent.TrieMap
       .empty[String, DataFrame]
     def results(s: SparkSession, dir: String, metric: String = "ip",
-        batch: Boolean = false, stored: Boolean = false): DataFrame =
-      cache.getOrElseUpdate(s"$dir|$metric|$batch|$stored", {
+        batch: Boolean = false, stored: Boolean = false,
+        mixed: Boolean = false): DataFrame =
+      cache.getOrElseUpdate(s"$dir|$metric|$batch|$stored|$mixed", {
         import org.apache.spark.sql.Row
         import org.apache.spark.sql.types._
         val base = java.nio.file.Files
@@ -199,10 +200,20 @@ object SparkEntry {
         // stored = the L2 route twin: NO driver tier, the distributed
         // tier evicted right after the warm — every phase-1 serve must
         // come from the durable codes tree (asserted on the router's
-        // counters below), sharing the warm doors' oracle VERBATIM
+        // counters below), sharing the warm doors' oracle VERBATIM.
+        // mixed = the L0/STORED split twin: a driver tier budgeted for
+        // roughly HALF the coded corpus + an evicted distributed tier —
+        // resident lists scan driver-side, only the misses pay the
+        // parquet plan, and the merged pools must still match the same
+        // oracle (the one serving route previously gated only by
+        // ScalaTest).
+        val mixedBudget =
+          if (!mixed) -1L
+          else g.liveView.filter(col("vec").isNotNull).count() * 16L / 2L
         g.warmPqTier(Some(Pq.deterministicCodebook(emb(s, dir), 8, 8, 50)),
-          localBudgetBytes = if (stored) 0L else -1L)
-        if (stored) g.releasePqDistTier()
+          localBudgetBytes =
+            if (stored) 0L else if (mixed) mixedBudget else -1L)
+        if (stored || mixed) g.releasePqDistTier()
         val idMap = g.liveView.select(col("id_hash"),
             expr("CAST(substring(id, 5) AS LONG)").as("vec_id"))
           .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
@@ -233,6 +244,19 @@ object SparkEntry {
           require(l == 0 && d == 0 && st == reqs.length,
             s"facade_pq stored twin did not serve from the codes tree: " +
               s"local=$l dist=$d stored=$st of ${reqs.length}")
+        }
+        if (mixed) {
+          // the entry itself pins the SPLIT route: the distributed tier
+          // is gone, the starved driver tier held only some lists — so
+          // mixed L0/stored serves must have happened, nothing may have
+          // served from L1, and every request is accounted (a budget
+          // admitting everything would silently demote this twin to
+          // facade_pq; one admitting nothing, to facade_pq_stored)
+          val (l, d, st) = g.pqDoorRoutes
+          val ms = g.pqDoorMixedStoredServes
+          require(d == 0 && ms > 0 && l + st == reqs.length,
+            s"facade_pq mixed twin route counters off: local=$l " +
+              s"dist=$d stored=$st mixedStored=$ms of ${reqs.length}")
         }
         g.close()
         s.createDataFrame(
@@ -836,6 +860,13 @@ object SparkEntry {
     // the warm doors by construction, sharing facade_pq's oracle
     "facade_pq_stored" ->
       ((s, dir) => FacadePqFixture.results(s, dir, stored = true)),
+    // the MIXED L0/stored route under the DuckDB oracle (r14 verdict
+    // #4): driver tier budgeted for ~half the coded corpus, distributed
+    // tier evicted — resident lists scan driver-side, misses pay the
+    // parquet plan, merged pools share facade_pq's oracle verbatim (the
+    // fixture asserts mixed serves actually happened)
+    "facade_pq_mixed" ->
+      ((s, dir) => FacadePqFixture.results(s, dir, mixed = true)),
     "point_lookup" -> ((s, dir) =>
       MutationLog.pointLookup(
         MutationLog.deterministicLog(emb(s, dir)), pointIds)),
@@ -1498,6 +1529,10 @@ object SparkEntry {
     // same ranking contract) — it shares the oracle verbatim; the
     // fixture separately asserts every request actually routed stored
     "facade_pq_stored" -> facadePqSql,
+    // the mixed L0/stored split is an execution shape, not a semantic
+    // (top-n of the union == top-n of the full probe set) — same oracle
+    // verbatim; the fixture asserts the split actually happened
+    "facade_pq_mixed" -> facadePqSql,
     // the PQ door under metric l2: phase 1 ranks by NEGATED expanded-L2
     // ADC (a dot-product pool would be systematically wrong for an l2
     // collection), phase 2 is the exact squared distance — ascending
