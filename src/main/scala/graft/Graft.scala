@@ -677,8 +677,16 @@ final class Graft private (
       // config.h:117-125): the admission pass pays the one-time footer
       // sweep over the store so no serving request ever does — without
       // it the FIRST point lookups after a warm re-read ~every store
-      // file's footer inside their own latency
-      Segments.warmIdBlooms(spark, baseDir)
+      // file's footer inside their own latency. BEST-EFFORT
+      // (review-caught): the tier is already installed and serving;
+      // a failed cache optimization must not rethrow out of a
+      // successful warm (maintain() would demote the tier to cold —
+      // degrade-not-refuse inverted) — the lazy per-request path fills
+      // the cache with identical values
+      scala.util.Try(Segments.warmIdBlooms(spark, baseDir))
+        .failed.foreach(t => System.err.println(
+          s"[graft] id-bloom warm failed (point lookups fall back to " +
+            s"lazy per-file loads): ${t.getMessage}"))
       built.dist.fold(0)(_.cachedLists)
     } finally codes.unpersist(blocking = false)
   }
@@ -763,7 +771,14 @@ final class Graft private (
     try w(out) finally out.close()
     val dst = new HPath(dir, name)
     if (fs.exists(dst)) fs.delete(dst, false)
-    fs.rename(tmp, dst)
+    // Hadoop rename reports failure by RETURNING false — swallowed, a
+    // stampless tree would lose restart durability with no log line
+    // explaining why; warn rather than throw (a failed sidecar must
+    // not fail the otherwise-successful warm — the tree just sweeps at
+    // the next open, the safe direction)
+    if (!fs.rename(tmp, dst))
+      System.err.println(s"[graft] sidecar publish failed for $dst — " +
+        "the tree will not be adopted at the next open")
   }
 
   private def writeTreeSidecars(dir: String, stamp: String,

@@ -72,13 +72,22 @@ object Pq {
   }
 
   def readCodebook(in: java.io.DataInputStream): Codebook = {
+    // length fields are UNTRUSTED bytes: a corrupt sidecar whose count
+    // decodes huge would drive Array.fill into a multi-GB allocation,
+    // and OutOfMemoryError escapes the NonFatal guards around adoption
+    // (review-caught) — bound every length before allocating
+    def bounded(what: String, max: Int): Int = {
+      val n = in.readInt()
+      require(n >= 0 && n <= max, s"codebook sidecar corrupt: $what=$n")
+      n
+    }
     require(in.readInt() == 0x47434231, "not a graft codebook file")
-    val m = in.readInt()
-    val dsub = in.readInt()
-    val codeIds = Array.fill(in.readInt())(in.readLong())
-    val codebooks = Array.fill(in.readInt()) {
-      Array.fill(in.readInt()) {
-        Array.fill(in.readInt())(in.readDouble())
+    val m = bounded("m", 1 << 12)
+    val dsub = bounded("dsub", 1 << 16)
+    val codeIds = Array.fill(bounded("nIds", 1 << 20))(in.readLong())
+    val codebooks = Array.fill(bounded("nBooks", 1 << 12)) {
+      Array.fill(bounded("k", 1 << 20)) {
+        Array.fill(bounded("dims", 1 << 16))(in.readDouble())
       }
     }
     Codebook(m, dsub, codeIds, codebooks)

@@ -120,6 +120,18 @@ object Segments {
           : Boolean = size() > 64
     }
 
+  /** One spelling for every path comparison across the caches: cached
+    * keys arrive scheme-qualified ('file:/…', from inputFiles /
+    * input_file_name) while the writers and sweeps pass plain
+    * filesystem paths — compared raw, an invalidation would be a
+    * silent no-op and a stale bloom's false negative would DROP live
+    * rows from point lookups (review-caught before it shipped).
+    */
+  private[graft] def plainPath(s: String): String =
+    if (s.contains(":/"))
+      scala.util.Try(new java.net.URI(s).getPath).getOrElse(s)
+    else s
+
   /** Drop cached listings (and cached per-file blooms) under `path` —
     * called by the primitives that REWRITE or DELETE a previously
     * published path ([[writeSegment]]'s idempotent recovery replay,
@@ -127,15 +139,18 @@ object Segments {
     * (a new segment changes the requested path set, hence the key).
     */
   private[graft] def invalidateListings(path: String): Unit = {
+    val target = plainPath(path)
     listingCache.synchronized {
       val it = listingCache.keySet.iterator()
       while (it.hasNext) {
         val k = it.next()
-        if (k._2.exists(p => p.startsWith(path) || path.startsWith(p)))
-          it.remove()
+        if (k._2.exists { p0 =>
+          val p = plainPath(p0)
+          p.startsWith(target) || target.startsWith(p)
+        }) it.remove()
       }
     }
-    invalidateBlooms(path)
+    invalidateBlooms(target)
   }
 
   // the stable per-session cache-key string: assigned once per session
@@ -317,20 +332,41 @@ object Segments {
   private var bloomCacheBytes = 0L
   private var bloomEvictWarned = false
 
-  private[graft] def invalidateBlooms(path: String): Unit =
+  // keys are ALWAYS [[plainPath]]-normalized — admitted from URI-form
+  // file names, invalidated with plain writer paths; one spelling or
+  // the invariant is fiction
+  private[graft] def invalidateBlooms(path: String): Unit = {
+    val target = plainPath(path)
     bloomCache.synchronized {
       val it = bloomCache.entrySet().iterator()
       while (it.hasNext) {
         val e = it.next()
-        if (e.getKey.startsWith(path) || path.startsWith(e.getKey)) {
+        if (e.getKey.startsWith(target) || target.startsWith(e.getKey)) {
           bloomCacheBytes -= e.getValue.bytes
           it.remove()
         }
       }
     }
+  }
 
-  private def admitBloom(file: String, e: FileBlooms): Unit =
+  /** Test hook: cached bloom entries under `path` — the invalidation
+    * specs pin that a rewrite/delete actually DROPS entries (a
+    * spelling-mismatched comparison would be a silent no-op that UUID
+    * part names mask at the value level).
+    */
+  private[graft] def bloomEntriesUnder(path: String): Int = {
+    val target = plainPath(path)
     bloomCache.synchronized {
+      var n = 0
+      val it = bloomCache.keySet.iterator()
+      while (it.hasNext) if (it.next().startsWith(target)) n += 1
+      n
+    }
+  }
+
+  private def admitBloom(file0: String, e: FileBlooms): Unit =
+    bloomCache.synchronized {
+      val file = plainPath(file0)
       val prev = bloomCache.put(file, e)
       bloomCacheBytes += e.bytes - Option(prev).map(_.bytes).getOrElse(0L)
       if (bloomCacheBytes > BloomCacheMaxBytes) {
@@ -414,7 +450,8 @@ object Segments {
     if (files.length.toLong * hashes.length > BloomMaxProbePairs)
       return None
     Some(files.filter { f =>
-      val e = Option(bloomCache.synchronized(bloomCache.get(f)))
+      val e = Option(bloomCache.synchronized(
+          bloomCache.get(plainPath(f))))
         .getOrElse {
           val built = readFileBlooms(spark, f)
           admitBloom(f, built)
@@ -451,24 +488,37 @@ object Segments {
     if (descs.isEmpty) return 0
     val paths = descs.map(_.file_path)
     val missing = readPaths(spark, paths).inputFiles
-      .filter(f => bloomCache.synchronized(bloomCache.get(f)) == null)
+      .filter(f =>
+        bloomCache.synchronized(bloomCache.get(plainPath(f))) == null)
     if (missing.isEmpty) return 0
     val totalBytes = descs.map(_.num_vectors).sum * 8L
     if (totalBytes <= ExactIdSetBudgetBytes) {
-      val missSet = missing.toSet
-      readPaths(spark, paths)
+      // scan ONLY the missing files (review-caught: scanning the whole
+      // store would re-pay a full corpus pass for the one new segment
+      // every maintenance re-warm adds); leaf-file read, no basePath —
+      // only the id_hash data column matters here. toLocalIterator
+      // keeps the driver's transient footprint to one partition of
+      // boxed rows; the admitted primitive arrays are the cache's own
+      // budgeted bytes.
+      val admitted = scala.collection.mutable.Set.empty[String]
+      spark.read.parquet(missing.toIndexedSeq: _*)
         .select(input_file_name().as("f"), col("id_hash"))
         .groupBy("f").agg(collect_list(col("id_hash")).as("hs"))
-        .collect()
-        .foreach { r =>
+        .toLocalIterator()
+        .forEachRemaining { r =>
           val f = r.getString(0)
-          if (missSet(f)) {
-            val arr = r.getSeq[Long](1).toArray
-            java.util.Arrays.sort(arr)
-            admitBloom(f, FileBlooms(IndexedSeq(RgDict(arr)),
-              conservative = false, bytes = 64L + 8L * arr.length))
-          }
+          val arr = r.getSeq[Long](1).toArray
+          java.util.Arrays.sort(arr)
+          admitBloom(f, FileBlooms(IndexedSeq(RgDict(arr)),
+            conservative = false, bytes = 64L + 8L * arr.length))
+          admitted += plainPath(f)
         }
+      // a zero-row part file never surfaces from the aggregate: its
+      // exact evidence is the EMPTY set (otherwise it stays 'missing'
+      // and every warm re-pays the scan forever)
+      missing.iterator.map(plainPath).filterNot(admitted).foreach(f =>
+        admitBloom(f, FileBlooms(IndexedSeq(RgDict(Array.empty[Long])),
+          conservative = false, bytes = 64L)))
     } else {
       System.err.println(s"[graft] store id payload $totalBytes B " +
         s"exceeds the exact-set budget $ExactIdSetBudgetBytes B — " +

@@ -304,10 +304,17 @@ class SegmentsSpec extends SparkSpec {
     // proves 500 absent (bloom-pruned to nothing inside the zone map)
     assert(Segments.scanForIdHashes(spark, base, Seq(500L))
       .forall(_.count() === 0L))
+    val segPath = s"$base/${Segments.StoreDir}/segment_id=r0"
+    assert(Segments.bloomEntriesUnder(segPath) > 0,
+      "lookup did not warm the bloom cache")
     // the idempotent recovery replay's shape: REWRITE the same segment
     // path with different contents — served through writeSegment, the
     // one in-place writer, whose invalidation must beat both caches
     Segments.writeSegment(seg(Seq(10L, 500L, 1000L)), base, "r0", false)
+    // the invalidation itself must have FIRED (UUID part names would
+    // mask a spelling-mismatched no-op at the value level)
+    assert(Segments.bloomEntriesUnder(segPath) === 0,
+      "writeSegment left stale bloom entries under the rewritten path")
     val got = Segments.scanForIdHashes(spark, base, Seq(500L))
       .map(_.select("vec_id").as[Long].collect().toSeq)
     assert(got === Some(Seq(500L)),
