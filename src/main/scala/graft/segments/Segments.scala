@@ -472,13 +472,16 @@ object Segments {
     * the warm falls back to the footer blooms — disclosed cap, never a
     * wrong answer (blooms only ADD files).
     */
-  private val ExactIdSetBudgetBytes: Long =
+  // read per call, not cached at class-init: the over-budget fallback
+  // is the 100 TB shape and must be drivable in a spec via the system
+  // property (a val would freeze whatever the first touch saw)
+  private def exactIdSetBudgetBytes: Long =
     java.lang.Long.getLong("graft.bloom.exact.bytes", 1L << 30)
 
   /** Pre-load id_hash membership evidence for every live catalog file
     * — the admission-pass analogue of the reference loading segment
     * blooms at open: after it, no serving request pays a cold footer
-    * read. Under [[ExactIdSetBudgetBytes]] this is ONE distributed job
+    * read. Under the exact-set budget this is ONE distributed job
     * building exact per-file id sets (column-pruned scan of id_hash
     * only); past it, a sequential footer-bloom sweep. Returns the
     * number of files actually loaded (cache misses).
@@ -492,7 +495,7 @@ object Segments {
         bloomCache.synchronized(bloomCache.get(plainPath(f))) == null)
     if (missing.isEmpty) return 0
     val totalBytes = descs.map(_.num_vectors).sum * 8L
-    if (totalBytes <= ExactIdSetBudgetBytes) {
+    if (totalBytes <= exactIdSetBudgetBytes) {
       // scan ONLY the missing files (review-caught: scanning the whole
       // store would re-pay a full corpus pass for the one new segment
       // every maintenance re-warm adds); leaf-file read, no basePath —
@@ -521,7 +524,7 @@ object Segments {
           conservative = false, bytes = 64L)))
     } else {
       System.err.println(s"[graft] store id payload $totalBytes B " +
-        s"exceeds the exact-set budget $ExactIdSetBudgetBytes B — " +
+        s"exceeds the exact-set budget ${exactIdSetBudgetBytes} B — " +
         "warming footer blooms instead (set -Dgraft.bloom.exact.bytes " +
         "to raise)")
       missing.foreach(f => admitBloom(f, readFileBlooms(spark, f)))

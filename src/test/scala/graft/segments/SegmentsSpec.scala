@@ -329,6 +329,40 @@ class SegmentsSpec extends SparkSpec {
     Segments.deleteDir(base)
   }
 
+  test("over-budget id-set fallback (the 100 TB shape): footer blooms still prune and values match the exact path") {
+    val base = tmpBase()
+    val rows = segmentRows.cache()
+    Segments.writeSegment(rows.filter(col("id_hash") < 0), base, "neg", false)
+    Segments.writeSegment(rows.filter(col("id_hash") >= 0), base, "pos", false)
+    val hs = rows.filter(col("vec_id").isin(7L, 20L))
+      .select("id_hash").distinct().as[Long].collect().toIndexedSeq
+    val want = Segments
+      .readPaths(spark, Segments.catalogDescriptors(spark, base)
+        .map(_.file_path))
+      .filter(col("id_hash").isin(hs: _*))
+      .select("id_hash", "epoch", "deleted", "vec_id")
+      .as[(Long, Long, Boolean, Long)].collect().sorted.toSeq
+    // force the fallback: a zero exact-set budget sends the warm down
+    // the per-file footer-evidence path (bloom or dictionary page)
+    val prev = System.getProperty("graft.bloom.exact.bytes")
+    System.setProperty("graft.bloom.exact.bytes", "0")
+    try {
+      assert(Segments.warmIdBlooms(spark, base) > 0)
+      val got = Segments.scanForIdHashes(spark, base, hs).get
+        .select("id_hash", "epoch", "deleted", "vec_id")
+        .as[(Long, Long, Boolean, Long)].collect().sorted.toSeq
+      assert(got === want, "fallback evidence diverged from the scan")
+      // footer evidence can only ADD files (false positives), never
+      // drop one — an absent hash still answers exactly
+      assert(Segments.scanForIdHashes(spark, base, Seq(12345L))
+        .forall(_.count() === 0L))
+    } finally {
+      if (prev == null) System.clearProperty("graft.bloom.exact.bytes")
+      else System.setProperty("graft.bloom.exact.bytes", prev)
+    }
+    Segments.deleteDir(base)
+  }
+
   test("listing cache: catalog churn rotates the key; compaction interleaved with point lookups stays current") {
     val base = tmpBase()
     def seg(hs: Seq[Long], epoch0: Long) =
