@@ -1343,6 +1343,11 @@ object Bench {
       g.close()
       val tA0 = System.nanoTime()
       val g2 = Graft.open(spark, base, cfg)
+      // decomposed: open carries the adoption (stamp job + StoredAdc's
+      // eager codes-tree FileIndex); the first serve then pays only its
+      // own plan/JIT — both once-per-restart, vs the full warm skipped
+      extras("facade_reopen_open_sec") =
+        num((System.nanoTime() - tA0) / 1e9, 2)
       val adopted = g2.pqCodesLiveDir.isDefined
       try {
         require(g2.searchPq(qv, 10).nonEmpty,
@@ -3095,7 +3100,8 @@ object Bench {
         "ivf_100m_tree_write_sec", "facade_warm_1m_sec",
         "facade_warm_1m_rewarm_sec", "facade_warm_1m_tree_reused",
         "facade_stored_1m_p50_ms", "facade_stored_1m_p99_ms",
-        "facade_reopen_adopted", "facade_reopen_first_serve_ms",
+        "facade_reopen_adopted", "facade_reopen_open_sec",
+        "facade_reopen_first_serve_ms",
         "serving_concurrent_calib_qps", "serving_concurrent_ratio",
         "ingest_calib_ratio", "ingest_calib_spread")
       summaryExtras.foreach(k => extras.get(k).foreach(v => summary(k) = v))

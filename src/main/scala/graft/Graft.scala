@@ -1705,6 +1705,19 @@ final class Graft private (
                 // pinned quantizer stays pinned (its codebook must
                 // never short-circuit an unpinned warm's training)
                 if (stamp.endsWith(" src=pinned")) pqTierPinned = Some(cb)
+                // the adopted door is SERVING from here — load the
+                // phase-2 id evidence now (the reference loads segment
+                // blooms at open, config.h:117-125): in a fresh JVM
+                // the lazy path would pay a ~file-count SEQUENTIAL
+                // footer sweep inside the FIRST request (measured 42 s
+                // over 3,960 files at 1M) and then serve at bloom
+                // quality; the one warm job here makes steady serves
+                // exact. Best-effort like the warm's own pre-load.
+                scala.util.Try(Segments.warmIdBlooms(spark, baseDir))
+                  .failed.foreach(t => System.err.println(
+                    s"[graft] id-bloom warm at adoption failed (point " +
+                      s"lookups fall back to lazy loads): " +
+                      t.getMessage))
               case _ =>
                 // codebook/sizes sidecar missing: the tree's BYTES are
                 // still reusable through the warm's stamp gate —

@@ -1074,6 +1074,14 @@ class GraftFacadeSpec extends SparkSpec {
     assert(got === want, s"adopted stored tier diverged: $got vs $want")
     assert(g2.pqDoorRoutes === ((0L, 0L, 1L)),
       s"adopted tier must serve STORED: ${g2.pqDoorRoutes}")
+    // the BATCH door on the adopted tier: no local, no distributed —
+    // probes come from the stored bundle and the whole batch serves as
+    // ONE batched stored plan, value-identical to the single door
+    val gotBatch = g2.searchPqBatch(Seq(mq, mq), 5).map(_.toSeq)
+    assert(gotBatch === Seq(want, want),
+      s"adopted-tier batch door diverged: $gotBatch")
+    assert(g2.pqDoorRoutes === ((0L, 0L, 3L)),
+      s"batch door must route stored on the adopted tier: ${g2.pqDoorRoutes}")
     assert(graft.index.Pq.codebookFingerprint(g2.pqTierCodebook.get)
       === fp0, "adopted codebook not bit-identical")
     // ...and the next warm REUSES the adopted tree: same generation
