@@ -363,6 +363,32 @@ class SegmentsSpec extends SparkSpec {
     Segments.deleteDir(base)
   }
 
+  test("warmIdBlooms is incremental: a second warm after one new segment loads only the new files") {
+    val base = tmpBase()
+    val rows = segmentRows.cache()
+    Segments.writeSegment(rows.filter(col("id_hash") < 0), base, "neg", false)
+    val first = Segments.warmIdBlooms(spark, base)
+    assert(first > 0, "first warm loaded nothing")
+    // idempotent: everything cached, nothing re-scanned
+    assert(Segments.warmIdBlooms(spark, base) === 0)
+    // one new segment: the warm pays for ITS files only (a full-store
+    // rescan per maintenance cycle was the review-caught regression)
+    Segments.writeSegment(rows.filter(col("id_hash") >= 0), base, "pos", false)
+    val second = Segments.warmIdBlooms(spark, base)
+    val posFiles = new java.io.File(s"$base/${Segments.StoreDir}/segment_id=pos")
+      .listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).count(_.getName.endsWith(".parquet"))
+    assert(second === posFiles,
+      s"incremental warm loaded $second files, new segment has $posFiles")
+    // and the evidence serves: a hash from each segment resolves
+    val hs = rows.filter(col("vec_id").isin(7L, 20L))
+      .select("id_hash").distinct().as[Long].collect().toIndexedSeq
+    val got = Segments.scanForIdHashes(spark, base, hs).get
+      .select("vec_id").distinct().as[Long].collect().toSet
+    assert(got === Set(7L, 20L))
+    Segments.deleteDir(base)
+  }
+
   test("listing cache: catalog churn rotates the key; compaction interleaved with point lookups stays current") {
     val base = tmpBase()
     def seg(hs: Seq[Long], epoch0: Long) =
