@@ -180,8 +180,8 @@ object SparkEntry {
       .empty[String, DataFrame]
     def results(s: SparkSession, dir: String, metric: String = "ip",
         batch: Boolean = false, stored: Boolean = false,
-        mixed: Boolean = false): DataFrame =
-      cache.getOrElseUpdate(s"$dir|$metric|$batch|$stored|$mixed", {
+        mixed: Boolean = false, adopted: Boolean = false): DataFrame =
+      cache.getOrElseUpdate(s"$dir|$metric|$batch|$stored|$mixed|$adopted", {
         import org.apache.spark.sql.Row
         import org.apache.spark.sql.types._
         val base = java.nio.file.Files
@@ -214,7 +214,22 @@ object SparkEntry {
           localBudgetBytes =
             if (stored) 0L else if (mixed) mixedBudget else -1L)
         if (stored || mixed) g.releasePqDistTier()
-        val idMap = g.liveView.select(col("id_hash"),
+        // adopted = the RESTART route twin: close() keeps the stamped
+        // codes tree, and a reopened handle must ADOPT it from its
+        // sidecars and serve every request from the stored plan with NO
+        // warm call — the post-restart world, where the serving values
+        // must still match the same DuckDB oracle VERBATIM (previously
+        // the one serving route gated only by ScalaTest + bench).
+        val srv =
+          if (!adopted) g
+          else {
+            g.close()
+            val g2 = Graft.open(s, base, cfg)
+            require(g2.pqCodesLiveDir.isDefined,
+              "facade_pq adopted twin: reopen did not adopt the tree")
+            g2
+          }
+        val idMap = srv.liveView.select(col("id_hash"),
             expr("CAST(substring(id, 5) AS LONG)").as("vec_id"))
           .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
         val reqs = q(s, dir).collect().sortBy(_.getLong(0))
@@ -225,15 +240,15 @@ object SparkEntry {
             // per ≤max_batch chunk — values must equal the per-query
             // door exactly (they share the oracle SQL verbatim)
             reqs.toIndexedSeq
-              .grouped(g.config.servingLimits.maxBatch).toIndexedSeq
+              .grouped(srv.config.servingLimits.maxBatch).toIndexedSeq
               .flatMap { chunk =>
-                g.searchPqBatch(chunk.map(_._2), 10).zip(chunk)
+                srv.searchPqBatch(chunk.map(_._2), 10).zip(chunk)
                   .flatMap { case (hits, (qid, _)) =>
                     hits.map { case (idh, sc) => Row(qid, idMap(idh), sc) }
                   }
               }
           else reqs.toIndexedSeq.flatMap { case (qid, qv) =>
-            g.searchPq(qv, 10).map { case (idh, sc) =>
+            srv.searchPq(qv, 10).map { case (idh, sc) =>
               Row(qid, idMap(idh), sc) }
           }
         if (stored) {
@@ -258,7 +273,17 @@ object SparkEntry {
             s"facade_pq mixed twin route counters off: local=$l " +
               s"dist=$d stored=$st mixedStored=$ms of ${reqs.length}")
         }
-        g.close()
+        if (adopted) {
+          // the entry itself pins the route: the adopted handle never
+          // saw a warm, so a cache level serving anything would mean
+          // adoption silently resurrected a tier it cannot have (the
+          // stamp restores codebook + tree, NOT the admission budget)
+          val (l, d, st) = srv.pqDoorRoutes
+          require(l == 0 && d == 0 && st == reqs.length,
+            s"facade_pq adopted twin did not serve from the adopted " +
+              s"tree: local=$l dist=$d stored=$st of ${reqs.length}")
+        }
+        srv.close()
         s.createDataFrame(
           s.sparkContext.parallelize(rows, 1),
           StructType(Seq(
@@ -867,6 +892,14 @@ object SparkEntry {
     // fixture asserts mixed serves actually happened)
     "facade_pq_mixed" ->
       ((s, dir) => FacadePqFixture.results(s, dir, mixed = true)),
+    // the RESTART route under the DuckDB oracle (r15): close() keeps
+    // the stamped codes tree, a reopened handle adopts it from its
+    // sidecars and serves every request stored with NO warm call (the
+    // fixture asserts adoption and the route counters) — sharing
+    // facade_pq's oracle verbatim, because a restart must not change
+    // one answer
+    "facade_pq_adopted" ->
+      ((s, dir) => FacadePqFixture.results(s, dir, adopted = true)),
     "point_lookup" -> ((s, dir) =>
       MutationLog.pointLookup(
         MutationLog.deterministicLog(emb(s, dir)), pointIds)),
@@ -1533,6 +1566,11 @@ object SparkEntry {
     // (top-n of the union == top-n of the full probe set) — same oracle
     // verbatim; the fixture asserts the split actually happened
     "facade_pq_mixed" -> facadePqSql,
+    // a RESTART is a lifecycle event, not a semantic: the adopted tree
+    // carries the same codes and codebook the warm wrote, so the
+    // reopened door shares the oracle verbatim; the fixture asserts
+    // adoption happened and every request routed stored
+    "facade_pq_adopted" -> facadePqSql,
     // the PQ door under metric l2: phase 1 ranks by NEGATED expanded-L2
     // ADC (a dot-product pool would be systematically wrong for an l2
     // collection), phase 2 is the exact squared distance — ascending

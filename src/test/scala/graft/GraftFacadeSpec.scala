@@ -1155,6 +1155,41 @@ class GraftFacadeSpec extends SparkSpec {
     Segments.deleteDir(base)
   }
 
+  test("maintain() on an ADOPTED tier: post-restart churn re-admits the tier and the door serves the post-maintenance world") {
+    val base = tmp()
+    val g = Graft.open(spark, base, metricCfg("ip"))
+    g.upsert(metricBatch())
+    g.compact()
+    assert(g.warmPqTier(localBudgetBytes = 0L) > 0) // trained
+    g.releasePqDistTier()
+    val want = g.searchPq(mq, 5).toSeq
+    g.close()
+
+    // restart: the tree is adopted and serves stored immediately
+    val g2 = Graft.open(spark, base, metricCfg("ip"))
+    val live0 = g2.pqCodesLiveDir
+    assert(live0.isDefined, "reopen did not adopt the tree")
+    assert(g2.searchPq(mq, 5).toSeq === want)
+    // post-restart churn: tombstone the door's own top hit — a
+    // delete-only delta crosses tombstone_ratio_threshold, so POLICY
+    // compacts; the policy pass must then re-admit the ADOPTED tier
+    // under its restored admission policy (trained → retrain on the
+    // survivors) with no manual warm call, and the tombstoned row must
+    // never resurrect through the stale adopted codes
+    g2.delete(Seq("near").toDF("id"))
+    val rep = g2.maintain()
+    assert(rep.compacted.exists(_.contains("tombstone_ratio")), rep.toString)
+    assert(!g2.pqCodesLiveDir.exists(live0.contains),
+      "maintenance kept serving the pre-compaction adopted tree")
+    val got = g2.searchPq(mq, 5).toSeq
+    assert(got === exactTop(g2, mq, 5),
+      s"post-maintenance adopted door diverged: $got")
+    assert(!got.exists(_._1 === hashOf("near")),
+      "tombstoned row resurfaced through the adopted tier")
+    g2.close()
+    Segments.deleteDir(base)
+  }
+
   test("mixed L0/stored serve: with L1 evicted, a starved driver tier scans its resident lists and only the misses pay the parquet plan") {
     val base = tmp()
     val g = Graft.open(spark, base, metricCfg("ip"))
