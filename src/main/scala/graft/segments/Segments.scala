@@ -498,20 +498,10 @@ object Segments {
     if (totalBytes <= exactIdSetBudgetBytes) {
       // scan ONLY the missing files (review-caught: scanning the whole
       // store would re-pay a full corpus pass for the one new segment
-      // every maintenance re-warm adds); leaf-file read, no basePath —
-      // only the id_hash data column matters here. toLocalIterator
-      // keeps the driver's transient footprint to one partition of
-      // boxed rows; the admitted primitive arrays are the cache's own
-      // budgeted bytes.
+      // every maintenance re-warm adds)
       val admitted = scala.collection.mutable.Set.empty[String]
-      spark.read.parquet(missing.toIndexedSeq: _*)
-        .select(input_file_name().as("f"), col("id_hash"))
-        .groupBy("f").agg(collect_list(col("id_hash")).as("hs"))
-        .toLocalIterator()
-        .forEachRemaining { r =>
-          val f = r.getString(0)
-          val arr = r.getSeq[Long](1).toArray
-          java.util.Arrays.sort(arr)
+      buildExactIdSets(spark, missing.toIndexedSeq)
+        .foreach { case (f, arr) =>
           admitBloom(f, FileBlooms(IndexedSeq(RgDict(arr)),
             conservative = false, bytes = 64L + 8L * arr.length))
           admitted += plainPath(f)
@@ -530,6 +520,29 @@ object Segments {
       missing.foreach(f => admitBloom(f, readFileBlooms(spark, f)))
     }
     missing.length
+  }
+
+  /** The exact-id-set build job itself: ONE column-pruned distributed
+    * scan of `files` aggregating each file's ids, streamed to the
+    * driver via toLocalIterator (one partition of boxed rows
+    * transient; the returned primitive arrays are the durable bytes —
+    * 8 B/row). Shared by [[warmIdBlooms]] and the bench's
+    * 100M-geometry twin so the measured job IS the production job,
+    * not a replica that can drift.
+    */
+  private[graft] def buildExactIdSets(spark: SparkSession,
+      files: Seq[String], idCol: String = "id_hash")
+      : Iterator[(String, Array[Long])] = {
+    import scala.jdk.CollectionConverters._
+    spark.read.parquet(files: _*)
+      .select(input_file_name().as("f"), col(idCol).as("id"))
+      .groupBy("f").agg(collect_list(col("id")).as("hs"))
+      .toLocalIterator().asScala
+      .map { r =>
+        val arr = r.getSeq[Long](1).toArray
+        java.util.Arrays.sort(arr)
+        (r.getString(0), arr)
+      }
   }
 
   /** W4: write one immutable segment from rows carrying
