@@ -1712,8 +1712,12 @@ final class Graft private (
                 // footer sweep inside the FIRST request (measured 42 s
                 // over 3,960 files at 1M) and then serve at bloom
                 // quality; the one warm job here makes steady serves
-                // exact. Best-effort like the warm's own pre-load.
-                scala.util.Try(Segments.warmIdBlooms(spark, baseDir))
+                // exact. Best-effort like the warm's own pre-load, and
+                // over the exact budget it SKIPS rather than paying a
+                // whole-store sequential footer sweep inside open()
+                // (evidence then loads lazily per probed file).
+                scala.util.Try(Segments.warmIdBlooms(spark, baseDir,
+                    eagerBloomsOverBudget = false))
                   .failed.foreach(t => System.err.println(
                     s"[graft] id-bloom warm at adoption failed (point " +
                       s"lookups fall back to lazy loads): " +

@@ -222,19 +222,19 @@ object SparkEntry {
         // the one serving route gated only by ScalaTest + bench).
         val srv =
           if (!adopted) g
-          else {
-            g.close()
-            val g2 = Graft.open(s, base, cfg)
-            require(g2.pqCodesLiveDir.isDefined,
-              "facade_pq adopted twin: reopen did not adopt the tree")
-            g2
-          }
+          else { g.close(); Graft.open(s, base, cfg) }
+        // a failed assertion below must not leak the serving handle
+        // (or, for the adopted twin, the reopened one): close in
+        // finally, succeed or not
+        val rows = try {
+        if (adopted) require(srv.pqCodesLiveDir.isDefined,
+          "facade_pq adopted twin: reopen did not adopt the tree")
         val idMap = srv.liveView.select(col("id_hash"),
             expr("CAST(substring(id, 5) AS LONG)").as("vec_id"))
           .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
         val reqs = q(s, dir).collect().sortBy(_.getLong(0))
           .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-        val rows =
+        val rows0 =
           if (batch)
             // Q12 through the PQ door: one phase-1 job + one store plan
             // per ≤max_batch chunk — values must equal the per-query
@@ -283,7 +283,8 @@ object SparkEntry {
             s"facade_pq adopted twin did not serve from the adopted " +
               s"tree: local=$l dist=$d stored=$st of ${reqs.length}")
         }
-        srv.close()
+        rows0
+        } finally srv.close()
         s.createDataFrame(
           s.sparkContext.parallelize(rows, 1),
           StructType(Seq(

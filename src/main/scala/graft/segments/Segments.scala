@@ -486,7 +486,8 @@ object Segments {
     * only); past it, a sequential footer-bloom sweep. Returns the
     * number of files actually loaded (cache misses).
     */
-  def warmIdBlooms(spark: SparkSession, baseDir: String): Int = {
+  def warmIdBlooms(spark: SparkSession, baseDir: String,
+      eagerBloomsOverBudget: Boolean = true): Int = {
     val descs = catalogDescriptors(spark, baseDir)
     if (descs.isEmpty) return 0
     val paths = descs.map(_.file_path)
@@ -495,7 +496,14 @@ object Segments {
         bloomCache.synchronized(bloomCache.get(plainPath(f))) == null)
     if (missing.isEmpty) return 0
     val totalBytes = descs.map(_.num_vectors).sum * 8L
-    if (totalBytes <= exactIdSetBudgetBytes) {
+    // clamped to the resident cache's own budget: an exact budget
+    // raised past graft.bloom.cache.bytes would run the full exact job
+    // and then LRU-evict part of what it just admitted mid-warm — the
+    // next re-warm finds those files 'missing' again and the store
+    // re-pays the scan forever (the incremental-warm guarantee the
+    // spec pins would silently break)
+    val exactBudget = math.min(exactIdSetBudgetBytes, BloomCacheMaxBytes)
+    if (totalBytes <= exactBudget) {
       // scan ONLY the missing files (review-caught: scanning the whole
       // store would re-pay a full corpus pass for the one new segment
       // every maintenance re-warm adds)
@@ -512,12 +520,22 @@ object Segments {
       missing.iterator.map(plainPath).filterNot(admitted).foreach(f =>
         admitBloom(f, FileBlooms(IndexedSeq(RgDict(Array.empty[Long])),
           conservative = false, bytes = 64L)))
-    } else {
+    } else if (eagerBloomsOverBudget) {
       System.err.println(s"[graft] store id payload $totalBytes B " +
-        s"exceeds the exact-set budget ${exactIdSetBudgetBytes} B — " +
-        "warming footer blooms instead (set -Dgraft.bloom.exact.bytes " +
-        "to raise)")
+        s"exceeds the exact-set budget $exactBudget B — warming footer " +
+        "blooms instead (raise BOTH -Dgraft.bloom.exact.bytes and " +
+        "-Dgraft.bloom.cache.bytes to extend the exact path)")
       missing.foreach(f => admitBloom(f, readFileBlooms(spark, f)))
+    } else {
+      // caller declined the over-budget eager sweep (adoption inside
+      // open(): a sequential per-file footer read over the WHOLE store
+      // would block every fresh-JVM reopen of exactly the large stores
+      // the budget fallback exists for, including handles that never
+      // issue a point lookup) — evidence loads lazily per probed file
+      System.err.println(s"[graft] store id payload $totalBytes B " +
+        s"exceeds the exact-set budget $exactBudget B — skipping the " +
+        "eager evidence warm; point lookups load footer blooms lazily")
+      return 0
     }
     missing.length
   }

@@ -347,6 +347,15 @@ class SegmentsSpec extends SparkSpec {
     val prev = System.getProperty("graft.bloom.exact.bytes")
     System.setProperty("graft.bloom.exact.bytes", "0")
     try {
+      // adoption's variant DECLINES the over-budget eager sweep: a
+      // whole-store sequential footer read inside open() would block
+      // every fresh-JVM reopen of exactly the large stores the budget
+      // fallback exists for — the warm must skip (admit nothing) and
+      // point lookups still answer exactly via lazy per-file loads
+      assert(Segments.warmIdBlooms(spark, base,
+        eagerBloomsOverBudget = false) === 0)
+      assert(Segments.bloomEntriesUnder(base) === 0,
+        "declined over-budget warm admitted evidence anyway")
       assert(Segments.warmIdBlooms(spark, base) > 0)
       val got = Segments.scanForIdHashes(spark, base, hs).get
         .select("id_hash", "epoch", "deleted", "vec_id")
