@@ -1177,6 +1177,14 @@ class GraftFacadeSpec extends SparkSpec {
     // survivors) with no manual warm call, and the tombstoned row must
     // never resurrect through the stale adopted codes
     g2.delete(Seq("near").toDF("id"))
+    // the tombstone is masked IMMEDIATELY: the adopted door's phase-2
+    // LWW scans the live store, the new delta file's id evidence loads
+    // lazily (it was not in the adoption-time warm), and the buffered
+    // winner is dropped — no maintain, no warm, no stale-codes serve
+    val masked = g2.searchPq(mq, 5).toSeq
+    assert(!masked.exists(_._1 === hashOf("near")),
+      s"tombstone not masked by the adopted door before maintenance: " +
+        s"$masked")
     val rep = g2.maintain()
     assert(rep.compacted.exists(_.contains("tombstone_ratio")), rep.toString)
     assert(!g2.pqCodesLiveDir.exists(live0.contains),
