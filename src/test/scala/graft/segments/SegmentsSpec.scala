@@ -295,6 +295,34 @@ class SegmentsSpec extends SparkSpec {
     Segments.deleteDir(base)
   }
 
+  test("exact id evidence has NO false positives: pruning returns exactly the true containing files") {
+    val base = tmpBase()
+    val rows = segmentRows.cache()
+    Segments.writeSegment(rows.filter(col("id_hash") < 0), base, "neg", false)
+    Segments.writeSegment(rows.filter(col("id_hash") >= 0), base, "pos", false)
+    // the under-budget warm admits EXACT per-file id sets — unlike
+    // fpp-bounded blooms, pruning with them must return precisely the
+    // files that contain the probed hashes (the property behind the
+    // measured 389-false-positive-files → 1-true-file win at 1M)
+    assert(Segments.warmIdBlooms(spark, base) > 0)
+    val store = Segments.readPaths(spark,
+      Segments.catalogDescriptors(spark, base).map(_.file_path))
+    val allFiles = store.inputFiles.toIndexedSeq
+    val hs = rows.filter(col("vec_id").isin(7L, 20L, 33L))
+      .select("id_hash").distinct().as[Long].collect().toIndexedSeq
+    val truly = store.filter(col("id_hash").isin(hs: _*))
+      .select(input_file_name()).distinct().as[String].collect().toSet
+    val matching = Segments
+      .bloomPruneFiles(spark, allFiles, hs).get.toSet
+    assert(matching === truly,
+      s"exact evidence diverged from true membership: " +
+        s"extra=${(matching -- truly).size} missing=${(truly -- matching).size}")
+    // and an absent hash matches NOTHING (exact absence, no fpp term)
+    assert(Segments.bloomPruneFiles(spark, allFiles, Seq(12345L))
+      .get.isEmpty)
+    Segments.deleteDir(base)
+  }
+
   test("bloom + listing invalidation: a same-path rewrite serves the NEW files (no stale bloom false negatives)") {
     val base = tmpBase()
     def seg(hs: Seq[Long]) = hs.map(h => (h, 100L + h, h, false, 0L))
