@@ -1361,6 +1361,24 @@ object Bench {
       extras("facade_stored_1m_p50_ms") = num(pctl(sLat, 50), 1)
       extras("facade_stored_1m_p99_ms") = num(pctl(sLat, 99), 1)
       extras("facade_stored_1m_serves") = g.pqDoorRoutes._3.toString
+      // the BATCH stored door: one phase-1 job + ONE union-pruned
+      // store plan per chunk, so the per-request fixed cost (plan
+      // build, LUT broadcast, dispatch) amortizes across the batch —
+      // the cluster-shape lever the single-door p50 cannot show; the
+      // per-query number below is the one to read against
+      // facade_stored_1m_p50_ms
+      locally {
+        val bq = (0 until 10).map(i => synthVec100m(n + 53 + i, d))
+        val tB0 = System.nanoTime()
+        val bres = g.searchPqBatch(bq, 10)
+        val batchMs = (System.nanoTime() - tB0) / 1e6
+        require(bres.length == bq.length && bres.forall(_.nonEmpty),
+          "stored facade batch door served nothing")
+        extras("facade_stored_1m_batch_queries") = bq.length.toString
+        extras("facade_stored_1m_batch_total_ms") = num(batchMs, 1)
+        extras("facade_stored_1m_batch_per_query_ms") =
+          num(batchMs / bq.length, 1)
+      }
       // RESTART-DURABILITY twin (r15): close() keeps the stamped live
       // tree; a reopen must ADOPT it from its sidecars and serve a
       // stored request with NO warm call — cold-open now includes L2,
@@ -3152,6 +3170,7 @@ object Bench {
         "facade_warm_1m_sec",
         "facade_warm_1m_rewarm_sec", "facade_warm_1m_tree_reused",
         "facade_stored_1m_p50_ms", "facade_stored_1m_p99_ms",
+        "facade_stored_1m_batch_per_query_ms",
         "facade_reopen_adopted", "facade_reopen_open_sec",
         "facade_reopen_first_serve_ms", "facade_reopen_steady_p50_ms",
         "serving_concurrent_calib_qps", "serving_concurrent_ratio",
