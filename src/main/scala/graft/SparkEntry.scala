@@ -563,10 +563,13 @@ object SparkEntry {
       rows.foreach { case (id, v) => g.insert(id, v) }
       val reqs = q(s, dir).collect().sortBy(_.getLong(0))
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      val out = reqs.toIndexedSeq.flatMap { case (qid, qv) =>
-        g.search(qv, 10, ef = rows.length)
-          .map { case (id, sc) => Row(qid, id, sc) }
-      }
+      // graph searches are read-only and independent — serve them
+      // concurrently (results assembled in request order, §2.6)
+      val out = graft.operators.Parallelism.parRequests(reqs.toIndexedSeq) {
+        case (qid, qv) =>
+          g.search(qv, 10, ef = rows.length)
+            .map { case (id, sc) => Row(qid, id, sc) }.toIndexedSeq
+      }.flatten
       s.createDataFrame(
         s.sparkContext.parallelize(out, 1),
         StructType(Seq(StructField("query_id", LongType, nullable = false),
@@ -595,18 +598,24 @@ object SparkEntry {
       val reqs = q(s, dir).collect().sortBy(_.getLong(0))
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       val (cold, hot) = reqs.splitAt(reqs.length / 2)
-      val coldOut = cold.toIndexedSeq.flatMap { case (qid, qv) =>
-        cache.search(qv, 10, nprobe = nlist)
-          .map { case (id, sc) => Row(qid, id, sc) }
-      }
+      // cold serves fall through to independent index probe jobs, hot
+      // serves are read-only graph walks — both halves run concurrently
+      // within themselves (request order preserved; offer/refresh stays
+      // a barrier between the halves, §2.6)
+      val coldOut = graft.operators.Parallelism
+        .parRequests(cold.toIndexedSeq) { case (qid, qv) =>
+          cache.search(qv, 10, nprobe = nlist)
+            .map { case (id, sc) => Row(qid, id, sc) }.toIndexedSeq
+        }.flatten
       rows.foreach { case (id, v) => cache.offer(id, v) }
       cache.refresh()
       require(cache.cacheSize == rows.length,
         s"cache admitted ${cache.cacheSize} of ${rows.length}")
-      val hotOut = hot.toIndexedSeq.flatMap { case (qid, qv) =>
-        cache.search(qv, 10, nprobe = nlist)
-          .map { case (id, sc) => Row(qid, id, sc) }
-      }
+      val hotOut = graft.operators.Parallelism
+        .parRequests(hot.toIndexedSeq) { case (qid, qv) =>
+          cache.search(qv, 10, nprobe = nlist)
+            .map { case (id, sc) => Row(qid, id, sc) }.toIndexedSeq
+        }.flatten
       idx.unpersist()
       s.createDataFrame(
         s.sparkContext.parallelize(coldOut ++ hotOut, 1),
@@ -738,10 +747,13 @@ object SparkEntry {
       val nlist = cents.count().toInt
       val reqs = q(s, dir).collect().sortBy(_.getLong(0))
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      val rows = reqs.toIndexedSeq.flatMap { case (qid, qv) =>
-        pq.search(qv, 10, nprobe = nlist, rerank = 4, raw)
-          .map { case (id, sc) => Row(qid, id, sc) }
-      }
+      // driver-local index scans, read-only and independent per request
+      // — serve concurrently, order preserved (§2.6)
+      val rows = graft.operators.Parallelism.parRequests(reqs.toIndexedSeq) {
+        case (qid, qv) =>
+          pq.search(qv, 10, nprobe = nlist, rerank = 4, raw)
+            .map { case (id, sc) => Row(qid, id, sc) }.toIndexedSeq
+      }.flatten
       idx.unpersist()
       s.createDataFrame(
         s.sparkContext.parallelize(rows, 1),
@@ -773,13 +785,16 @@ object SparkEntry {
       val nlist = cents.count().toInt
       val reqs = q(s, dir).collect().sortBy(_.getLong(0))
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      val rows = reqs.toIndexedSeq.flatMap { case (qid, qv) =>
-        val cand = dist.searchAdc(qv, 10 * 40, nprobe = nlist).map(_._1)
-        val exact = raw.scoreIds(qv, cand)
-        cand.map(id => (id, exact(id)))
-          .sortBy { case (id, sc) => (-sc, id) }.take(10)
-          .map { case (id, sc) => Row(qid, id, sc) }
-      }
+      // one probe job per request against the distributed tier —
+      // independent requests served concurrently (§2.6), order preserved
+      val rows = graft.operators.Parallelism.parRequests(reqs.toIndexedSeq) {
+        case (qid, qv) =>
+          val cand = dist.searchAdc(qv, 10 * 40, nprobe = nlist).map(_._1)
+          val exact = raw.scoreIds(qv, cand)
+          cand.map(id => (id, exact(id)))
+            .sortBy { case (id, sc) => (-sc, id) }.take(10)
+            .map { case (id, sc) => Row(qid, id, sc) }.toIndexedSeq
+      }.flatten
       dist.unpersist()
       idx.unpersist()
       s.createDataFrame(
@@ -1279,7 +1294,10 @@ object SparkEntry {
       TextOps.stratifiedSample(docs(s, dir), k = 5)),
     // ---- relational (TPC-H-ish) -----------------------------------------
     "q1_pricing" -> ((s, dir) =>
-      Tables.load(s, dir, "lineitem")
+      // widen: the 600k-row bench-scale lineitem arrives as ONE scan
+      // split — the partial aggregation would run on one core (no-op at
+      // real scale, Parallelism.widen)
+      graft.operators.Parallelism.widen(Tables.load(s, dir, "lineitem"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
           round(sum(col("l_extendedprice")), 2).as("sum_base"),
@@ -1288,7 +1306,9 @@ object SparkEntry {
           count(lit(1)).as("n"))),
     "q3_top_orders" -> ((s, dir) => {
       val o = Tables.load(s, dir, "orders")
-      val l = Tables.load(s, dir, "lineitem")
+      // widen the probe side of the broadcast join (see q1_pricing)
+      val l = graft.operators.Parallelism
+        .widen(Tables.load(s, dir, "lineitem"))
       l.join(o, l("l_orderkey") === o("o_orderkey"))
         .groupBy(col("o_orderkey"), col("o_orderpriority"))
         .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)

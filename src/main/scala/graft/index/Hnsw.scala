@@ -345,9 +345,14 @@ final class HnswHotCache(idx: ServingIndex, maxElements: Int = 1000000,
   private def elementBytes(vec: Array[Float]): Long =
     4L * vec.length + 8L + 4L * (3L * m)
 
-  /** Record result ids of a served request (admission signal). */
-  def observe(resultIds: Iterable[Long]): Unit =
+  /** Record result ids of a served request (admission signal).
+    * Synchronized: requests are served concurrently (independent jobs,
+    * guide §2.6) and the hit map is shared admission state — the lock
+    * is uncontended relative to a request's own work.
+    */
+  def observe(resultIds: Iterable[Long]): Unit = synchronized {
     resultIds.foreach(id => hits(id) = hits(id) + 1L)
+  }
 
   /** Offer a vector for caching (e.g. from request results or a warm
     * scan); kept driver-side until the next refresh admits it.

@@ -27,7 +27,9 @@ object NprobeTuner {
     val exact = Knn.exactBatch(queries, data, metric, k)
       .select("query_id", "vec_id").cache()
     val nQueries = queries.count().toDouble
-    val rows = candidates.map { np =>
+    // candidate widths are independent measurements — run them as
+    // concurrent jobs (guide §2.6); results keep the candidate order
+    val rows = graft.operators.Parallelism.parRequests(candidates) { np =>
       val ivf = Ivf.search(assigned, queries, centroids, metric, k, np)
         .select("query_id", "vec_id")
       val hits = exact.join(ivf, Seq("query_id", "vec_id")).count()

@@ -261,7 +261,10 @@ object Pq {
         IndexExpressions.pqAdcSumBytes(col("codes"), col("__lut"))
       case _ => IndexExpressions.pqAdcSum(col("codes"), col("__lut"))
     }
-    codes.crossJoin(broadcast(withLut))
+    // widen: a one-split codes relation runs the whole ADC scan + partial
+    // top-k on ONE core; no-op at real scale (Parallelism.widen)
+    graft.operators.Parallelism.widen(codes)
+      .crossJoin(broadcast(withLut))
       .select(col("query_id"), col(idCol), sum.as("approx_score"))
   }
 

@@ -915,14 +915,19 @@ final class ServingIndex private (
       distOverlay: Option[DistributedServingOverlay] = None): DataFrame = {
     require(queries.size <= limits.maxBatch,
       s"query batch ${queries.size} exceeds max_query_batch ${limits.maxBatch}")
-    val rows = queries.flatMap { case (qid, qv) =>
-      val hits = (overlay, distOverlay) match {
-        case (_, Some(d)) => searchWithOverlay(qv, k, nprobe, d, filter)
-        case (Some(o), _) => searchWithOverlay(qv, k, nprobe, o, filter)
-        case _ => search(qv, k, nprobe, filter)
-      }
-      hits.map { case (id, s) => Row(qid, id, s) }
-    }
+    // requests are independent — run them CONCURRENTLY (a resident server
+    // serves overlapping requests; sequential submission pays the whole
+    // job-dispatch floor per request, guide §2.6). Results are assembled
+    // in request order: values identical to the sequential loop.
+    val rows = graft.operators.Parallelism.parRequests(queries) {
+      case (qid, qv) =>
+        val hits = (overlay, distOverlay) match {
+          case (_, Some(d)) => searchWithOverlay(qv, k, nprobe, d, filter)
+          case (Some(o), _) => searchWithOverlay(qv, k, nprobe, o, filter)
+          case _ => search(qv, k, nprobe, filter)
+        }
+        hits.map { case (id, s) => Row(qid, id, s) }
+    }.flatten
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1),
       StructType(Seq(StructField("query_id", LongType, nullable = false),

@@ -68,8 +68,11 @@ object DedupOps {
     // on the all-pairs verify
     val sortedToks =
       array_sort(array_distinct(filter(toks(col("text")), x => x =!= "")))
-    val a = docs.select(col(blockCol), col("doc_id").as("a"),
-      sortedToks.as("ta"))
+    // widen the probe side: the block join broadcasts `b`, so `a`'s
+    // (single-split at bench scale) partitioning is the only parallelism
+    // the quadratic merge-intersect pass gets — no-op at real scale
+    val a = Parallelism.widen(
+      docs.select(col(blockCol), col("doc_id").as("a"), sortedToks.as("ta")))
     val b = docs.select(col(blockCol), col("doc_id").as("b"),
       sortedToks.as("tb"))
     // materialize the intersection size once per pair (a second Project —
@@ -256,7 +259,8 @@ object DedupOps {
         col("simhash").bitwiseAND(0x3FFF),
         shiftright(col("simhash"), 14).bitwiseAND(0x3FFF)))
         .as(Seq("chunk_id", "chunk")))
-    chunked.as("x").join(chunked.as("y"),
+    // widen the probe side of the chunk self-join (see jaccardPairsWithin)
+    Parallelism.widen(chunked).as("x").join(chunked.as("y"),
         col("x.chunk_id") === col("y.chunk_id") &&
           col("x.chunk") === col("y.chunk") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -292,7 +296,10 @@ object DedupOps {
     val bucketed = embeddings
       .select(col("vec_id"), v.as("e"), bucket.as("bucket"),
         sqrt(VectorFunctions.dotD(v, v)).as("nrm"))
-    bucketed.as("x").join(bucketed.as("y"),
+      // widen: the bucket self-join broadcasts one side; the probe side's
+      // single bench-scale split would verify every candidate pair on one
+      // core — no-op at real scale
+    Parallelism.widen(bucketed).as("x").join(bucketed.as("y"),
         col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
@@ -333,15 +340,18 @@ object DedupOps {
         .join(labels.withColumnRenamed("doc_id", "y"), Seq("y"))
         .groupBy(col("x").as("doc_id"))
         .agg(min(col("canonical_id")).as("nmin"))
+      // carry the OLD label through the checkpoint: the convergence test
+      // becomes a filter+count over the just-materialized rows instead of
+      // a labels⋈updated join (which re-shuffled both sides every round)
       val updated = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("canonical_id"), coalesce(col("nmin"),
-            col("canonical_id"))).as("canonical_id"))
+            col("canonical_id"))).as("canonical_id"),
+          col("canonical_id").as("__old"))
         .localCheckpoint(true)
-      changed = updated.join(labels.withColumnRenamed("canonical_id", "old"),
-          Seq("doc_id"))
-        .filter(col("canonical_id") =!= col("old")).count()
-      labels = updated
+      changed = updated
+        .filter(col("canonical_id") =!= col("__old")).count()
+      labels = updated.drop("__old")
       i += 1
     }
     // a chain component with diameter > maxIter would exit this loop with
@@ -448,7 +458,9 @@ object DedupOps {
     val v = col("embedding").cast("array<double>")
     val side = embeddings.select(col("vec_id"), v.as("e"),
       sqrt(VectorFunctions.dotD(v, v)).as("nrm"))
-    side.as("x").join(side.as("y"), col("x.vec_id") < col("y.vec_id"))
+    // widen the streamed side of the all-pairs join (see jaccardPairsWithin)
+    Parallelism.widen(side).as("x")
+      .join(side.as("y"), col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
         (VectorFunctions.dotD(col("x.e"), col("y.e"))
           / (col("x.nrm") * col("y.nrm"))).as("cosine"))

@@ -149,7 +149,9 @@ object TextOps {
     */
   def unigramScore(docs: DataFrame, hotV: Int = 10000): DataFrame = {
     val t = filter(tokens(col("text")), x => x =!= "")
-    val exploded = docs.select(col("doc_id"), explode(t).as("tok"))
+    // widen: the tokenize+explode pass is the cost (see bigramScore)
+    val exploded = Parallelism.widen(docs)
+      .select(col("doc_id"), explode(t).as("tok"))
     val counts = exploded.groupBy(col("tok"))
       .agg(count(lit(1)).as("c"))
     val total = counts.agg(sum(col("c")).cast("long").as("n"))
@@ -191,7 +193,10 @@ object TextOps {
     val tAttr = col("__t")
     val grams = transform(sequence(lit(0), size(tAttr) - 2),
       i => concat_ws(" ", slice(tAttr, i + 1, lit(2))))
-    val exploded = docs
+    // widen first: tokenize + gram-build + explode are the heavy
+    // interpreted-HOF pass — a one-split bench-scale corpus would run it
+    // all on one core (no-op at real scale, Parallelism.widen)
+    val exploded = Parallelism.widen(docs)
       .select(col("doc_id"), filter(tokens(col("text")), x => x =!= "")
         .as("__t"))
       .select(col("doc_id"),
@@ -231,7 +236,7 @@ object TextOps {
     // all positions (not distinct): occurrence counts need multiplicity
     val grams = transform(sequence(lit(0), size(tAttr) - n),
       i => concat_ws(" ", slice(tAttr, i + 1, lit(n))))
-    docs
+    Parallelism.widen(docs) // see bigramScore — the explode pass is the cost
       .select(col("doc_id"),
         filter(tokens(col("text")), x => x =!= "").as("__t"))
       .select(col("doc_id"),
@@ -394,10 +399,18 @@ object TextOps {
   def packSequences(docs: DataFrame, budgetTokens: Long = 2048,
       numPartitions: Int = 32): DataFrame = {
     val spark = docs.sparkSession
-    val counted = docs
+    // tokenize ONCE: the interpreted-HOF token count would otherwise run
+    // three times (the range partitioner's sampling pass, the totals
+    // pass, the final pass) — materialize the narrow (doc_id, n_tokens)
+    // projection eagerly and let every pass read that instead. Local
+    // checkpoint, not cache(): the block lives with THIS plan instance,
+    // so a re-invocation recomputes from the parquet inputs.
+    val tokenCounts = docs
       .select(col("doc_id"),
         size(filter(tokens(col("text")), x => x =!= ""))
           .cast("long").as("n_tokens"))
+      .localCheckpoint(true)
+    val counted = tokenCounts
       .repartitionByRange(numPartitions, col("doc_id"))
       .withColumn("__pid", spark_partition_id())
     // per-partition totals -> driver exclusive scan (≤ numPartitions rows)

@@ -80,16 +80,32 @@ object Segments {
   private def readInferenceOff(spark: SparkSession, basePath: String,
       ps: Seq[String]): DataFrame = {
     val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    // listing threshold: Spark launches a DISTRIBUTED listing job once a
+    // level has > 32 directories — a store at reference geometry has
+    // nlist (50-4096) centroid dirs per segment, so every segment read
+    // pays a whole Spark job (~130 ms measured) to list directories the
+    // driver enumerates in single-digit ms on any HDFS-like metadata
+    // service. Scoped to the read, default-respecting (an explicit user
+    // setting wins); past 4096 dirs the distributed listing returns.
+    val thrKey = "spark.sql.sources.parallelPartitionDiscovery.threshold"
     val prev = spark.conf.getOption(key)
+    val prevThr = spark.conf.getOption(thrKey)
     spark.conf.set(key, "false")
+    if (prevThr.forall(_ == "32")) spark.conf.set(thrKey, "4096")
     // the FileIndex (and with it partition-value parsing) materializes
     // eagerly inside the read call, so scoping the conf around it is
     // sound even though the returned plan is lazy
     val df =
       try spark.read.option("basePath", basePath).parquet(ps: _*)
-      finally prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None    => spark.conf.unset(key)
+      finally {
+        prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None    => spark.conf.unset(key)
+        }
+        prevThr match {
+          case Some(v) => spark.conf.set(thrKey, v)
+          case None    => spark.conf.unset(thrKey)
+        }
       }
     if (df.columns.contains("centroid_id"))
       df.withColumn("centroid_id", col("centroid_id").cast("long"))
@@ -611,6 +627,14 @@ object Segments {
       .option("parquet.bloom.filter.enabled#id_hash", "true")
       .option("parquet.bloom.filter.expected.ndv#id_hash",
         expectedNdvPerFile.toString)
+      // commit algorithm v2: task commit moves each centroid-dir file
+      // into place directly instead of a second job-commit rename pass.
+      // v1's job-level atomicity buys nothing here — the segment is
+      // invisible until its DESCRIPTOR is appended (the catalog is the
+      // publish point; a torn data dir without one is never read), and
+      // per-list writes mean O(nlist) renames per segment that v2 halves
+      // (guide §6: commit cost scales with file count)
+      .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
       .parquet(path)
     // the one writer that can REWRITE an existing segment path in place
     // (the recovery segment's idempotent replay) — stale cached
@@ -817,6 +841,10 @@ object Segments {
       .repartition(col("tag"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("tag")
+      // commit v2 — same argument as writeSegment: per-tag dirs mean
+      // O(tags) renames, and the index is read only after this call
+      // returns (no mid-write reader to protect)
+      .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
       .parquet(s"$baseDir/$TagIndexDir/segment_id=$segmentId")
   }
 
