@@ -247,10 +247,11 @@ object SparkEntry {
                     hits.map { case (idh, sc) => Row(qid, idMap(idh), sc) }
                   }
               }
-          else reqs.toIndexedSeq.flatMap { case (qid, qv) =>
-            srv.searchPq(qv, 10).map { case (idh, sc) =>
-              Row(qid, idMap(idh), sc) }
-          }
+          else graft.operators.Parallelism
+            .parRequests(reqs.toIndexedSeq) { case (qid, qv) =>
+              srv.searchPq(qv, 10).map { case (idh, sc) =>
+                Row(qid, idMap(idh), sc) }.toIndexedSeq
+            }.flatten
         if (stored) {
           // the entry itself pins the route: every request fell through
           // past both cache levels to the stored plan (a silently
@@ -1294,10 +1295,7 @@ object SparkEntry {
       TextOps.stratifiedSample(docs(s, dir), k = 5)),
     // ---- relational (TPC-H-ish) -----------------------------------------
     "q1_pricing" -> ((s, dir) =>
-      // widen: the 600k-row bench-scale lineitem arrives as ONE scan
-      // split — the partial aggregation would run on one core (no-op at
-      // real scale, Parallelism.widen)
-      graft.operators.Parallelism.widen(Tables.load(s, dir, "lineitem"))
+      Tables.load(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
           round(sum(col("l_extendedprice")), 2).as("sum_base"),

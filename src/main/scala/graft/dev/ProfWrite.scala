@@ -80,6 +80,37 @@ object ProfWrite {
       rows.repartition(col("centroid_id")).write.mode(SaveMode.Overwrite)
         .parquet(dir())
     }
+    time("bloom100k+part+repart+v2") {
+      rows.repartition(col("centroid_id")).write.mode(SaveMode.Overwrite)
+        .partitionBy("centroid_id")
+        .option("parquet.bloom.filter.enabled#id_hash", "true")
+        .option("parquet.bloom.filter.expected.ndv#id_hash", "100000")
+        .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+        .parquet(dir())
+    }
+    spark.conf.set("spark.sql.maxConcurrentOutputFileWriters", "64")
+    time("bloom100k+part+repart+concwriters") {
+      rows.repartition(col("centroid_id")).write.mode(SaveMode.Overwrite)
+        .partitionBy("centroid_id")
+        .option("parquet.bloom.filter.enabled#id_hash", "true")
+        .option("parquet.bloom.filter.expected.ndv#id_hash", "100000")
+        .parquet(dir())
+    }
+    spark.conf.set("spark.sql.maxConcurrentOutputFileWriters", "0")
+    time("part+repart+uncompressed") {
+      rows.repartition(col("centroid_id")).write.mode(SaveMode.Overwrite)
+        .partitionBy("centroid_id")
+        .option("compression", "none")
+        .parquet(dir())
+    }
+    time("part+repart+nosummary") {
+      rows.repartition(col("centroid_id")).write.mode(SaveMode.Overwrite)
+        .partitionBy("centroid_id")
+        .option("parquet.summary.metadata.level", "NONE")
+        .option("parquet.bloom.filter.enabled#id_hash", "true")
+        .option("parquet.bloom.filter.expected.ndv#id_hash", "100000")
+        .parquet(dir())
+    }
     spark.stop()
   }
 }

@@ -280,10 +280,7 @@ object Ivf {
     // compose with IVF pruning the way the reference's QueryRequest does
     // (tags_any + nprobe in one request, types.h:67-75) — on partitioned
     // storage both reach the scan
-    // widen: a one-split corpus would score every probed pair on ONE
-    // core (broadcast join keeps the data side's partitioning); no-op
-    // at real scale (Parallelism.widen)
-    val scored = graft.operators.Parallelism.widen(assigned.filter(filter))
+    val scored = assigned.filter(filter)
       .join(broadcast(probeSet), Seq("centroid_id"))
       .select(col("query_id"), col(idCol),
         Knn.score(metric, col("qv"), col(vecCol)).as("score"))

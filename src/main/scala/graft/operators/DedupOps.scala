@@ -68,13 +68,18 @@ object DedupOps {
     // on the all-pairs verify
     val sortedToks =
       array_sort(array_distinct(filter(toks(col("text")), x => x =!= "")))
-    // widen the probe side: the block join broadcasts `b`, so `a`'s
-    // (single-split at bench scale) partitioning is the only parallelism
-    // the quadratic merge-intersect pass gets — no-op at real scale
-    val a = Parallelism.widen(
-      docs.select(col(blockCol), col("doc_id").as("a"), sortedToks.as("ta")))
-    val b = docs.select(col(blockCol), col("doc_id").as("b"),
-      sortedToks.as("tb"))
+    // tokenize+sort ONCE, in parallel: widen the one-split input first
+    // (no-op at real scale), then materialize the expensive per-doc
+    // projection so both join sides read it instead of each re-running
+    // the interpreted-HOF pass (the broadcast side would otherwise
+    // rebuild it single-threaded inside the broadcast job)
+    val sorted = Parallelism.widen(docs)
+      .select(col(blockCol), col("doc_id"), sortedToks.as("t"))
+      .localCheckpoint(true)
+    val a = sorted.select(col(blockCol), col("doc_id").as("a"),
+      col("t").as("ta"))
+    val b = sorted.select(col(blockCol), col("doc_id").as("b"),
+      col("t").as("tb"))
     // materialize the intersection size once per pair (a second Project —
     // CollapseProject keeps it because `inter` is referenced twice)
     a.join(b, Seq(blockCol))
@@ -251,16 +256,19 @@ object DedupOps {
   def simhashPairsOracle(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val tk = array_distinct(filter(toks(col("text")), x => x =!= ""))
     val hs = transform(tk, t => md5Hash28(t))
-    val sigs = docs.select(col("doc_id"),
+    // signatures computed ONCE, in parallel (see jaccardPairsWithin):
+    // per-token md5 over every doc is the expensive pass — widen the
+    // one-split input, materialize, and let both self-join sides read it
+    val sigs = Parallelism.widen(docs).select(col("doc_id"),
       graft.functions.expr.SketchExpressions
         .simhashSig(hs, 28).as("simhash"))
+      .localCheckpoint(true)
     val chunked = sigs.select(col("doc_id"), col("simhash"),
       posexplode(array(
         col("simhash").bitwiseAND(0x3FFF),
         shiftright(col("simhash"), 14).bitwiseAND(0x3FFF)))
         .as(Seq("chunk_id", "chunk")))
-    // widen the probe side of the chunk self-join (see jaccardPairsWithin)
-    Parallelism.widen(chunked).as("x").join(chunked.as("y"),
+    chunked.as("x").join(chunked.as("y"),
         col("x.chunk_id") === col("y.chunk_id") &&
           col("x.chunk") === col("y.chunk") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -293,13 +301,14 @@ object DedupOps {
     }.reduce(_ + _)
     // norms precomputed per row (sqrt(v·v) once, not per pair) — the
     // division tree is unchanged so cosine stays bit-identical
-    val bucketed = embeddings
+    // bucket signatures (planes × rows dots) computed ONCE, in parallel
+    // (see jaccardPairsWithin) — both self-join sides read the
+    // materialized projection
+    val bucketed = Parallelism.widen(embeddings)
       .select(col("vec_id"), v.as("e"), bucket.as("bucket"),
         sqrt(VectorFunctions.dotD(v, v)).as("nrm"))
-      // widen: the bucket self-join broadcasts one side; the probe side's
-      // single bench-scale split would verify every candidate pair on one
-      // core — no-op at real scale
-    Parallelism.widen(bucketed).as("x").join(bucketed.as("y"),
+      .localCheckpoint(true)
+    bucketed.as("x").join(bucketed.as("y"),
         col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
@@ -456,10 +465,13 @@ object DedupOps {
     */
   def cosineTopPairs(embeddings: DataFrame, limit: Int): DataFrame = {
     val v = col("embedding").cast("array<double>")
-    val side = embeddings.select(col("vec_id"), v.as("e"),
-      sqrt(VectorFunctions.dotD(v, v)).as("nrm"))
-    // widen the streamed side of the all-pairs join (see jaccardPairsWithin)
-    Parallelism.widen(side).as("x")
+    // norms computed once in parallel; both all-pairs sides read the
+    // materialized projection (see jaccardPairsWithin)
+    val side = Parallelism.widen(embeddings)
+      .select(col("vec_id"), v.as("e"),
+        sqrt(VectorFunctions.dotD(v, v)).as("nrm"))
+      .localCheckpoint(true)
+    side.as("x")
       .join(side.as("y"), col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
         (VectorFunctions.dotD(col("x.e"), col("y.e"))

@@ -39,10 +39,8 @@ object Knn {
   def exactBatch(queries: DataFrame, data: DataFrame, metric: String, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       filter: Column = lit(true), useAggregator: Boolean = true): DataFrame = {
-    // widen: a one-split corpus would score × partial-top-k on ONE core
-    // (broadcast join preserves the left side's partitioning); no-op at
-    // real scale — see Parallelism.widen
-    val scored = Parallelism.widen(data.filter(filter))
+    val scored = data
+      .filter(filter)
       .crossJoin(broadcast(queries))
       .select(col("query_id"), col(idCol),
         score(metric, col("qv"), col(vecCol)).as("score"))

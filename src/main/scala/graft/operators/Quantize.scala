@@ -66,8 +66,7 @@ object Quantize {
         idCol, vecCol)
       .select(col(idCol).as("query_id"), col("scale").as("__qs"),
         col("codes").as("__qc"))
-    // widen: one-split corpus would run phase 1 on one core (no-op at scale)
-    val approx = Parallelism.widen(vc).crossJoin(broadcast(qc))
+    val approx = vc.crossJoin(broadcast(qc))
       .select(col("query_id"), col(idCol),
         (dotD(col("__qc"), col("codes")) * (col("__qs") * col("scale")))
           .as("approx_score"))

@@ -149,9 +149,7 @@ object TextOps {
     */
   def unigramScore(docs: DataFrame, hotV: Int = 10000): DataFrame = {
     val t = filter(tokens(col("text")), x => x =!= "")
-    // widen: the tokenize+explode pass is the cost (see bigramScore)
-    val exploded = Parallelism.widen(docs)
-      .select(col("doc_id"), explode(t).as("tok"))
+    val exploded = docs.select(col("doc_id"), explode(t).as("tok"))
     val counts = exploded.groupBy(col("tok"))
       .agg(count(lit(1)).as("c"))
     val total = counts.agg(sum(col("c")).cast("long").as("n"))
@@ -193,10 +191,7 @@ object TextOps {
     val tAttr = col("__t")
     val grams = transform(sequence(lit(0), size(tAttr) - 2),
       i => concat_ws(" ", slice(tAttr, i + 1, lit(2))))
-    // widen first: tokenize + gram-build + explode are the heavy
-    // interpreted-HOF pass — a one-split bench-scale corpus would run it
-    // all on one core (no-op at real scale, Parallelism.widen)
-    val exploded = Parallelism.widen(docs)
+    val exploded = docs
       .select(col("doc_id"), filter(tokens(col("text")), x => x =!= "")
         .as("__t"))
       .select(col("doc_id"),

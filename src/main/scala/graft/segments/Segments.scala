@@ -1101,15 +1101,18 @@ object Segments {
       else {
         val live = latest.filter(!col("deleted"))
         val tombs = latest.filter(col("deleted") && mayMaskStable)
-        // the probe decision needs the tombstone count — one extra
-        // narrow aggregation over the (small-by-invariant) delta tier,
-        // a maintenance-cadence cost like the compaction itself
-        val nTombs = tombs.count()
+        // the probe decision needs "≤ bound tombstones?" plus, on the
+        // cheap path, the hashes themselves — ONE bounded collect
+        // answers both (limit(bound+1) stops scanning at the bound,
+        // where a count() would scan the whole delta tier; and the
+        // ≤-bound branch reuses the rows instead of a second job)
+        val headHashes = tombs.select(col("id_hash"))
+          .limit(ExactPurgeProbeBound + 1)
+          .collect().map(_.getLong(0)).toIndexedSeq
         val kept =
-          if (nTombs == 0) tombs
-          else if (nTombs <= ExactPurgeProbeBound) {
-            val hashes = tombs.select(col("id_hash"))
-              .collect().map(_.getLong(0)).toIndexedSeq
+          if (headHashes.isEmpty) tombs
+          else if (headHashes.length <= ExactPurgeProbeBound) {
+            val hashes = headHashes
             val probePaths = stableDescs.filter(d =>
                 hashes.exists(h => d.min_id_hash <= h &&
                   h <= d.max_id_hash))
