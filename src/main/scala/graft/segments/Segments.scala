@@ -620,7 +620,17 @@ object Segments {
         min(col("id_hash")).as("minh"), max(col("id_hash")).as("maxh"),
         min(col("epoch")).as("mine"), max(col("epoch")).as("maxe"),
         avg(col("deleted").cast("double")).as("tr"))
-    (if (repartitionForWrite) observed.repartition(col("centroid_id"))
+    // the repartition exists to keep one writer per inverted list (no
+    // tasks×lists small-file explosion). A SINGLE-partition input
+    // already satisfies that invariant — one task writes every list —
+    // so the exchange would only redistribute rows it is about to
+    // regroup (measured ~0.2 s of pure shuffle per bench-scale write).
+    // Multi-partition inputs (every real-scale flush/compaction) keep
+    // the exchange.
+    val onePart = repartitionForWrite &&
+      (try rows.rdd.getNumPartitions == 1 catch { case _: Throwable => false })
+    (if (repartitionForWrite && !onePart)
+       observed.repartition(col("centroid_id"))
      else observed).write
       .mode(SaveMode.Overwrite)
       .partitionBy("centroid_id")
